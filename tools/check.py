@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: run each oracle SQL in
+DuckDB over the sf parquet tables and compare against Verify's parquet
+dumps (columns sorted by name, values hashed row-wise). Usage:
+  python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # tz-aware -> naive for comparison
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64") and getattr(df[c].dt, "tz", None) is not None:
+            df[c] = df[c].dt.tz_localize(None)
+    return df.reset_index(drop=True)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+            exp = norm(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}"); n_fail += 1; continue
+        ok_schema = list(got.columns) == list(exp.columns)
+        ok_rows = len(got) == len(exp)
+        ok_vals = ok_schema and ok_rows and got.equals(exp)
+        if not ok_vals and ok_schema and ok_rows:
+            # report first differing cell for debugging
+            for c in got.columns:
+                if not got[c].equals(exp[c]):
+                    neq = (got[c] != exp[c]) & ~(got[c].isna() & exp[c].isna())
+                    i = neq.idxmax()
+                    print(f"  diff {name}.{c}[{i}]: spark={got[c][i]!r} duckdb={exp[c][i]!r}")
+                    break
+        status = "PASS" if ok_vals else "FAIL"
+        if ok_vals: n_pass += 1
+        else: n_fail += 1
+        print(f"{status} {name}: schema={ok_schema} rows={len(got)}/{len(exp)}")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
