@@ -1,0 +1,88 @@
+package graft.ops
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: media payloads ride as opaque `BINARY`
+  * columns with typed metadata alongside, flowing through the relational
+  * operators unchanged. No image/audio codecs exist in this environment,
+  * so the decode kernel is a clearly-marked deterministic STUB — the
+  * Spark-side shape (binary column, batched mapPartitions, feature
+  * schema, partition-preserving narrow exec) is the real, tested part.
+  */
+object Multimodal {
+
+  /** Input row shape for the feature extractor. */
+  case class MediaIn(doc_id: Long, media: Array[Byte])
+
+  /** Extracted feature row (widths/heights are STUB-derived). */
+  case class MediaFeat(doc_id: Long, n_bytes: Long, mean_byte: Double,
+      width: Int, height: Int, n_frames: Int)
+
+  /** STUB decode: a real build would decode image bytes here (e.g. via a
+    * JNI codec); this derives deterministic fake dimensions/stats from the
+    * payload so the pipeline is testable end-to-end. */
+  private def decodeStub(m: MediaIn): MediaFeat = {
+    val n = m.media.length.toLong
+    var s = 0.0
+    var i = 0
+    while (i < m.media.length) { s += (m.media(i) & 0xff); i += 1 }
+    val mean = if (n == 0) 0.0 else s / n
+    MediaFeat(m.doc_id, n, mean,
+      width = 64 + (n % 576).toInt,
+      height = 64 + ((n * 7) % 416).toInt,
+      n_frames = 1 + (n % 30).toInt)
+  }
+
+  // ---------------------------------------------------------------------
+  // m01: metadata projection over the binary column — portable SQL, so
+  // oracle-checked: proves binary columns survive the relational layer.
+  // ---------------------------------------------------------------------
+  def m01(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("media"), $"n_chars")
+      .select(
+        $"doc_id",
+        octet_length($"media").cast("long").as("n_bytes"),
+        (lit(64L) + $"n_chars" % 576).as("width"),
+        (lit(64L) + ($"n_chars" * 7) % 416).as("height"),
+        (lit(1L) + $"n_chars" % 30).as("n_frames"))
+      .orderBy($"doc_id")
+  }
+
+  private val m01Sql =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  64 + n_chars % 576 AS width,
+      |  64 + (n_chars * 7) % 416 AS height,
+      |  1 + n_chars % 30 AS n_frames
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // m02: batched feature extraction over the binary column via typed
+  // mapPartitions (the Scala analogue of mapInPandas: iterator-of-batches
+  // keeps peak memory bounded to one batch per task at any scale).
+  // ---------------------------------------------------------------------
+  def m02(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("media"))
+      .as[MediaIn]
+      .mapPartitions(it => it.grouped(256).flatMap(_.map(decodeStub)))
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "m01_media_meta" -> (m01 _),
+    "m02_media_features" -> (m02 _))
+
+  val oracle: ListMap[String, String] = ListMap(
+    "m01_media_meta" -> m01Sql)
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  *  - s01: brute-force cosine top-k — the exact baseline. Queries are a
+  *    small deterministic subset, broadcast against the corpus scan; one
+  *    pass, per-query top-k via ranking window. At 100 TB the corpus scan
+  *    dominates and parallelizes per-split; the broadcast side stays tiny.
+  *  - s02: SRP-LSH bucketed top-k — the scale path: the corpus is hashed
+  *    into 2^16 buckets once; each query probes only its own bucket, so
+  *    cost per query is |bucket| not |corpus|. Recall < 1 by design.
+  */
+object Similarity {
+
+  private def queriesSubset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "embeddings")
+      .filter($"vec_id" % 499 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+  }
+
+  def s01(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = queriesSubset(spark, dir)
+    val scored = emb.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        VectorOps.cosineSim(spark, $"embedding", $"q_emb").as("cosine"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"vec_id", $"cosine")
+      .orderBy($"q_id", $"rank")
+  }
+
+  def s02(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding",
+        explode(Dedup.srpTableKeys($"embedding")).as("key"))
+    val q = queriesSubset(spark, dir)
+      .select($"q_id", $"q_emb", explode(Dedup.srpTableKeys($"q_emb")).as("key"))
+    val scored = emb.join(broadcast(q), Seq("key"))
+      .filter($"vec_id" =!= $"q_id")
+      .dropDuplicates("q_id", "vec_id")
+      .select($"q_id", $"vec_id",
+        VectorOps.cosineSim(spark, $"embedding", $"q_emb").as("cosine"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"vec_id", $"cosine")
+      .orderBy($"q_id", $"rank")
+  }
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "s01_ann_bruteforce" -> (s01 _),
+    "s02_ann_lsh" -> (s02 _))
+
+  val oracle: ListMap[String, String] = ListMap.empty
+}

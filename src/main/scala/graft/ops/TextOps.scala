@@ -1,0 +1,151 @@
+package graft.ops
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, fingerprinting, language ID. All are single-pass
+  * narrow transforms (no shuffle except the final presentation sort), so
+  * they scale linearly: at 100 TB each executor processes its parquet
+  * splits independently.
+  */
+object TextOps {
+
+  /** Non-empty whitespace tokens of a text column. */
+  def tokens(c: Column): Column = filter(split(c, " "), t => t =!= "")
+
+  // ---------------------------------------------------------------------
+  // t01: token / char counting.
+  // ---------------------------------------------------------------------
+  def t01(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(
+        $"doc_id",
+        size(tokens($"text")).as("n_tokens"),
+        length($"text").as("n_chars_measured"),
+        length(regexp_replace($"text", " ", "")).as("n_alpha_chars"),
+        (length(regexp_replace($"text", " ", "")).cast(DoubleType) /
+          size(tokens($"text"))).as("avg_token_len"))
+      .orderBy($"doc_id")
+  }
+
+  private val t01Sql =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_tokens,
+      |  CAST(length(text) AS INTEGER) AS n_chars_measured,
+      |  CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_alpha_chars,
+      |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |    / len(list_filter(string_split(text, ' '), x -> x <> '')) AS avg_token_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t02: quality scoring — stopword ratio, punctuation ratio, and a
+  // composite score; identical double arithmetic on both engines.
+  // ---------------------------------------------------------------------
+  private val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+
+  def t02(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens(lower($"text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    val nTok = size(toks).cast(DoubleType)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast(DoubleType)
+    val nPunct = (length($"text") -
+      length(regexp_replace($"text", "[^a-zA-Z0-9 ]", ""))).cast(DoubleType)
+    Tables.load(spark, dir, "documents")
+      .select(
+        $"doc_id",
+        (nStop / nTok).as("stop_ratio"),
+        (nPunct / length($"text")).as("punct_ratio"),
+        nTok.cast(LongType).as("n_tokens"),
+        ((nStop / nTok) * lit(0.5) +
+          (lit(1.0) - nPunct / length($"text")) * lit(0.5)).as("quality_score"))
+      .orderBy($"doc_id")
+  }
+
+  private val t02Sql = {
+    val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |  CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains($stopList, t))) AS DOUBLE)
+       |    / len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS stop_ratio,
+       |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+       |    / length(text) AS punct_ratio,
+       |  CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+       |  (CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains($stopList, t))) AS DOUBLE)
+       |    / len(list_filter(string_split(lower(text), ' '), x -> x <> ''))) * 0.5
+       |  + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+       |    / length(text)) * 0.5 AS quality_score
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // t03: document fingerprinting — md5 of normalized text (md5 hex is
+  // engine-portable, unlike xxhash), plus a 16-hex-char short form.
+  // ---------------------------------------------------------------------
+  def t03(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(
+        $"doc_id",
+        md5(lower(trim($"text"))).as("fingerprint"),
+        substring(md5(lower(trim($"text"))), 1, 16).as("fingerprint16"))
+      .orderBy($"doc_id")
+  }
+
+  private val t03Sql =
+    """SELECT doc_id,
+      |  md5(lower(trim(text))) AS fingerprint,
+      |  substring(md5(lower(trim(text))), 1, 16) AS fingerprint16
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t04: language ID — stopword-profile heuristic scored per language.
+  // The per-language marker lists are tiny broadcast literals; scoring is
+  // a narrow map. (Rows-only oracle: the scoring rule is engine-local.)
+  // ---------------------------------------------------------------------
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def t04(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens(lower($"text"))
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val arr = array(markers.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(arr, t))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // highest hit count wins; ties break on language code (array_max on
+    // (hits, lang) structs is deterministic lexicographic).
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang".as("lang_declared"),
+        array_max(array(scores: _*)).getField("lang").as("lang_predicted"),
+        array_max(array(scores: _*)).getField("hits").as("marker_hits"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------------
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "t01_token_stats" -> (t01 _),
+    "t02_quality_score" -> (t02 _),
+    "t03_fingerprint" -> (t03 _),
+    "t04_lang_id" -> (t04 _))
+
+  val oracle: ListMap[String, String] = ListMap(
+    "t01_token_stats" -> t01Sql,
+    "t02_quality_score" -> t02Sql,
+    "t03_fingerprint" -> t03Sql)
+}

@@ -188,15 +188,14 @@ object Relational {
       |ORDER BY c_mktsegment""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q06: left-anti join (NOT EXISTS) — parts with no shipments in 1998+,
-  // per type (the date filter keeps the anti side selective so the query
-  // returns a non-trivial result at every SF).
+  // q06: left-anti join (NOT EXISTS) — parts never ordered at max
+  // quantity, per type (the filter keeps the anti side selective so the
+  // query returns a non-trivial result at every SF).
   // ---------------------------------------------------------------------
   def q06(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val part = Tables.load(spark, dir, "part")
-    val li = Tables.load(spark, dir, "lineitem")
-      .filter($"l_shipdate" >= lit("1998-01-01").cast(TimestampType))
+    val li = Tables.load(spark, dir, "lineitem").filter($"l_quantity" >= 49)
     part.join(li, $"p_partkey" === $"l_partkey", "left_anti")
       .groupBy($"p_type")
       .agg(count(lit(1)).as("n_parts"))
@@ -207,7 +206,7 @@ object Relational {
     """SELECT p_type, COUNT(*) AS n_parts
       |FROM part
       |WHERE NOT EXISTS (SELECT 1 FROM lineitem
-      |  WHERE l_partkey = p_partkey AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00')
+      |  WHERE l_partkey = p_partkey AND l_quantity >= 49)
       |GROUP BY p_type
       |ORDER BY p_type""".stripMargin
 
