@@ -1,0 +1,148 @@
+package graft.brotli
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.codec.BrotliCodec
+
+/** Round-trip grid ported from the reference's TestBro.java:24-92
+  * (chunked seeded data × entropy × qualities × buffer sizes), with the
+  * reference's weaknesses fixed: fixed seeds, and content asserted in the
+  * codec-level test (TestBroCodec.java had none — SURVEY.md §5.1).
+  */
+class BrotliSpec extends AnyFunSuite {
+
+  private def chunk(rnd: Random, size: Int, entropy: Int, asciiOffset: Int): Array[Byte] = {
+    val b = new Array[Byte](size)
+    rnd.nextBytes(b)
+    // reference post-processing: b[i] = (abs(b[i]) % entropy) + asciiOffset
+    // (TestBro.java:44-46,60-62)
+    for (i <- b.indices) b(i) = ((math.abs(b(i).toInt) % entropy) + asciiOffset).toByte
+    b
+  }
+
+  private def roundTripCase(seed: Long, quality: Int, chunkSize: Int,
+      chunkNumber: Int, entropy: Int, readBuffer: Int): Unit = {
+    val codec = new BrotliCodec
+    codec.setConf(new org.apache.hadoop.conf.Configuration(false))
+    // write through the codec stream
+    val sink = new ByteArrayOutputStream()
+    val cout = codec.createOutputStream(sink)
+    val rnd = new Random(seed)
+    var total = 0L
+    for (_ <- 0 until chunkNumber) {
+      val c = chunk(rnd, chunkSize, entropy, 48)
+      cout.write(c)
+      total += c.length
+    }
+    cout.close()
+    // read back with the given buffer size, re-generating expected chunks
+    val cin = codec.createInputStream(new ByteArrayInputStream(sink.toByteArray))
+    val expRnd = new Random(seed)
+    val got = new ByteArrayOutputStream()
+    val buf = new Array[Byte](readBuffer)
+    var n = cin.read(buf)
+    while (n > 0) { got.write(buf, 0, n); n = cin.read(buf) }
+    cin.close()
+    val expected = new ByteArrayOutputStream()
+    for (_ <- 0 until chunkNumber) expected.write(chunk(expRnd, chunkSize, entropy, 48))
+    assert(got.size() == total, s"length mismatch (case seed=$seed q=$quality)")
+    assert(java.util.Arrays.equals(got.toByteArray, expected.toByteArray),
+      s"content mismatch (case seed=$seed q=$quality cs=$chunkSize n=$chunkNumber e=$entropy rb=$readBuffer)")
+  }
+
+  test("reference grid: chunked round-trip, fixed seeds") {
+    val cases = for {
+      chunkSize <- Seq(3333, 4096, 8192)
+      entropy <- Seq(1, 10, 208)
+      chunkNumber <- Seq(0, 1, 3, 10, 100)
+      quality <- Seq(1, 6, 11)
+    } yield (chunkSize, entropy, chunkNumber, quality)
+    cases.zipWithIndex.foreach { case ((cs, e, cn, q), i) =>
+      roundTripCase(seed = 1000 + i, q, cs, cn, e, readBuffer = 333)
+    }
+  }
+
+  test("large stream (> one meta-block) with 2 MiB read buffer") {
+    // ~80 MB equivalent scaled to 10 MB for CI time; still spans multiple
+    // 4 MiB meta-blocks (reference largest: TestBro.java:76-86).
+    roundTripCase(seed = 7, quality = 6, chunkSize = 8192, chunkNumber = 1250,
+      entropy = 32, readBuffer = 2 * 1024 * 1024)
+  }
+
+  test("empty stream round-trips (reference empty fast path)") {
+    roundTripCase(seed = 1, quality = 6, chunkSize = 1, chunkNumber = 0,
+      entropy = 1, readBuffer = 16)
+  }
+
+  test("one-shot helpers round-trip arbitrary byte arrays (property, 300 cases)") {
+    val rnd = new Random(99)
+    for (_ <- 0 until 300) {
+      val data = new Array[Byte](rnd.nextInt(5000))
+      rnd.nextBytes(data)
+      val q = rnd.nextInt(12)
+      assert(java.util.Arrays.equals(Brotli.decompress(Brotli.compress(data, q)), data))
+    }
+  }
+
+  test("decoder handles metadata meta-blocks and multi-chunk headers") {
+    // hand-built stream: header, metadata block (3 skip bytes), one raw
+    // block "hi", last-empty — fed one byte at a time.
+    val out = new ByteArrayOutputStream()
+    val w = new BitWriter
+    w.writeBits(1, 1); w.writeBits(22 - 17, 3) // WBITS 22
+    // metadata block: ISLAST=0, MNIBBLES code 3, reserved 0, MSKIPBYTES=1, len-1=2
+    w.writeBits(0, 1); w.writeBits(3, 2); w.writeBits(0, 1)
+    w.writeBits(1, 2); w.writeBits(2, 8)
+    w.alignToByte()
+    w.writeBytes(Array[Byte](9, 9, 9), 0, 3)
+    // raw block "hi"
+    w.writeBits(0, 1); w.writeBits(0, 2); w.writeBits(1, 16) // MLEN-1 = 1
+    w.writeBits(1, 1) // ISUNCOMPRESSED
+    w.alignToByte()
+    w.writeBytes("hi".getBytes, 0, 2)
+    // last-empty
+    w.writeBits(1, 1); w.writeBits(1, 1)
+    w.finishTo(out)
+    val stream = out.toByteArray
+    val dec = new BrotliDecoder()
+    val got = new ByteArrayOutputStream()
+    val one = new Array[Byte](8)
+    stream.foreach { byte =>
+      dec.addInput(Array(byte), 0, 1)
+      var n = dec.decode(one, 0, one.length)
+      while (n > 0) { got.write(one, 0, n); n = dec.decode(one, 0, one.length) }
+    }
+    assert(dec.isFinished)
+    assert(new String(got.toByteArray) == "hi")
+  }
+
+  test("decoder rejects compressed meta-blocks with a descriptive error") {
+    val w = new BitWriter
+    w.writeBits(0, 1) // WBITS 16
+    w.writeBits(0, 1); w.writeBits(0, 2); w.writeBits(0, 16) // MLEN-1=0
+    w.writeBits(0, 1) // ISUNCOMPRESSED = 0 → compressed block
+    val out = new ByteArrayOutputStream()
+    w.finishTo(out)
+    val dec = new BrotliDecoder()
+    val bytes = out.toByteArray
+    dec.addInput(bytes, 0, bytes.length)
+    dec.endOfInput()
+    val e = intercept[java.io.IOException](dec.decode(new Array[Byte](8), 0, 8))
+    assert(e.getMessage.contains("not yet supported"))
+  }
+
+  test("compressor reports real byte counters (reference bug fixed)") {
+    val codec = new BrotliCodec
+    codec.setConf(new org.apache.hadoop.conf.Configuration(false))
+    val comp = codec.createCompressor()
+    val sink = new ByteArrayOutputStream()
+    val out = codec.createOutputStream(sink, comp)
+    out.write("hello brotli".getBytes)
+    out.finish()
+    assert(comp.getBytesRead == 12L)
+    assert(comp.getBytesWritten > 0L)
+  }
+}

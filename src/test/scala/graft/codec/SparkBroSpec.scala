@@ -1,0 +1,49 @@
+package graft.codec
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Spark-level integration: `.bro` files written by `df.write` are read
+  * back transparently by extension (the reference's whole deployment
+  * story, SURVEY.md §3.3). */
+class SparkBroSpec extends SparkSpec {
+
+  test("df.write csv + .bro → spark.read csv round-trips content") {
+    import spark.implicits._
+    BroWriter.register(spark)
+    val dir = Files.createTempDirectory("bro_spark_").toString + "/t"
+    val df = graft.Tables.load(spark, sf, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    df.write.option("compression", BroWriter.CodecClass).csv(dir)
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".bro"))
+    assert(files.nonEmpty, "output files must carry the .bro extension")
+    val back = spark.read
+      .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+      .csv(dir)
+    assert(back.count() == df.count())
+    val a = df.orderBy($"o_orderkey").collect().map(_.toString)
+    val b = back.orderBy($"o_orderkey").collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+
+  test("sc.textFile reads .bro written by saveAsTextFile path (json)") {
+    import spark.implicits._
+    BroWriter.register(spark)
+    val dir = Files.createTempDirectory("bro_spark_").toString + "/j"
+    val df = graft.Tables.load(spark, sf, "nation")
+    df.write.option("compression", BroWriter.CodecClass).json(dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == 25)
+    assert(back.columns.sorted.sameElements(df.columns.sorted))
+  }
+
+  test("writeSized produces at least one file and round-trips") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bro_spark_").toString + "/s"
+    val df = graft.Tables.load(spark, sf, "region")
+    BroWriter.writeSized(df, dir, "json")
+    val back = spark.read.json(dir)
+    assert(back.count() == 5)
+  }
+}
