@@ -32,10 +32,13 @@ object Bench {
 
     val all = SparkEntry.queries
     val names = headline.filter(all.contains)
-    // JIT/codegen warm-up on the smallest SF so measured times are steady
-    // state, not classloading.
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // JIT/codegen warm-up: run each headline query once on the smallest SF
+    // so measured times are steady state, not classloading/janino compile.
+    names.foreach { name =>
+      try all(name)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
 
     val results = names.map { name =>
       val t0 = System.nanoTime()

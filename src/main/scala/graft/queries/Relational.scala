@@ -552,11 +552,16 @@ object Relational {
       .select($"user_id", $"ts", lit(null).cast(LongType).as("event_id"),
         $"event_id".as("click_id"), lit(1).as("tag"))
     // tag orders purchases before clicks at equal ts => strict "<" match.
+    // The running "latest click so far" is a running MAX over a
+    // (ts, click_id) struct (null on purchase rows): max is an
+    // incremental frame aggregate, O(n) per partition — last(ignoreNulls)
+    // over a growing frame re-scans the frame per row, O(n²).
     val w = Window.partitionBy($"user_id")
       .orderBy($"ts".asc, $"tag".asc, $"click_id".asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, 0)
     purchases.unionByName(clicks)
-      .withColumn("matched_click", last($"click_id", ignoreNulls = true).over(w))
+      .withColumn("cv", when($"tag" === 1, struct($"ts", $"click_id")).otherwise(lit(null)))
+      .withColumn("matched_click", max($"cv").over(w).getField("click_id"))
       .filter($"tag" === 0)
       .select($"event_id", $"user_id", $"matched_click".as("click_id"))
       .orderBy($"event_id")
