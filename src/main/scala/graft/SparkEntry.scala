@@ -19,6 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
+      graft.queries.Extras.queries ++
       graft.queries.CodecQueries.queries ++
       graft.ops.TextOps.queries ++
       graft.ops.Dedup.queries ++
@@ -30,6 +31,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
+      graft.queries.Extras.oracle ++
       graft.queries.CodecQueries.oracle ++
       graft.ops.TextOps.oracle ++
       graft.ops.Dedup.oracle ++

@@ -23,6 +23,13 @@ final class BitWriter {
     }
   }
 
+  /** Prefix-code bits are written MSB-of-code first (RFC 1951 / 7932
+    * canonical convention), bit by bit into the LSB-first byte stream. */
+  def writeCodeBits(code: Int, len: Int): Unit = {
+    var i = len - 1
+    while (i >= 0) { writeBits((code >> i) & 1, 1); i -= 1 }
+  }
+
   /** Pad the current byte with zero bits (meta-block raw-data alignment). */
   def alignToByte(): Unit =
     if (nbits > 0) { bytes.write(cur); cur = 0; nbits = 0 }

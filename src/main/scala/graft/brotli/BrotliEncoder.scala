@@ -17,11 +17,16 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
   require(quality >= 0 && quality <= 11, s"quality $quality out of range 0..11")
   require(lgwin >= 10 && lgwin <= 24, s"lgwin $lgwin out of range 10..24")
 
+  /** Quality ladder (SURVEY.md §7.0): 0..1 → uncompressed meta-blocks
+    * (GB/s, ratio 1.0); 2..11 → entropy-coded meta-blocks (order-0
+    * Huffman over literals, single command — real compression on text).
+    * The next rung (LZ77 matching reusing the same command machinery) is
+    * tracked in the coverage ledger. */
+  private val compressed = quality >= 2
+
   /** Input staged per meta-block. Uncompressed meta-blocks allow MLEN up
-    * to 2^24; we emit at most 4 MiB blocks (6 nibbles), scaled down for
-    * low qualities to mimic the reference's block-size/quality coupling.
-    */
-  val blockSize: Int = if (quality <= 1) 1 << 16 else 1 << 22
+    * to 2^24; entropy-coded blocks use 1 MiB so histograms adapt. */
+  val blockSize: Int = if (quality <= 1) 1 << 16 else 1 << 20
 
   private val staging = new Array[Byte](blockSize)
   private var staged = 0
@@ -57,6 +62,122 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     bits.drainTo(sink)
   }
 
+  // -------------------------------------------------------------------
+  // Entropy-coded meta-block (RFC 7932 §9.2/9.3), minimal layout: one
+  // block type everywhere, NPOSTFIX=NDIRECT=0, one literal tree (no
+  // context map), one command per block (insert = MLEN, so the copy part
+  // and distance are never executed), literals order-0 Huffman coded.
+  // -------------------------------------------------------------------
+  import Tables7932._
+
+  /** Serialize a prefix code for `lengths`/`freqs` over `alphabetBits`-wide
+    * symbols (§3.4 simple form, §3.5 complex form without repeat codes). */
+  private def writePrefixCode(freqs: Array[Long], alphabetBits: Int): (Array[Int], Array[Int]) = {
+    val nz = freqs.indices.filter(freqs(_) > 0)
+    if (nz.size <= 4) {
+      // simple form: 2-bit marker 1, NSYM-1, symbols ascending; lengths
+      // are the spec's fixed sets ((2,2,2,2) for NSYM=4).
+      bits.writeBits(1, 2)
+      bits.writeBits(nz.size - 1, 2)
+      nz.foreach(s => bits.writeBits(s, alphabetBits))
+      if (nz.size == 4) bits.writeBits(0, 1) // tree-select: flat (2,2,2,2)
+      val lengths = new Array[Int](freqs.length)
+      nz.size match {
+        case 1 => // zero-bit code
+        case 2 => lengths(nz(0)) = 1; lengths(nz(1)) = 1
+        case 3 => lengths(nz(0)) = 1; lengths(nz(1)) = 2; lengths(nz(2)) = 2
+        case 4 => nz.foreach(lengths(_) = 2)
+      }
+      (lengths, Huffman.canonicalCodes(lengths))
+    } else {
+      val lengths = Huffman.buildLengths(freqs, MaxCodeLength)
+      val codes = Huffman.canonicalCodes(lengths)
+      // emission prefix: symbol lengths until the code is Kraft-complete
+      val emitted = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var space = 32768
+      var s = 0
+      while (space > 0 && s < lengths.length) {
+        emitted += lengths(s)
+        if (lengths(s) > 0) space -= 32768 >> lengths(s)
+        s += 1
+      }
+      // code-length code over the emitted sequence (no 16/17 repeats)
+      val clcFreq = new Array[Long](18)
+      emitted.foreach(v => clcFreq(v) += 1)
+      val clcLen = Huffman.buildLengths(clcFreq, 5)
+      val clcCodes = Huffman.canonicalCodes(clcLen)
+      bits.writeBits(0, 2) // complex form, HSKIP = 0
+      val static = CodeLengthCodeLengths
+      val staticCodes = Huffman.canonicalCodes(static)
+      var space32 = 32
+      var i = 0
+      while (i < CodeLengthCodeOrder.length && space32 > 0) {
+        val sym = CodeLengthCodeOrder(i)
+        val l = clcLen(sym)
+        bits.writeCodeBits(staticCodes(l), static(l))
+        if (l > 0) space32 -= 32 >> l
+        i += 1
+      }
+      // a code-length code with a single used symbol decodes as a 0-bit
+      // code on the read side — mirror that by emitting nothing.
+      val clcSingle = clcLen.count(_ > 0) == 1
+      if (!clcSingle)
+        emitted.foreach(v => bits.writeCodeBits(clcCodes(v), clcLen(v)))
+      (lengths, codes)
+    }
+  }
+
+  private def emitCompressedBlock(data: Array[Byte], off: Int, len: Int,
+      sink: ByteArrayOutputStream): Unit = {
+    require(len >= 1 && len <= (1 << 24))
+    if (!headerWritten) writeStreamHeader()
+    bits.writeBits(0, 1) // ISLAST
+    val mlenMinus1 = len - 1
+    val nibbles = if (mlenMinus1 < (1 << 16)) 4
+      else if (mlenMinus1 < (1 << 20)) 5 else 6
+    bits.writeBits(nibbles - 4, 2)
+    bits.writeBits(mlenMinus1.toLong, nibbles * 4)
+    bits.writeBits(0, 1) // ISUNCOMPRESSED = 0
+    bits.writeBits(0, 1) // NBLTYPESL = 1
+    bits.writeBits(0, 1) // NBLTYPESI = 1
+    bits.writeBits(0, 1) // NBLTYPESD = 1
+    bits.writeBits(0, 2) // NPOSTFIX = 0
+    bits.writeBits(0, 4) // NDIRECT = 0
+    bits.writeBits(0, 2) // context mode 0 (LSB6) for the literal block type
+    bits.writeBits(0, 1) // NTREESL = 1 (no context map)
+    bits.writeBits(0, 1) // NTREESD = 1 (no context map)
+    // literal prefix code from the block's histogram
+    val freqs = new Array[Long](LiteralAlphabetSize)
+    var i = 0
+    while (i < len) { freqs(data(off + i) & 0xff) += 1; i += 1 }
+    val (litLen, litCode) = writePrefixCode(freqs, 8)
+    // command prefix code: the single command (insert covers MLEN)
+    val icode = insertCodeFor(len)
+    val cmd = packCommandExplicit(icode, 0)
+    val cmdFreq = new Array[Long](CommandAlphabetSize)
+    cmdFreq(cmd) = 1
+    writePrefixCode(cmdFreq, 10)
+    // distance prefix code: never consulted, single symbol 0
+    val distFreq = new Array[Long](numDistanceCodes(0, 0))
+    distFreq(0) = 1
+    writePrefixCode(distFreq, 6)
+    // the command: symbol (0 bits), insert extra, copy extra (code 0 → 0)
+    bits.writeBits((len - InsertBase(icode)).toLong, InsertExtra(icode))
+    // literals
+    i = 0
+    while (i < len) {
+      val b = data(off + i) & 0xff
+      bits.writeCodeBits(litCode(b), litLen(b))
+      i += 1
+    }
+    bits.drainTo(sink)
+  }
+
+  private def emitBlock(data: Array[Byte], off: Int, len: Int,
+      sink: ByteArrayOutputStream): Unit =
+    if (compressed) emitCompressedBlock(data, off, len, sink)
+    else emitUncompressedBlock(data, off, len, sink)
+
   /** Stage input, emitting meta-blocks as the staging buffer fills.
     * Returns compressed bytes produced by this call. */
   def write(data: Array[Byte], off: Int, len: Int,
@@ -69,7 +190,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       System.arraycopy(data, pos, staging, staged, take)
       staged += take; pos += take; left -= take
       if (staged == blockSize) {
-        emitUncompressedBlock(staging, 0, staged, sink)
+        emitBlock(staging, 0, staged, sink)
         staged = 0
       }
     }
@@ -81,7 +202,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
   def finish(sink: ByteArrayOutputStream): Unit = {
     if (streamFinished) return
     if (!headerWritten) writeStreamHeader()
-    if (staged > 0) { emitUncompressedBlock(staging, 0, staged, sink); staged = 0 }
+    if (staged > 0) { emitBlock(staging, 0, staged, sink); staged = 0 }
     bits.writeBits(1, 1) // ISLAST
     bits.writeBits(1, 1) // ISLASTEMPTY
     bits.finishTo(sink)

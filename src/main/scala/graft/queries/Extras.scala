@@ -1,0 +1,164 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Second wave of operator coverage: range (theta) join, sketch
+  * aggregates, explode/UDTF surface, pivot, and sessionization
+  * (gaps-and-islands). */
+object Extras {
+
+  // ---------------------------------------------------------------------
+  // q23: range join — parts bucketed into size bands derived from the
+  // region dim. The band table is tiny → broadcast nested-loop join,
+  // which is the right plan at any corpus scale (the big side streams).
+  // ---------------------------------------------------------------------
+  def q23(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.load(spark, dir, "part")
+    val bands = Tables.load(spark, dir, "region")
+      .select($"r_name",
+        ($"r_regionkey" * 10).as("lo"),
+        ($"r_regionkey" * 10 + 9).as("hi"))
+    part.join(broadcast(bands), $"p_size" >= $"lo" && $"p_size" <= $"hi")
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n_parts"),
+        sum($"p_retailprice".cast(DecimalType(18, 2))).cast(DoubleType).as("sum_retail"))
+      .orderBy($"r_name")
+  }
+
+  private val q23Sql =
+    """SELECT r_name, COUNT(*) AS n_parts,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_retail
+      |FROM part JOIN region
+      |  ON p_size >= r_regionkey * 10 AND p_size <= r_regionkey * 10 + 9
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q24: sketch aggregates — HLL++ approx_count_distinct (no oracle:
+  // sketch implementations differ per engine; driver rows-only check).
+  // ---------------------------------------------------------------------
+  def q24(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+        approx_count_distinct($"l_suppkey", 0.01).as("approx_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  // ---------------------------------------------------------------------
+  // q25: explode / UDTF surface — token frequency over documents,
+  // top-20. explode is Spark's lateral-view generator; the aggregate
+  // after it is an ordinary shuffle on the token.
+  // ---------------------------------------------------------------------
+  def q25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(explode(graft.ops.TextOps.tokens(lower($"text"))).as("w"))
+      .groupBy($"w")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"w".asc)
+      .limit(20)
+  }
+
+  private val q25Sql =
+    """SELECT w, COUNT(*) AS n
+      |FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+      |      FROM documents)
+      |GROUP BY w
+      |ORDER BY n DESC, w ASC
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q26: pivot — event counts per user × type, absent combos filled 0
+  // to match SQL conditional aggregation.
+  // ---------------------------------------------------------------------
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def q26(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0, eventTypes)
+      .orderBy($"user_id")
+  }
+
+  private val q26Sql =
+    """SELECT user_id,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q27: sessionization (gaps-and-islands) — 30-minute inactivity gap.
+  // One shuffle on user_id; both windows share the same sort, so Spark
+  // plans a single sort + window exec chain. Second-granularity string
+  // outputs keep ns-vs-µs timestamp precision out of the comparison.
+  // ---------------------------------------------------------------------
+  def q27(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    ev.withColumn("gap_us",
+        unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+      .withColumn("new_s", when($"gap_us" > 30L * 60 * 1000000, 1).otherwise(0))
+      .withColumn("sid", sum($"new_s").over(wRun).cast(LongType))
+      .groupBy($"user_id", $"sid")
+      .agg(
+        date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max($"ts"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id", $"sid")
+  }
+
+  private val q27Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM flagged)
+      |SELECT user_id, sid,
+      |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, sid""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q23_range_join" -> (q23 _),
+    "q24_approx_distinct" -> (q24 _),
+    "q25_explode_topk" -> (q25 _),
+    "q26_pivot" -> (q26 _),
+    "q27_sessionize" -> (q27 _))
+
+  val oracle: ListMap[String, String] = ListMap(
+    "q23_range_join" -> q23Sql,
+    "q25_explode_topk" -> q25Sql,
+    "q26_pivot" -> q26Sql,
+    "q27_sessionize" -> q27Sql)
+}

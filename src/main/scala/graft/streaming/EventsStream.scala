@@ -55,8 +55,38 @@ object EventsStream {
       |GROUP BY hour_bucket, event_type
       |ORDER BY hour_bucket, event_type""".stripMargin
 
+  /** Stateful streaming sessionization: 30-minute-gap session windows
+    * per user through the streaming engine's session-window state store.
+    * Append mode + watermark means only watermark-closed sessions emit —
+    * the correct unbounded-stream semantics (so no batch oracle; sessions
+    * still open at end-of-input are legitimately withheld). */
+  def st02(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val rawSchema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val name = s"st02_out_${counter.incrementAndGet()}"
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        $"user_id", $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
-    "st01_stream_hourly" -> (st01 _))
+    "st01_stream_hourly" -> (st01 _),
+    "st02_stream_sessionize" -> (st02 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "st01_stream_hourly" -> st01Sql)

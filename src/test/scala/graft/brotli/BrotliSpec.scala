@@ -119,11 +119,42 @@ class BrotliSpec extends AnyFunSuite {
     assert(new String(got.toByteArray) == "hi")
   }
 
-  test("decoder rejects compressed meta-blocks with a descriptive error") {
+  test("decoder executes insert+copy commands with explicit distance") {
+    // hand-built entropy block: ISLAST=1, MLEN=8, insert 'abcd' then copy
+    // 4 bytes at distance 4 → "abcdabcd".
     val w = new BitWriter
     w.writeBits(0, 1) // WBITS 16
-    w.writeBits(0, 1); w.writeBits(0, 2); w.writeBits(0, 16) // MLEN-1=0
-    w.writeBits(0, 1) // ISUNCOMPRESSED = 0 → compressed block
+    w.writeBits(1, 1); w.writeBits(0, 1) // ISLAST=1, ISLASTEMPTY=0
+    w.writeBits(0, 2); w.writeBits(7, 16) // MNIBBLES=4, MLEN-1=7
+    w.writeBits(0, 1); w.writeBits(0, 1); w.writeBits(0, 1) // NBLTYPES L/I/D = 1
+    w.writeBits(0, 2); w.writeBits(0, 4) // NPOSTFIX, NDIRECT
+    w.writeBits(0, 2) // context mode
+    w.writeBits(0, 1); w.writeBits(0, 1) // NTREESL=1, NTREESD=1
+    // literal code: simple, 4 symbols a..d, flat 2-bit
+    w.writeBits(1, 2); w.writeBits(3, 2)
+    "abcd".foreach(c => w.writeBits(c.toLong, 8))
+    w.writeBits(0, 1) // tree-select flat
+    // command code: single symbol 162 = insert code 4 (len 4), copy code 2 (len 4)
+    w.writeBits(1, 2); w.writeBits(0, 2); w.writeBits(162, 10)
+    // distance code: single symbol 17 (→ distance 3 + extra)
+    w.writeBits(1, 2); w.writeBits(0, 2); w.writeBits(17, 6)
+    // command body: no insert/copy extra bits; literals 00 01 10 11
+    w.writeCodeBits(0, 2); w.writeCodeBits(1, 2)
+    w.writeCodeBits(2, 2); w.writeCodeBits(3, 2)
+    w.writeBits(1, 1) // distance extra bit → distance 4
+    val out = new ByteArrayOutputStream()
+    w.finishTo(out)
+    val got = Brotli.decompress(out.toByteArray)
+    assert(new String(got) == "abcdabcd")
+  }
+
+  test("decoder reports unsupported block switching descriptively") {
+    val w = new BitWriter
+    w.writeBits(0, 1) // WBITS 16
+    w.writeBits(0, 1) // ISLAST=0
+    w.writeBits(0, 2); w.writeBits(0, 16) // MLEN-1=0
+    w.writeBits(0, 1) // ISUNCOMPRESSED=0
+    w.writeBits(1, 1); w.writeBits(0, 3) // NBLTYPESL = 2
     val out = new ByteArrayOutputStream()
     w.finishTo(out)
     val dec = new BrotliDecoder()
@@ -131,7 +162,17 @@ class BrotliSpec extends AnyFunSuite {
     dec.addInput(bytes, 0, bytes.length)
     dec.endOfInput()
     val e = intercept[java.io.IOException](dec.decode(new Array[Byte](8), 0, 8))
-    assert(e.getMessage.contains("not yet supported"))
+    assert(e.getMessage.contains("block switching"))
+  }
+
+  test("compression ratio < 1 on text-like data at quality >= 2") {
+    val text = ("the quick brown fox jumps over the lazy dog " * 2000).getBytes
+    val q6 = Brotli.compress(text, 6)
+    val q1 = Brotli.compress(text, 1)
+    // order-0 entropy of this text is ~4.3 bits/char → expect ~0.55
+    assert(q6.length < text.length * 7 / 10, s"entropy rung ratio: ${q6.length}/${text.length}")
+    assert(q1.length >= text.length) // uncompressed rung ~1.0
+    assert(java.util.Arrays.equals(Brotli.decompress(q6), text))
   }
 
   test("compressor reports real byte counters (reference bug fixed)") {
