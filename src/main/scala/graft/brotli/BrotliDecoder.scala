@@ -70,12 +70,14 @@ final class BrotliDecoder {
     (pendingOut == null || pendingPos >= pendingOut.length)
 
   private def appendWindow(b: Array[Byte], off: Int, len: Int): Unit = {
-    var i = 0
-    while (i < len) {
-      window(((totalOut + i) & windowMask).toInt) = b(off + i)
-      i += 1
+    var srcOff = off
+    var left = len
+    while (left > 0) {
+      val wpos = (totalOut & windowMask).toInt
+      val n = math.min(left, window.length - wpos)
+      System.arraycopy(b, srcOff, window, wpos, n)
+      totalOut += n; srcOff += n; left -= n
     }
-    totalOut += len
   }
 
   private def parseStreamHeader(): Unit = {

@@ -173,9 +173,132 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     bits.drainTo(sink)
   }
 
+  // -------------------------------------------------------------------
+  // LZ77 rung (quality ≥ 4): greedy hash-chain matching within the
+  // meta-block, real insert+copy commands with explicit distances, all
+  // three alphabets Huffman-coded from block histograms. The decoder's
+  // command loop (insert, copy-from-window, distance formula) executes
+  // these directly.
+  // -------------------------------------------------------------------
+  private val HashBits = 17
+  private lazy val hashTable = new Array[Int](1 << HashBits)
+
+  private def copyCodeFor(len: Int): Int = {
+    var c = CopyBase.length - 1
+    while (c > 0 && CopyBase(c) > len) c -= 1
+    c
+  }
+
+  /** Inverse of the §4 distance formula for NPOSTFIX=0, NDIRECT=0:
+    * returns (dcode, extraBits, extraVal). */
+  private def distanceCodeFor(dist: Int): (Int, Int, Int) = {
+    var d = 0
+    while (d < 48) {
+      val nb = 1 + d / 2
+      val start = ((2 + (d & 1)) << nb) - 3
+      if (dist >= start && dist < start + (1 << nb))
+        return (16 + d, nb, dist - start)
+      d += 1
+    }
+    throw new IllegalArgumentException(s"distance $dist out of range")
+  }
+
+  private final case class LzCmd(litStart: Int, litLen: Int, copyLen: Int, dist: Int)
+
+  private def emitLzBlock(data: Array[Byte], off: Int, len: Int,
+      sink: ByteArrayOutputStream): Unit = {
+    require(len >= 1 && len <= (1 << 24))
+    if (!headerWritten) writeStreamHeader()
+    // ---- parse into commands (greedy, 4-byte hash heads) ----
+    java.util.Arrays.fill(hashTable, -1)
+    val MinMatch = 4
+    val MaxCopy = 16383
+    def hash4(i: Int): Int = {
+      val v = (data(off + i) & 0xff) | ((data(off + i + 1) & 0xff) << 8) |
+        ((data(off + i + 2) & 0xff) << 16) | ((data(off + i + 3) & 0xff) << 24)
+      (v * 0x9E3779B1) >>> (32 - HashBits)
+    }
+    val cmds = scala.collection.mutable.ArrayBuffer.empty[LzCmd]
+    var pos = 0
+    var litStart = 0
+    while (pos + MinMatch <= len) {
+      val h = hash4(pos)
+      val cand = hashTable(h)
+      hashTable(h) = pos
+      var mlen = 0
+      if (cand >= 0) {
+        while (mlen < MaxCopy && pos + mlen < len &&
+          data(off + cand + mlen) == data(off + pos + mlen)) mlen += 1
+      }
+      if (mlen >= MinMatch) {
+        cmds += LzCmd(litStart, pos - litStart, mlen, pos - cand)
+        pos += mlen
+        litStart = pos
+      } else pos += 1
+    }
+    if (len - litStart > 0 || cmds.isEmpty)
+      cmds += LzCmd(litStart, len - litStart, 0, 0) // trailing literals
+    // ---- histograms ----
+    val litFreq = new Array[Long](LiteralAlphabetSize)
+    val cmdFreq = new Array[Long](CommandAlphabetSize)
+    val distFreq = new Array[Long](numDistanceCodes(0, 0))
+    val encoded = cmds.map { c =>
+      val icode = insertCodeFor(c.litLen)
+      val ccode = if (c.copyLen > 0) copyCodeFor(c.copyLen) else 0
+      val cmdSym = packCommandExplicit(icode, ccode)
+      cmdFreq(cmdSym) += 1
+      var i = 0
+      while (i < c.litLen) { litFreq(data(off + c.litStart + i) & 0xff) += 1; i += 1 }
+      val dinfo = if (c.copyLen > 0) {
+        val (dc, db, dv) = distanceCodeFor(c.dist)
+        distFreq(dc) += 1
+        (dc, db, dv)
+      } else (-1, 0, 0)
+      (c, icode, ccode, cmdSym, dinfo)
+    }
+    if (litFreq.forall(_ == 0)) litFreq(0) = 1 // all-copy block: dummy literal tree
+    if (distFreq.forall(_ == 0)) distFreq(0) = 1 // literal-only block
+    // ---- header ----
+    bits.writeBits(0, 1) // ISLAST
+    val mlenMinus1 = len - 1
+    val nibbles = if (mlenMinus1 < (1 << 16)) 4
+      else if (mlenMinus1 < (1 << 20)) 5 else 6
+    bits.writeBits(nibbles - 4, 2)
+    bits.writeBits(mlenMinus1.toLong, nibbles * 4)
+    bits.writeBits(0, 1) // ISUNCOMPRESSED
+    bits.writeBits(0, 1); bits.writeBits(0, 1); bits.writeBits(0, 1) // NBLTYPES
+    bits.writeBits(0, 2); bits.writeBits(0, 4) // NPOSTFIX, NDIRECT
+    bits.writeBits(0, 2) // context mode
+    bits.writeBits(0, 1); bits.writeBits(0, 1) // NTREESL, NTREESD
+    val (litLen, litCode) = writePrefixCode(litFreq, 8)
+    val (cmdLenA, cmdCodeA) = writePrefixCode(cmdFreq, 10)
+    val (distLenA, distCodeA) = writePrefixCode(distFreq, 6)
+    // ---- body ----
+    encoded.foreach { case (c, icode, ccode, cmdSym, (dc, db, dv)) =>
+      bits.writeCodeBits(cmdCodeA(cmdSym), cmdLenA(cmdSym))
+      bits.writeBits((c.litLen - InsertBase(icode)).toLong, InsertExtra(icode))
+      bits.writeBits((math.max(c.copyLen, CopyBase(0)) - CopyBase(ccode)).toLong,
+        CopyExtra(ccode))
+      var i = 0
+      while (i < c.litLen) {
+        val b = data(off + c.litStart + i) & 0xff
+        bits.writeCodeBits(litCode(b), litLen(b))
+        i += 1
+      }
+      // distance emitted only when the copy executes (i.e., not the
+      // trailing literal-only command whose insert reaches MLEN)
+      if (c.copyLen > 0) {
+        bits.writeCodeBits(distCodeA(dc), distLenA(dc))
+        bits.writeBits(dv.toLong, db)
+      }
+    }
+    bits.drainTo(sink)
+  }
+
   private def emitBlock(data: Array[Byte], off: Int, len: Int,
       sink: ByteArrayOutputStream): Unit =
-    if (compressed) emitCompressedBlock(data, off, len, sink)
+    if (quality >= 4) emitLzBlock(data, off, len, sink)
+    else if (compressed) emitCompressedBlock(data, off, len, sink)
     else emitUncompressedBlock(data, off, len, sink)
 
   /** Stage input, emitting meta-blocks as the staging buffer fills.
