@@ -148,17 +148,45 @@ object Extras {
       |ORDER BY user_id, sid""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q28: skew-safe exact distinct via salting — events.user_id is highly
+  // skewed (few users, many events). COUNT(DISTINCT k) per user is
+  // computed in two phases: phase 1 groups by (user, hash(k) % 16) so
+  // the hot user's distinct-space spreads over 16 reducers; phase 2 sums
+  // the per-bucket distinct counts (exact: the hash partitions k-space).
+  // Oracle is the straightforward single-phase COUNT(DISTINCT).
+  // ---------------------------------------------------------------------
+  def q28(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .withColumn("k", get_json_object($"props", "$.k").cast(IntegerType))
+    ev.groupBy($"user_id", pmod(xxhash64($"k"), lit(16)).as("salt"))
+      .agg(countDistinct($"k").as("pd"), count(lit(1)).as("pn"))
+      .groupBy($"user_id")
+      .agg(sum($"pd").cast(LongType).as("n_distinct_k"),
+        sum($"pn").cast(LongType).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  private val q28Sql =
+    """SELECT user_id,
+      |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_distinct_k,
+      |  COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q23_range_join" -> (q23 _),
     "q24_approx_distinct" -> (q24 _),
     "q25_explode_topk" -> (q25 _),
     "q26_pivot" -> (q26 _),
-    "q27_sessionize" -> (q27 _))
+    "q27_sessionize" -> (q27 _),
+    "q28_salted_distinct" -> (q28 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q23_range_join" -> q23Sql,
     "q25_explode_topk" -> q25Sql,
     "q26_pivot" -> q26Sql,
-    "q27_sessionize" -> q27Sql)
+    "q27_sessionize" -> q27Sql,
+    "q28_salted_distinct" -> q28Sql)
 }

@@ -84,10 +84,79 @@ object EventsStream {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** Input row for the custom-state op (ts as epoch micros — keeps the
+    * encoder simple and precision explicit). */
+  case class Ev(user_id: Long, event_type: String, value: Double, ts_us: Long)
+  /** Explicit per-user state carried across micro-batches. */
+  case class UserState(n: Long, minTs: Long, maxTs: Long,
+      minVal: Double, maxVal: Double)
+  case class UserAgg(user_id: Long, n_events: Long, first_ts: String,
+      last_ts: String, min_value: Double, max_value: Double)
+
+  /** Custom stateful streaming via flatMapGroupsWithState: a per-user
+    * profile maintained in explicit state, emitted in Update mode. With
+    * the testdata's single input file this runs as one micro-batch, so
+    * the result is deterministic and oracle-checked; on an unbounded
+    * stream the same code emits refreshed profiles per batch.
+    *
+    * Scale: state is O(users) × a few fixed fields, partitioned by key in
+    * the state store — the shape that survives any event volume. */
+  def st03(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val rawSchema = spark.read.parquet(path).schema
+    val evs = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select($"user_id", $"event_type", $"value",
+        expr("ts div 1000").as("ts_us"))
+      .as[Ev]
+    val profiles = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[Ev], state: GroupState[UserState]) => {
+          var s = state.getOption.getOrElse(
+            UserState(0L, Long.MaxValue, Long.MinValue,
+              Double.MaxValue, Double.MinValue))
+          rows.foreach { e =>
+            s = UserState(s.n + 1, math.min(s.minTs, e.ts_us),
+              math.max(s.maxTs, e.ts_us), math.min(s.minVal, e.value),
+              math.max(s.maxVal, e.value))
+          }
+          state.update(s)
+          val fmt = java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+          Iterator(UserAgg(user, s.n,
+            fmt.format(java.time.Instant.ofEpochSecond(s.minTs / 1000000)),
+            fmt.format(java.time.Instant.ofEpochSecond(s.maxTs / 1000000)),
+            s.minVal, s.maxVal))
+        })
+    val name = s"st03_out_${counter.incrementAndGet()}"
+    val q = profiles.toDF().writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("user_id")
+  }
+
+  private val st03Sql =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+      |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+      |  MIN(value) AS min_value,
+      |  MAX(value) AS max_value
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "st01_stream_hourly" -> (st01 _),
-    "st02_stream_sessionize" -> (st02 _))
+    "st02_stream_sessionize" -> (st02 _),
+    "st03_stream_state" -> (st03 _))
 
   val oracle: ListMap[String, String] = ListMap(
-    "st01_stream_hourly" -> st01Sql)
+    "st01_stream_hourly" -> st01Sql,
+    "st03_stream_state" -> st03Sql)
 }
