@@ -106,6 +106,26 @@ final class ByteQueue(initialCapacity: Int = 1 << 16) {
     v
   }
 
+  /** Peek the next 16 stream-order bits (bit i of the result is the
+    * (i+1)-th bit to arrive) without consuming; -1 if fewer than 16 bits
+    * are buffered. Fast path for table-driven prefix decode. */
+  def peekBits16(): Int = {
+    val availBits = (tail - head) * 8 - bitPos
+    if (availBits < 16) return -1
+    var v = (buf(head) & 0xff) >>> bitPos
+    var got = 8 - bitPos
+    v |= (buf(head + 1) & 0xff) << got
+    got += 8
+    if (got < 16) v |= (buf(head + 2) & 0xff) << got
+    v & 0xffff
+  }
+
+  def skipBits(n: Int): Unit = {
+    bitPos += n
+    head += bitPos >> 3
+    bitPos &= 7
+  }
+
   /** Discard remaining bits of the current byte (RFC alignment). */
   def alignToByte(): Unit =
     if (bitPos > 0) { bitPos = 0; head += 1 }

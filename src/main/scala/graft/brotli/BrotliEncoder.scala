@@ -163,11 +163,12 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     writePrefixCode(distFreq, 6)
     // the command: symbol (0 bits), insert extra, copy extra (code 0 → 0)
     bits.writeBits((len - InsertBase(icode)).toLong, InsertExtra(icode))
-    // literals
+    // literals (codes pre-reversed so each is one writeBits call)
+    val litRev = Array.tabulate(256)(b => Huffman.reverseBits(litCode(b), litLen(b)))
     i = 0
     while (i < len) {
       val b = data(off + i) & 0xff
-      bits.writeCodeBits(litCode(b), litLen(b))
+      bits.writeBits(litRev(b).toLong, litLen(b))
       i += 1
     }
     bits.drainTo(sink)
@@ -273,7 +274,8 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     val (litLen, litCode) = writePrefixCode(litFreq, 8)
     val (cmdLenA, cmdCodeA) = writePrefixCode(cmdFreq, 10)
     val (distLenA, distCodeA) = writePrefixCode(distFreq, 6)
-    // ---- body ----
+    // ---- body ---- (codes pre-reversed: one writeBits call per symbol)
+    val litRev = Array.tabulate(256)(b => Huffman.reverseBits(litCode(b), litLen(b)))
     encoded.foreach { case (c, icode, ccode, cmdSym, (dc, db, dv)) =>
       bits.writeCodeBits(cmdCodeA(cmdSym), cmdLenA(cmdSym))
       bits.writeBits((c.litLen - InsertBase(icode)).toLong, InsertExtra(icode))
@@ -282,7 +284,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       var i = 0
       while (i < c.litLen) {
         val b = data(off + c.litStart + i) & 0xff
-        bits.writeCodeBits(litCode(b), litLen(b))
+        bits.writeBits(litRev(b).toLong, litLen(b))
         i += 1
       }
       // distance emitted only when the copy executes (i.e., not the

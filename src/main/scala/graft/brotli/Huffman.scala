@@ -60,6 +60,21 @@ object Huffman {
     }
     codes
   }
+
+  /** Bit-reverse of the low `len` bits — turns an MSB-first canonical
+    * code into a value `BitWriter.writeBits` emits in code order. */
+  def reverseBits(code: Int, len: Int): Int = {
+    var v = 0
+    var i = 0
+    while (i < len) { v = (v << 1) | ((code >> i) & 1); i += 1 }
+    v
+  }
+
+  private[brotli] val Rev8: Array[Int] = {
+    val t = new Array[Int](256)
+    for (i <- 0 until 256) t(i) = reverseBits(i, 8)
+    t
+  }
 }
 
 /** Bit-serial canonical decoder (zlib-style first/count table walk).
@@ -68,10 +83,18 @@ object Huffman {
 final class HuffmanDecoder private (
     singleSymbol: Int,
     firstCode: Array[Int], firstSymIdx: Array[Int], symbols: Array[Int],
-    maxLen: Int) {
+    maxLen: Int,
+    fastSym: Array[Char], fastLen: Array[Byte]) {
 
   def decode(in: ByteQueue): Int = {
     if (singleSymbol >= 0) return singleSymbol
+    // fast path: 8-bit table lookup when enough bits are buffered
+    val peek = in.peekBits16()
+    if (peek >= 0) {
+      val idx = Huffman.Rev8(peek & 0xff)
+      val l = fastLen(idx)
+      if (l > 0) { in.skipBits(l); return fastSym(idx) }
+    }
     var code = 0
     var len = 0
     while (len < maxLen) {
@@ -93,7 +116,7 @@ object HuffmanDecoder {
     if (present.isEmpty)
       throw new IOException("empty prefix code")
     if (present.size == 1)
-      return new HuffmanDecoder(present.head, null, null, null, 0)
+      return new HuffmanDecoder(present.head, null, null, null, 0, null, null)
     val maxLen = present.map(lengths(_)).max
     val blCount = new Array[Int](maxLen + 2)
     present.foreach(s => blCount(lengths(s)) += 1)
@@ -110,10 +133,26 @@ object HuffmanDecoder {
     firstSymIdx(maxLen + 1) = idx
     // symbols sorted by (length, symbol) — canonical order
     val syms = present.sortBy(s => (lengths(s), s)).toArray
-    new HuffmanDecoder(-1, firstCode, firstSymIdx, syms, maxLen)
+    // first-level table: all codes of length <= 8, expanded over suffixes
+    val codes = Huffman.canonicalCodes(lengths)
+    val fastSym = new Array[Char](256)
+    val fastLen = new Array[Byte](256)
+    present.foreach { s =>
+      val l = lengths(s)
+      if (l <= 8) {
+        val base = codes(s) << (8 - l)
+        var suffix = 0
+        while (suffix < (1 << (8 - l))) {
+          fastSym(base | suffix) = s.toChar
+          fastLen(base | suffix) = l.toByte
+          suffix += 1
+        }
+      }
+    }
+    new HuffmanDecoder(-1, firstCode, firstSymIdx, syms, maxLen, fastSym, fastLen)
   }
 
   /** Decoder for a single-symbol code (simple form NSYM=1). */
   def single(symbol: Int): HuffmanDecoder =
-    new HuffmanDecoder(symbol, null, null, null, 0)
+    new HuffmanDecoder(symbol, null, null, null, 0, null, null)
 }
