@@ -24,7 +24,7 @@ object Similarity {
   private def queriesSubset(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "embeddings")
-      .filter($"vec_id" % 499 === 0)
+      .filter($"vec_id" % 47 === 0)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
   }
 
@@ -62,9 +62,51 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
+    * corpus into nlist=16 cells; each query probes its nprobe=2 nearest
+    * cells and scores only those candidates. At 100 TB the cell
+    * assignment is one narrow pass (centroids broadcast), the index is
+    * just a cluster column (partition/bucket by it on disk), and query
+    * cost is nprobe/nlist of the corpus. Complements s02's LSH path. */
+  def s03(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.load(spark, dir, "embeddings")
+      .withColumn("fv", array_to_vector($"embedding"))
+    val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cluster")
+      .fit(emb)
+    val corpus = model.transform(emb)
+      .select($"vec_id", $"embedding", $"cluster".cast("int").as("cluster"))
+    // centroid table (16 rows) → per-query top-nprobe cells by euclidean
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("cluster", "centroid")
+    val q = queriesSubset(spark, dir)
+    val wProbe = Window.partitionBy($"q_id").orderBy($"d2".asc, $"cluster".asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("d2", aggregate(
+        zip_with($"q_emb", $"centroid", (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter($"pr" <= 2)
+      .select($"q_id", $"q_emb", $"cluster")
+    val scored = corpus.join(broadcast(probes), Seq("cluster"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        VectorOps.cosineSim(spark, $"embedding", $"q_emb").as("cosine"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"vec_id", $"cosine")
+      .orderBy($"q_id", $"rank")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "s01_ann_bruteforce" -> (s01 _),
-    "s02_ann_lsh" -> (s02 _))
+    "s02_ann_lsh" -> (s02 _),
+    "s03_ann_ivf" -> (s03 _))
 
   val oracle: ListMap[String, String] = ListMap.empty
 }
