@@ -243,16 +243,28 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     val litFreq = new Array[Long](LiteralAlphabetSize)
     val cmdFreq = new Array[Long](CommandAlphabetSize)
     val distFreq = new Array[Long](numDistanceCodes(0, 0))
+    // last *pushed* distance, mirroring the decoder's ring (initial last
+    // = 16; implicit-zone commands reuse it without pushing)
+    var prevDist = 16
     val encoded = cmds.map { c =>
       val icode = insertCodeFor(c.litLen)
       val ccode = if (c.copyLen > 0) copyCodeFor(c.copyLen) else 0
-      val cmdSym = packCommandExplicit(icode, ccode)
+      // same-distance matches use the implicit distance-0 command zone
+      // (cmd < 128): no distance symbol or extra bits in the stream
+      val implicitOk = c.copyLen > 0 && c.dist == prevDist &&
+        icode <= 7 && ccode <= 15
+      val cmdSym =
+        if (implicitOk) {
+          val cell = if (ccode < 8) 0 else 1
+          64 * cell + ((icode & 7) << 3) + (ccode & 7)
+        } else packCommandExplicit(icode, ccode)
       cmdFreq(cmdSym) += 1
       var i = 0
       while (i < c.litLen) { litFreq(data(off + c.litStart + i) & 0xff) += 1; i += 1 }
-      val dinfo = if (c.copyLen > 0) {
+      val dinfo = if (c.copyLen > 0 && !implicitOk) {
         val (dc, db, dv) = distanceCodeFor(c.dist)
         distFreq(dc) += 1
+        prevDist = c.dist
         (dc, db, dv)
       } else (-1, 0, 0)
       (c, icode, ccode, cmdSym, dinfo)
@@ -287,9 +299,10 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         bits.writeBits(litRev(b).toLong, litLen(b))
         i += 1
       }
-      // distance emitted only when the copy executes (i.e., not the
-      // trailing literal-only command whose insert reaches MLEN)
-      if (c.copyLen > 0) {
+      // distance emitted only for explicit-zone copy commands (implicit
+      // zone reuses the ring; the trailing literal-only command never
+      // reaches its copy part)
+      if (c.copyLen > 0 && dc >= 0) {
         bits.writeCodeBits(distCodeA(dc), distLenA(dc))
         bits.writeBits(dv.toLong, db)
       }

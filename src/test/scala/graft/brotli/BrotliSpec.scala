@@ -175,6 +175,32 @@ class BrotliSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(Brotli.decompress(q6), text))
   }
 
+  test("reset() supports pooled reuse across streams (reference bug fixed)") {
+    // the reference's Decompressor.reset() is a no-op, corrupting
+    // CodecPool reuse (BroDecompressor.java:130-131); ours must fully
+    // re-arm both sides for a second, different stream.
+    val comp = new graft.codec.BrotliCompressor(6)
+    val decomp = new graft.codec.BrotliDecompressor()
+    def roundTrip(payload: Array[Byte]): Array[Byte] = {
+      val sink = new ByteArrayOutputStream()
+      val out = new org.apache.hadoop.io.compress.CompressorStream(sink, comp, 4096)
+      out.write(payload); out.finish()
+      val cin = new org.apache.hadoop.io.compress.DecompressorStream(
+        new ByteArrayInputStream(sink.toByteArray), decomp, 4096)
+      val got = new ByteArrayOutputStream()
+      val buf = new Array[Byte](333)
+      var n = cin.read(buf)
+      while (n > 0) { got.write(buf, 0, n); n = cin.read(buf) }
+      got.toByteArray
+    }
+    val a = "first stream payload — compress me".getBytes
+    val b = ("second, longer stream " * 100).getBytes
+    assert(java.util.Arrays.equals(roundTrip(a), a))
+    comp.reset(); decomp.reset()
+    assert(java.util.Arrays.equals(roundTrip(b), b))
+    assert(comp.getBytesRead == b.length.toLong) // counters re-armed too
+  }
+
   test("compressor reports real byte counters (reference bug fixed)") {
     val codec = new BrotliCodec
     codec.setConf(new org.apache.hadoop.conf.Configuration(false))
