@@ -175,18 +175,77 @@ object Extras {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q29: bucketed co-located join — both fact tables are written
+  // bucketed+sorted on the join key, so the join needs no shuffle at all
+  // (bucket i joins bucket i; with broadcast disabled the plan is a
+  // sort-merge join with zero Exchange nodes). At 100 TB this is THE
+  // repeated-join layout: pay the bucketing shuffle once at write time,
+  // never again. Verified by BucketedJoinSpec's no-Exchange assertion.
+  // ---------------------------------------------------------------------
+  /** Drop a managed table AND its warehouse directory — a stale location
+    * from a previous session blocks saveAsTable even in overwrite mode. */
+  private def dropManaged(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete()
+    }
+    val loc = new java.io.File(wh, name)
+    if (loc.exists()) rm(loc)
+  }
+
+  def q29(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dropManaged(spark, "graft_li_bucketed")
+    dropManaged(spark, "graft_ord_bucketed")
+    Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .write.format("parquet").mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_li_bucketed")
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority")
+      .write.format("parquet").mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_ord_bucketed")
+    spark.table("graft_li_bucketed")
+      .join(spark.table("graft_ord_bucketed"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(sum(discPriceOf($"l_extendedprice", $"l_discount")).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private def discPriceOf(price: org.apache.spark.sql.Column,
+      disc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (price.cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - disc.cast(DecimalType(18, 2))))
+      .cast(DecimalType(18, 4))
+
+  private val q29Sql =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q23_range_join" -> (q23 _),
     "q24_approx_distinct" -> (q24 _),
     "q25_explode_topk" -> (q25 _),
     "q26_pivot" -> (q26 _),
     "q27_sessionize" -> (q27 _),
-    "q28_salted_distinct" -> (q28 _))
+    "q28_salted_distinct" -> (q28 _),
+    "q29_bucketed_join" -> (q29 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q23_range_join" -> q23Sql,
     "q25_explode_topk" -> q25Sql,
     "q26_pivot" -> q26Sql,
     "q27_sessionize" -> q27Sql,
-    "q28_salted_distinct" -> q28Sql)
+    "q28_salted_distinct" -> q28Sql,
+    "q29_bucketed_join" -> q29Sql)
 }
