@@ -11,20 +11,22 @@ import java.io.IOException
   * Parse attempts snapshot the input queue and roll back on underflow, so
   * a meta-block split across `addInput` calls is retried when more bytes
   * arrive. Entropy-coded meta-blocks are decoded atomically into a
-  * pending buffer (bounded by MLEN ≤ 16 MiB; this engine's encoder emits
-  * ≤ 1 MiB) and committed to the backward-reference window on success.
+  * pending buffer (bounded by MLEN ≤ 16 MiB) and committed to the
+  * backward-reference window on success.
   *
-  * Coverage (tracked per SURVEY.md §7.3 risk 2):
-  *  - stream header (all WBITS forms) ✓
-  *  - uncompressed + metadata + empty-last meta-blocks ✓
-  *  - entropy-coded meta-blocks: simple + complex prefix codes (incl.
-  *    16/17 repeat codes), single block type, NPOSTFIX/NDIRECT, command
-  *    loop with insert+copy, distance ring buffer, window copies ✓
-  *  - multiple block types (block switching), context maps with ≥2
-  *    trees, and static-dictionary references raise descriptive errors —
-  *    this engine's encoder never emits them. Ring-buffer distance codes
-  *    4..15 follow the RFC listing; cross-validation against an external
-  *    brotli is pending environment availability (offline).
+  * Full-spec coverage, cross-validated against the system libbrotli via
+  * `tools/brotli_cli` (BrotliInteropSpec):
+  *  - stream header (all WBITS forms), uncompressed / metadata /
+  *    empty-last meta-blocks
+  *  - simple + complex prefix codes (16/17 repeats)
+  *  - block switching (NBLTYPES > 1) in all three categories
+  *  - literal context modes (LSB6/MSB6/UTF8/Signed) and context maps
+  *    (NTREES > 1) for literals and distances, incl. inverse-MTF
+  *  - NPOSTFIX/NDIRECT distance parameters (shifted NDIRECT, §4)
+  *  - distance ring buffer with libbrotli-verified semantics: initial
+  *    last/2nd/3rd/4th = 4/11/15/16, state persists stream-wide, code 0
+  *    and implicit distances do not push
+  *  - static dictionary references with all 121 word transforms (§8)
   */
 final class BrotliDecoder {
   import Tables7932._
@@ -48,6 +50,15 @@ final class BrotliDecoder {
   private var window: Array[Byte] = _
   private var windowMask = 0
   private var totalOut = 0L
+
+  // ---- stream-level entropy state (persists across meta-blocks) ----
+  // distance ring: ringIdx is the next write slot; last distance =
+  // ring((ringIdx-1)&3). Initial last/2nd/3rd/4th = 4/11/15/16.
+  private val ring = InitialDistanceRing.clone()
+  private var ringIdx = 0
+  // last two output bytes, the literal context (§7.1); cross meta-block
+  private var p1 = 0
+  private var p2 = 0
 
   // decoded-but-unserved output of an entropy-coded block
   private var pendingOut: Array[Byte] = _
@@ -78,6 +89,8 @@ final class BrotliDecoder {
       System.arraycopy(b, srcOff, window, wpos, n)
       totalOut += n; srcOff += n; left -= n
     }
+    if (len >= 2) { p1 = b(off + len - 1) & 0xff; p2 = b(off + len - 2) & 0xff }
+    else if (len == 1) { p2 = p1; p1 = b(off) & 0xff }
   }
 
   private def parseStreamHeader(): Unit = {
@@ -105,8 +118,12 @@ final class BrotliDecoder {
       (1 << nbits) + 1 + in.readBits(nbits)
     }
 
+  private def bitsFor(alphabetSize: Int): Int =
+    32 - Integer.numberOfLeadingZeros(alphabetSize - 1)
+
   /** §3.4/§3.5 prefix-code parse → decoder. */
-  private def readPrefixCode(alphabetSize: Int, alphabetBits: Int): HuffmanDecoder = {
+  private def readPrefixCode(alphabetSize: Int): HuffmanDecoder = {
+    val alphabetBits = bitsFor(alphabetSize)
     val form = in.readBits(2)
     if (form == 1) {
       // simple form
@@ -179,96 +196,191 @@ final class BrotliDecoder {
     }
   }
 
+  /** §7.3 context map: run-length-encoded tree indices + inverse MTF. */
+  private def readContextMap(nTrees: Int, size: Int): Array[Int] = {
+    val cmap = new Array[Int](size)
+    if (nTrees == 1) return cmap
+    val rleMax = if (in.readBit() == 1) in.readBits(4) + 1 else 0
+    val tree = readPrefixCode(nTrees + rleMax)
+    var i = 0
+    while (i < size) {
+      val code = tree.decode(in)
+      if (code == 0) { cmap(i) = 0; i += 1 }
+      else if (code <= rleMax) {
+        var reps = (1 << code) + in.readBits(code)
+        if (i + reps > size) throw new IOException("invalid brotli: context-map run overflow")
+        while (reps > 0) { cmap(i) = 0; i += 1; reps -= 1 }
+      } else { cmap(i) = code - rleMax; i += 1 }
+    }
+    if (in.readBit() == 1) { // inverse move-to-front
+      val mtf = Array.tabulate(256)(identity)
+      var k = 0
+      while (k < size) {
+        val idx = cmap(k)
+        val v = mtf(idx)
+        cmap(k) = v
+        var j = idx
+        while (j > 0) { mtf(j) = mtf(j - 1); j -= 1 }
+        mtf(0) = v
+        k += 1
+      }
+    }
+    cmap
+  }
+
+  /** Per-category block switching state (§6). */
+  private final class BlockCategory(val nTypes: Int,
+      typeTree: HuffmanDecoder, lenTree: HuffmanDecoder, firstLen: Int) {
+    var cur = 0
+    private var prev = 1
+    var len: Int = firstLen
+    def switchIfNeeded(): Unit = if (len == 0) {
+      val sym = typeTree.decode(in)
+      val next =
+        if (sym == 0) prev
+        else if (sym == 1) (cur + 1) % nTypes
+        else sym - 2
+      prev = cur; cur = next
+      len = readBlockLength(lenTree)
+    }
+  }
+
+  private def readBlockLength(tree: HuffmanDecoder): Int = {
+    val sym = tree.decode(in)
+    BlockLengthBase(sym) + in.readBits(BlockLengthExtra(sym))
+  }
+
+  private def readBlockCategory(): BlockCategory = {
+    val n = readVarCount()
+    if (n >= 2) {
+      val typeTree = readPrefixCode(n + 2)
+      val lenTree = readPrefixCode(26)
+      new BlockCategory(n, typeTree, lenTree, readBlockLength(lenTree))
+    } else new BlockCategory(1, null, null, Int.MaxValue)
+  }
+
   /** Decode one entropy-coded meta-block body of length mlen into a fresh
     * buffer (window not yet committed; in-block back-references read from
     * the local buffer). */
   private def decodeCompressedBlock(mlen: Int): Array[Byte] = {
-    val nbltypesL = readVarCount()
-    val nbltypesI = readVarCount()
-    val nbltypesD = readVarCount()
-    if (nbltypesL != 1 || nbltypesI != 1 || nbltypesD != 1)
-      throw new IOException("brotli block switching (NBLTYPES > 1) not yet supported by graft's decoder")
+    val catL = readBlockCategory()
+    val catI = readBlockCategory()
+    val catD = readBlockCategory()
     val npostfix = in.readBits(2)
-    val ndirect = in.readBits(4) << npostfix
-    in.readBits(2) // context mode of the single literal block type (unused with 1 tree)
+    val ndirect = in.readBits(4) << npostfix // shifted NDIRECT (§4)
+    val cmodes = Array.fill(catL.nTypes)(in.readBits(2))
     val ntreesL = readVarCount()
-    if (ntreesL != 1)
-      throw new IOException("brotli literal context maps not yet supported by graft's decoder")
+    val litCmap = readContextMap(ntreesL, catL.nTypes << 6)
     val ntreesD = readVarCount()
-    if (ntreesD != 1)
-      throw new IOException("brotli distance context maps not yet supported by graft's decoder")
-    val litTree = readPrefixCode(LiteralAlphabetSize, 8)
-    val cmdTree = readPrefixCode(CommandAlphabetSize, 10)
-    val distAlphabet = numDistanceCodes(npostfix, ndirect >> npostfix)
-    val distBits = 32 - Integer.numberOfLeadingZeros(distAlphabet - 1)
-    val distTree = readPrefixCode(distAlphabet, distBits)
+    val distCmap = readContextMap(ntreesD, catD.nTypes << 2)
+    val litTrees = Array.fill(ntreesL)(readPrefixCode(LiteralAlphabetSize))
+    val cmdTrees = Array.fill(catI.nTypes)(readPrefixCode(CommandAlphabetSize))
+    val distAlphabet = numDistanceCodes(npostfix, ndirect)
+    val distTrees = Array.fill(ntreesD)(readPrefixCode(distAlphabet))
 
     val outBuf = new Array[Byte](mlen)
     var pos = 0
-    // distance ring, most-recent-first from ringIdx: initial [16,15,11,4]
-    // with "last" = 16 (RFC §4).
-    val ring = InitialDistanceRing.clone()
-    var ringIdx = 0
-    def ringAt(back: Int): Int = ring((ringIdx + back) & 3) // back=0 → last
-    def pushRing(d: Int): Unit = { ringIdx = (ringIdx + 3) & 3; ring(ringIdx) = d }
+    // local copies of stream-level context/ring state; committed on
+    // success (parse rollback on underflow must not corrupt them)
+    var lp1 = p1
+    var lp2 = p2
+    val lring = ring.clone()
+    var lringIdx = ringIdx
+    def lastDist(k: Int): Int = lring((lringIdx - 1 - k) & 3)
+    def pushRing(d: Int): Unit = { lring(lringIdx & 3) = d; lringIdx = (lringIdx + 1) & 3 }
 
     val postfixMask = (1 << npostfix) - 1
+    val maxWindow = (1L << wbits) - 16
+
     while (pos < mlen) {
-      val cmd = cmdTree.decode(in)
+      catI.switchIfNeeded()
+      val cmd = cmdTrees(catI.cur).decode(in)
+      catI.len -= 1
       val (icode, ccode, impliedDist0) = unpackCommand(cmd)
       val ilen = InsertBase(icode) + in.readBits(InsertExtra(icode))
       val clen = CopyBase(ccode) + in.readBits(CopyExtra(ccode))
       var k = 0
       while (k < ilen) {
         if (pos >= mlen) throw new IOException("invalid brotli: insert overruns MLEN")
-        outBuf(pos) = litTree.decode(in).toByte
+        catL.switchIfNeeded()
+        catL.len -= 1
+        val mode = cmodes(catL.cur)
+        val ctx = SpecData.ContextLut((mode << 9) + lp1) |
+          SpecData.ContextLut((mode << 9) + 256 + lp2)
+        val b = litTrees(litCmap((catL.cur << 6) | ctx)).decode(in)
+        outBuf(pos) = b.toByte
+        lp2 = lp1; lp1 = b
         pos += 1; k += 1
       }
       if (pos < mlen) {
         var distance = 0
-        if (impliedDist0) distance = ringAt(0)
+        var fromRingZero = false
+        if (impliedDist0) { distance = lastDist(0); fromRingZero = true }
         else {
-          val dcode = distTree.decode(in)
-          if (dcode == 0) distance = ringAt(0)
-          else if (dcode < 4) { distance = ringAt(dcode); pushRing(distance) }
+          catD.switchIfNeeded()
+          val dctx = math.min(clen - 2, 3)
+          val dcode = distTrees(distCmap((catD.cur << 2) | dctx)).decode(in)
+          catD.len -= 1
+          if (dcode == 0) { distance = lastDist(0); fromRingZero = true }
+          else if (dcode < 4) distance = lastDist(dcode)
           else if (dcode < 16) {
-            // RFC §4 listing: 4..9 modify last by -1,+1,-2,+2,-3,+3;
-            // 10..15 the same off second-to-last.
-            val base = ringAt(if (dcode < 10) 0 else 1)
-            val j = (dcode - 4) % 6
-            val delta = Array(-1, 1, -2, 2, -3, 3)(j)
-            distance = base + delta
+            val base = lastDist(if (dcode < 10) 0 else 1)
+            distance = base + ShortCodeDelta((dcode - 4) % 6)
             if (distance <= 0) throw new IOException("invalid brotli distance")
-            pushRing(distance)
-          } else if (dcode < 16 + (ndirect >> npostfix)) {
+          } else if (dcode < 16 + ndirect) {
             distance = dcode - 15
-            pushRing(distance)
           } else {
-            val d = dcode - (ndirect >> npostfix) - 16
+            val d = dcode - ndirect - 16
             val ndistbits = 1 + (d >> (npostfix + 1))
             val hcode = d >> npostfix
             val lcode = d & postfixMask
             val extra = in.readBits(ndistbits)
             val offset = ((2 + (hcode & 1)) << ndistbits) - 4
             distance = ((offset + extra) << npostfix) + lcode + ndirect + 1
-            pushRing(distance)
           }
         }
-        val maxBackward = math.min(totalOut + pos, (1L << wbits) - 16)
-        if (distance > maxBackward)
-          throw new IOException(
-            "brotli static dictionary references not supported by graft's decoder " +
-              "(this engine's encoder never emits them)")
-        var c = 0
-        while (c < clen && pos < mlen) {
-          val src = totalOut + pos - distance
-          outBuf(pos) =
-            if (src >= totalOut) outBuf((src - totalOut).toInt)
-            else window((src & windowMask).toInt)
-          pos += 1; c += 1
+        val maxBackward = math.min(totalOut + pos, maxWindow)
+        if (distance > maxBackward) {
+          // static dictionary reference (§8)
+          if (clen < 4 || clen > 24)
+            throw new IOException(s"invalid brotli: dictionary copy length $clen")
+          val ndbits = SpecData.Dictionary.sizeBits(clen)
+          val address = distance - maxBackward.toInt - 1
+          val index = address & ((1 << ndbits) - 1)
+          val transformId = address >>> ndbits
+          if (transformId >= SpecData.Transforms.count)
+            throw new IOException("invalid brotli: dictionary transform out of range")
+          val word = SpecData.Dictionary.word(clen, index)
+          val out = SpecData.Transforms(transformId, word)
+          if (pos + out.length > mlen)
+            throw new IOException("invalid brotli: dictionary word overruns MLEN")
+          System.arraycopy(out, 0, outBuf, pos, out.length)
+          pos += out.length
+          if (out.length >= 2) { lp1 = out(out.length - 1) & 0xff; lp2 = out(out.length - 2) & 0xff }
+          else if (out.length == 1) { lp2 = lp1; lp1 = out(0) & 0xff }
+          // dictionary references do not touch the ring
+        } else {
+          // ring updated for every distance except code 0 / implicit (§4)
+          if (!fromRingZero) pushRing(distance)
+          var c = 0
+          while (c < clen && pos < mlen) {
+            val src = totalOut + pos - distance
+            val b =
+              if (src >= totalOut) outBuf((src - totalOut).toInt)
+              else window((src & windowMask).toInt)
+            outBuf(pos) = b
+            lp2 = lp1; lp1 = b & 0xff
+            pos += 1; c += 1
+          }
+          if (c < clen && pos >= mlen && c > 0)
+            throw new IOException("invalid brotli: copy overruns MLEN")
         }
       }
     }
+    // commit stream-level state
+    p1 = lp1; p2 = lp2
+    System.arraycopy(lring, 0, ring, 0, 4)
+    ringIdx = lringIdx
     outBuf
   }
 
@@ -380,6 +492,9 @@ final class BrotliDecoder {
     starved = false
     window = null; windowMask = 0; totalOut = 0
     pendingOut = null; pendingPos = 0
+    System.arraycopy(InitialDistanceRing, 0, ring, 0, 4)
+    ringIdx = 0
+    p1 = 0; p2 = 0
     in.alignToByte()
     while (in.skipBytes(4096) > 0) ()
   }

@@ -184,6 +184,42 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
   private val HashBits = 17
   private lazy val hashTable = new Array[Int](1 << HashBits)
 
+  // distance ring mirroring the decoder's stream-level state (§4,
+  // libbrotli-verified): initial last/2nd/3rd/4th = 4/11/15/16; code 0
+  // and implicit-zone distances do not push; everything else does.
+  private val distRing = Tables7932.InitialDistanceRing.clone()
+  private var distRingIdx = 0
+  private def ringLast(k: Int): Int = distRing((distRingIdx - 1 - k) & 3)
+  private def ringPush(d: Int): Unit = {
+    distRing(distRingIdx & 3) = d; distRingIdx = (distRingIdx + 1) & 3
+  }
+
+  /** Pick the cheapest distance code for `dist` given the current ring:
+    * (dcode, extraBits, extraVal, pushesRing). Prefers ring codes (0
+    * extra bits) over the §4 offset formula. */
+  private def ringDistanceCodeFor(dist: Int): (Int, Int, Int, Boolean) = {
+    if (dist == ringLast(0)) return (0, 0, 0, false)
+    var k = 1
+    while (k < 4) {
+      if (dist == ringLast(k)) return (k, 0, 0, true)
+      k += 1
+    }
+    var j = 0
+    while (j < 6) {
+      if (dist == ringLast(0) + Tables7932.ShortCodeDelta(j) && dist > 0)
+        return (4 + j, 0, 0, true)
+      j += 1
+    }
+    j = 0
+    while (j < 6) {
+      if (dist == ringLast(1) + Tables7932.ShortCodeDelta(j) && dist > 0)
+        return (10 + j, 0, 0, true)
+      j += 1
+    }
+    val (dc, db, dv) = distanceCodeFor(dist)
+    (dc, db, dv, true)
+  }
+
   private def copyCodeFor(len: Int): Int = {
     var c = CopyBase.length - 1
     while (c > 0 && CopyBase(c) > len) c -= 1
@@ -243,15 +279,12 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     val litFreq = new Array[Long](LiteralAlphabetSize)
     val cmdFreq = new Array[Long](CommandAlphabetSize)
     val distFreq = new Array[Long](numDistanceCodes(0, 0))
-    // last *pushed* distance, mirroring the decoder's ring (initial last
-    // = 16; implicit-zone commands reuse it without pushing)
-    var prevDist = 16
     val encoded = cmds.map { c =>
       val icode = insertCodeFor(c.litLen)
       val ccode = if (c.copyLen > 0) copyCodeFor(c.copyLen) else 0
       // same-distance matches use the implicit distance-0 command zone
       // (cmd < 128): no distance symbol or extra bits in the stream
-      val implicitOk = c.copyLen > 0 && c.dist == prevDist &&
+      val implicitOk = c.copyLen > 0 && c.dist == ringLast(0) &&
         icode <= 7 && ccode <= 15
       val cmdSym =
         if (implicitOk) {
@@ -262,9 +295,9 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       var i = 0
       while (i < c.litLen) { litFreq(data(off + c.litStart + i) & 0xff) += 1; i += 1 }
       val dinfo = if (c.copyLen > 0 && !implicitOk) {
-        val (dc, db, dv) = distanceCodeFor(c.dist)
+        val (dc, db, dv, pushes) = ringDistanceCodeFor(c.dist)
         distFreq(dc) += 1
-        prevDist = c.dist
+        if (pushes) ringPush(c.dist)
         (dc, db, dv)
       } else (-1, 0, 0)
       (c, icode, ccode, cmdSym, dinfo)
@@ -354,6 +387,8 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     staged = 0
     headerWritten = false
     streamFinished = false
+    System.arraycopy(Tables7932.InitialDistanceRing, 0, distRing, 0, 4)
+    distRingIdx = 0
     val drain = new ByteArrayOutputStream()
     bits.finishTo(drain) // discard any partial state
   }

@@ -63,12 +63,27 @@ object Tables7932 {
     * symbol -> (bit pattern MSB-first, length). */
   val CodeLengthCodeLengths: Array[Int] = Array(2, 4, 3, 2, 2, 4)
 
-  /** Distance ring buffer initial state (§4). */
+  /** Distance ring buffer initial state (§4), oldest-first: the initial
+    * "last distance" is 4, then 11, 15, 16 (verified against libbrotli —
+    * dcode 0→4, 1→11, 2→15, 3→16). The ring persists stream-wide. */
   val InitialDistanceRing: Array[Int] = Array(16, 15, 11, 4)
 
-  /** Number of distance codes for NPOSTFIX/NDIRECT (§4). */
+  /** Short distance codes 4..15 (§4): delta applied to the last
+    * (codes 4..9) or second-to-last (codes 10..15) ring distance. */
+  val ShortCodeDelta: Array[Int] = Array(-1, 1, -2, 2, -3, 3)
+
+  /** Number of distance codes (§4); ndirect is the SHIFTED value
+    * NDIRECT = field << NPOSTFIX. */
   def numDistanceCodes(npostfix: Int, ndirect: Int): Int =
     16 + ndirect + (48 << npostfix)
+
+  /** Block count codes (§6): 26 symbols, base + extra bits. */
+  val BlockLengthBase: Array[Int] = Array(
+    1, 5, 9, 13, 17, 25, 33, 41, 49, 65, 81, 97, 113, 145, 177, 209,
+    241, 305, 369, 497, 753, 1265, 2289, 4337, 8433, 16625)
+  val BlockLengthExtra: Array[Int] = Array(
+    2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5,
+    6, 6, 7, 8, 9, 10, 11, 12, 13, 24)
 
   val CommandAlphabetSize = 704
   val LiteralAlphabetSize = 256

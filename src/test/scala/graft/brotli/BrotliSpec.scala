@@ -148,13 +148,13 @@ class BrotliSpec extends AnyFunSuite {
     assert(new String(got) == "abcdabcd")
   }
 
-  test("decoder reports unsupported block switching descriptively") {
+  test("decoder reports truncated stream mid-meta-block") {
     val w = new BitWriter
     w.writeBits(0, 1) // WBITS 16
     w.writeBits(0, 1) // ISLAST=0
     w.writeBits(0, 2); w.writeBits(0, 16) // MLEN-1=0
     w.writeBits(0, 1) // ISUNCOMPRESSED=0
-    w.writeBits(1, 1); w.writeBits(0, 3) // NBLTYPESL = 2
+    w.writeBits(1, 1); w.writeBits(0, 3) // NBLTYPESL = 2, then stream ends
     val out = new ByteArrayOutputStream()
     w.finishTo(out)
     val dec = new BrotliDecoder()
@@ -162,7 +162,7 @@ class BrotliSpec extends AnyFunSuite {
     dec.addInput(bytes, 0, bytes.length)
     dec.endOfInput()
     val e = intercept[java.io.IOException](dec.decode(new Array[Byte](8), 0, 8))
-    assert(e.getMessage.contains("block switching"))
+    assert(e.getMessage.contains("truncated"))
   }
 
   test("compression ratio < 1 on text-like data at quality >= 2") {
