@@ -10,8 +10,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Representative headline set: scan+agg, selective scan, star join,
-    * windows, top-k, JSON, set ops, as-of. Falls back to all queries for
-    * names not found (defensive). */
+    * windows, top-k, JSON, set ops, as-of. Names missing from the
+    * registry are reported as failed (value -1). */
   val headline: Seq[String] = Seq(
     "q01_pricing_summary", "q02_selective_filter", "q03_bcast_join",
     "q04_multiway_join", "q07_topk_per_group", "q09_global_topk",
@@ -31,27 +31,35 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val all = SparkEntry.queries
-    val names = headline.filter(all.contains)
     // JIT/codegen warm-up: run each headline query once on the smallest SF
     // so measured times are steady state, not classloading/janino compile.
-    names.foreach { name =>
+    headline.filter(all.contains).foreach { name =>
       try all(name)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
 
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // failed or unknown queries report -1 and are excluded from the total
+    val results = headline.map { name =>
+      if (!all.contains(name)) {
+        System.err.println(s"[bench] $name not in registry")
+        name -> -1.0
+      } else {
+        val t0 = System.nanoTime()
+        try {
+          all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          name -> -1.0
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val failed = results.count(_._2 < 0)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

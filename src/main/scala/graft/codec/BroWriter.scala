@@ -15,8 +15,10 @@ object BroWriter {
 
   val CodecClass: String = classOf[BrotliCodec].getName
 
-  /** Hadoop's default codec list + ours; `CompressionCodecFactory` then
-    * resolves `.bro` by extension on the read path. */
+  /** Append our codec to `io.compression.codecs` (preserving any
+    * user-configured codecs; the Hadoop defaults list is used only when
+    * the key is unset); `CompressionCodecFactory` then resolves `.bro`
+    * by extension on the read path. */
   def register(spark: SparkSession): Unit = {
     val hc = spark.sparkContext.hadoopConfiguration
     val defaults = Seq(
@@ -26,9 +28,11 @@ object BroWriter {
       "org.apache.hadoop.io.compress.DeflateCodec",
       "org.apache.hadoop.io.compress.SnappyCodec",
       "org.apache.hadoop.io.compress.Lz4Codec")
-    val cur = Option(hc.get("io.compression.codecs"))
-    if (!cur.exists(_.contains(CodecClass)))
-      hc.set("io.compression.codecs", (defaults :+ CodecClass).mkString(","))
+    val cur = Option(hc.get("io.compression.codecs")).map(_.trim).filter(_.nonEmpty)
+    if (!cur.exists(_.split(',').map(_.trim).contains(CodecClass)))
+      hc.set("io.compression.codecs",
+        (cur.map(_.split(',').map(_.trim).toSeq).getOrElse(defaults) :+ CodecClass)
+          .mkString(","))
   }
 
   /** Write a DataFrame as `.bro`-compressed files of the given format

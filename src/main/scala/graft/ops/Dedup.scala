@@ -104,6 +104,8 @@ object Dedup {
   // mins — one shuffle on doc_id. Band keys (32 bands × 4 rows) bucket
   // candidates; estimated Jaccard = signature agreement. At 100 TB this
   // is the standard layout: no pass ever holds more than (doc, 128 longs).
+  // Base hash is the portable md5-derived h60 (PortableSql), so the whole
+  // pipeline is hash-verified against a DuckDB oracle.
   // ---------------------------------------------------------------------
   private val NumHashes = 128
   private val Bands = 32
@@ -120,7 +122,7 @@ object Dedup {
     val docs = Tables.load(spark, dir, "documents")
     // base hash reduced into [0, P) so a*h+b stays < 2^62 (ANSI-safe).
     val sh = docs.select($"doc_id", explode(shingles($"text")).as("w"))
-      .withColumn("h", pmod(xxhash64($"w"), lit(P)))
+      .withColumn("h", pmod(PortableSql.h60($"w"), lit(P)))
     val minExprs = hashCoefs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod($"h" * lit(a) + lit(b), lit(P))).as(s"s$i")
     }
@@ -128,8 +130,8 @@ object Dedup {
     val sigArr = array((0 until NumHashes).map(i => col(s"s$i")): _*)
     val withSig = sigs.select($"doc_id", sigArr.as("sig"))
     val bandKeys = (0 until Bands).map { j =>
-      val parts = (0 until RowsPerBand).map(r => element_at($"sig", j * RowsPerBand + r + 1))
-      xxhash64(lit(j) +: parts: _*)
+      struct(lit(j).as("j") +: (0 until RowsPerBand).map(r =>
+        element_at($"sig", j * RowsPerBand + r + 1).as(s"k$r")): _*)
     }
     val bands = withSig.select($"doc_id", $"sig",
       explode(array(bandKeys: _*)).as("band_key"))
@@ -148,28 +150,65 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  private def d03Sql: String = {
+    val sigEntries = hashCoefs.map { case (a, b) =>
+      s"list_min(list_transform(H, h -> (h * $a + $b) % $P))"
+    }.mkString(",\n    ")
+    val h60 = PortableSql.h60Sql("w")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS L FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct([L[i] || ' ' || L[i+1] || ' ' || L[i+2] for i in range(1, len(L)-1)]) AS S
+       |  FROM toks WHERE len(L) >= 3),
+       |hs AS (SELECT doc_id, list_transform(S, w -> $h60 % $P) AS H FROM sh),
+       |sigs AS (SELECT doc_id, [
+       |    $sigEntries
+       |  ] AS sig FROM hs),
+       |bands AS (
+       |  SELECT doc_id, sig, j,
+       |    sig[j*$RowsPerBand + 1] AS k0, sig[j*$RowsPerBand + 2] AS k1,
+       |    sig[j*$RowsPerBand + 3] AS k2, sig[j*$RowsPerBand + 4] AS k3
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $Bands)) AS j)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sig AS sig_a, y.sig AS sig_b
+       |  FROM bands x JOIN bands y
+       |    ON x.j = y.j AND x.k0 = y.k0 AND x.k1 = y.k1 AND x.k2 = y.k2 AND x.k3 = y.k3
+       |    AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $NumHashes AS est_jaccard
+       |FROM cand
+       |WHERE CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $NumHashes >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
-  // d04: SimHash — 64-bit signature from token-frequency-weighted bit
-  // votes; candidates from 4×16-bit band equality; verified by Hamming
-  // distance (bit_count of XOR, codegen'd builtin).
+  // d04: SimHash — 60-bit signature (portable h60 token hash) from
+  // token-frequency-weighted bit votes; candidates from 4×15-bit band
+  // equality; verified by Hamming distance (bit_count of XOR, codegen'd
+  // builtin). Hash-verified against a DuckDB oracle.
   // ---------------------------------------------------------------------
+  private val SimBits = 60
+  private val SimChunks = 4
+  private val SimChunkBits = SimBits / SimChunks
+
   def d04(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
     val tok = docs.select($"doc_id", explode(TextOps.tokens(lower($"text"))).as("t"))
-      .withColumn("h", xxhash64($"t"))
-    val bitSums = (0 until 64).map { j =>
+      .withColumn("h", PortableSql.h60($"t"))
+    val bitSums = (0 until SimBits).map { j =>
       sum(when(shiftright($"h", j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
     }
     val agged = tok.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 64).map { j =>
+    val simhash = (0 until SimBits).map { j =>
       when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     val sigs = agged.select($"doc_id", simhash.as("simhash"))
     val chunks = sigs.select($"doc_id", $"simhash",
-      explode(array((0 until 4).map(k =>
+      explode(array((0 until SimChunks).map(k =>
         struct(lit(k).as("k"),
-          shiftrightunsigned($"simhash", k * 16).bitwiseAND(0xFFFFL).as("v"))): _*))
+          shiftrightunsigned($"simhash", k * SimChunkBits)
+            .bitwiseAND((1L << SimChunkBits) - 1).as("v"))): _*))
         .as("chunk"))
     chunks.as("x").join(chunks.as("y"),
         $"x.chunk" === $"y.chunk" && $"x.doc_id" < $"y.doc_id")
@@ -178,6 +217,33 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
       .filter($"hamming" <= 6)
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  private def d04Sql: String = {
+    val votes = (0 until SimBits).map(j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(",\n    ")
+    val assemble = (0 until SimBits).map(j =>
+      s"(CASE WHEN b$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+       |  FROM documents),
+       |th AS (SELECT doc_id, ${PortableSql.h60Sql("t")} AS h FROM tok),
+       |votes AS (SELECT doc_id,
+       |    $votes
+       |  FROM th GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM votes),
+       |chunks AS (
+       |  SELECT doc_id, simhash, k, (simhash >> (k * $SimChunkBits)) & ${(1L << SimChunkBits) - 1} AS v
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $SimChunks)) AS k)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.simhash AS sa, y.simhash AS sb
+       |  FROM chunks x JOIN chunks y
+       |    ON x.k = y.k AND x.v = y.v AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(sa, sb)) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -196,13 +262,18 @@ object Dedup {
   private val SrpTables = 8
   private val BitsPerTable = 8
 
-  private[ops] def srpTableKeys(emb: Column): Column = {
+  /** SRP hyperplanes shared by the Spark kernels and the generated
+    * oracle SQL (Double.toString literals round-trip exactly). */
+  private[ops] val srpPlanes: IndexedSeq[Array[Double]] = {
     val rnd = new scala.util.Random(7)
-    val planes = Seq.fill(SrpTables * BitsPerTable)(Array.fill(64)(rnd.nextGaussian()))
+    IndexedSeq.fill(SrpTables * BitsPerTable)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  private[ops] def srpTableKeys(emb: Column): Column = {
     val buckets = (0 until SrpTables).map { t =>
       val bucket = (0 until BitsPerTable).map { j =>
         val dot = aggregate(
-          zip_with(emb, typedLit(planes(t * BitsPerTable + j).toSeq),
+          zip_with(emb, typedLit(srpPlanes(t * BitsPerTable + j).toSeq),
             (x, w) => x.cast(DoubleType) * w),
           lit(0.0), (acc, v) => acc + v)
         when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
@@ -212,6 +283,21 @@ object Dedup {
     array(buckets: _*)
   }
 
+  /** SQL arms computing (vec_id, embedding, t, b) — one UNION arm per SRP
+    * table, bucket assembled from the literal hyperplanes. Shared by the
+    * d05 and s02 oracles. */
+  private[ops] def srpKeysSql(source: String): String =
+    (0 until SrpTables).map { t =>
+      val bucket = (0 until BitsPerTable).map { j =>
+        val ws = PortableSql.weightedSumSql("embedding", srpPlanes(t * BitsPerTable + j))
+        s"(CASE WHEN ($ws) >= 0.0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, embedding, $t AS t, $bucket AS b FROM $source"
+    }.mkString("\n  UNION ALL ")
+
+  // near-dup threshold 0.4: the synthetic embeddings are near-uniform
+  // (max pairwise cosine ≈ 0.51 at sf0.01), so 0.4 marks the top ~1e-4
+  // most-similar tail — the shape of the op matters, not the constant.
   def d05(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.load(spark, dir, "embeddings")
@@ -222,8 +308,27 @@ object Dedup {
       .select($"x.vec_id".as("vec_a"), $"y.vec_id".as("vec_b"),
         VectorOps.cosineSim(spark, $"x.embedding", $"y.embedding").as("cosine"))
       .dropDuplicates("vec_a", "vec_b")
-      .filter($"cosine" >= 0.9)
+      .filter($"cosine" >= 0.4)
       .orderBy($"vec_a", $"vec_b")
+  }
+
+  private def d05Sql: String = {
+    val dot = PortableSql.dotSql("ea", "eb", 64)
+    val na = PortableSql.dotSql("ea", "ea", 64)
+    val nb = PortableSql.dotSql("eb", "eb", 64)
+    val cos = PortableSql.cosineFromPartsSql("dot", "na", "nb")
+    s"""WITH keys AS (
+       |  ${srpKeysSql("embeddings")}),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |    x.embedding AS ea, y.embedding AS eb
+       |  FROM keys x JOIN keys y
+       |    ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
+       |parts AS (SELECT vec_a, vec_b, $dot AS dot, $na AS na, $nb AS nb FROM cand)
+       |SELECT vec_a, vec_b, $cos AS cosine
+       |FROM parts
+       |WHERE $cos >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -237,5 +342,8 @@ object Dedup {
 
   val oracle: ListMap[String, String] = ListMap(
     "d01_exact_dedup" -> d01Sql,
-    "d02_ngram_jaccard" -> d02Sql)
+    "d02_ngram_jaccard" -> d02Sql,
+    "d03_minhash_lsh" -> d03Sql,
+    "d04_simhash" -> d04Sql,
+    "d05_embed_neardup" -> d05Sql)
 }

@@ -79,10 +79,26 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  // mean_byte is a sum of integer byte values accumulated in a double —
+  // exact below 2^53, so engine-portable; the testdata text is ASCII, so
+  // UTF-8 byte values = codepoints (checked: octet_length = length).
+  private val m02Sql =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
+      |    ELSE CAST(list_sum(list_transform(string_split_regex(text, ''), c -> unicode(c))) AS DOUBLE)
+      |      / octet_length(encode(text)) END AS mean_byte,
+      |  CAST(64 + octet_length(encode(text)) % 576 AS INTEGER) AS width,
+      |  CAST(64 + (octet_length(encode(text)) * 7) % 416 AS INTEGER) AS height,
+      |  CAST(1 + octet_length(encode(text)) % 30 AS INTEGER) AS n_frames
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "m01_media_meta" -> (m01 _),
     "m02_media_features" -> (m02 _))
 
   val oracle: ListMap[String, String] = ListMap(
-    "m01_media_meta" -> m01Sql)
+    "m01_media_meta" -> m01Sql,
+    "m02_media_features" -> m02Sql)
 }

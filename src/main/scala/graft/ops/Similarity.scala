@@ -103,10 +103,50 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  // ---------------------------------------------------------------------
+  // Oracles: explicit 64-term dot products (left-associated, matching
+  // CosineSimilarity's fold order) make the doubles bit-equal, so the ANN
+  // results are hash-verified, not rows-only. s03's KMeans quantizer is
+  // iterative ML with engine-private float reductions — rows-only there.
+  // ---------------------------------------------------------------------
+  private def rankedSql(candCte: String): String = {
+    val dot = PortableSql.dotSql("emb", "q_emb", 64)
+    val na = PortableSql.dotSql("emb", "emb", 64)
+    val nb = PortableSql.dotSql("q_emb", "q_emb", 64)
+    val cos = PortableSql.cosineFromPartsSql("dot", "na", "nb")
+    s"""$candCte,
+       |parts AS (SELECT q_id, vec_id, $dot AS dot, $na AS na, $nb AS nb FROM cand),
+       |scored AS (SELECT q_id, vec_id, $cos AS cosine FROM parts),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  private def s01Sql: String = rankedSql(
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 47 = 0),
+      |cand AS (
+      |  SELECT q_id, vec_id, embedding AS emb, q_emb
+      |  FROM embeddings CROSS JOIN q WHERE vec_id <> q_id)""".stripMargin)
+
+  private def s02Sql: String = rankedSql(
+    s"""WITH keys AS (
+       |  ${Dedup.srpKeysSql("embeddings")}),
+       |qk AS (SELECT * FROM keys WHERE vec_id % 47 = 0),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, k.vec_id AS vec_id,
+       |    k.embedding AS emb, q.embedding AS q_emb
+       |  FROM keys k JOIN qk q ON k.t = q.t AND k.b = q.b AND k.vec_id <> q.vec_id)""".stripMargin)
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "s01_ann_bruteforce" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_ann_ivf" -> (s03 _))
 
-  val oracle: ListMap[String, String] = ListMap.empty
+  val oracle: ListMap[String, String] = ListMap(
+    "s01_ann_bruteforce" -> s01Sql,
+    "s02_ann_lsh" -> s02Sql)
 }

@@ -110,7 +110,8 @@ object TextOps {
   // ---------------------------------------------------------------------
   // t04: language ID — stopword-profile heuristic scored per language.
   // The per-language marker lists are tiny broadcast literals; scoring is
-  // a narrow map. (Rows-only oracle: the scoring rule is engine-local.)
+  // a narrow map. Argmax tie-break is (hits, lang) lexicographic max on
+  // both engines, so the result is hash-verified.
   // ---------------------------------------------------------------------
   private val langMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "is"),
@@ -136,6 +137,28 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  private def t04Sql: String = {
+    val values = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      s"('$lang', ${markers.map(m => s"'$m'").mkString("[", ", ", "]")})"
+    }.mkString(",\n    ")
+    s"""WITH langs(lang, markers) AS (VALUES
+       |    $values),
+       |toks AS (
+       |  SELECT doc_id, lang AS lang_declared,
+       |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS L
+       |  FROM documents),
+       |scores AS (
+       |  SELECT doc_id, lang_declared, l.lang,
+       |    len(list_filter(L, t -> list_contains(l.markers, t))) AS hits
+       |  FROM toks CROSS JOIN langs l),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+       |  FROM scores)
+       |SELECT doc_id, lang_declared, lang AS lang_predicted, CAST(hits AS INTEGER) AS marker_hits
+       |FROM ranked WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -147,5 +170,6 @@ object TextOps {
   val oracle: ListMap[String, String] = ListMap(
     "t01_token_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
-    "t03_fingerprint" -> t03Sql)
+    "t03_fingerprint" -> t03Sql,
+    "t04_lang_id" -> t04Sql)
 }

@@ -232,6 +232,46 @@ object Extras {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q30: KMV distinct-count sketch (graft.functions.KmvSketch) — unlike
+  // q24's HLL++, the sketch itself is deterministic over the portable
+  // h60 hash, so the approximate estimate is hash-verified against the
+  // oracle (which computes the same k minima by window rank). The exact
+  // count rides along to show sketch accuracy.
+  // ---------------------------------------------------------------------
+  private val KmvK = 64
+
+  def q30(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val kmv = udaf(new graft.functions.KmvSketch(KmvK))
+    Tables.load(spark, dir, "lineitem")
+      .withColumn("hv", graft.ops.PortableSql.h60($"l_partkey".cast(StringType)))
+      .groupBy($"l_returnflag")
+      .agg(kmv($"hv").as("kmv_est_partkeys"),
+        countDistinct($"l_partkey").as("exact_partkeys"))
+      .orderBy($"l_returnflag")
+  }
+
+  private def q30Sql: String = {
+    val h60 = graft.ops.PortableSql.h60Sql("CAST(l_partkey AS VARCHAR)")
+    s"""WITH h AS (SELECT DISTINCT l_returnflag, $h60 AS hv FROM lineitem),
+       |r AS (SELECT l_returnflag, hv,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+       |  FROM h),
+       |est AS (
+       |  SELECT l_returnflag,
+       |    CASE WHEN COUNT(*) < $KmvK THEN CAST(COUNT(*) AS DOUBLE)
+       |         ELSE ${KmvK - 1}.0 * 1152921504606846976.0
+       |              / MAX(CASE WHEN rn = $KmvK THEN hv END) END AS kmv_est_partkeys
+       |  FROM r GROUP BY l_returnflag),
+       |ex AS (
+       |  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_partkeys
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT est.l_returnflag, kmv_est_partkeys, exact_partkeys
+       |FROM est JOIN ex ON est.l_returnflag = ex.l_returnflag
+       |ORDER BY est.l_returnflag""".stripMargin
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q23_range_join" -> (q23 _),
     "q24_approx_distinct" -> (q24 _),
@@ -239,7 +279,8 @@ object Extras {
     "q26_pivot" -> (q26 _),
     "q27_sessionize" -> (q27 _),
     "q28_salted_distinct" -> (q28 _),
-    "q29_bucketed_join" -> (q29 _))
+    "q29_bucketed_join" -> (q29 _),
+    "q30_kmv_distinct" -> (q30 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q23_range_join" -> q23Sql,
@@ -247,5 +288,6 @@ object Extras {
     "q26_pivot" -> q26Sql,
     "q27_sessionize" -> q27Sql,
     "q28_salted_distinct" -> q28Sql,
-    "q29_bucketed_join" -> q29Sql)
+    "q29_bucketed_join" -> q29Sql,
+    "q30_kmv_distinct" -> q30Sql)
 }

@@ -58,8 +58,10 @@ object EventsStream {
   /** Stateful streaming sessionization: 30-minute-gap session windows
     * per user through the streaming engine's session-window state store.
     * Append mode + watermark means only watermark-closed sessions emit —
-    * the correct unbounded-stream semantics (so no batch oracle; sessions
-    * still open at end-of-input are legitimately withheld). */
+    * the correct unbounded-stream semantics. The emitted set is itself
+    * deterministic (final watermark = max(ts) − 30 min delay; a session
+    * emits iff last_event + 30 min gap ≤ watermark), so it IS
+    * oracle-checked: batch sessionization filtered by that predicate. */
   def st02(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -156,7 +158,30 @@ object EventsStream {
     "st02_stream_sessionize" -> (st02 _),
     "st03_stream_state" -> (st03 _))
 
+  private val st02Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged),
+      |agg AS (
+      |  SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS last_ev,
+      |    COUNT(*) AS n_events
+      |  FROM sess GROUP BY user_id, sid),
+      |m AS (SELECT MAX(ts) AS mx FROM events)
+      |SELECT strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  user_id, n_events
+      |FROM agg, m
+      |WHERE last_ev + INTERVAL 30 MINUTE <= mx - INTERVAL 30 MINUTE
+      |ORDER BY user_id, session_start""".stripMargin
+
   val oracle: ListMap[String, String] = ListMap(
     "st01_stream_hourly" -> st01Sql,
+    "st02_stream_sessionize" -> st02Sql,
     "st03_stream_state" -> st03Sql)
 }
