@@ -20,6 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Extras.queries ++
+      graft.queries.Extras2.queries ++
       graft.queries.CodecQueries.queries ++
       graft.ops.TextOps.queries ++
       graft.ops.Dedup.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.Extras.oracle ++
+      graft.queries.Extras2.oracle ++
       graft.queries.CodecQueries.oracle ++
       graft.ops.TextOps.oracle ++
       graft.ops.Dedup.oracle ++

@@ -160,16 +160,100 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------------
+  // t05: BPE-ish tokenization — a GPT-2-style pre-tokenizer regex
+  // (letter runs / digit runs / punctuation runs, each with an optional
+  // leading space) rather than whitespace splitting. Narrow map, regex
+  // evaluated once per row; the same pattern gives identical matches
+  // under Java regex and RE2 because the alternatives are disjoint
+  // character classes.
+  // ---------------------------------------------------------------------
+  private val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  def t05(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = regexp_extract_all(lower($"text"), lit(BpePattern), lit(0))
+    Tables.load(spark, dir, "documents")
+      .select(
+        $"doc_id",
+        size(toks).as("n_bpe_tokens"),
+        size(array_distinct(toks)).as("n_unique_tokens"),
+        (length($"text").cast(DoubleType) / size(toks)).as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  private val t05Sql =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(lower(text), '$BpePattern')) AS INTEGER) AS n_bpe_tokens,
+       |  CAST(len(list_distinct(regexp_extract_all(lower(text), '$BpePattern'))) AS INTEGER) AS n_unique_tokens,
+       |  CAST(length(text) AS DOUBLE)
+       |    / len(regexp_extract_all(lower(text), '$BpePattern')) AS chars_per_token
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t06: winnowing fingerprint (Schleimer et al., SIGMOD'03) — rolling
+  // char-5-gram hashes, min per 4-gram window, distinct mins are the
+  // document's fingerprint set. The portable h60 k-gram hash makes the
+  // whole op hash-verified cross-engine. Narrow map (per-doc arrays);
+  // at 100 TB the fingerprint set (not the text) is what flows into any
+  // downstream near-dup join, bounding shuffle width.
+  // ---------------------------------------------------------------------
+  def t06(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val txt = lower($"text")
+    val n = length($"text")
+    val hashes = transform(sequence(lit(1), n - 4), i =>
+      PortableSql.h60(txt.substr(i, lit(5))))
+    val mins = transform(sequence(lit(1), n - 7), j =>
+      array_min(slice(hashes, j, lit(4))))
+    Tables.load(spark, dir, "documents")
+      .filter(n >= 8)
+      .withColumn("fp", array_distinct(mins))
+      .select(
+        $"doc_id",
+        (n - 4).as("n_kgrams"),
+        size($"fp").as("n_fp"),
+        array_min($"fp").as("fp_min"),
+        aggregate($"fp", lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fp_xor"))
+      .orderBy($"doc_id")
+  }
+
+  private def t06Sql: String = {
+    val h = PortableSql.h60Sql("substring(t, CAST(i AS INTEGER), 5)")
+    s"""WITH d AS (
+       |  SELECT doc_id, lower(text) AS t, length(text) AS n
+       |  FROM documents WHERE length(text) >= 8),
+       |g AS (SELECT doc_id, unnest(range(1, n - 3)) AS i, t, n FROM d),
+       |h AS (SELECT doc_id, i, n, $h AS hv FROM g),
+       |w AS (SELECT doc_id, i, n,
+       |    min(hv) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+       |  FROM h),
+       |f AS (SELECT doc_id, n, m FROM w WHERE i <= n - 7)
+       |SELECT doc_id,
+       |  CAST(MAX(n) - 4 AS INTEGER) AS n_kgrams,
+       |  CAST(COUNT(DISTINCT m) AS INTEGER) AS n_fp,
+       |  MIN(m) AS fp_min,
+       |  bit_xor(DISTINCT m) AS fp_xor
+       |FROM f GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "t01_token_stats" -> (t01 _),
     "t02_quality_score" -> (t02 _),
     "t03_fingerprint" -> (t03 _),
-    "t04_lang_id" -> (t04 _))
+    "t04_lang_id" -> (t04 _),
+    "t05_bpe_tokens" -> (t05 _),
+    "t06_winnow_fingerprint" -> (t06 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "t01_token_stats" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_fingerprint" -> t03Sql,
-    "t04_lang_id" -> t04Sql)
+    "t04_lang_id" -> t04Sql,
+    "t05_bpe_tokens" -> t05Sql,
+    "t06_winnow_fingerprint" -> t06Sql)
 }

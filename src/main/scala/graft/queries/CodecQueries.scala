@@ -52,9 +52,49 @@ object CodecQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q38: JSON-lines over `.bro` — the second text-based source format
+  // through the codec (reference semantics: the codec is transparent
+  // under ANY Hadoop text format). Doubles survive the JSON round-trip
+  // exactly (shortest-round-trip repr), so min/max are oracle-exact.
+  // ---------------------------------------------------------------------
+  def q38(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    BroWriter.register(spark)
+    val tmp = Files.createTempDirectory("graft_bro_").toString + "/events_json"
+    val ev = Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    ev.write.option("compression", BroWriter.CodecClass).json(tmp)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val back = spark.read.schema(schema).json(tmp)
+    back.groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"value").as("min_value"),
+        max($"value").as("max_value"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+
+  private val q38Sql =
+    """SELECT event_type,
+      |  COUNT(*) AS n_events,
+      |  MIN(value) AS min_value,
+      |  MAX(value) AS max_value,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
-    "q22_bro_roundtrip" -> (q22 _))
+    "q22_bro_roundtrip" -> (q22 _),
+    "q38_json_bro" -> (q38 _))
 
   val oracle: ListMap[String, String] = ListMap(
-    "q22_bro_roundtrip" -> q22Sql)
+    "q22_bro_roundtrip" -> q22Sql,
+    "q38_json_bro" -> q38Sql)
 }

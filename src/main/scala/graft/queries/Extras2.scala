@@ -1,0 +1,304 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Second relational batch (round 2): the operator families SURVEY.md
+  * §2.B lists that the round-1 inventory didn't yet exercise — outer
+  * joins, correlated subqueries, exact percentiles, unpivot, the full
+  * ranking-window suite, FILTER-style conditional aggregation, and the
+  * multiset set-ops. Same exactness rules as Relational.scala: decimal
+  * casts for money sums, one identical IEEE division for ratios, total
+  * ORDER BY everywhere.
+  */
+object Extras2 {
+
+  private val D2 = DecimalType(18, 2)
+
+  // ---------------------------------------------------------------------
+  // q31: FULL OUTER join of two filtered aggregates. The filters make
+  // each side miss some nations, so both null-sides are exercised.
+  // Scale: both inputs are already aggregated to ≤|nation| rows before
+  // the join — the outer join itself moves only group rows, and at 100 TB
+  // the partial aggregation bounds the shuffle no matter the fact size.
+  // ---------------------------------------------------------------------
+  def q31(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val negCust = Tables.load(spark, dir, "customer")
+      .filter($"c_acctbal" < 0)
+      .groupBy($"c_nationkey".as("nationkey"))
+      .agg(count(lit(1)).as("n_neg_cust"),
+        sum($"c_acctbal".cast(D2)).cast(DoubleType).as("cust_debt"))
+    val negSupp = Tables.load(spark, dir, "supplier")
+      .filter($"s_acctbal" < 0)
+      .groupBy($"s_nationkey".as("nationkey"))
+      .agg(count(lit(1)).as("n_neg_supp"))
+    negCust.join(negSupp, Seq("nationkey"), "full_outer")
+      .select($"nationkey",
+        coalesce($"n_neg_cust", lit(0L)).as("n_neg_cust"),
+        coalesce($"cust_debt", lit(0.0)).as("cust_debt"),
+        coalesce($"n_neg_supp", lit(0L)).as("n_neg_supp"))
+      .orderBy($"nationkey")
+  }
+
+  private val q31Sql =
+    """WITH nc AS (
+      |  SELECT c_nationkey AS nationkey, COUNT(*) AS n_neg_cust,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS cust_debt
+      |  FROM customer WHERE c_acctbal < 0 GROUP BY 1),
+      |ns AS (
+      |  SELECT s_nationkey AS nationkey, COUNT(*) AS n_neg_supp
+      |  FROM supplier WHERE s_acctbal < 0 GROUP BY 1)
+      |SELECT COALESCE(nc.nationkey, ns.nationkey) AS nationkey,
+      |  COALESCE(n_neg_cust, 0) AS n_neg_cust,
+      |  COALESCE(cust_debt, 0.0) AS cust_debt,
+      |  COALESCE(n_neg_supp, 0) AS n_neg_supp
+      |FROM nc FULL OUTER JOIN ns ON nc.nationkey = ns.nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q32: correlated EXISTS / NOT EXISTS subqueries through the SQL
+  // front-end. Catalyst rewrites both into left-semi/anti joins — the
+  // plan is the same join the DataFrame API would produce, which is why
+  // this scales: no per-row re-execution of the subquery, one shuffle on
+  // the correlation key.
+  // ---------------------------------------------------------------------
+  def q32(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c.c_custkey, c.c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+        |      AND o.o_totalprice < 50000)
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
+  private val q32Sql =
+    """SELECT c.c_custkey, c.c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+      |      AND o.o_totalprice < 50000)
+      |ORDER BY c.c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q33: exact interpolated percentiles (percentile_cont) per group.
+  // l_quantity carries small integral doubles, so lower + (upper-lower)*g
+  // is the same IEEE arithmetic on both engines. Scale: exact percentiles
+  // need the group's values sorted — Spark runs this as a sort-based
+  // aggregate within partitions after a shuffle on the group key; for
+  // heavy groups at 100 TB you'd switch to approx_percentile (sketch,
+  // mergeable, bounded memory) — q24 covers the sketch path.
+  // ---------------------------------------------------------------------
+  def q33(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag,
+        |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+        |  percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50,
+        |  percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75,
+        |  percentile_cont(0.9)  WITHIN GROUP (ORDER BY l_quantity) AS p90,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  private val q33Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5)  AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  quantile_cont(l_quantity, 0.9)  AS p90,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q34: unpivot (wide → long) then per-attribute profile. Spark's
+  // Dataset.unpivot is a narrow transform (each row expands in place, no
+  // shuffle until the aggregate); the oracle expresses the same thing as
+  // UNION ALL arms, the portable relational definition of unpivot.
+  // ---------------------------------------------------------------------
+  def q34(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "part")
+      .select($"p_partkey", $"p_size".cast(DoubleType).as("p_size"),
+        $"p_retailprice")
+      .unpivot(Array($"p_partkey"), Array($"p_size", $"p_retailprice"),
+        "attr", "val")
+      .groupBy($"attr")
+      .agg(count(lit(1)).as("n"),
+        min($"val").as("min_val"),
+        max($"val").as("max_val"),
+        sum($"val".cast(D2)).cast(DoubleType).as("sum_val"))
+      .orderBy($"attr")
+  }
+
+  private val q34Sql =
+    """WITH long_form AS (
+      |  SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part)
+      |SELECT attr, COUNT(*) AS n,
+      |  MIN(val) AS min_val,
+      |  MAX(val) AS max_val,
+      |  CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+      |FROM long_form
+      |GROUP BY attr
+      |ORDER BY attr""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q35: ranking-window suite — lag/lead/ntile/rank/dense_rank/
+  // percent_rank/cume_dist in one pass over one window spec. One shuffle
+  // on the partition key, one sort within; all eight functions share the
+  // same WindowExec at any scale. Ties are broken by o_orderkey in the
+  // ORDER BY, so every function is deterministic.
+  // ---------------------------------------------------------------------
+  def q35(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    Tables.load(spark, dir, "orders")
+      .filter($"o_totalprice" > 450000)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
+        lag($"o_totalprice", 1).over(w).as("prev_price"),
+        lead($"o_totalprice", 1).over(w).as("next_price"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        rank().over(w).cast(LongType).as("rnk"),
+        dense_rank().over(w).cast(LongType).as("drnk"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy($"o_orderpriority", $"rnk")
+  }
+
+  private val q35Sql =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  LAG(o_totalprice, 1) OVER w AS prev_price,
+      |  LEAD(o_totalprice, 1) OVER w AS next_price,
+      |  NTILE(4) OVER w AS quartile,
+      |  RANK() OVER w AS rnk,
+      |  DENSE_RANK() OVER w AS drnk,
+      |  PERCENT_RANK() OVER w AS prank,
+      |  CUME_DIST() OVER w AS cdist
+      |FROM orders
+      |WHERE o_totalprice > 450000
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_orderpriority, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q36: conditional aggregation — FILTER-style per-predicate counts and
+  // sums in a single scan (the DataFrame idiom is agg(fn(when(p, x)))).
+  // One pass, map-side partials; the alternative (one scan per predicate)
+  // is the anti-pattern this operator exists to avoid at 100 TB.
+  // ---------------------------------------------------------------------
+  def q36(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(when($"o_orderstatus" === "F", 1)).as("n_finished"),
+        count(when($"o_totalprice" > 300000, 1)).as("n_large"),
+        sum(when($"o_orderstatus" === "F", $"o_totalprice").cast(D2))
+          .cast(DoubleType).as("finished_revenue"),
+        (count(when($"o_orderstatus" === "F", 1)).cast(DoubleType) /
+          count(lit(1))).as("finished_ratio"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q36Sql =
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+      |  COUNT(*) FILTER (WHERE o_totalprice > 300000) AS n_large,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS finished_revenue,
+      |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / COUNT(*) AS finished_ratio
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q37: multiset set-ops — INTERSECT ALL and EXCEPT ALL preserve
+  // duplicate counts (vs q11's distinct variants). The inputs are
+  // (priority, status) projections under different predicates; the result
+  // re-aggregates so multiplicity is visible in the output. Spark plans
+  // both as aggregates + joins on the row value — one shuffle each.
+  // ---------------------------------------------------------------------
+  def q37(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.load(spark, dir, "orders")
+    val early = o.filter($"o_orderdate" < lit("1996-01-01").cast(TimestampType))
+      .select($"o_orderpriority", $"o_orderstatus")
+    val large = o.filter($"o_totalprice" > 200000)
+      .select($"o_orderpriority", $"o_orderstatus")
+    val inter = early.intersectAll(large)
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("setop", lit("intersect_all"))
+    val except = early.exceptAll(large)
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("setop", lit("except_all"))
+    inter.unionByName(except)
+      .select($"setop", $"o_orderpriority", $"o_orderstatus", $"n")
+      .orderBy($"setop", $"o_orderpriority", $"o_orderstatus")
+  }
+
+  private val q37Sql =
+    """WITH early AS (
+      |  SELECT o_orderpriority, o_orderstatus FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+      |large AS (
+      |  SELECT o_orderpriority, o_orderstatus FROM orders
+      |  WHERE o_totalprice > 200000),
+      |i AS (SELECT * FROM early INTERSECT ALL SELECT * FROM large),
+      |e AS (SELECT * FROM early EXCEPT ALL SELECT * FROM large),
+      |ia AS (
+      |  SELECT 'intersect_all' AS setop, o_orderpriority, o_orderstatus, COUNT(*) AS n
+      |  FROM i GROUP BY 2, 3),
+      |ea AS (
+      |  SELECT 'except_all' AS setop, o_orderpriority, o_orderstatus, COUNT(*) AS n
+      |  FROM e GROUP BY 2, 3)
+      |SELECT setop, o_orderpriority, o_orderstatus, n FROM ia
+      |UNION ALL
+      |SELECT setop, o_orderpriority, o_orderstatus, n FROM ea
+      |ORDER BY setop, o_orderpriority, o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q31_outer_join" -> (q31 _),
+    "q32_exists_subquery" -> (q32 _),
+    "q33_percentiles" -> (q33 _),
+    "q34_unpivot" -> (q34 _),
+    "q35_window_suite" -> (q35 _),
+    "q36_conditional_agg" -> (q36 _),
+    "q37_setops_all" -> (q37 _))
+
+  val oracle: ListMap[String, String] = ListMap(
+    "q31_outer_join" -> q31Sql,
+    "q32_exists_subquery" -> q32Sql,
+    "q33_percentiles" -> q33Sql,
+    "q34_unpivot" -> q34Sql,
+    "q35_window_suite" -> q35Sql,
+    "q36_conditional_agg" -> q36Sql,
+    "q37_setops_all" -> q37Sql)
+}

@@ -153,10 +153,56 @@ object EventsStream {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Sliding-window streaming aggregation: 1-hour windows sliding every
+    * 30 minutes, so each event lands in two overlapping windows. Complete
+    * mode over the memory sink (bounded: |windows|·|event_types| rows).
+    * At scale the state store holds one row per (window, type) — the
+    * overlap factor (window/slide) multiplies state, not input. */
+  def st04(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val rawSchema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+    val name = s"st04_out_${counter.incrementAndGet()}"
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"event_type", $"n_events")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  // Each event belongs to windows starting at bucket30(ts) and
+  // bucket30(ts) − 30 min (window 1 h, slide 30 min) — the UNION arms
+  // reconstruct Spark's epoch-aligned window assignment exactly.
+  private val st04Sql =
+    """WITH b AS (
+      |  SELECT event_type, time_bucket(INTERVAL '30 minutes', ts) AS b0 FROM events),
+      |arms AS (
+      |  SELECT event_type, b0 AS wstart FROM b
+      |  UNION ALL
+      |  SELECT event_type, b0 - INTERVAL '30 minutes' AS wstart FROM b)
+      |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, COUNT(*) AS n_events
+      |FROM arms
+      |GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "st01_stream_hourly" -> (st01 _),
     "st02_stream_sessionize" -> (st02 _),
-    "st03_stream_state" -> (st03 _))
+    "st03_stream_state" -> (st03 _),
+    "st04_stream_sliding" -> (st04 _))
 
   private val st02Sql =
     """WITH flagged AS (
@@ -183,5 +229,6 @@ object EventsStream {
   val oracle: ListMap[String, String] = ListMap(
     "st01_stream_hourly" -> st01Sql,
     "st02_stream_sessionize" -> st02Sql,
-    "st03_stream_state" -> st03Sql)
+    "st03_stream_state" -> st03Sql,
+    "st04_stream_sliding" -> st04Sql)
 }
