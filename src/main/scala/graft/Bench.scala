@@ -59,7 +59,84 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val failed = results.count(_._2 < 0)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val codec = try codecBench(spark, sfDir) catch { case _: Throwable => "{}" }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"codec":$codec,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Codec throughput micro-bench (the reference's own capability):
+    * encode/decode MB/s + ratio of the pure-JVM brotli on ~32 MiB of
+    * testdata text, plus system libbrotli via tools/brotli_cli when
+    * present (the reference wraps exactly that library over JNI, so
+    * those numbers stand in for reference single-node throughput). */
+  private def codecBench(spark: SparkSession, sfDir: String): String = {
+    import graft.brotli.Brotli
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").limit(5000)
+      .collect().map(_.getString(0)).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val target = 32 << 20
+    val reps = math.max(1, target / math.max(base.length, 1))
+    val data = new Array[Byte](base.length * reps)
+    var i = 0
+    while (i < reps) { System.arraycopy(base, 0, data, i * base.length, base.length); i += 1 }
+    val mb = data.length / 1e6
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // steady-state: one warm-up pass per op, then measure
+    Brotli.decompress(Brotli.compress(data, 1))
+    val (encQ1, tE1) = time(Brotli.compress(data, 1))
+    val (encQ6, tE6) = time(Brotli.compress(data, 6))
+    val (_, tD) = time(Brotli.decompress(encQ6))
+
+    def native(q: Int): Option[(Double, Double, Array[Byte])] = {
+      val cli = new java.io.File("tools/brotli_cli")
+      if (!cli.canExecute) None
+      else try {
+        val pb = new ProcessBuilder(cli.getAbsolutePath, "c", q.toString, "22")
+        val p = pb.start()
+        val out = new java.io.ByteArrayOutputStream()
+        val feeder = new Thread(() => {
+          p.getOutputStream.write(data); p.getOutputStream.close()
+        })
+        val t0 = System.nanoTime()
+        feeder.start()
+        p.getInputStream.transferTo(out)
+        p.waitFor()
+        val t = (System.nanoTime() - t0) / 1e9
+        feeder.join()
+        val enc = out.toByteArray
+        if (p.exitValue() != 0 || enc.isEmpty) None
+        else Some((mb / t, data.length.toDouble / enc.length, enc))
+      } catch { case _: Throwable => None }
+    }
+    def nativeDec(enc: Array[Byte]): Option[Double] = {
+      val cli = new java.io.File("tools/brotli_cli")
+      if (!cli.canExecute) None
+      else try {
+        val p = new ProcessBuilder(cli.getAbsolutePath, "d").start()
+        val out = new java.io.ByteArrayOutputStream()
+        val feeder = new Thread(() => {
+          p.getOutputStream.write(enc); p.getOutputStream.close()
+        })
+        val t0 = System.nanoTime()
+        feeder.start()
+        p.getInputStream.transferTo(out)
+        p.waitFor()
+        val t = (System.nanoTime() - t0) / 1e9
+        feeder.join()
+        if (p.exitValue() != 0) None else Some(out.size() / 1e6 / t)
+      } catch { case _: Throwable => None }
+    }
+    val nat6 = native(6)
+    val natDec = nat6.flatMap { case (_, _, enc) => nativeDec(enc) }
+    val natPart = (nat6, natDec) match {
+      case (Some((encMbps, ratio, _)), Some(decMbps)) =>
+        f""","native_enc_q6_mbps":$encMbps%.1f,"native_ratio_q6":$ratio%.2f,"native_dec_mbps":$decMbps%.1f"""
+      case _ => ""
+    }
+    f"""{"input_mb":$mb%.1f,"enc_q1_mbps":${mb / tE1}%.1f,"ratio_q1":${data.length.toDouble / encQ1.length}%.2f,"enc_q6_mbps":${mb / tE6}%.1f,"ratio_q6":${data.length.toDouble / encQ6.length}%.2f,"dec_mbps":${mb / tD}%.1f$natPart}"""
   }
 }
