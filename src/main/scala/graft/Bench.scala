@@ -85,8 +85,10 @@ object Bench {
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
-    // steady-state: one warm-up pass per op, then measure
+    // steady-state: warm the uncompressed AND the LZ/entropy paths (q1
+    // only exercises raw meta-blocks), then measure
     Brotli.decompress(Brotli.compress(data, 1))
+    Brotli.decompress(Brotli.compress(data, 6))
     val (encQ1, tE1) = time(Brotli.compress(data, 1))
     val (encQ6, tE6) = time(Brotli.compress(data, 6))
     val (_, tD) = time(Brotli.decompress(encQ6))

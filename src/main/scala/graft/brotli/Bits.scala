@@ -100,6 +100,17 @@ final class ByteQueue(initialCapacity: Int = 1 << 16) {
   }
 
   def readBits(n: Int): Int = {
+    if (n == 0) return 0
+    // fast path: whole read available in the buffer (n <= 25 given
+    // bitPos <= 7; Brotli's largest fixed-width read is 24 bits)
+    if ((tail - head) * 8 - bitPos >= n && n <= 25) {
+      var v = (buf(head) & 0xff) >>> bitPos
+      var got = 8 - bitPos
+      var idx = head + 1
+      while (got < n) { v |= (buf(idx) & 0xff) << got; got += 8; idx += 1 }
+      skipBits(n)
+      return v & ((1 << n) - 1)
+    }
     var v = 0
     var i = 0
     while (i < n) { v |= readBit() << i; i += 1 }

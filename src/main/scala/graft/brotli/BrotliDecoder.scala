@@ -362,18 +362,34 @@ final class BrotliDecoder {
         } else {
           // ring updated for every distance except code 0 / implicit (§4)
           if (!fromRingZero) pushRing(distance)
-          var c = 0
-          while (c < clen && pos < mlen) {
-            val src = totalOut + pos - distance
-            val b =
-              if (src >= totalOut) outBuf((src - totalOut).toInt)
-              else window((src & windowMask).toInt)
-            outBuf(pos) = b
-            lp2 = lp1; lp1 = b & 0xff
-            pos += 1; c += 1
-          }
-          if (c < clen && pos >= mlen && c > 0)
+          if (clen > mlen - pos)
             throw new IOException("invalid brotli: copy overruns MLEN")
+          var left = clen
+          // part 1: source in the committed window (chunked arraycopy,
+          // window is circular so copy per contiguous segment)
+          while (left > 0 && totalOut + pos - distance < totalOut) {
+            val src = totalOut + pos - distance // < totalOut
+            val wpos = (src & windowMask).toInt
+            val n = math.min(left,
+              math.min(window.length - wpos, (totalOut - src).toInt))
+            System.arraycopy(window, wpos, outBuf, pos, n)
+            pos += n; left -= n
+          }
+          // part 2: source in this block's buffer; an overlapping copy
+          // (distance < remaining) replicates the pattern — fixed source
+          // start + widening chunks (each full chunk doubles the gap, so
+          // even distance-1 runs copy in O(log n) arraycopies)
+          if (left > 0) {
+            val src0 = pos - distance // >= 0 here
+            while (left > 0) {
+              val n = math.min(left, pos - src0)
+              System.arraycopy(outBuf, src0, outBuf, pos, n)
+              pos += n; left -= n
+            }
+          }
+          if (clen >= 2) {
+            lp1 = outBuf(pos - 1) & 0xff; lp2 = outBuf(pos - 2) & 0xff
+          } else if (clen == 1) { lp2 = lp1; lp1 = outBuf(pos - 1) & 0xff }
         }
       }
     }

@@ -175,14 +175,32 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
   }
 
   // -------------------------------------------------------------------
-  // LZ77 rung (quality ≥ 4): greedy hash-chain matching within the
-  // meta-block, real insert+copy commands with explicit distances, all
-  // three alphabets Huffman-coded from block histograms. The decoder's
-  // command loop (insert, copy-from-window, distance formula) executes
-  // these directly.
+  // LZ77 rung (quality ≥ 4): hash-chain matching over a persistent
+  // sliding window that spans meta-blocks (up to lgwin, like native
+  // brotli — matches reach back across block boundaries into the
+  // decoder's backward-reference window), real insert+copy commands with
+  // explicit distances, all three alphabets Huffman-coded from block
+  // histograms. Chain depth scales with quality.
   // -------------------------------------------------------------------
   private val HashBits = 17
-  private lazy val hashTable = new Array[Int](1 << HashBits)
+  private lazy val hashTable = {
+    val a = new Array[Int](1 << HashBits)
+    java.util.Arrays.fill(a, -1)
+    a
+  }
+  // sliding history: blocks are appended at `histTail`; when the buffer
+  // is full the newest `winSize` bytes slide to the front and all table
+  // positions rebase. Slides cost O(winSize) once per winSize+ bytes.
+  private val winSize = 1 << math.min(lgwin, 22)
+  private val maxBackward = (1 << math.min(lgwin, 22)) - 16
+  private lazy val hist = new Array[Byte](2 * winSize + blockSize)
+  private lazy val chain = new Array[Int](2 * winSize + blockSize)
+  private var histTail = 0
+  /** Chain-walk depth per match attempt (quality ladder). */
+  private val chainDepth =
+    if (quality >= 10) 512 else if (quality >= 8) 128
+    else if (quality >= 6) 32 else 1
+  private val insertAllPositions = quality >= 6
 
   // distance ring mirroring the decoder's stream-level state (§4,
   // libbrotli-verified): initial last/2nd/3rd/4th = 4/11/15/16; code 0
@@ -242,39 +260,103 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
 
   private final case class LzCmd(litStart: Int, litLen: Int, copyLen: Int, dist: Int)
 
+  /** Slide the history window so a `len`-byte block fits; rebases the
+    * hash table and chain links (positions shift down; underflow → -1). */
+  private def ensureHistRoom(len: Int): Unit = {
+    if (histTail + len <= hist.length) return
+    val shift = histTail - winSize
+    System.arraycopy(hist, shift, hist, 0, winSize)
+    var i = 0
+    while (i < hashTable.length) {
+      val p = hashTable(i) - shift
+      hashTable(i) = if (p >= 0) p else -1
+      i += 1
+    }
+    i = 0
+    while (i < winSize) {
+      val p = chain(i + shift) - shift
+      chain(i) = if (p >= 0) p else -1
+      i += 1
+    }
+    histTail = winSize
+  }
+
   private def emitLzBlock(data: Array[Byte], off: Int, len: Int,
       sink: ByteArrayOutputStream): Unit = {
     require(len >= 1 && len <= (1 << 24))
     if (!headerWritten) writeStreamHeader()
-    // ---- parse into commands (greedy, 4-byte hash heads) ----
-    java.util.Arrays.fill(hashTable, -1)
+    // ---- append the block to the sliding history ----
+    ensureHistRoom(len)
+    val b0 = histTail // block start in history coordinates
+    System.arraycopy(data, off, hist, b0, len)
+    histTail += len
+    val end = histTail
+    // ---- parse into commands (hash-chain match search) ----
     val MinMatch = 4
     val MaxCopy = 16383
     def hash4(i: Int): Int = {
-      val v = (data(off + i) & 0xff) | ((data(off + i + 1) & 0xff) << 8) |
-        ((data(off + i + 2) & 0xff) << 16) | ((data(off + i + 3) & 0xff) << 24)
+      val v = (hist(i) & 0xff) | ((hist(i + 1) & 0xff) << 8) |
+        ((hist(i + 2) & 0xff) << 16) | ((hist(i + 3) & 0xff) << 24)
       (v * 0x9E3779B1) >>> (32 - HashBits)
     }
+    def insertPos(i: Int): Unit = {
+      val h = hash4(i)
+      chain(i) = hashTable(h)
+      hashTable(h) = i
+    }
     val cmds = scala.collection.mutable.ArrayBuffer.empty[LzCmd]
-    var pos = 0
-    var litStart = 0
-    while (pos + MinMatch <= len) {
+    var pos = b0
+    var litStart = b0
+    // parse-time last distance (mirrors the ring's slot 0 well enough to
+    // steer the search): a match at this distance encodes as the implicit
+    // zone / dcode 0 — zero distance bits — and, crucially, one long-match
+    // discovery locks the parser onto a long repeat's period.
+    var lastDist = ringLast(0)
+    while (pos + MinMatch <= end) {
       val h = hash4(pos)
-      val cand = hashTable(h)
+      var cand = hashTable(h)
+      chain(pos) = cand
       hashTable(h) = pos
-      var mlen = 0
-      if (cand >= 0) {
-        while (mlen < MaxCopy && pos + mlen < len &&
-          data(off + cand + mlen) == data(off + pos + mlen)) mlen += 1
+      val maxLen = math.min(MaxCopy, end - pos)
+      // rep-match: try the last distance first (O(1), no chain walk)
+      var repLen = 0
+      if (lastDist > 0 && pos - lastDist >= 0) {
+        val c = pos - lastDist
+        while (repLen < maxLen && hist(c + repLen) == hist(pos + repLen)) repLen += 1
       }
-      if (mlen >= MinMatch) {
-        cmds += LzCmd(litStart, pos - litStart, mlen, pos - cand)
-        pos += mlen
+      var bestLen = 0
+      var bestPos = -1
+      var depth = chainDepth
+      while (cand >= 0 && depth > 0 && pos - cand <= maxBackward) {
+        // quick reject: match must beat bestLen, so check that byte first
+        if (bestLen < maxLen &&
+            hist(cand + bestLen) == hist(pos + bestLen)) {
+          var mlen = 0
+          while (mlen < maxLen && hist(cand + mlen) == hist(pos + mlen)) mlen += 1
+          if (mlen > bestLen) { bestLen = mlen; bestPos = cand }
+        }
+        cand = chain(cand)
+        depth -= 1
+      }
+      // prefer the rep match unless the chain match is clearly longer
+      // (the rep distance costs no distance bits)
+      if (repLen >= MinMatch && repLen + 8 >= bestLen) {
+        bestLen = repLen; bestPos = pos - lastDist
+      }
+      if (bestLen >= MinMatch) {
+        cmds += LzCmd(litStart, pos - litStart, bestLen, pos - bestPos)
+        lastDist = pos - bestPos
+        if (insertAllPositions) {
+          val stop = math.min(pos + bestLen, end - MinMatch + 1)
+          var i = pos + 1
+          while (i < stop) { insertPos(i); i += 1 }
+        }
+        pos += bestLen
         litStart = pos
       } else pos += 1
     }
-    if (len - litStart > 0 || cmds.isEmpty)
-      cmds += LzCmd(litStart, len - litStart, 0, 0) // trailing literals
+    if (end - litStart > 0 || cmds.isEmpty)
+      cmds += LzCmd(litStart, end - litStart, 0, 0) // trailing literals
     // ---- histograms ----
     val litFreq = new Array[Long](LiteralAlphabetSize)
     val cmdFreq = new Array[Long](CommandAlphabetSize)
@@ -293,7 +375,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         } else packCommandExplicit(icode, ccode)
       cmdFreq(cmdSym) += 1
       var i = 0
-      while (i < c.litLen) { litFreq(data(off + c.litStart + i) & 0xff) += 1; i += 1 }
+      while (i < c.litLen) { litFreq(hist(c.litStart + i) & 0xff) += 1; i += 1 }
       val dinfo = if (c.copyLen > 0 && !implicitOk) {
         val (dc, db, dv, pushes) = ringDistanceCodeFor(c.dist)
         distFreq(dc) += 1
@@ -328,7 +410,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         CopyExtra(ccode))
       var i = 0
       while (i < c.litLen) {
-        val b = data(off + c.litStart + i) & 0xff
+        val b = hist(c.litStart + i) & 0xff
         bits.writeBits(litRev(b).toLong, litLen(b))
         i += 1
       }
@@ -345,7 +427,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
 
   private def emitBlock(data: Array[Byte], off: Int, len: Int,
       sink: ByteArrayOutputStream): Unit =
-    if (quality >= 4) emitLzBlock(data, off, len, sink)
+    if (quality >= 3) emitLzBlock(data, off, len, sink)
     else if (compressed) emitCompressedBlock(data, off, len, sink)
     else emitUncompressedBlock(data, off, len, sink)
 
@@ -389,6 +471,10 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     streamFinished = false
     System.arraycopy(Tables7932.InitialDistanceRing, 0, distRing, 0, 4)
     distRingIdx = 0
+    if (quality >= 3) { // sliding-window LZ state
+      java.util.Arrays.fill(hashTable, -1)
+      histTail = 0
+    }
     val drain = new ByteArrayOutputStream()
     bits.finishTo(drain) // discard any partial state
   }

@@ -77,7 +77,10 @@ object Huffman {
   }
 }
 
-/** Bit-serial canonical decoder (zlib-style first/count table walk).
+/** Table-driven canonical decoder: an 11-bit first-level table indexed
+  * directly by the next stream-order bits (codes stored pre-reversed, so
+  * no per-symbol bit reversal), with a zlib-style first/count walk as the
+  * fallback for longer codes (max length 15) and for end-of-input tails.
   * Single-symbol codes (length 0 convention) decode without consuming
   * bits. */
 final class HuffmanDecoder private (
@@ -88,10 +91,10 @@ final class HuffmanDecoder private (
 
   def decode(in: ByteQueue): Int = {
     if (singleSymbol >= 0) return singleSymbol
-    // fast path: 8-bit table lookup when enough bits are buffered
+    // fast path: 11-bit table lookup when enough bits are buffered
     val peek = in.peekBits16()
     if (peek >= 0) {
-      val idx = Huffman.Rev8(peek & 0xff)
+      val idx = peek & HuffmanDecoder.FastMask
       val l = fastLen(idx)
       if (l > 0) { in.skipBits(l); return fastSym(idx) }
     }
@@ -109,6 +112,11 @@ final class HuffmanDecoder private (
 }
 
 object HuffmanDecoder {
+  /** First-level table width: Brotli code lengths cap at 15, and ≤11
+    * covers virtually every symbol of every tree in practice. */
+  private[brotli] final val FastBits = 11
+  private[brotli] final val FastMask = (1 << FastBits) - 1
+
   /** From canonical code lengths; a lone symbol (or an explicit
     * zero-length single code) yields a 0-bit decoder. */
   def apply(lengths: Array[Int]): HuffmanDecoder = {
@@ -133,18 +141,21 @@ object HuffmanDecoder {
     firstSymIdx(maxLen + 1) = idx
     // symbols sorted by (length, symbol) — canonical order
     val syms = present.sortBy(s => (lengths(s), s)).toArray
-    // first-level table: all codes of length <= 8, expanded over suffixes
+    // first-level table: codes of length <= FastBits, indexed by the
+    // stream-order (LSB-first) bits — the code is bit-reversed once at
+    // build time and expanded over all suffixes above it.
     val codes = Huffman.canonicalCodes(lengths)
-    val fastSym = new Array[Char](256)
-    val fastLen = new Array[Byte](256)
+    val fastSym = new Array[Char](1 << FastBits)
+    val fastLen = new Array[Byte](1 << FastBits)
     present.foreach { s =>
       val l = lengths(s)
-      if (l <= 8) {
-        val base = codes(s) << (8 - l)
+      if (l <= FastBits) {
+        val rev = Huffman.reverseBits(codes(s), l)
         var suffix = 0
-        while (suffix < (1 << (8 - l))) {
-          fastSym(base | suffix) = s.toChar
-          fastLen(base | suffix) = l.toByte
+        while (suffix < (1 << (FastBits - l))) {
+          val i = rev | (suffix << l)
+          fastSym(i) = s.toChar
+          fastLen(i) = l.toByte
           suffix += 1
         }
       }
