@@ -57,20 +57,39 @@ final class BitWriter {
 
 /** Growable FIFO byte queue with LSB-first bit reads and snapshot/restore,
   * backing the incremental decoder: parse attempts that underflow restore
-  * the read position and wait for more input. */
+  * the read position and wait for more input.
+  *
+  * Bit reads are served from a cached 64-bit buffer (`bitBuf` holds the
+  * next `bitCnt` stream bits in LSB-first order; `head` points past the
+  * bytes loaded into it), so the per-symbol hot path — peek/skip in the
+  * Huffman fast table, fixed-width extra-bit reads — is a shift and a
+  * mask instead of per-bit byte indexing. The logical consumed position
+  * is `head*8 - bitCnt` bits; snapshot/restore and the byte-aligned ops
+  * rebase `head` from it. */
 final class ByteQueue(initialCapacity: Int = 1 << 16) {
   private var buf = new Array[Byte](initialCapacity)
-  private var head = 0 // next unread byte
+  private var head = 0 // next byte not yet loaded into bitBuf
   private var tail = 0 // one past last valid byte
-  private var bitPos = 0 // bits consumed of buf(head)
+  private var bitBuf = 0L // next bits, LSB-first
+  private var bitCnt = 0 // valid bits in bitBuf
 
   final class Underflow extends RuntimeException("need more input") {
     override def fillInStackTrace(): Throwable = this
   }
   private val underflow = new Underflow
 
+  private def refill(): Unit = {
+    while (bitCnt <= 56 && head < tail) {
+      bitBuf |= (buf(head) & 0xffL) << bitCnt
+      head += 1
+      bitCnt += 8
+    }
+  }
+
   def append(b: Array[Byte], off: Int, len: Int): Unit = {
     if (tail + len > buf.length) {
+      // rebase cached bits into the byte position before compacting
+      unwindToBytePosition()
       val live = tail - head
       if (live + len <= buf.length && head >= buf.length / 2) {
         System.arraycopy(buf, head, buf, 0, live)
@@ -85,35 +104,63 @@ final class ByteQueue(initialCapacity: Int = 1 << 16) {
     tail += len
   }
 
-  def availableBytes: Int = tail - head - (if (bitPos > 0) 1 else 0)
-  def isEmpty: Boolean = head == tail
+  /** Fold whole cached bytes back into `head` (keeps sub-byte bits
+    * cached). Needed before operations that index `buf` directly. */
+  private def unwindToBytePosition(): Unit = {
+    val wholeBytes = bitCnt >> 3
+    head -= wholeBytes
+    bitCnt -= wholeBytes * 8
+    bitBuf &= (1L << bitCnt) - 1
+  }
 
-  def snapshot(): (Int, Int) = (head, bitPos)
-  def restore(s: (Int, Int)): Unit = { head = s._1; bitPos = s._2 }
+  def availableBytes: Int = tail - head + (bitCnt >> 3) -
+    (if ((bitCnt & 7) > 0) 1 else 0)
+  def isEmpty: Boolean = head == tail && bitCnt == 0
+
+  /** Logical consumed position: (byteIndex, bitWithinByte). */
+  def snapshot(): (Int, Int) = {
+    val bitPosTotal = head.toLong * 8 - bitCnt
+    ((bitPosTotal >> 3).toInt, (bitPosTotal & 7).toInt)
+  }
+  def restore(s: (Int, Int)): Unit = {
+    head = s._1
+    bitBuf = 0L
+    bitCnt = 0
+    if (s._2 > 0) { // re-consume the partial byte's leading bits
+      refill()
+      bitBuf >>>= s._2
+      bitCnt -= s._2
+    }
+  }
 
   def readBit(): Int = {
-    if (head >= tail) throw underflow
-    val bit = (buf(head) >> bitPos) & 1
-    bitPos += 1
-    if (bitPos == 8) { bitPos = 0; head += 1 }
+    if (bitCnt == 0) {
+      refill()
+      if (bitCnt == 0) throw underflow
+    }
+    val bit = (bitBuf & 1L).toInt
+    bitBuf >>>= 1
+    bitCnt -= 1
     bit
   }
 
   def readBits(n: Int): Int = {
     if (n == 0) return 0
-    // fast path: whole read available in the buffer (n <= 25 given
-    // bitPos <= 7; Brotli's largest fixed-width read is 24 bits)
-    if ((tail - head) * 8 - bitPos >= n && n <= 25) {
-      var v = (buf(head) & 0xff) >>> bitPos
-      var got = 8 - bitPos
-      var idx = head + 1
-      while (got < n) { v |= (buf(idx) & 0xff) << got; got += 8; idx += 1 }
-      skipBits(n)
-      return v & ((1 << n) - 1)
+    if (bitCnt < n) {
+      refill()
+      if (bitCnt < n) {
+        // not enough buffered: consume what exists bit-by-bit so the
+        // underflow surfaces with the queue position advanced (callers
+        // roll back via snapshot/restore)
+        var v = 0
+        var i = 0
+        while (i < n) { v |= readBit() << i; i += 1 }
+        return v
+      }
     }
-    var v = 0
-    var i = 0
-    while (i < n) { v |= readBit() << i; i += 1 }
+    val v = (bitBuf & ((1L << n) - 1)).toInt
+    bitBuf >>>= n
+    bitCnt -= n
     v
   }
 
@@ -121,29 +168,30 @@ final class ByteQueue(initialCapacity: Int = 1 << 16) {
     * (i+1)-th bit to arrive) without consuming; -1 if fewer than 16 bits
     * are buffered. Fast path for table-driven prefix decode. */
   def peekBits16(): Int = {
-    val availBits = (tail - head) * 8 - bitPos
-    if (availBits < 16) return -1
-    var v = (buf(head) & 0xff) >>> bitPos
-    var got = 8 - bitPos
-    v |= (buf(head + 1) & 0xff) << got
-    got += 8
-    if (got < 16) v |= (buf(head + 2) & 0xff) << got
-    v & 0xffff
+    if (bitCnt < 16) {
+      refill()
+      if (bitCnt < 16) return -1
+    }
+    (bitBuf & 0xffffL).toInt
   }
 
   def skipBits(n: Int): Unit = {
-    bitPos += n
-    head += bitPos >> 3
-    bitPos &= 7
+    // only called with n <= bitCnt (after a successful peek)
+    bitBuf >>>= n
+    bitCnt -= n
   }
 
   /** Discard remaining bits of the current byte (RFC alignment). */
-  def alignToByte(): Unit =
-    if (bitPos > 0) { bitPos = 0; head += 1 }
+  def alignToByte(): Unit = {
+    val drop = bitCnt & 7
+    bitBuf >>>= drop
+    bitCnt -= drop
+    unwindToBytePosition()
+  }
 
   /** Byte-aligned bulk copy of up to len bytes; returns bytes copied. */
   def readBytes(dst: Array[Byte], off: Int, len: Int): Int = {
-    require(bitPos == 0, "readBytes requires byte alignment")
+    require(bitCnt == 0, "readBytes requires byte alignment")
     val n = math.min(len, tail - head)
     System.arraycopy(buf, head, dst, off, n)
     head += n
@@ -152,7 +200,7 @@ final class ByteQueue(initialCapacity: Int = 1 << 16) {
 
   /** Byte-aligned skip of up to len bytes; returns bytes skipped. */
   def skipBytes(len: Int): Int = {
-    require(bitPos == 0)
+    require(bitCnt == 0)
     val n = math.min(len, tail - head)
     head += n
     n

@@ -277,6 +277,9 @@ final class BrotliDecoder {
     val cmdTrees = Array.fill(catI.nTypes)(readPrefixCode(CommandAlphabetSize))
     val distAlphabet = numDistanceCodes(npostfix, ndirect)
     val distTrees = Array.fill(ntreesD)(readPrefixCode(distAlphabet))
+    // literal decode needs no per-byte context machinery when there is a
+    // single literal block type with a single tree (mode irrelevant)
+    val singleLitTree = catL.nTypes == 1 && ntreesL == 1
 
     val outBuf = new Array[Byte](mlen)
     var pos = 0
@@ -299,18 +302,32 @@ final class BrotliDecoder {
       val (icode, ccode, impliedDist0) = unpackCommand(cmd)
       val ilen = InsertBase(icode) + in.readBits(InsertExtra(icode))
       val clen = CopyBase(ccode) + in.readBits(CopyExtra(ccode))
-      var k = 0
-      while (k < ilen) {
-        if (pos >= mlen) throw new IOException("invalid brotli: insert overruns MLEN")
-        catL.switchIfNeeded()
-        catL.len -= 1
-        val mode = cmodes(catL.cur)
-        val ctx = SpecData.ContextLut((mode << 9) + lp1) |
-          SpecData.ContextLut((mode << 9) + 256 + lp2)
-        val b = litTrees(litCmap((catL.cur << 6) | ctx)).decode(in)
-        outBuf(pos) = b.toByte
-        lp2 = lp1; lp1 = b
-        pos += 1; k += 1
+      if (pos + ilen > mlen)
+        throw new IOException("invalid brotli: insert overruns MLEN")
+      if (singleLitTree) {
+        // specialized loop for 1 literal block type + 1 tree (what our
+        // encoder emits): no block switching, no context lookup
+        val tree = litTrees(0)
+        val stop = pos + ilen
+        while (pos < stop) {
+          outBuf(pos) = tree.decode(in).toByte
+          pos += 1
+        }
+        if (ilen >= 2) { lp1 = outBuf(pos - 1) & 0xff; lp2 = outBuf(pos - 2) & 0xff }
+        else if (ilen == 1) { lp2 = lp1; lp1 = outBuf(pos - 1) & 0xff }
+      } else {
+        var k = 0
+        while (k < ilen) {
+          catL.switchIfNeeded()
+          catL.len -= 1
+          val mode = cmodes(catL.cur)
+          val ctx = SpecData.ContextLut((mode << 9) + lp1) |
+            SpecData.ContextLut((mode << 9) + 256 + lp2)
+          val b = litTrees(litCmap((catL.cur << 6) | ctx)).decode(in)
+          outBuf(pos) = b.toByte
+          lp2 = lp1; lp1 = b
+          pos += 1; k += 1
+        }
       }
       if (pos < mlen) {
         var distance = 0
