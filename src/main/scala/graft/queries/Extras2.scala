@@ -283,6 +283,45 @@ object Extras2 {
       |ORDER BY setop, o_orderpriority, o_orderstatus""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q39: date/time scalar suite — truncation, extraction, day arithmetic
+  // and month deltas over o_orderdate, aggregated per derived bucket.
+  // All functions are integer-exact so the oracle is hash-equal; the
+  // scan is a narrow projection (2 cols) with the aggregate's shuffle
+  // bounded by |buckets|.
+  // ---------------------------------------------------------------------
+  def q39(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .select(
+        year($"o_orderdate").as("yr"),
+        quarter($"o_orderdate").as("qtr"),
+        month($"o_orderdate").as("mo"),
+        dayofweek($"o_orderdate").as("dow"),
+        date_trunc("month", $"o_orderdate").as("month_start"),
+        datediff(lit("1998-12-31").cast(DateType), $"o_orderdate".cast(DateType))
+          .cast(LongType).as("days_to_ref"),
+        $"o_totalprice")
+      .groupBy($"yr", $"qtr")
+      .agg(
+        count(lit(1)).as("n"),
+        date_format(min($"month_start"), "yyyy-MM-dd").as("first_month"),
+        max($"dow").cast(LongType).as("max_dow"),
+        min($"days_to_ref").as("min_days_to_ref"),
+        sum($"o_totalprice".cast(D2)).cast(DoubleType).as("revenue"))
+      .orderBy($"yr", $"qtr")
+  }
+
+  private val q39Sql =
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+      |  CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+      |  COUNT(*) AS n,
+      |  strftime(MIN(date_trunc('month', o_orderdate)), '%Y-%m-%d') AS first_month,
+      |  CAST(MAX(CASE EXTRACT(dow FROM o_orderdate) WHEN 0 THEN 1 ELSE EXTRACT(dow FROM o_orderdate) + 1 END) AS BIGINT) AS max_dow,
+      |  CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')) AS BIGINT) AS min_days_to_ref,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY yr, qtr
+      |ORDER BY yr, qtr""".stripMargin
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q31_outer_join" -> (q31 _),
@@ -291,7 +330,8 @@ object Extras2 {
     "q34_unpivot" -> (q34 _),
     "q35_window_suite" -> (q35 _),
     "q36_conditional_agg" -> (q36 _),
-    "q37_setops_all" -> (q37 _))
+    "q37_setops_all" -> (q37 _),
+    "q39_date_funcs" -> (q39 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q31_outer_join" -> q31Sql,
@@ -300,5 +340,6 @@ object Extras2 {
     "q34_unpivot" -> q34Sql,
     "q35_window_suite" -> q35Sql,
     "q36_conditional_agg" -> q36Sql,
-    "q37_setops_all" -> q37Sql)
+    "q37_setops_all" -> q37Sql,
+    "q39_date_funcs" -> q39Sql)
 }

@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Plan-quality regression tests: the properties that make these
+  * queries survive a 100 TB scale-up are asserted on the physical plan,
+  * not just claimed in Scaladoc — pushdown reaching the parquet scan,
+  * dimension joins broadcasting, and shuffle counts staying flat.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save() // finalize AQE plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02 pushes all selective filters into the parquet scan") {
+    val plan = Relational.q02(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:"), plan)
+    val pushed = plan.substring(plan.indexOf("PushedFilters:"))
+      .linesIterator.next()
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"), s"missing pushdown: $pushed")
+  }
+
+  test("q02 prunes the scan to the referenced columns") {
+    val plan = Relational.q02(spark, sf).queryExecution.executedPlan.toString
+    val schema = plan.substring(plan.indexOf("ReadSchema:"))
+      .linesIterator.next()
+    assert(!schema.contains("l_orderkey") && !schema.contains("l_comment"),
+      s"scan reads unreferenced columns: $schema")
+  }
+
+  test("q03 broadcasts the dimension side") {
+    val plan = executed(Relational.q03(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q04 star join is all-broadcast (fact never shuffles pre-agg)") {
+    val plan = executed(Relational.q04(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"star join regressed to a shuffle join:\n$plan")
+  }
+
+  test("q20 as-of join uses exactly one data shuffle before the sort") {
+    val plan = executed(Relational.q20(spark, sf))
+    // union + window pattern: one hashpartitioning exchange on user_id
+    // (plus the final rangepartitioning for ORDER BY)
+    val hashShuffles = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(hashShuffles == 1, s"expected 1 hash shuffle, got $hashShuffles:\n$plan")
+  }
+
+  test("q01 aggregates with a map-side partial before the shuffle") {
+    val plan = executed(Relational.q01(spark, sf))
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(aggIdx >= 0, plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregation:\n$plan")
+  }
+}
