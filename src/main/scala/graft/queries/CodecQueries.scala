@@ -90,11 +90,43 @@ object CodecQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q41: plain-text lines over `.bro` — the reference's original use
+  // case (TextInputFormat payloads, SURVEY §1.1). Lines round-trip
+  // through our encoder/decoder; the hash-checksum aggregate proves
+  // byte-exact content, not just counts.
+  // ---------------------------------------------------------------------
+  def q41(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    BroWriter.register(spark)
+    val tmp = Files.createTempDirectory("graft_bro_").toString + "/docs_text"
+    Tables.load(spark, dir, "documents")
+      .select($"text")
+      .write.option("compression", BroWriter.CodecClass).text(tmp)
+    val lines = spark.read.textFile(tmp)
+    lines.toDF("line")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(length($"line")).as("total_chars"),
+        sum(pmod(graft.ops.PortableSql.h60($"line"), lit(1000000007L)))
+          .as("content_checksum"))
+  }
+
+  private def q41Sql = {
+    val h = graft.ops.PortableSql.h60Sql("text")
+    s"""SELECT COUNT(*) AS n_lines,
+       |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       |  CAST(SUM($h % 1000000007) AS BIGINT) AS content_checksum
+       |FROM documents""".stripMargin
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q22_bro_roundtrip" -> (q22 _),
-    "q38_json_bro" -> (q38 _))
+    "q38_json_bro" -> (q38 _),
+    "q41_text_bro" -> (q41 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q22_bro_roundtrip" -> q22Sql,
-    "q38_json_bro" -> q38Sql)
+    "q38_json_bro" -> q38Sql,
+    "q41_text_bro" -> q41Sql)
 }

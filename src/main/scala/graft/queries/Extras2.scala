@@ -323,6 +323,38 @@ object Extras2 {
       |GROUP BY yr, qtr
       |ORDER BY yr, qtr""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q40: salted join — the explicit skew-mitigation pattern. The fact
+  // side derives a deterministic salt ∈ [0,8); the dimension side is
+  // replicated once per salt value, and the join key becomes
+  // (suppkey, salt), spreading any hot supplier across 8 reducer
+  // partitions. At 100 TB this (or AQE's skew-join split) is what keeps
+  // a hot key from serializing one reducer; the oracle is the unsalted
+  // join, proving salting changes the plan, not the result.
+  // ---------------------------------------------------------------------
+  private val Salts = 8
+
+  def q40(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+      .withColumn("salt", pmod($"l_orderkey" + $"l_linenumber", lit(Salts)))
+    val supp = Tables.load(spark, dir, "supplier")
+      .withColumn("salt", explode(array((0 until Salts).map(lit): _*)))
+    li.join(supp, li("l_suppkey") === supp("s_suppkey") &&
+        li("salt") === supp("salt"))
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_quantity".cast(D2)).cast(DoubleType).as("total_qty"))
+      .orderBy($"s_name")
+  }
+
+  private val q40Sql =
+    """SELECT s_name, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name
+      |ORDER BY s_name""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q31_outer_join" -> (q31 _),
     "q32_exists_subquery" -> (q32 _),
@@ -331,7 +363,8 @@ object Extras2 {
     "q35_window_suite" -> (q35 _),
     "q36_conditional_agg" -> (q36 _),
     "q37_setops_all" -> (q37 _),
-    "q39_date_funcs" -> (q39 _))
+    "q39_date_funcs" -> (q39 _),
+    "q40_salted_join" -> (q40 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q31_outer_join" -> q31Sql,
@@ -341,5 +374,6 @@ object Extras2 {
     "q35_window_suite" -> q35Sql,
     "q36_conditional_agg" -> q36Sql,
     "q37_setops_all" -> q37Sql,
-    "q39_date_funcs" -> q39Sql)
+    "q39_date_funcs" -> q39Sql,
+    "q40_salted_join" -> q40Sql)
 }

@@ -198,11 +198,50 @@ object EventsStream {
       |GROUP BY window_start, event_type
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** Stream-static join: the event stream enriched against a static
+    * (batch) per-user profile via broadcast hash join — no state store
+    * involvement, the static side is re-broadcast per micro-batch. The
+    * production shape for dimension enrichment at any stream volume. */
+  def st05(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val rawSchema = spark.read.parquet(path).schema
+    val profile = graft.Tables.load(spark, dir, "events")
+      .groupBy($"user_id").agg(count(lit(1)).as("user_total"))
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select($"event_id", $"user_id", $"event_type")
+      .join(broadcast(profile), Seq("user_id"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"user_total").as("sum_user_total"))
+    val name = s"st05_out_${counter.incrementAndGet()}"
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select($"event_type", $"n_events", $"sum_user_total")
+      .orderBy($"event_type")
+  }
+
+  private val st05Sql =
+    """WITH ut AS (SELECT user_id, COUNT(*) AS user_total FROM events GROUP BY 1)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(user_total) AS BIGINT) AS sum_user_total
+      |FROM events JOIN ut USING (user_id)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "st01_stream_hourly" -> (st01 _),
     "st02_stream_sessionize" -> (st02 _),
     "st03_stream_state" -> (st03 _),
-    "st04_stream_sliding" -> (st04 _))
+    "st04_stream_sliding" -> (st04 _),
+    "st05_stream_static_join" -> (st05 _))
 
   private val st02Sql =
     """WITH flagged AS (
@@ -230,5 +269,6 @@ object EventsStream {
     "st01_stream_hourly" -> st01Sql,
     "st02_stream_sessionize" -> st02Sql,
     "st03_stream_state" -> st03Sql,
-    "st04_stream_sliding" -> st04Sql)
+    "st04_stream_sliding" -> st04Sql,
+    "st05_stream_static_join" -> st05Sql)
 }
