@@ -312,27 +312,29 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     // zone / dcode 0 — zero distance bits — and, crucially, one long-match
     // discovery locks the parser onto a long repeat's period.
     var lastDist = ringLast(0)
-    while (pos + MinMatch <= end) {
-      val h = hash4(pos)
+    var maxInserted = b0 - 1 // highest position already in the hash chains
+    // search at p after inserting it: returns (len << 32) | matchStart,
+    // or 0 when no match of MinMatch+ exists.
+    def searchAndInsert(p: Int): Long = {
+      val h = hash4(p)
       var cand = hashTable(h)
-      chain(pos) = cand
-      hashTable(h) = pos
-      val maxLen = math.min(MaxCopy, end - pos)
+      if (p > maxInserted) { chain(p) = cand; hashTable(h) = p; maxInserted = p }
+      val maxLen = math.min(MaxCopy, end - p)
       // rep-match: try the last distance first (O(1), no chain walk)
       var repLen = 0
-      if (lastDist > 0 && pos - lastDist >= 0) {
-        val c = pos - lastDist
-        while (repLen < maxLen && hist(c + repLen) == hist(pos + repLen)) repLen += 1
+      if (lastDist > 0 && p - lastDist >= 0) {
+        val c = p - lastDist
+        while (repLen < maxLen && hist(c + repLen) == hist(p + repLen)) repLen += 1
       }
       var bestLen = 0
       var bestPos = -1
       var depth = chainDepth
-      while (cand >= 0 && depth > 0 && pos - cand <= maxBackward) {
+      while (cand >= 0 && depth > 0 && p - cand <= maxBackward) {
         // quick reject: match must beat bestLen, so check that byte first
-        if (bestLen < maxLen &&
-            hist(cand + bestLen) == hist(pos + bestLen)) {
+        if (bestLen < maxLen && cand != p &&
+            hist(cand + bestLen) == hist(p + bestLen)) {
           var mlen = 0
-          while (mlen < maxLen && hist(cand + mlen) == hist(pos + mlen)) mlen += 1
+          while (mlen < maxLen && hist(cand + mlen) == hist(p + mlen)) mlen += 1
           if (mlen > bestLen) { bestLen = mlen; bestPos = cand }
         }
         cand = chain(cand)
@@ -341,15 +343,25 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       // prefer the rep match unless the chain match is clearly longer
       // (the rep distance costs no distance bits)
       if (repLen >= MinMatch && repLen + 8 >= bestLen) {
-        bestLen = repLen; bestPos = pos - lastDist
+        bestLen = repLen; bestPos = p - lastDist
       }
+      if (bestLen >= MinMatch) (bestLen.toLong << 32) | bestPos else 0L
+    }
+    // note: one-step lazy matching was tried here and measurably hurt —
+    // the rep-match preference already captures the long-repeat economics
+    // and deferring a match breaks the last-distance chain.
+    while (pos + MinMatch <= end) {
+      val m = searchAndInsert(pos)
+      val bestLen = (m >>> 32).toInt
       if (bestLen >= MinMatch) {
+        val bestPos = (m & 0xffffffffL).toInt
         cmds += LzCmd(litStart, pos - litStart, bestLen, pos - bestPos)
         lastDist = pos - bestPos
         if (insertAllPositions) {
           val stop = math.min(pos + bestLen, end - MinMatch + 1)
-          var i = pos + 1
+          var i = maxInserted + 1
           while (i < stop) { insertPos(i); i += 1 }
+          if (stop - 1 > maxInserted) maxInserted = stop - 1
         }
         pos += bestLen
         litStart = pos
