@@ -94,11 +94,39 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // m03: frame sampling — every 5th frame index of each media payload
+  // (n_frames from the m01 stub metadata), with the byte offset each
+  // frame would start at (integer division). The explode is the
+  // video-pipeline shape: one row per sampled frame, bounded fan-out
+  // (≤ ceil(30/5) rows per doc), pure narrow compute.
+  // ---------------------------------------------------------------------
+  def m03(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", encode($"text", "UTF-8").as("media"), $"n_chars")
+      .withColumn("n_bytes", octet_length($"media").cast("long"))
+      .withColumn("n_frames", lit(1L) + $"n_chars" % 30)
+      .select($"doc_id", $"n_frames",
+        explode(sequence(lit(0L), $"n_frames" - 1, lit(5L))).as("frame_idx"))
+      .withColumn("frame_offset", $"frame_idx" * lit(991L))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  private val m03Sql =
+    """SELECT doc_id, 1 + n_chars % 30 AS n_frames,
+      |  unnest(range(0, 1 + n_chars % 30, 5)) AS frame_idx,
+      |  unnest(range(0, 1 + n_chars % 30, 5)) * 991 AS frame_offset
+      |FROM documents
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "m01_media_meta" -> (m01 _),
-    "m02_media_features" -> (m02 _))
+    "m02_media_features" -> (m02 _),
+    "m03_frame_sample" -> (m03 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "m01_media_meta" -> m01Sql,
-    "m02_media_features" -> m02Sql)
+    "m02_media_features" -> m02Sql,
+    "m03_frame_sample" -> m03Sql)
 }

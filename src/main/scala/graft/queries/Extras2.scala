@@ -355,6 +355,40 @@ object Extras2 {
       |GROUP BY s_name
       |ORDER BY s_name""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q42: RANGE-frame window (value-based frame, vs q08's ROWS frame) —
+  // per-priority trailing-30-day order count and spend. RANGE frames
+  // include all peers of the current order's day, so ties are
+  // deterministic by construction. Same WindowExec scale shape as q08:
+  // one shuffle on the partition key, one sort.
+  // ---------------------------------------------------------------------
+  def q42(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val day = datediff($"o_orderdate".cast(DateType),
+      lit("1994-01-01").cast(DateType))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+      .rangeBetween(-30, 0)
+    Tables.load(spark, dir, "orders")
+      .withColumn("day", day)
+      .withColumn("n_last_30d", count(lit(1)).over(w))
+      .withColumn("spend_last_30d",
+        sum($"o_totalprice".cast(D2)).over(w).cast(DoubleType))
+      .select($"o_orderpriority", $"o_orderkey", $"day".cast(LongType).as("day"),
+        $"n_last_30d", $"spend_last_30d")
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
+
+  private val q42Sql =
+    """SELECT o_orderpriority, o_orderkey,
+      |  CAST(date_diff('day', DATE '1994-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+      |  COUNT(*) OVER w AS n_last_30d,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_last_30d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |  ORDER BY date_diff('day', DATE '1994-01-01', CAST(o_orderdate AS DATE))
+      |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q31_outer_join" -> (q31 _),
     "q32_exists_subquery" -> (q32 _),
@@ -364,7 +398,8 @@ object Extras2 {
     "q36_conditional_agg" -> (q36 _),
     "q37_setops_all" -> (q37 _),
     "q39_date_funcs" -> (q39 _),
-    "q40_salted_join" -> (q40 _))
+    "q40_salted_join" -> (q40 _),
+    "q42_range_frame" -> (q42 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q31_outer_join" -> q31Sql,
@@ -375,5 +410,6 @@ object Extras2 {
     "q36_conditional_agg" -> q36Sql,
     "q37_setops_all" -> q37Sql,
     "q39_date_funcs" -> q39Sql,
-    "q40_salted_join" -> q40Sql)
+    "q40_salted_join" -> q40Sql,
+    "q42_range_frame" -> q42Sql)
 }
