@@ -201,6 +201,11 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     if (quality >= 10) 512 else if (quality >= 8) 128
     else if (quality >= 6) 32 else 1
   private val insertAllPositions = quality >= 6
+  /** Stop the chain walk once a match this long is found (zlib's
+    * nice_length): longer candidates are possible but the marginal bit
+    * savings don't pay for the cache-missing walk. */
+  private val niceLen =
+    if (quality >= 10) Int.MaxValue else if (quality >= 8) 512 else 128
 
   // distance ring mirroring the decoder's stream-level state (§4,
   // libbrotli-verified): initial last/2nd/3rd/4th = 4/11/15/16; code 0
@@ -329,7 +334,8 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       var bestLen = 0
       var bestPos = -1
       var depth = chainDepth
-      while (cand >= 0 && depth > 0 && p - cand <= maxBackward) {
+      while (cand >= 0 && depth > 0 && p - cand <= maxBackward &&
+          bestLen < niceLen) {
         // quick reject: match must beat bestLen, so check that byte first
         if (bestLen < maxLen && cand != p &&
             hist(cand + bestLen) == hist(p + bestLen)) {
@@ -358,9 +364,13 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         cmds += LzCmd(litStart, pos - litStart, bestLen, pos - bestPos)
         lastDist = pos - bestPos
         if (insertAllPositions) {
+          // inside very long matches a stride-4 insert keeps the chains
+          // useful (the rep-match path finds continuations anyway) at a
+          // quarter of the hashing cost
+          val stride = if (bestLen > 256) 4 else 1
           val stop = math.min(pos + bestLen, end - MinMatch + 1)
           var i = maxInserted + 1
-          while (i < stop) { insertPos(i); i += 1 }
+          while (i < stop) { insertPos(i); i += stride }
           if (stop - 1 > maxInserted) maxInserted = stop - 1
         }
         pos += bestLen
