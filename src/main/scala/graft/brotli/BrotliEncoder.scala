@@ -183,6 +183,26 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
   // histograms. Chain depth scales with quality.
   // -------------------------------------------------------------------
   private val HashBits = 17
+  /** Little-endian long view over `hist`: match extension compares
+    * 8 bytes per load (mismatch position from the XOR's trailing zeros).
+    * ByteBuffer.getLong is JIT-intrinsified to an unaligned load (a
+    * VarHandle view would box under Scala 2.x's lack of
+    * signature-polymorphic calls). */
+  private lazy val histLongs =
+    java.nio.ByteBuffer.wrap(hist).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+  /** Length of the common prefix of hist(a..) and hist(b..), capped at
+    * maxLen; a, b, and the compared range must lie within the array. */
+  private def matchLen(a: Int, b: Int, maxLen: Int): Int = {
+    var m = 0
+    val wordEnd = maxLen - 7
+    while (m < wordEnd) {
+      val x = histLongs.getLong(a + m) ^ histLongs.getLong(b + m)
+      if (x != 0L) return m + (java.lang.Long.numberOfTrailingZeros(x) >> 3)
+      m += 8
+    }
+    while (m < maxLen && hist(a + m) == hist(b + m)) m += 1
+    m
+  }
   private lazy val hashTable = {
     val a = new Array[Int](1 << HashBits)
     java.util.Arrays.fill(a, -1)
@@ -327,10 +347,8 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       val maxLen = math.min(MaxCopy, end - p)
       // rep-match: try the last distance first (O(1), no chain walk)
       var repLen = 0
-      if (lastDist > 0 && p - lastDist >= 0) {
-        val c = p - lastDist
-        while (repLen < maxLen && hist(c + repLen) == hist(p + repLen)) repLen += 1
-      }
+      if (lastDist > 0 && p - lastDist >= 0)
+        repLen = matchLen(p - lastDist, p, maxLen)
       var bestLen = 0
       var bestPos = -1
       var depth = chainDepth
@@ -339,8 +357,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         // quick reject: match must beat bestLen, so check that byte first
         if (bestLen < maxLen && cand != p &&
             hist(cand + bestLen) == hist(p + bestLen)) {
-          var mlen = 0
-          while (mlen < maxLen && hist(cand + mlen) == hist(p + mlen)) mlen += 1
+          val mlen = matchLen(cand, p, maxLen)
           if (mlen > bestLen) { bestLen = mlen; bestPos = cand }
         }
         cand = chain(cand)
