@@ -319,11 +319,23 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     // ---- parse into commands (hash-chain match search) ----
     val MinMatch = 4
     val MaxCopy = 16383
-    def hash4(i: Int): Int = {
-      val v = (hist(i) & 0xff) | ((hist(i + 1) & 0xff) << 8) |
-        ((hist(i + 2) & 0xff) << 16) | ((hist(i + 3) & 0xff) << 24)
-      (v * 0x9E3779B1) >>> (32 - HashBits)
-    }
+    // q3-4: 4-byte hash (catches minimum-length matches). q5+: 5-byte
+    // hash — on low-entropy data (CSV digits, spaces) 4-gram chains are
+    // pathologically collision-heavy; hashing 5 bytes thins them at the
+    // cost of never finding exactly-4-byte matches via the chain (the
+    // rep-match path still catches those at the last distance).
+    val hash5 = quality >= 5
+    def hash4(i: Int): Int =
+      if (hash5) {
+        val v = (hist(i) & 0xffL) | ((hist(i + 1) & 0xffL) << 8) |
+          ((hist(i + 2) & 0xffL) << 16) | ((hist(i + 3) & 0xffL) << 24) |
+          ((hist(i + 4) & 0xffL) << 32)
+        ((v * 0x9E3779B97F4A7C15L) >>> (64 - HashBits)).toInt
+      } else {
+        val v = (hist(i) & 0xff) | ((hist(i + 1) & 0xff) << 8) |
+          ((hist(i + 2) & 0xff) << 16) | ((hist(i + 3) & 0xff) << 24)
+        (v * 0x9E3779B1) >>> (32 - HashBits)
+      }
     def insertPos(i: Int): Unit = {
       val h = hash4(i)
       chain(i) = hashTable(h)
@@ -338,6 +350,8 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     // discovery locks the parser onto a long repeat's period.
     var lastDist = ringLast(0)
     var maxInserted = b0 - 1 // highest position already in the hash chains
+    // last position whose full hash window fits inside this block
+    val lastHashPos = end - (if (hash5) 5 else 4)
     // search at p after inserting it: returns (len << 32) | matchStart,
     // or 0 when no match of MinMatch+ exists.
     def searchAndInsert(p: Int): Long = {
@@ -373,7 +387,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     // note: one-step lazy matching was tried here and measurably hurt —
     // the rep-match preference already captures the long-repeat economics
     // and deferring a match breaks the last-distance chain.
-    while (pos + MinMatch <= end) {
+    while (pos <= lastHashPos) {
       val m = searchAndInsert(pos)
       val bestLen = (m >>> 32).toInt
       if (bestLen >= MinMatch) {
@@ -385,7 +399,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
           // useful (the rep-match path finds continuations anyway) at a
           // quarter of the hashing cost
           val stride = if (bestLen > 256) 4 else 1
-          val stop = math.min(pos + bestLen, end - MinMatch + 1)
+          val stop = math.min(pos + bestLen, lastHashPos + 1)
           var i = maxInserted + 1
           while (i < stop) { insertPos(i); i += stride }
           if (stop - 1 > maxInserted) maxInserted = stop - 1
