@@ -59,4 +59,26 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       s"expected partial+final aggregation:\n$plan")
   }
+
+  test("s01 ANN broadcasts the query side (no cartesian product)") {
+    val plan = executed(graft.ops.Similarity.s01(spark, sf))
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"),
+      s"ANN scoring must broadcast the small query side:\n$plan")
+  }
+
+  test("t01 text stats is narrow: only the presentation sort shuffles") {
+    val plan = executed(graft.ops.TextOps.t01(spark, sf))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"narrow per-row op must not hash-shuffle:\n$plan")
+  }
+
+  test("d03 minhash signatures partially aggregate before the shuffle") {
+    val df = graft.ops.Dedup.d03(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial min() aggregation of signatures:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"LSH banding must join on band keys, not enumerate pairs:\n$plan")
+  }
 }
