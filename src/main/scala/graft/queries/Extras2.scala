@@ -389,6 +389,40 @@ object Extras2 {
       |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q43: JSON → MapType → explode — the dynamic-schema path for payload
+  // columns (vs q15's fixed-path extraction): parse `events.props` into
+  // a map, explode to (key, value) rows, profile per key. The explode is
+  // a narrow generator; the aggregate's shuffle is bounded by |keys|.
+  // ---------------------------------------------------------------------
+  def q43(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = from_json($"props", MapType(StringType, StringType))
+    Tables.load(spark, dir, "events")
+      .select(explode(m).as(Seq("key", "val")))
+      .groupBy($"key")
+      .agg(
+        count(lit(1)).as("n"),
+        min($"val".cast(LongType)).as("min_val"),
+        max($"val".cast(LongType)).as("max_val"),
+        sum($"val".cast(LongType)).as("sum_val"))
+      .orderBy($"key")
+  }
+
+  private val q43Sql =
+    """WITH kv AS (
+      |  SELECT unnest(json_keys(props)) AS key, props FROM events),
+      |vals AS (
+      |  SELECT key, CAST(json_extract_string(props, '$.' || key) AS BIGINT) AS val
+      |  FROM kv)
+      |SELECT key, COUNT(*) AS n,
+      |  MIN(val) AS min_val,
+      |  MAX(val) AS max_val,
+      |  CAST(SUM(val) AS BIGINT) AS sum_val
+      |FROM vals
+      |GROUP BY key
+      |ORDER BY key""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q31_outer_join" -> (q31 _),
     "q32_exists_subquery" -> (q32 _),
@@ -399,7 +433,8 @@ object Extras2 {
     "q37_setops_all" -> (q37 _),
     "q39_date_funcs" -> (q39 _),
     "q40_salted_join" -> (q40 _),
-    "q42_range_frame" -> (q42 _))
+    "q42_range_frame" -> (q42 _),
+    "q43_map_ops" -> (q43 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q31_outer_join" -> q31Sql,
@@ -411,5 +446,6 @@ object Extras2 {
     "q37_setops_all" -> q37Sql,
     "q39_date_funcs" -> q39Sql,
     "q40_salted_join" -> q40Sql,
-    "q42_range_frame" -> q42Sql)
+    "q42_range_frame" -> q42Sql,
+    "q43_map_ops" -> q43Sql)
 }

@@ -236,12 +236,64 @@ object EventsStream {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Streaming ingestion THROUGH the codec: events are first written as
+    * `.bro`-compressed JSON-lines (our encoder), then the streaming file
+    * source reads that directory — decompression is transparent inside
+    * the stream reader, exactly the reference's transparent-codec
+    * contract, now under Structured Streaming. At scale this is the
+    * `.bro` landing-zone pattern: text files arrive compressed, the
+    * stream inhales them with per-file (non-splittable) parallelism. */
+  def st06(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    graft.codec.BroWriter.register(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bro_stream_")
+      .toString + "/events_json"
+    graft.Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .repartition(4) // several .bro files → several stream input files
+      .write.option("compression", graft.codec.BroWriter.CodecClass).json(tmp)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    // (no countDistinct here: distinct aggregation is unsupported on
+    // streaming DataFrames — use approx_count_distinct in production)
+    val stream = spark.readStream.schema(schema).json(tmp)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"user_id").as("user_id_sum"),
+        min($"value").as("min_value"),
+        max($"value").as("max_value"))
+    val name = s"st06_out_${counter.incrementAndGet()}"
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select($"event_type", $"n_events", $"user_id_sum", $"min_value", $"max_value")
+      .orderBy($"event_type")
+  }
+
+  private val st06Sql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(user_id) AS BIGINT) AS user_id_sum,
+      |  MIN(value) AS min_value,
+      |  MAX(value) AS max_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "st01_stream_hourly" -> (st01 _),
     "st02_stream_sessionize" -> (st02 _),
     "st03_stream_state" -> (st03 _),
     "st04_stream_sliding" -> (st04 _),
-    "st05_stream_static_join" -> (st05 _))
+    "st05_stream_static_join" -> (st05 _),
+    "st06_stream_bro_ingest" -> (st06 _))
 
   private val st02Sql =
     """WITH flagged AS (
@@ -270,5 +322,6 @@ object EventsStream {
     "st02_stream_sessionize" -> st02Sql,
     "st03_stream_state" -> st03Sql,
     "st04_stream_sliding" -> st04Sql,
-    "st05_stream_static_join" -> st05Sql)
+    "st05_stream_static_join" -> st05Sql,
+    "st06_stream_bro_ingest" -> st06Sql)
 }
