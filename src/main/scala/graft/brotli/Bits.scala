@@ -6,46 +6,51 @@ import java.io.ByteArrayOutputStream
   * values are packed starting from the least-significant bit of each
   * byte). */
 final class BitWriter {
-  private val bytes = new ByteArrayOutputStream(1 << 16)
-  private var cur: Int = 0
-  private var nbits: Int = 0
+  private var buf = new Array[Byte](1 << 16)
+  private var pos = 0 // completed bytes in buf
+  private var cur: Long = 0L // pending bits, LSB-first
+  private var nbits: Int = 0 // valid bits in cur (always < 8 after a write)
 
+  private def ensure(n: Int): Unit =
+    if (pos + n > buf.length) buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, pos + n))
+
+  /** Append the low `n` bits of `value` (n <= 56). */
   def writeBits(value: Long, n: Int): Unit = {
-    var v = value
-    var left = n
-    while (left > 0) {
-      val take = math.min(8 - nbits, left)
-      cur |= ((v & ((1L << take) - 1)).toInt << nbits)
-      nbits += take
-      v >>>= take
-      left -= take
-      if (nbits == 8) { bytes.write(cur); cur = 0; nbits = 0 }
+    cur |= (value & ((1L << n) - 1)) << nbits
+    nbits += n
+    if (nbits >= 8) {
+      ensure(8)
+      do {
+        buf(pos) = cur.toByte; pos += 1
+        cur >>>= 8; nbits -= 8
+      } while (nbits >= 8)
     }
   }
 
   /** Prefix-code bits are written MSB-of-code first (RFC 1951 / 7932
-    * canonical convention), bit by bit into the LSB-first byte stream. */
-  def writeCodeBits(code: Int, len: Int): Unit = {
-    var i = len - 1
-    while (i >= 0) { writeBits((code >> i) & 1, 1); i -= 1 }
-  }
+    * canonical convention) into the LSB-first byte stream — i.e. the
+    * code's bits reversed, emitted as one batch. */
+  def writeCodeBits(code: Int, len: Int): Unit =
+    writeBits(Huffman.reverseBits(code, len).toLong, len)
 
   /** Pad the current byte with zero bits (meta-block raw-data alignment). */
   def alignToByte(): Unit =
-    if (nbits > 0) { bytes.write(cur); cur = 0; nbits = 0 }
+    if (nbits > 0) { ensure(1); buf(pos) = cur.toByte; pos += 1; cur = 0; nbits = 0 }
 
   /** Raw byte copy; caller must be byte-aligned. */
   def writeBytes(b: Array[Byte], off: Int, len: Int): Unit = {
     require(nbits == 0, "writeBytes requires byte alignment")
-    bytes.write(b, off, len)
+    ensure(len)
+    System.arraycopy(b, off, buf, pos, len)
+    pos += len
   }
 
-  def sizeBytes: Int = bytes.size() + (if (nbits > 0) 1 else 0)
+  def sizeBytes: Int = pos + (if (nbits > 0) 1 else 0)
 
   /** Drain completed bytes (keeps any partial byte pending). */
   def drainTo(sink: ByteArrayOutputStream): Unit = {
-    bytes.writeTo(sink)
-    bytes.reset()
+    sink.write(buf, 0, pos)
+    pos = 0
   }
 
   /** Flush including the final partial byte (end of stream only). */

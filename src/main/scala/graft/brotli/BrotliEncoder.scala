@@ -2,12 +2,13 @@ package graft.brotli
 
 import java.io.ByteArrayOutputStream
 
-/** Streaming Brotli encoder (RFC 7932), v1 rung of the quality ladder
-  * (SURVEY.md §7.0): data is framed as *uncompressed meta-blocks*, which
-  * every conformant Brotli decoder accepts. The stream is spec-valid:
-  * WBITS header, then non-last uncompressed meta-blocks, then an
-  * ISLAST+ISLASTEMPTY terminator. Compression ratio is ~1.0 at GB/s;
-  * higher rungs (prefix-coded meta-blocks) slot in behind the same API.
+/** Streaming Brotli encoder (RFC 7932). The quality knob selects a rung
+  * of the ladder (SURVEY.md §7.0), all emitting spec-valid streams:
+  *   - q0..1: uncompressed meta-blocks (ratio ~1.0 at GB/s);
+  *   - q2:    order-0 Huffman literals, single insert command per block;
+  *   - q3+:   LZ77 over a persistent lgwin-wide sliding window with
+  *            quality-scaled hash chains, rep-match search, and all three
+  *            alphabets Huffman-coded from block histograms (emitLzBlock).
   *
   * Mirrors the reference's block-granular encode semantics
   * (BroCompressor.java:117-148: stage until a block is full, then emit)
@@ -17,11 +18,9 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
   require(quality >= 0 && quality <= 11, s"quality $quality out of range 0..11")
   require(lgwin >= 10 && lgwin <= 24, s"lgwin $lgwin out of range 10..24")
 
-  /** Quality ladder (SURVEY.md §7.0): 0..1 → uncompressed meta-blocks
-    * (GB/s, ratio 1.0); 2..11 → entropy-coded meta-blocks (order-0
-    * Huffman over literals, single command — real compression on text).
-    * The next rung (LZ77 matching reusing the same command machinery) is
-    * tracked in the coverage ledger. */
+  /** Whether this quality uses entropy-coded meta-blocks at all
+    * (q0..1 stay uncompressed; q2 is order-0; q3+ takes the LZ77 path —
+    * see emitBlock's dispatch). */
   private val compressed = quality >= 2
 
   /** Input staged per meta-block. Uncompressed meta-blocks allow MLEN up
@@ -213,7 +212,8 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
   // positions rebase. Slides cost O(winSize) once per winSize+ bytes.
   private val winSize = 1 << math.min(lgwin, 22)
   private val maxBackward = (1 << math.min(lgwin, 22)) - 16
-  private lazy val hist = new Array[Byte](2 * winSize + blockSize)
+  /** +8 tail pad so hash loads near the end can use a single getLong. */
+  private lazy val hist = new Array[Byte](2 * winSize + blockSize + 8)
   private lazy val chain = new Array[Int](2 * winSize + blockSize)
   private var histTail = 0
   /** Chain-walk depth per match attempt (quality ladder). */
@@ -226,6 +226,11 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     * savings don't pay for the cache-missing walk. */
   private val niceLen =
     if (quality >= 10) Int.MaxValue else if (quality >= 8) 512 else 128
+  /** Skip-ahead ramp on unmatched positions: after 2^skipShift
+    * consecutive misses the parse starts stepping >1 byte. Higher
+    * qualities ramp later (better ratio on barely-compressible data). */
+  private val skipShift =
+    if (quality >= 10) 30 else if (quality >= 8) 9 else if (quality >= 6) 7 else 5
 
   // distance ring mirroring the decoder's stream-level state (§4,
   // libbrotli-verified): initial last/2nd/3rd/4th = 4/11/15/16; code 0
@@ -283,24 +288,22 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     throw new IllegalArgumentException(s"distance $dist out of range")
   }
 
-  private final case class LzCmd(litStart: Int, litLen: Int, copyLen: Int, dist: Int)
-
-  /** Slide the history window so a `len`-byte block fits; rebases the
-    * hash table and chain links (positions shift down; underflow → -1). */
+  /** Slide the history window so a `len`-byte block fits. Chain links
+    * are stored as deltas (i - prev), which are shift-invariant, so the
+    * slide is two arraycopies plus a small hash-table rebase — no O(win)
+    * per-element rebase loop. A delta chain that crosses into slid-off
+    * territory walks to a negative position and terminates (candidates
+    * are always verified by byte compare, so stale links cost a probe,
+    * never correctness). */
   private def ensureHistRoom(len: Int): Unit = {
-    if (histTail + len <= hist.length) return
+    if (histTail + len <= hist.length - 8) return
     val shift = histTail - winSize
     System.arraycopy(hist, shift, hist, 0, winSize)
+    System.arraycopy(chain, shift, chain, 0, winSize)
     var i = 0
     while (i < hashTable.length) {
       val p = hashTable(i) - shift
       hashTable(i) = if (p >= 0) p else -1
-      i += 1
-    }
-    i = 0
-    while (i < winSize) {
-      val p = chain(i + shift) - shift
-      chain(i) = if (p >= 0) p else -1
       i += 1
     }
     histTail = winSize
@@ -325,23 +328,63 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     // cost of never finding exactly-4-byte matches via the chain (the
     // rep-match path still catches those at the last distance).
     val hash5 = quality >= 5
+    // single unaligned load (hist is tail-padded by 8) instead of 4-5
+    // byte loads — the hash values are unchanged from the per-byte form
     def hash4(i: Int): Int =
       if (hash5) {
-        val v = (hist(i) & 0xffL) | ((hist(i + 1) & 0xffL) << 8) |
-          ((hist(i + 2) & 0xffL) << 16) | ((hist(i + 3) & 0xffL) << 24) |
-          ((hist(i + 4) & 0xffL) << 32)
+        val v = histLongs.getLong(i) & 0xffffffffffL
         ((v * 0x9E3779B97F4A7C15L) >>> (64 - HashBits)).toInt
       } else {
-        val v = (hist(i) & 0xff) | ((hist(i + 1) & 0xff) << 8) |
-          ((hist(i + 2) & 0xff) << 16) | ((hist(i + 3) & 0xff) << 24)
+        val v = histLongs.getLong(i).toInt
         (v * 0x9E3779B1) >>> (32 - HashBits)
       }
+    // chain(i) holds the DELTA to the previous position with the same
+    // hash (i - prev); an empty bucket (-1) yields delta i+1, so the
+    // walk's next candidate is -1 and terminates naturally.
     def insertPos(i: Int): Unit = {
       val h = hash4(i)
-      chain(i) = hashTable(h)
+      chain(i) = i - hashTable(h)
       hashTable(h) = i
     }
-    val cmds = scala.collection.mutable.ArrayBuffer.empty[LzCmd]
+    // commands land in a flat int array (stride CmdStride), histograms
+    // and ring/distance coding resolved inline — one pass, no per-command
+    // allocation: [litStart, litLen, copyLen, icode, ccode, cmdSym, dc, db<<24|dv]
+    val litFreq = new Array[Long](LiteralAlphabetSize)
+    val cmdFreq = new Array[Long](CommandAlphabetSize)
+    val distFreq = new Array[Long](numDistanceCodes(0, 0))
+    var cmdBuf = new Array[Int](8 * 1024)
+    var nCmds = 0
+    val CmdStride = 8
+    def addCmd(cLitStart: Int, cLitLen: Int, cCopyLen: Int, cDist: Int): Unit = {
+      val icode = insertCodeFor(cLitLen)
+      val ccode = if (cCopyLen > 0) copyCodeFor(cCopyLen) else 0
+      // same-distance matches use the implicit distance-0 command zone
+      // (cmd < 128): no distance symbol or extra bits in the stream
+      val implicitOk = cCopyLen > 0 && cDist == ringLast(0) &&
+        icode <= 7 && ccode <= 15
+      val cmdSym =
+        if (implicitOk) {
+          val cell = if (ccode < 8) 0 else 1
+          64 * cell + ((icode & 7) << 3) + (ccode & 7)
+        } else packCommandExplicit(icode, ccode)
+      cmdFreq(cmdSym) += 1
+      var i = 0
+      while (i < cLitLen) { litFreq(hist(cLitStart + i) & 0xff) += 1; i += 1 }
+      var dc = -1; var db = 0; var dv = 0
+      if (cCopyLen > 0 && !implicitOk) {
+        val (dc0, db0, dv0, pushes) = ringDistanceCodeFor(cDist)
+        dc = dc0; db = db0; dv = dv0
+        distFreq(dc) += 1
+        if (pushes) ringPush(cDist)
+      }
+      if (nCmds * CmdStride == cmdBuf.length)
+        cmdBuf = java.util.Arrays.copyOf(cmdBuf, cmdBuf.length * 2)
+      val o = nCmds * CmdStride
+      cmdBuf(o) = cLitStart; cmdBuf(o + 1) = cLitLen; cmdBuf(o + 2) = cCopyLen
+      cmdBuf(o + 3) = icode; cmdBuf(o + 4) = ccode; cmdBuf(o + 5) = cmdSym
+      cmdBuf(o + 6) = dc; cmdBuf(o + 7) = (db << 24) | dv
+      nCmds += 1
+    }
     var pos = b0
     var litStart = b0
     // parse-time last distance (mirrors the ring's slot 0 well enough to
@@ -357,12 +400,17 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     def searchAndInsert(p: Int): Long = {
       val h = hash4(p)
       var cand = hashTable(h)
-      if (p > maxInserted) { chain(p) = cand; hashTable(h) = p; maxInserted = p }
+      if (p > maxInserted) { chain(p) = p - cand; hashTable(h) = p; maxInserted = p }
       val maxLen = math.min(MaxCopy, end - p)
       // rep-match: try the last distance first (O(1), no chain walk)
       var repLen = 0
       if (lastDist > 0 && p - lastDist >= 0)
         repLen = matchLen(p - lastDist, p, maxLen)
+      // a nice-length rep match costs zero distance bits — no chain
+      // candidate can beat it by enough to pay for the walk, so skip it
+      // (this is where long-repeat corpora spend their time otherwise)
+      if (repLen >= niceLen)
+        return (repLen.toLong << 32) | (p - lastDist)
       var bestLen = 0
       var bestPos = -1
       var depth = chainDepth
@@ -372,9 +420,14 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         if (bestLen < maxLen && cand != p &&
             hist(cand + bestLen) == hist(p + bestLen)) {
           val mlen = matchLen(cand, p, maxLen)
-          if (mlen > bestLen) { bestLen = mlen; bestPos = cand }
+          if (mlen > bestLen) {
+            bestLen = mlen; bestPos = cand
+            // zlib's good_match: with a decent match in hand, the rest
+            // of the walk rarely pays — spend the remaining probes faster
+            if (mlen >= 32) depth = math.min(depth, 4)
+          }
         }
-        cand = chain(cand)
+        cand -= chain(cand)
         depth -= 1
       }
       // prefer the rep match unless the chain match is clearly longer
@@ -387,18 +440,24 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     // note: one-step lazy matching was tried here and measurably hurt —
     // the rep-match preference already captures the long-repeat economics
     // and deferring a match breaks the last-distance chain.
+    // on incompressible stretches, step further between match attempts
+    // the longer we go without finding one (brotli/zlib's skip
+    // heuristic): cost is a missed short match at a skipped position,
+    // bounded by the slow ramp; gain is O(1/step) work on random data
+    var misses = 0
     while (pos <= lastHashPos) {
       val m = searchAndInsert(pos)
       val bestLen = (m >>> 32).toInt
       if (bestLen >= MinMatch) {
+        misses = 0
         val bestPos = (m & 0xffffffffL).toInt
-        cmds += LzCmd(litStart, pos - litStart, bestLen, pos - bestPos)
+        addCmd(litStart, pos - litStart, bestLen, pos - bestPos)
         lastDist = pos - bestPos
         if (insertAllPositions) {
-          // inside very long matches a stride-4 insert keeps the chains
-          // useful (the rep-match path finds continuations anyway) at a
-          // quarter of the hashing cost
-          val stride = if (bestLen > 256) 4 else 1
+          // inside long matches a strided insert keeps the chains useful
+          // (the rep-match path finds continuations anyway) at a fraction
+          // of the hashing cost; very long matches stride harder
+          val stride = if (bestLen > 2048) 16 else if (bestLen > 256) 4 else 1
           val stop = math.min(pos + bestLen, lastHashPos + 1)
           var i = maxInserted + 1
           while (i < stop) { insertPos(i); i += stride }
@@ -406,37 +465,13 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         }
         pos += bestLen
         litStart = pos
-      } else pos += 1
+      } else {
+        misses += 1
+        pos += 1 + (misses >> skipShift)
+      }
     }
-    if (end - litStart > 0 || cmds.isEmpty)
-      cmds += LzCmd(litStart, end - litStart, 0, 0) // trailing literals
-    // ---- histograms ----
-    val litFreq = new Array[Long](LiteralAlphabetSize)
-    val cmdFreq = new Array[Long](CommandAlphabetSize)
-    val distFreq = new Array[Long](numDistanceCodes(0, 0))
-    val encoded = cmds.map { c =>
-      val icode = insertCodeFor(c.litLen)
-      val ccode = if (c.copyLen > 0) copyCodeFor(c.copyLen) else 0
-      // same-distance matches use the implicit distance-0 command zone
-      // (cmd < 128): no distance symbol or extra bits in the stream
-      val implicitOk = c.copyLen > 0 && c.dist == ringLast(0) &&
-        icode <= 7 && ccode <= 15
-      val cmdSym =
-        if (implicitOk) {
-          val cell = if (ccode < 8) 0 else 1
-          64 * cell + ((icode & 7) << 3) + (ccode & 7)
-        } else packCommandExplicit(icode, ccode)
-      cmdFreq(cmdSym) += 1
-      var i = 0
-      while (i < c.litLen) { litFreq(hist(c.litStart + i) & 0xff) += 1; i += 1 }
-      val dinfo = if (c.copyLen > 0 && !implicitOk) {
-        val (dc, db, dv, pushes) = ringDistanceCodeFor(c.dist)
-        distFreq(dc) += 1
-        if (pushes) ringPush(c.dist)
-        (dc, db, dv)
-      } else (-1, 0, 0)
-      (c, icode, ccode, cmdSym, dinfo)
-    }
+    if (end - litStart > 0 || nCmds == 0)
+      addCmd(litStart, end - litStart, 0, 0) // trailing literals
     if (litFreq.forall(_ == 0)) litFreq(0) = 1 // all-copy block: dummy literal tree
     if (distFreq.forall(_ == 0)) distFreq(0) = 1 // literal-only block
     // ---- header ----
@@ -456,24 +491,33 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     val (distLenA, distCodeA) = writePrefixCode(distFreq, 6)
     // ---- body ---- (codes pre-reversed: one writeBits call per symbol)
     val litRev = Array.tabulate(256)(b => Huffman.reverseBits(litCode(b), litLen(b)))
-    encoded.foreach { case (c, icode, ccode, cmdSym, (dc, db, dv)) =>
-      bits.writeCodeBits(cmdCodeA(cmdSym), cmdLenA(cmdSym))
-      bits.writeBits((c.litLen - InsertBase(icode)).toLong, InsertExtra(icode))
-      bits.writeBits((math.max(c.copyLen, CopyBase(0)) - CopyBase(ccode)).toLong,
+    val cmdRev = Array.tabulate(cmdCodeA.length)(s => Huffman.reverseBits(cmdCodeA(s), cmdLenA(s)))
+    val distRev = Array.tabulate(distCodeA.length)(s => Huffman.reverseBits(distCodeA(s), distLenA(s)))
+    var ci = 0
+    while (ci < nCmds) {
+      val o = ci * CmdStride
+      val cLitStart = cmdBuf(o); val cLitLen = cmdBuf(o + 1)
+      val cCopyLen = cmdBuf(o + 2); val icode = cmdBuf(o + 3)
+      val ccode = cmdBuf(o + 4); val cmdSym = cmdBuf(o + 5)
+      val dc = cmdBuf(o + 6); val packed = cmdBuf(o + 7)
+      bits.writeBits(cmdRev(cmdSym).toLong, cmdLenA(cmdSym))
+      bits.writeBits((cLitLen - InsertBase(icode)).toLong, InsertExtra(icode))
+      bits.writeBits((math.max(cCopyLen, CopyBase(0)) - CopyBase(ccode)).toLong,
         CopyExtra(ccode))
       var i = 0
-      while (i < c.litLen) {
-        val b = hist(c.litStart + i) & 0xff
+      while (i < cLitLen) {
+        val b = hist(cLitStart + i) & 0xff
         bits.writeBits(litRev(b).toLong, litLen(b))
         i += 1
       }
       // distance emitted only for explicit-zone copy commands (implicit
       // zone reuses the ring; the trailing literal-only command never
       // reaches its copy part)
-      if (c.copyLen > 0 && dc >= 0) {
-        bits.writeCodeBits(distCodeA(dc), distLenA(dc))
-        bits.writeBits(dv.toLong, db)
+      if (cCopyLen > 0 && dc >= 0) {
+        bits.writeBits(distRev(dc).toLong, distLenA(dc))
+        bits.writeBits((packed & 0xffffff).toLong, packed >>> 24)
       }
+      ci += 1
     }
     bits.drainTo(sink)
   }
