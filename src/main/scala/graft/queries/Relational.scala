@@ -101,16 +101,17 @@ object Relational {
       |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q03: broadcast hash join — `part` is a dimension (200 rows/sf-unit);
-  // explicitly broadcast so the fact scan never shuffles. At 100 TB the
-  // dimension stays broadcast-able (part grows ~linearly but is bounded in
-  // this schema; with a genuinely large dim you'd bucket instead).
+  // q03: dimension hash join — `part` grows linearly with scale factor,
+  // so the broadcast decision is left to AQE/CBO (autoBroadcastJoinThreshold):
+  // small at test scale → broadcast hash join, no fact shuffle; at 100 TB,
+  // past the threshold → shuffle join (or route through the q29 bucketed
+  // layout). A forced broadcast() hint here would OOM at scale.
   // ---------------------------------------------------------------------
   def q03(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.load(spark, dir, "lineitem")
     val part = Tables.load(spark, dir, "part")
-    li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+    li.join(part, $"l_partkey" === $"p_partkey")
       .groupBy($"p_brand")
       .agg(
         sum(discPrice($"l_extendedprice", $"l_discount")).cast(DoubleType).as("revenue"),
@@ -129,8 +130,10 @@ object Relational {
   // ---------------------------------------------------------------------
   // q04: 5-way star join (TPC-H Q5-shaped) — revenue by region/nation.
   // Scale: lineitem⋈orders is the only big-big join (shuffle on orderkey,
-  // AQE handles skew); customer/nation/region are broadcast dims, so the
-  // star arm adds zero shuffles. The orderdate filter prunes orders early.
+  // AQE handles skew); the orderdate filter prunes orders early. customer
+  // grows with scale factor, so its join strategy is AQE's call (broadcast
+  // below the threshold, shuffle past it) — only the fixed-cardinality
+  // nation (25) and region (5) keep explicit broadcast hints.
   // ---------------------------------------------------------------------
   def q04(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -142,7 +145,7 @@ object Relational {
     val nation = Tables.load(spark, dir, "nation")
     val region = Tables.load(spark, dir, "region")
     li.join(orders, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
@@ -576,13 +579,15 @@ object Relational {
 
   // ---------------------------------------------------------------------
   // q21: second star arm through supplier — revenue by supplier nation.
+  // supplier grows with scale factor → no broadcast hint (AQE decides,
+  // same rationale as q03/q04); nation is fixed at 25 rows → hinted.
   // ---------------------------------------------------------------------
   def q21(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.load(spark, dir, "lineitem")
     val supp = Tables.load(spark, dir, "supplier")
     val nation = Tables.load(spark, dir, "nation")
-    li.join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+    li.join(supp, $"l_suppkey" === $"s_suppkey")
       .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
       .agg(sum(discPrice($"l_extendedprice", $"l_discount")).cast(DoubleType).as("revenue"),

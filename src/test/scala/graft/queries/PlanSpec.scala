@@ -31,7 +31,7 @@ class PlanSpec extends SparkSpec {
       s"scan reads unreferenced columns: $schema")
   }
 
-  test("q03 broadcasts the dimension side") {
+  test("q03 broadcasts the dimension side (threshold-driven, not hinted)") {
     val plan = executed(Relational.q03(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
@@ -41,6 +41,31 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"),
       s"star join regressed to a shuffle join:\n$plan")
+  }
+
+  test("q21 supplier arm joins without a forced broadcast hint") {
+    val plan = executed(Relational.q21(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan) // via threshold at this SF
+  }
+
+  test("scale-growing dims carry no broadcast hint (threshold off -> no BHJ on them)") {
+    // With auto-broadcast disabled, a forced broadcast() hint would STILL
+    // produce a BroadcastHashJoin — this is the 100 TB OOM scenario the
+    // hint removal guards against. nation/region keep their hints (fixed
+    // 25/5 rows), so we assert the *growing* dims (part/customer/supplier)
+    // fall back to shuffle joins.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p03 = executed(Relational.q03(spark, sf))
+      assert(!p03.contains("BroadcastHashJoin"),
+        s"q03 still broadcasts with threshold off — forced hint present:\n$p03")
+      val p21 = executed(Relational.q21(spark, sf))
+      // nation keeps its hint; supplier must not broadcast
+      assert(!p21.contains("BroadcastHashJoin build") ||
+        "BroadcastHashJoin".r.findAllIn(p21).size <= 1,
+        s"q21 broadcasts more than the hinted nation dim:\n$p21")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("q20 as-of join uses exactly one data shuffle before the sort") {
@@ -65,6 +90,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan)
     assert(!plan.contains("CartesianProduct"),
       s"ANN scoring must broadcast the small query side:\n$plan")
+  }
+
+  test("s04 generates candidates from SRP buckets (no corpus-wide NLJ)") {
+    val plan = executed(graft.ops.Similarity.s04(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"s04 must probe LSH buckets, not score the whole corpus per query:\n$plan")
   }
 
   test("t01 text stats is narrow: only the presentation sort shuffles") {
