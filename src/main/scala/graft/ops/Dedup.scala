@@ -56,16 +56,38 @@ object Dedup {
 
   // ---------------------------------------------------------------------
   // d02: exact n-gram Jaccard near-dup pairs. Any pair with J >= t (t>0)
-  // shares a shingle, so the inverted-index join is lossless; the
-  // threshold prunes before output. The shingle join key is the shuffle
-  // key — 100 TB-safe because shingle frequencies are bounded by vocab.
+  // shares a shingle, so the inverted-index join is lossless over the
+  // capped shingle universe; the threshold prunes before output.
+  //
+  // Scale: candidate pairs per shingle are O(df²) — a boilerplate 3-gram
+  // shared by 1M docs would enumerate 10¹² pairs. The document-frequency
+  // cap drops shingles with df > DfCap (the standard stop-shingle filter
+  // in exact-Jaccard systems) BEFORE the self-join, bounding candidates
+  // at DfCap²/2 per surviving shingle. Jaccard is then computed over the
+  // capped universe on both engines (sizes use capped sets too), so the
+  // oracle stays hash-exact. Boilerplate shingles carry no dedup signal:
+  // a pair whose overlap was only boilerplate isn't a near-dup.
   // ---------------------------------------------------------------------
-  def d02(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables.load(spark, dir, "documents")
+  private[ops] val DfCap = 100
+
+  /** (doc_id, w) inverted index after the df-cap: shingles present in
+    * more than [[DfCap]] documents are removed. The hot-shingle set is
+    * tiny (≤ distinct-shingles/DfCap entries), so AQE broadcasts the
+    * anti-join side; the groupBy shuffles on the same key as the main
+    * join and partially aggregates map-side. */
+  private[ops] def cappedShingleIndex(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val sh = docs.select($"doc_id", explode(shingles($"text")).as("w"))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    val hot = sh.groupBy($"w").agg(count(lit(1)).as("df"))
+      .filter($"df" > DfCap).select($"w")
+    sh.join(hot, Seq("w"), "left_anti")
+  }
+
+  private[ops] def d02On(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val shc = cappedShingleIndex(docs)
+    val sizes = shc.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = shc.as("a").join(shc.as("b"),
         $"a.w" === $"b.w" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("c"))
@@ -78,17 +100,22 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  def d02(spark: SparkSession, dir: String): DataFrame =
+    d02On(Tables.load(spark, dir, "documents"))
+
   private val d02Sql =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS L FROM documents),
       |sh AS (
       |  SELECT doc_id, list_distinct([L[i] || ' ' || L[i+1] || ' ' || L[i+2] for i in range(1, len(L)-1)]) AS S
       |  FROM toks WHERE len(L) >= 3),
-      |sizes AS (SELECT doc_id, len(S) AS n FROM sh),
       |tok AS (SELECT doc_id, unnest(S) AS w FROM sh),
+      |hot AS (SELECT w FROM tok GROUP BY w HAVING COUNT(*) > $DfCap),
+      |tokc AS (SELECT doc_id, w FROM tok ANTI JOIN hot USING (w)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tokc GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-      |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      |  FROM tokc a JOIN tokc b ON a.w = b.w AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b,
       |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard

@@ -30,4 +30,30 @@ class DedupSpec extends SparkSpec {
       assert(a < b); assert(h >= 0 && h <= 6)
     }
   }
+
+  test("d02 df-cap bounds candidate pairs under a hot boilerplate shingle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 4 * DfCap docs all sharing one boilerplate trigram; the rest of
+    // each doc is unique. Without the cap the boilerplate shingle alone
+    // enumerates n*(n-1)/2 candidate pairs; with it, zero survive.
+    val n = 4 * Dedup.DfCap
+    val docs = (0 until n).map { i =>
+      (i.toLong, s"lorem ipsum dolor unique$i word$i token$i")
+    }.toDF("doc_id", "text")
+    val uncappedPairs = {
+      val sh = docs.select($"doc_id", explode(Dedup.shingles($"text")).as("w"))
+      sh.as("a").join(sh.as("b"), $"a.w" === $"b.w" && $"a.doc_id" < $"b.doc_id").count()
+    }
+    assert(uncappedPairs >= n.toLong * (n - 1) / 2,
+      s"fixture should blow up uncapped: $uncappedPairs")
+    val shc = Dedup.cappedShingleIndex(docs)
+    assert(shc.filter($"w" === "lorem ipsum dolor").count() == 0,
+      "hot shingle must be dropped by the df-cap")
+    val cappedPairs = shc.as("a").join(shc.as("b"),
+      $"a.w" === $"b.w" && $"a.doc_id" < $"b.doc_id").count()
+    assert(cappedPairs == 0, s"capped candidates should be 0, got $cappedPairs")
+    // the full operator still runs clean on the fixture
+    assert(Dedup.d02On(docs).count() == 0)
+  }
 }
