@@ -2,9 +2,10 @@ package graft.ops
 
 import scala.collection.immutable.ListMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
 import graft.functions.VectorOps
@@ -62,35 +63,79 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
-  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
-    * corpus into nlist=16 cells; each query probes its nprobe=2 nearest
-    * cells and scores only those candidates. At 100 TB the cell
-    * assignment is one narrow pass (centroids broadcast), the index is
-    * just a cluster column (partition/bucket by it on disk), and query
-    * cost is nprobe/nlist of the corpus. Complements s02's LSH path. */
+  // ---------------------------------------------------------------------
+  // s03: IVF (inverted-file) ANN with a deterministic DataFrame-native
+  // Lloyd's coarse quantizer — no MLlib, so the whole op is portable and
+  // hash-verified against the DuckDB oracle (the round-2 rows-only gap).
+  //
+  // Portability recipe: embeddings are snapped to an integer grid
+  // (floor(x·1024 + 0.5), kept as integer-VALUED doubles), so the only
+  // cross-row float reduction — the per-dimension centroid sum — is
+  // exact integer arithmetic in IEEE doubles: associative, shuffle-order-
+  // independent, identical in both engines. Centroid means (one IEEE
+  // division) and squared distances (left-associated 64-term fold, same
+  // order as PortableSql.dotSql) are then bit-equal too. Seeds are the 16
+  // lowest vec_ids; 2 fixed Lloyd iterations; ties break on cluster id.
+  //
+  // Scale: assignment is corpus × 16 broadcast centroids (narrow, no
+  // shuffle); the update is a (cluster, dim) partial-aggregated sum —
+  // 1024 rows. The index is just a cluster column (partition by it on
+  // disk); query cost is nprobe/nlist of the corpus. Complements s02.
+  // ---------------------------------------------------------------------
+  private val IvfNList = 16
+  private val IvfNProbe = 2
+  private val IvfIters = 2 // c0 →a→ c1 →a→ c2; final assignment uses c2
+
+  private def ivfQuant(v: Column): Column =
+    transform(v, x => floor(x.cast(DoubleType) * 1024.0 + 0.5).cast(DoubleType))
+  private def ivfQuantSql(v: String): String =
+    s"list_transform($v, x -> floor(CAST(x AS DOUBLE) * 1024.0 + 0.5))"
+  /** Σ (a[i]-b[i])², left-associated — the fold order both engines share. */
+  private def sqDist(a: Column, m: Column): Column =
+    aggregate(zip_with(a, m, (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, v) => acc + v)
+  private def sqDistSql(a: String, b: String, dim: Int): String =
+    (1 to dim).map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])").mkString(" + ")
+
+  /** One Lloyd assignment: nearest centroid by (dist, cluster). */
+  private def ivfAssign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val w = Window.partitionBy($"vec_id").orderBy($"dist".asc, $"cluster".asc)
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("dist", sqDist($"qv", $"m"))
+      .withColumn("pr", row_number().over(w))
+      .filter($"pr" === 1)
+      .select($"vec_id", $"embedding", $"qv", $"cluster")
+  }
+
+  /** One Lloyd update: per-dimension mean of the assigned grid vectors
+    * (exact integer sums → portable; collect_list re-assembled in pos
+    * order so the array is deterministic). */
+  private def ivfUpdate(assigned: DataFrame): DataFrame = {
+    import assigned.sparkSession.implicits._
+    assigned.select($"cluster", posexplode($"qv").as(Seq("pos", "v")))
+      .groupBy($"cluster", $"pos").agg(sum($"v").as("s"), count(lit(1)).as("c"))
+      .groupBy($"cluster")
+      .agg(transform(
+        array_sort(collect_list(struct($"pos", ($"s" / $"c").as("mv")))),
+        e => e.getField("mv")).as("m"))
+  }
+
   def s03(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val emb = Tables.load(spark, dir, "embeddings")
-      .withColumn("fv", array_to_vector($"embedding"))
-    val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("cluster")
-      .fit(emb)
-    val corpus = model.transform(emb)
-      .select($"vec_id", $"embedding", $"cluster".cast("int").as("cluster"))
-    // centroid table (16 rows) → per-query top-nprobe cells by euclidean
-    val centroids = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray) }
-      .toDF("cluster", "centroid")
-    val q = queriesSubset(spark, dir)
-    val wProbe = Window.partitionBy($"q_id").orderBy($"d2".asc, $"cluster".asc)
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("d2", aggregate(
-        zip_with($"q_emb", $"centroid", (x, c) => (x - c) * (x - c)),
-        lit(0.0), (acc, v) => acc + v))
+    val qe = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding", ivfQuant($"embedding").as("qv"))
+    var cents = qe.orderBy($"vec_id").limit(IvfNList)
+      .select($"vec_id".as("cluster"), $"qv".as("m"))
+    for (_ <- 0 until IvfIters)
+      cents = ivfUpdate(ivfAssign(qe, cents))
+    val corpus = ivfAssign(qe, cents) // final index assignment
+    val q = queriesSubset(spark, dir).withColumn("qq", ivfQuant($"q_emb"))
+    val wProbe = Window.partitionBy($"q_id").orderBy($"dist".asc, $"cluster".asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("dist", sqDist($"qq", $"m"))
       .withColumn("pr", row_number().over(wProbe))
-      .filter($"pr" <= 2)
+      .filter($"pr" <= IvfNProbe)
       .select($"q_id", $"q_emb", $"cluster")
     val scored = corpus.join(broadcast(probes), Seq("cluster"))
       .filter($"vec_id" =!= $"q_id")
@@ -103,33 +148,72 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
-  /** s04: int8 scalar-quantized ANN — per-vector symmetric quantization
-    * (q = floor(x·127/absmax + 0.5), an explicit round-half-up both
-    * engines compute identically), integer-dot-product candidate scoring
-    * (top-20), exact-cosine re-rank (top-5). At 100 TB this is the
-    * memory-bound path: the int8 corpus is 4× smaller than fp32, the
-    * candidate pass is exact integer arithmetic (SIMD-able, spill-free),
-    * and the expensive float math touches only 20 candidates per query. */
+  private def s03Sql: String = {
+    val dim = 64
+    val centroidList = (1 to dim).map(i => s"SUM(qv[$i]) / COUNT(*)")
+      .mkString("[", ", ", "]")
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (SELECT vec_id, embedding, qv, cluster FROM (
+         |  SELECT v.vec_id, v.embedding, v.qv, c.cluster,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${sqDistSql("v.qv", "c.m", dim)} ASC, c.cluster ASC) AS pr
+         |  FROM qe v CROSS JOIN $cents c) WHERE pr = 1)""".stripMargin
+    rankedSql(
+      s"""WITH qe AS (SELECT vec_id, embedding, ${ivfQuantSql("embedding")} AS qv FROM embeddings),
+         |c0 AS (SELECT vec_id AS cluster, qv AS m
+         |  FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id LIMIT $IvfNList)),
+         |${assignCte("a1", "c0")},
+         |c1 AS (SELECT cluster, $centroidList AS m FROM a1 GROUP BY cluster),
+         |${assignCte("a2", "c1")},
+         |c2 AS (SELECT cluster, $centroidList AS m FROM a2 GROUP BY cluster),
+         |${assignCte("a3", "c2")},
+         |probes AS (SELECT q_id, q_emb, cluster FROM (
+         |  SELECT v.vec_id AS q_id, v.embedding AS q_emb, c.cluster,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${sqDistSql("v.qv", "c.m", dim)} ASC, c.cluster ASC) AS pr
+         |  FROM qe v CROSS JOIN c2 c WHERE v.vec_id % 47 = 0) WHERE pr <= $IvfNProbe),
+         |cand AS (
+         |  SELECT p.q_id, a.vec_id, a.embedding AS emb, p.q_emb
+         |  FROM a3 a JOIN probes p ON a.cluster = p.cluster AND a.vec_id <> p.q_id)""".stripMargin)
+  }
+
+  /** s04: int8 scalar-quantized ANN — SRP-LSH bucket candidate
+    * generation (s02's sub-linear path: a query probes only its own
+    * buckets, never the whole corpus), then per-vector symmetric
+    * quantization (q = floor(x·127/absmax + 0.5), an explicit
+    * round-half-up both engines compute identically), integer-dot-product
+    * candidate scoring (top-20), exact-cosine re-rank (top-5). At 100 TB
+    * this is the memory-bound rung over the LSH index: the int8 vectors
+    * are 4× smaller than fp32, the candidate scoring is exact integer
+    * arithmetic (SIMD-able, spill-free), and the expensive float math
+    * touches only 20 candidates per query. (Round 2 scored every corpus
+    * vector per query via a cross join — a second brute force, not ANN.) */
   def s04(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.types.{DoubleType, LongType}
-    def quantized(df: DataFrame, vecCol: String): DataFrame = df
-      .withColumn("s", array_max(transform(col(vecCol), x => abs(x.cast(DoubleType)))))
-      .withColumn("qv", when($"s" === 0.0,
-          transform(col(vecCol), _ => lit(0L)))
-        .otherwise(transform(col(vecCol), x =>
-          floor(x.cast(DoubleType) * 127.0 / $"s" + 0.5).cast(LongType))))
-      .drop("s")
-    val corpus = quantized(Tables.load(spark, dir, "embeddings"), "embedding")
-    val q = quantized(
-      queriesSubset(spark, dir).withColumnRenamed("q_emb", "q_embedding"),
-      "q_embedding")
-      .withColumnRenamed("qv", "q_qv")
-    val iscore = aggregate(zip_with($"qv", $"q_qv", (a, b) => a * b),
+    import org.apache.spark.sql.types.LongType
+    def quant(v: Column): Column = {
+      val s = array_max(transform(v, x => abs(x.cast(DoubleType))))
+      when(s === 0.0, transform(v, _ => lit(0L)))
+        .otherwise(transform(v, x =>
+          floor(x.cast(DoubleType) * 127.0 / s + 0.5).cast(LongType)))
+    }
+    // sub-linear candidates: same-SRP-bucket pairs only (s02's index)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding",
+        explode(Dedup.srpTableKeys($"embedding")).as("key"))
+    val q = queriesSubset(spark, dir)
+      .withColumnRenamed("q_emb", "q_embedding")
+      .select($"q_id", $"q_embedding",
+        explode(Dedup.srpTableKeys($"q_embedding")).as("key"))
+    val cand0 = emb.join(broadcast(q), Seq("key"))
+      .filter($"vec_id" =!= $"q_id")
+      .dropDuplicates("q_id", "vec_id")
+      .select($"q_id", $"vec_id", $"embedding", $"q_embedding")
+    val iscore = aggregate(
+      zip_with(quant($"embedding"), quant($"q_embedding"), (a, b) => a * b),
       lit(0L), (acc, v) => acc + v)
     val wCand = Window.partitionBy($"q_id").orderBy($"iscore".desc, $"vec_id".asc)
-    val cands = corpus.crossJoin(broadcast(q))
-      .filter($"vec_id" =!= $"q_id")
+    val cands = cand0
       .select($"q_id", $"vec_id", $"embedding", $"q_embedding", iscore.as("iscore"))
       .withColumn("crank", row_number().over(wCand))
       .filter($"crank" <= 20)
@@ -155,14 +239,17 @@ object Similarity {
     val na = PortableSql.dotSql("emb", "emb", 64)
     val nb = PortableSql.dotSql("q_emb", "q_emb", 64)
     val cos = PortableSql.cosineFromPartsSql("dot", "na", "nb")
-    s"""WITH corpus AS (
-       |  SELECT vec_id, embedding, ${qexpr("embedding")} AS qv FROM embeddings),
-       |q AS (SELECT vec_id AS q_id, embedding AS q_embedding, qv AS q_qv
-       |  FROM corpus WHERE vec_id % 47 = 0),
+    s"""WITH keys AS (
+       |  ${Dedup.srpKeysSql("embeddings")}),
+       |qk AS (SELECT * FROM keys WHERE vec_id % 47 = 0),
+       |cand0 AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, k.vec_id AS vec_id,
+       |    k.embedding AS emb, q.embedding AS q_emb
+       |  FROM keys k JOIN qk q ON k.t = q.t AND k.b = q.b AND k.vec_id <> q.vec_id),
        |pairs AS (
-       |  SELECT q_id, vec_id, embedding AS emb, q_embedding AS q_emb,
-       |    c.qv AS qa, q.q_qv AS qb
-       |  FROM corpus c CROSS JOIN q WHERE vec_id <> q_id),
+       |  SELECT q_id, vec_id, emb, q_emb,
+       |    ${qexpr("emb")} AS qa, ${qexpr("q_emb")} AS qb
+       |  FROM cand0),
        |scored AS (SELECT q_id, vec_id, emb, q_emb, $idot AS iscore FROM pairs),
        |cands AS (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY iscore DESC, vec_id ASC) AS crank
@@ -181,9 +268,9 @@ object Similarity {
 
   // ---------------------------------------------------------------------
   // Oracles: explicit 64-term dot products (left-associated, matching
-  // CosineSimilarity's fold order) make the doubles bit-equal, so the ANN
-  // results are hash-verified, not rows-only. s03's KMeans quantizer is
-  // iterative ML with engine-private float reductions — rows-only there.
+  // CosineSimilarity's fold order) make the doubles bit-equal, so ALL
+  // four ANN ops are hash-verified, not rows-only (s03's quantizer is
+  // deterministic integer-grid Lloyd's — see the s03 block comment).
   // ---------------------------------------------------------------------
   private def rankedSql(candCte: String): String = {
     val dot = PortableSql.dotSql("emb", "q_emb", 64)
@@ -226,5 +313,6 @@ object Similarity {
   val oracle: ListMap[String, String] = ListMap(
     "s01_ann_bruteforce" -> s01Sql,
     "s02_ann_lsh" -> s02Sql,
+    "s03_ann_ivf" -> s03Sql,
     "s04_ann_int8_rerank" -> s04Sql)
 }
