@@ -118,8 +118,10 @@ final class ByteQueue(initialCapacity: Int = 1 << 16) {
     bitBuf &= (1L << bitCnt) - 1
   }
 
-  def availableBytes: Int = tail - head + (bitCnt >> 3) -
-    (if ((bitCnt & 7) > 0) 1 else 0)
+  /** Whole unconsumed bytes buffered (a partially-consumed byte counts
+    * as consumed; never negative). */
+  def availableBytes: Int = math.max(0,
+    tail - head + (bitCnt >> 3) - (if ((bitCnt & 7) > 0) 1 else 0))
   def isEmpty: Boolean = head == tail && bitCnt == 0
 
   /** Logical consumed position: (byteIndex, bitWithinByte). */

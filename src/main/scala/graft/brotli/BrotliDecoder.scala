@@ -64,6 +64,27 @@ final class BrotliDecoder {
   private var pendingOut: Array[Byte] = _
   private var pendingPos = 0
 
+  // custom (prefix) dictionary, applied when the window is allocated
+  private var dict: Array[Byte] = Array.emptyByteArray
+
+  /** Preload a shared dictionary (prefix semantics): its bytes behave as
+    * output that logically precedes the stream, so backward references
+    * from the first command can reach into it and the static-dictionary
+    * boundary shifts past it — the behavior of the reference's native
+    * `dict, dictSize` path (bro.cc:115-116) that its Java layer never
+    * exercises (`setDictionary` no-op, BroDecompressor.java:64-66;
+    * README.md:4-5 lists custom dictionaries as the sole TODO).
+    * Must be called before any compressed bytes are consumed. */
+  def setDictionary(b: Array[Byte], off: Int, len: Int): Unit = {
+    require(window == null && totalOut == 0, "setDictionary must precede decoding")
+    dict = java.util.Arrays.copyOfRange(b, off, off + len)
+  }
+
+  /** Unconsumed compressed input currently buffered (the real count the
+    * reference returns, BroDecompressor.java:125-127 — needed by any
+    * consumer handling concatenated streams). */
+  def remainingInput: Int = in.availableBytes
+
   def addInput(b: Array[Byte], off: Int, len: Int): Unit = {
     require(!sawEndOfInput || len == 0, "input after endOfInput")
     in.append(b, off, len)
@@ -108,6 +129,10 @@ final class BrotliDecoder {
     val size = 1 << wbits
     window = new Array[Byte](size)
     windowMask = size - 1
+    // prefix dictionary: preload as already-produced window content
+    // (advances totalOut and seeds the p1/p2 literal context, matching
+    // libbrotli's custom-dictionary semantics)
+    if (dict.length > 0) appendWindow(dict, 0, dict.length)
   }
 
   /** §9.2 variable-length count (NBLTYPES / NTREES). */
@@ -421,7 +446,7 @@ final class BrotliDecoder {
     * entropy-coded blocks, decodes the whole body. */
   private def parseBlock(): Unit = {
     val islast = in.readBit() == 1
-    if (islast && in.readBit() == 1) { state = State.Done; return }
+    if (islast && in.readBit() == 1) { finishStream(); return }
     val nibblesCode = in.readBits(2)
     if (nibblesCode == 3) {
       if (islast) throw new IOException("invalid brotli: metadata in last block")
@@ -456,8 +481,16 @@ final class BrotliDecoder {
       appendWindow(out, 0, out.length)
       pendingOut = out
       pendingPos = 0
-      state = if (islast) State.Done else State.BlockHeader
+      if (islast) finishStream() else state = State.BlockHeader
     }
+  }
+
+  /** Terminal transition: drop the final byte's pad bits so any bytes
+    * still buffered are exactly the unconsumed trailer (concatenated
+    * streams; getRemaining contract, BroDecompressor.java:125-127). */
+  private def finishStream(): Unit = {
+    in.alignToByte()
+    state = State.Done
   }
 
   /** Decode up to len bytes into dst. Returns bytes produced; 0 means
@@ -500,7 +533,7 @@ final class BrotliDecoder {
           } else if (sawEndOfInput && in.isEmpty)
             throw new IOException("truncated brotli stream")
           if (remaining == 0) {
-            state = if (islastPending) State.Done else State.BlockHeader
+            if (islastPending) finishStream() else state = State.BlockHeader
             progress = true
           }
         case State.SkipMetadata =>
@@ -524,6 +557,7 @@ final class BrotliDecoder {
     sawEndOfInput = false
     starved = false
     window = null; windowMask = 0; totalOut = 0
+    dict = Array.emptyByteArray
     pendingOut = null; pendingPos = 0
     System.arraycopy(InitialDistanceRing, 0, ring, 0, 4)
     ringIdx = 0

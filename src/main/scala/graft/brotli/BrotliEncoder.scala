@@ -231,6 +231,58 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     * qualities ramp later (better ratio on barely-compressible data). */
   private val skipShift =
     if (quality >= 10) 30 else if (quality >= 8) 9 else if (quality >= 6) 7 else 5
+  // q3-4: 4-byte hash (catches minimum-length matches). q5+: 5-byte
+  // hash — on low-entropy data (CSV digits, spaces) 4-gram chains are
+  // pathologically collision-heavy; hashing 5 bytes thins them at the
+  // cost of never finding exactly-4-byte matches via the chain (the
+  // rep-match path still catches those at the last distance).
+  private val hash5 = quality >= 5
+  /** Bytes a position's hash reads past itself (bounds insertable range). */
+  private def hashSpan: Int = if (hash5) 5 else 4
+
+  /** Hash of the 4/5 bytes at `i` — a single unaligned load (hist is
+    * tail-padded by 8) instead of 4-5 byte loads. */
+  private def hashAt(i: Int): Int =
+    if (hash5) {
+      val v = histLongs.getLong(i) & 0xffffffffffL
+      ((v * 0x9E3779B97F4A7C15L) >>> (64 - HashBits)).toInt
+    } else {
+      val v = histLongs.getLong(i).toInt
+      (v * 0x9E3779B1) >>> (32 - HashBits)
+    }
+
+  /** Link `i` into its hash chain. chain(i) holds the DELTA to the
+    * previous position with the same hash (i - prev); an empty bucket
+    * (-1) yields delta i+1, so the walk's next candidate is -1 and
+    * terminates naturally. */
+  private def insertHash(i: Int): Unit = {
+    val h = hashAt(i)
+    chain(i) = i - hashTable(h)
+    hashTable(h) = i
+  }
+
+  /** Preload the LZ window with a shared (prefix) dictionary so backward
+    * references reach into it from the stream's first byte — the
+    * reference's sole TODO (README.md:4-5): its native API plumbs
+    * `dict, dictSize` end-to-end (bro.cc:46-48) but the Java layer's
+    * `setDictionary` is a no-op (BroCompressor.java:79-81). Only the LZ
+    * rungs (quality >= 3) emit backward references; lower rungs ignore
+    * the dictionary (streams stay valid either way). Must precede the
+    * first write; a decoder needs the same dictionary to reproduce the
+    * stream. */
+  def setDictionary(b: Array[Byte], off: Int, len: Int): Unit = {
+    require(!headerWritten && staged == 0 && histTail == 0,
+      "setDictionary must precede writes")
+    if (quality < 3 || len == 0) return
+    val n = math.min(len, maxBackward) // beyond-window prefix is unreachable
+    System.arraycopy(b, off + len - n, hist, 0, n)
+    histTail = n
+    // hash every dictionary position whose full hash window fits inside
+    // the dictionary (boundary-spanning positions are simply not indexed)
+    var i = 0
+    val last = n - hashSpan
+    while (i <= last) { insertHash(i); i += 1 }
+  }
 
   // distance ring mirroring the decoder's stream-level state (§4,
   // libbrotli-verified): initial last/2nd/3rd/4th = 4/11/15/16; code 0
@@ -322,30 +374,6 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     // ---- parse into commands (hash-chain match search) ----
     val MinMatch = 4
     val MaxCopy = 16383
-    // q3-4: 4-byte hash (catches minimum-length matches). q5+: 5-byte
-    // hash — on low-entropy data (CSV digits, spaces) 4-gram chains are
-    // pathologically collision-heavy; hashing 5 bytes thins them at the
-    // cost of never finding exactly-4-byte matches via the chain (the
-    // rep-match path still catches those at the last distance).
-    val hash5 = quality >= 5
-    // single unaligned load (hist is tail-padded by 8) instead of 4-5
-    // byte loads — the hash values are unchanged from the per-byte form
-    def hash4(i: Int): Int =
-      if (hash5) {
-        val v = histLongs.getLong(i) & 0xffffffffffL
-        ((v * 0x9E3779B97F4A7C15L) >>> (64 - HashBits)).toInt
-      } else {
-        val v = histLongs.getLong(i).toInt
-        (v * 0x9E3779B1) >>> (32 - HashBits)
-      }
-    // chain(i) holds the DELTA to the previous position with the same
-    // hash (i - prev); an empty bucket (-1) yields delta i+1, so the
-    // walk's next candidate is -1 and terminates naturally.
-    def insertPos(i: Int): Unit = {
-      val h = hash4(i)
-      chain(i) = i - hashTable(h)
-      hashTable(h) = i
-    }
     // commands land in a flat int array (stride CmdStride), histograms
     // and ring/distance coding resolved inline — one pass, no per-command
     // allocation: [litStart, litLen, copyLen, icode, ccode, cmdSym, dc, db<<24|dv]
@@ -394,11 +422,11 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     var lastDist = ringLast(0)
     var maxInserted = b0 - 1 // highest position already in the hash chains
     // last position whose full hash window fits inside this block
-    val lastHashPos = end - (if (hash5) 5 else 4)
+    val lastHashPos = end - hashSpan
     // search at p after inserting it: returns (len << 32) | matchStart,
     // or 0 when no match of MinMatch+ exists.
     def searchAndInsert(p: Int): Long = {
-      val h = hash4(p)
+      val h = hashAt(p)
       var cand = hashTable(h)
       if (p > maxInserted) { chain(p) = p - cand; hashTable(h) = p; maxInserted = p }
       val maxLen = math.min(MaxCopy, end - p)
@@ -460,7 +488,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
           val stride = if (bestLen > 2048) 16 else if (bestLen > 256) 4 else 1
           val stop = math.min(pos + bestLen, lastHashPos + 1)
           var i = maxInserted + 1
-          while (i < stop) { insertPos(i); i += stride }
+          while (i < stop) { insertHash(i); i += stride }
           if (stop - 1 > maxInserted) maxInserted = stop - 1
         }
         pos += bestLen
@@ -579,16 +607,20 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
 
 /** One-shot helpers (tests / simple callers). */
 object Brotli {
-  def compress(data: Array[Byte], quality: Int = 6): Array[Byte] = {
+  def compress(data: Array[Byte], quality: Int = 6,
+      dictionary: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
     val enc = new BrotliEncoder(quality)
+    if (dictionary.nonEmpty) enc.setDictionary(dictionary, 0, dictionary.length)
     val out = new ByteArrayOutputStream()
     enc.write(data, 0, data.length, out)
     enc.finish(out)
     out.toByteArray
   }
 
-  def decompress(data: Array[Byte]): Array[Byte] = {
+  def decompress(data: Array[Byte],
+      dictionary: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
     val dec = new BrotliDecoder()
+    if (dictionary.nonEmpty) dec.setDictionary(dictionary, 0, dictionary.length)
     dec.addInput(data, 0, data.length)
     dec.endOfInput()
     val out = new ByteArrayOutputStream()

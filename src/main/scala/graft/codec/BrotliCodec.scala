@@ -87,7 +87,12 @@ class BrotliCompressor(quality: Int) extends Compressor {
   override def needsInput(): Boolean =
     slabLen == 0 && pendingPos >= pendingBuf.length && !finishing
 
-  override def setDictionary(b: Array[Byte], off: Int, len: Int): Unit = ()
+  /** Shared-dictionary support — the reference's sole TODO
+    * (README.md:4-5; its Java layer no-ops this,
+    * BroCompressor.java:79-81). Prefix semantics: see
+    * [[graft.brotli.BrotliEncoder.setDictionary]]. */
+  override def setDictionary(b: Array[Byte], off: Int, len: Int): Unit =
+    encoder.setDictionary(b, off, len)
   override def getBytesRead: Long = bytesRead
   override def getBytesWritten: Long = bytesWritten
   override def finish(): Unit = finishing = true
@@ -142,14 +147,20 @@ class BrotliDecompressor extends Decompressor {
   }
 
   override def needsInput(): Boolean = decoder.needsInput
-  override def setDictionary(b: Array[Byte], off: Int, len: Int): Unit = ()
+  /** Shared-dictionary support (see [[graft.brotli.BrotliDecoder.setDictionary]];
+    * reference no-op: BroDecompressor.java:64-66). */
+  override def setDictionary(b: Array[Byte], off: Int, len: Int): Unit =
+    decoder.setDictionary(b, off, len)
   override def needsDictionary(): Boolean = false
   override def finished(): Boolean = decoder.isFinished
 
   override def decompress(b: Array[Byte], off: Int, len: Int): Int =
     decoder.decode(b, off, len)
 
-  override def getRemaining: Int = 0
+  /** Real unconsumed-input count (reference contract:
+    * BroDecompressor.java:125-127; needed for concatenated-stream
+    * consumers — was hard-coded 0 in rounds 1-2). */
+  override def getRemaining: Int = decoder.remainingInput
 
   override def reset(): Unit = {
     decoder = new BrotliDecoder()

@@ -212,4 +212,92 @@ class BrotliSpec extends AnyFunSuite {
     assert(comp.getBytesRead == 12L)
     assert(comp.getBytesWritten > 0L)
   }
+
+  test("custom dictionary round-trips and shrinks related payloads (reference TODO)") {
+    // the reference lists custom dictionaries as its sole TODO
+    // (README.md:4-5); prefix semantics: dictionary bytes precede the
+    // stream for backward references.
+    val dictionary = ("shared boilerplate header: company confidential " +
+      "do not distribute without permission ").getBytes
+    val payload = ("company confidential do not distribute without " +
+      "permission — quarterly numbers follow. " * 3).getBytes
+    for (q <- Seq(4, 6, 9)) {
+      val withDict = Brotli.compress(payload, q, dictionary)
+      val without = Brotli.compress(payload, q)
+      assert(java.util.Arrays.equals(
+        Brotli.decompress(withDict, dictionary), payload),
+        s"dictionary round-trip failed at q$q")
+      assert(withDict.length <= without.length,
+        s"q$q: dictionary made output larger (${withDict.length} > ${without.length})")
+    }
+    // the dictionary actually participates: a q6 stream referencing it
+    // must not decode to the same bytes without it
+    val enc = Brotli.compress(payload, 6, dictionary)
+    val wrong = try Some(Brotli.decompress(enc)) catch { case _: Exception => None }
+    assert(!wrong.exists(java.util.Arrays.equals(_, payload)),
+      "stream decoded identically without its dictionary — dictionary unused")
+  }
+
+  test("dictionary round-trip grid: sizes × qualities × overlap levels") {
+    val rnd = new Random(1234)
+    val dictionary = chunk(rnd, 8192, 32, 48)
+    for {
+      q <- Seq(3, 5, 6)
+      n <- Seq(0, 1, 333, 8192, 100000)
+    } {
+      val payload = new Array[Byte](n)
+      // half dictionary-overlapping content, half fresh random
+      var i = 0
+      while (i < n) {
+        val fromDict = (i / 100) % 2 == 0
+        payload(i) = if (fromDict) dictionary(i % dictionary.length)
+          else ((i * 31 + q) % 96 + 32).toByte
+        i += 1
+      }
+      val enc = Brotli.compress(payload, q, dictionary)
+      assert(java.util.Arrays.equals(Brotli.decompress(enc, dictionary), payload),
+        s"q$q n=$n dictionary round-trip failed")
+    }
+  }
+
+  test("hadoop codec layer plumbs the dictionary through both sides") {
+    val dictionary = ("the quick brown fox jumps over the lazy dog " * 20).getBytes
+    val payload = ("the quick brown fox jumps over the lazy dog — again and " +
+      "again the quick brown fox. " * 50).getBytes
+    val comp = new graft.codec.BrotliCompressor(6)
+    comp.setDictionary(dictionary, 0, dictionary.length)
+    val sink = new ByteArrayOutputStream()
+    val out = new org.apache.hadoop.io.compress.CompressorStream(sink, comp, 4096)
+    out.write(payload); out.finish()
+    val decomp = new graft.codec.BrotliDecompressor()
+    decomp.setDictionary(dictionary, 0, dictionary.length)
+    val cin = new org.apache.hadoop.io.compress.DecompressorStream(
+      new ByteArrayInputStream(sink.toByteArray), decomp, 4096)
+    val got = new ByteArrayOutputStream()
+    val buf = new Array[Byte](333)
+    var n = cin.read(buf)
+    while (n > 0) { got.write(buf, 0, n); n = cin.read(buf) }
+    assert(java.util.Arrays.equals(got.toByteArray, payload))
+  }
+
+  test("getRemaining reports real unconsumed input (reference parity)") {
+    // feed a valid stream PLUS trailing garbage in one setInput: after
+    // the stream completes, the trailing bytes must be reported, not 0
+    // (BroDecompressor.java:125-127 returns the real count; rounds 1-2
+    // hard-coded 0).
+    val payload = ("remaining-input probe " * 50).getBytes
+    val enc = Brotli.compress(payload, 6)
+    val trailer = new Array[Byte](97) // concatenated-stream stand-in
+    val fed = enc ++ trailer
+    val decomp = new graft.codec.BrotliDecompressor()
+    decomp.setInput(fed, 0, fed.length)
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    var n = decomp.decompress(buf, 0, buf.length)
+    while (n > 0) { out.write(buf, 0, n); n = decomp.decompress(buf, 0, buf.length) }
+    assert(decomp.finished())
+    assert(java.util.Arrays.equals(out.toByteArray, payload))
+    assert(decomp.getRemaining == trailer.length,
+      s"expected ${trailer.length} unconsumed bytes, got ${decomp.getRemaining}")
+  }
 }
