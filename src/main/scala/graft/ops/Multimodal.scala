@@ -23,20 +23,23 @@ object Multimodal {
   case class MediaFeat(doc_id: Long, n_bytes: Long, mean_byte: Double,
       width: Int, height: Int, n_frames: Int)
 
-  /** STUB decode: a real build would decode image bytes here (e.g. via a
-    * JNI codec); this derives deterministic fake dimensions/stats from the
-    * payload so the pipeline is testable end-to-end. */
-  private def decodeStub(m: MediaIn): MediaFeat = {
-    val n = m.media.length.toLong
-    var s = 0.0
-    var i = 0
-    while (i < m.media.length) { s += (m.media(i) & 0xff); i += 1 }
-    val mean = if (n == 0) 0.0 else s / n
-    MediaFeat(m.doc_id, n, mean,
-      width = 64 + (n % 576).toInt,
-      height = 64 + ((n * 7) % 416).toInt,
-      n_frames = 1 + (n % 30).toInt)
-  }
+  /** STUB decode, batch-at-a-time: a real build would hand the whole
+    * batch to an image codec (the reason m02 groups rows — the batch
+    * boundary is the kernel's amortization unit, mirroring mapInPandas'
+    * Arrow batches); this derives deterministic fake dimensions/stats
+    * from each payload so the pipeline is testable end-to-end. */
+  private def decodeBatch(batch: Seq[MediaIn]): Seq[MediaFeat] =
+    batch.map { m =>
+      val n = m.media.length.toLong
+      var s = 0.0
+      var i = 0
+      while (i < m.media.length) { s += (m.media(i) & 0xff); i += 1 }
+      val mean = if (n == 0) 0.0 else s / n
+      MediaFeat(m.doc_id, n, mean,
+        width = 64 + (n % 576).toInt,
+        height = 64 + ((n * 7) % 416).toInt,
+        n_frames = 1 + (n % 30).toInt)
+    }
 
   // ---------------------------------------------------------------------
   // m01: metadata projection over the binary column — portable SQL, so
@@ -74,7 +77,7 @@ object Multimodal {
     Tables.load(spark, dir, "documents")
       .select($"doc_id", encode($"text", "UTF-8").as("media"))
       .as[MediaIn]
-      .mapPartitions(it => it.grouped(256).flatMap(_.map(decodeStub)))
+      .mapPartitions(it => it.grouped(256).flatMap(decodeBatch))
       .toDF()
       .orderBy($"doc_id")
   }

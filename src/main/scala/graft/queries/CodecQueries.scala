@@ -1,13 +1,12 @@
 package graft.queries
 
 import scala.collection.immutable.ListMap
-import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.Tables
+import graft.{Scratch, Tables}
 import graft.codec.BroWriter
 
 /** The codec exercised inside the correctness gate: lineitem flows
@@ -21,7 +20,7 @@ object CodecQueries {
   def q22(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     BroWriter.register(spark)
-    val tmp = Files.createTempDirectory("graft_bro_").toString + "/lineitem_csv"
+    val tmp = Scratch.dir("lineitem_csv")
     val li = Tables.load(spark, dir, "lineitem")
       .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice",
         $"l_returnflag")
@@ -61,7 +60,7 @@ object CodecQueries {
   def q38(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     BroWriter.register(spark)
-    val tmp = Files.createTempDirectory("graft_bro_").toString + "/events_json"
+    val tmp = Scratch.dir("events_json")
     val ev = Tables.load(spark, dir, "events")
       .select($"event_id", $"user_id", $"event_type", $"value")
     ev.write.option("compression", BroWriter.CodecClass).json(tmp)
@@ -99,7 +98,7 @@ object CodecQueries {
   def q41(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     BroWriter.register(spark)
-    val tmp = Files.createTempDirectory("graft_bro_").toString + "/docs_text"
+    val tmp = Scratch.dir("docs_text")
     Tables.load(spark, dir, "documents")
       .select($"text")
       .write.option("compression", BroWriter.CodecClass).text(tmp)

@@ -247,8 +247,7 @@ object EventsStream {
     import spark.implicits._
     import org.apache.spark.sql.types._
     graft.codec.BroWriter.register(spark)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bro_stream_")
-      .toString + "/events_json"
+    val tmp = graft.Scratch.dir("stream_events_json")
     graft.Tables.load(spark, dir, "events")
       .select($"event_id", $"user_id", $"event_type", $"value")
       .repartition(4) // several .bro files → several stream input files
