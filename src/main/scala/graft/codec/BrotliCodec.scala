@@ -33,11 +33,13 @@ class BrotliCodec extends Configurable with CompressionCodec {
   private var conf: Configuration = _
   private var quality: Int = DefaultQuality
   private var bufferSize: Int = DefaultBufferSize
+  private var dictionary: Array[Byte] = Array.emptyByteArray
 
   override def setConf(c: Configuration): Unit = {
     conf = c
     quality = c.getInt(QualityKey, DefaultQuality)
     bufferSize = c.getInt(BufferSizeKey, DefaultBufferSize)
+    dictionary = loadDictionary(c)
   }
   override def getConf: Configuration = conf
 
@@ -46,15 +48,22 @@ class BrotliCodec extends Configurable with CompressionCodec {
   override def createDecompressor(): Decompressor = new BrotliDecompressor()
   override def getDecompressorType: Class[_ <: Decompressor] = classOf[BrotliDecompressor]
 
+  // The dictionary is (re-)applied at stream construction, which is also
+  // the CodecPool seam: pooled (de)compressors arrive reset, so the
+  // preload must happen per stream, not per object.
   override def createOutputStream(out: OutputStream): CompressionOutputStream =
     createOutputStream(out, createCompressor())
-  override def createOutputStream(out: OutputStream, c: Compressor): CompressionOutputStream =
+  override def createOutputStream(out: OutputStream, c: Compressor): CompressionOutputStream = {
+    if (dictionary.nonEmpty) c.setDictionary(dictionary, 0, dictionary.length)
     new CompressorStream(out, c, bufferSize)
+  }
 
   override def createInputStream(in: InputStream): CompressionInputStream =
     createInputStream(in, createDecompressor())
-  override def createInputStream(in: InputStream, d: Decompressor): CompressionInputStream =
+  override def createInputStream(in: InputStream, d: Decompressor): CompressionInputStream = {
+    if (dictionary.nonEmpty) d.setDictionary(dictionary, 0, dictionary.length)
     new DecompressorStream(in, d, bufferSize)
+  }
 
   override def getDefaultExtension: String = ".bro"
 }
@@ -62,8 +71,31 @@ class BrotliCodec extends Configurable with CompressionCodec {
 object BrotliCodec {
   val QualityKey = "bro.quality"
   val BufferSizeKey = "bro.buffer-size"
+
+  /** Path (any Hadoop filesystem) to a shared compression dictionary.
+    * When set, every `.bro` stream this codec produces or consumes is
+    * dictionary-compressed — Spark-reachable custom dictionaries, the
+    * feature the reference's README marks TODO. The SAME file must be
+    * configured on write and read; at cluster scale it lives on the
+    * shared FS and every executor task reads it once (cached below). */
+  val DictionaryFileKey = "bro.dictionary.file"
+
   val DefaultQuality = 6
   val DefaultBufferSize: Int = 1024 * 2048
+
+  // per-JVM cache: one read per dictionary path per executor, not per task
+  private val dictCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  private def loadDictionary(conf: Configuration): Array[Byte] = {
+    val path = conf.getTrimmed(DictionaryFileKey, "")
+    if (path.isEmpty) Array.emptyByteArray
+    else dictCache.computeIfAbsent(path, p => {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val in = hp.getFileSystem(conf).open(hp)
+      try in.readAllBytes() finally in.close()
+    })
+  }
 }
 
 /** Push-side Hadoop state machine over [[BrotliEncoder]]

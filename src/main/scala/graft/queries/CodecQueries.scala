@@ -119,13 +119,58 @@ object CodecQueries {
        |FROM documents""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q44: dictionary-compressed `.bro` round-trip — the reference's sole
+  // TODO (README.md:4-5), reachable from Spark: `bro.dictionary.file`
+  // names a shared dictionary on any Hadoop FS; every stream written and
+  // read under that conf is prefix-dictionary compressed. The dictionary
+  // here is derived deterministically from the corpus head (the standard
+  // practice: train on a sample, ship the artifact next to the data).
+  // Oracle = the same content checksum DuckDB computes on the original
+  // table, so any dictionary-path corruption breaks the hash match.
+  // ---------------------------------------------------------------------
+  def q44(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    BroWriter.register(spark)
+    val docs = Tables.load(spark, dir, "documents")
+    // dictionary: first 20 documents by doc_id (tiny, driver-side)
+    val dictBytes = docs.orderBy($"doc_id").limit(20)
+      .select($"text").as[String].collect().mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val dictPath = java.nio.file.Paths.get(graft.Scratch.dir("bro_dict") + ".bin")
+    java.nio.file.Files.createDirectories(dictPath.getParent)
+    java.nio.file.Files.write(dictPath, dictBytes)
+    // the dictionary conf is global Hadoop state: scope it to exactly
+    // this query's write+read jobs (materialized eagerly), so other
+    // `.bro` queries' lazily-executed reads never see a dictionary their
+    // files weren't written with
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set(graft.codec.BrotliCodec.DictionaryFileKey, dictPath.toString)
+    try {
+      val tmp = Scratch.dir("docs_text_dict")
+      docs.select($"text")
+        .write.option("compression", BroWriter.CodecClass).text(tmp)
+      val row = spark.read.textFile(tmp).toDF("line")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(length($"line")).as("total_chars"),
+          sum(pmod(graft.ops.PortableSql.h60($"line"), lit(1000000007L)))
+            .as("content_checksum"))
+        .head()
+      Seq((row.getLong(0), row.getLong(1), row.getLong(2)))
+        .toDF("n_lines", "total_chars", "content_checksum")
+    } finally hc.unset(graft.codec.BrotliCodec.DictionaryFileKey)
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q22_bro_roundtrip" -> (q22 _),
     "q38_json_bro" -> (q38 _),
-    "q41_text_bro" -> (q41 _))
+    "q41_text_bro" -> (q41 _),
+    "q44_dict_bro" -> (q44 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q22_bro_roundtrip" -> q22Sql,
     "q38_json_bro" -> q38Sql,
-    "q41_text_bro" -> q41Sql)
+    "q41_text_bro" -> q41Sql,
+    "q44_dict_bro" -> q41Sql) // same content contract as q41
 }

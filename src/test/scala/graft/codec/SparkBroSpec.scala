@@ -46,4 +46,37 @@ class SparkBroSpec extends SparkSpec {
     val back = spark.read.json(dir)
     assert(back.count() == 5)
   }
+
+  test("bro.dictionary.file conf compresses and reads with a shared dictionary") {
+    import spark.implicits._
+    BroWriter.register(spark)
+    val hc = spark.sparkContext.hadoopConfiguration
+    // text with heavy shared boilerplate the dictionary captures
+    val lines = (0 until 500)
+      .map(i => s"common preamble for every record in this corpus; id=$i")
+    val df = lines.toDF("line")
+    val dict = Files.createTempDirectory("bro_dict_").resolve("d.bin")
+    Files.write(dict, lines.take(3).mkString("\n").getBytes)
+    val plainDir = Files.createTempDirectory("bro_spark_").toString + "/p"
+    df.write.option("compression", BroWriter.CodecClass).text(plainDir)
+    val dictDir = Files.createTempDirectory("bro_spark_").toString + "/d"
+    hc.set(BrotliCodec.DictionaryFileKey, dict.toString)
+    try {
+      df.write.option("compression", BroWriter.CodecClass).text(dictDir)
+      val expected = lines.sorted.mkString("\n")
+      val back = spark.read.textFile(dictDir).collect().sorted.mkString("\n")
+      assert(back == expected)
+      // reading dictionary-compressed files WITHOUT the conf must not
+      // silently yield the same content (the dictionary participates)
+      hc.unset(BrotliCodec.DictionaryFileKey)
+      val wrong = try spark.read.textFile(dictDir).collect().sorted.mkString("\n")
+        catch { case _: Exception => "" }
+      assert(wrong != expected,
+        "dictionary-compressed files decoded identically without the dictionary")
+    } finally hc.unset(BrotliCodec.DictionaryFileKey)
+    def dirSize(d: String): Long =
+      new java.io.File(d).listFiles.filter(_.getName.endsWith(".bro")).map(_.length).sum
+    assert(dirSize(dictDir) < dirSize(plainDir),
+      s"dictionary output ${dirSize(dictDir)} not smaller than plain ${dirSize(plainDir)}")
+  }
 }
