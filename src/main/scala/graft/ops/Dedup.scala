@@ -103,8 +103,10 @@ object Dedup {
   def d02(spark: SparkSession, dir: String): DataFrame =
     d02On(Tables.load(spark, dir, "documents"))
 
-  private val d02Sql =
-    s"""WITH toks AS (
+  /** d02's pair computation as a CTE chain ending in `pairs`; shared by
+    * the d02 oracle and d06's edge source. */
+  private val d02Ctes =
+    s"""toks AS (
       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS L FROM documents),
       |sh AS (
       |  SELECT doc_id, list_distinct([L[i] || ' ' || L[i+1] || ' ' || L[i+2] for i in range(1, len(L)-1)]) AS S
@@ -116,14 +118,17 @@ object Dedup {
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
       |  FROM tokc a JOIN tokc b ON a.w = b.w AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b,
-      |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
-      |FROM inter
-      |JOIN sizes sa ON doc_a = sa.doc_id
-      |JOIN sizes sb ON doc_b = sb.doc_id
-      |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+      |  FROM inter
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8)""".stripMargin
+
+  private val d02Sql =
+    s"WITH $d02Ctes\nSELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"
 
   // ---------------------------------------------------------------------
   // d03: MinHash + LSH banding. 128 permutation-hashes (min over shingle
@@ -359,18 +364,76 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
+  // d06: duplicate CLUSTERS — near-dup pairs (d02's capped Jaccard
+  // graph) grouped into connected components by min-label propagation:
+  // each round, every vertex takes the minimum label among itself and
+  // its neighbors; after k rounds labels are exact for components of
+  // diameter <= k (planted near-dups come in pairs/triples; both engines
+  // run the identical fixed k, so results match even pre-convergence —
+  // all-integer arithmetic, no float concerns).
+  //
+  // This is what a dedup pipeline actually consumes: "keep cluster_rep,
+  // drop the rest", not a bag of pairs. Scale: k bounded rounds, each
+  // one join + groupBy shuffled on vertex id — the standard distributed
+  // connected-components loop (large-star/small-star is the same shape
+  // with better skew behavior at extreme component sizes).
+  // ---------------------------------------------------------------------
+  private val LabelRounds = 3
+
+  def d06(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = d02On(Tables.load(spark, dir, "documents"))
+      .select($"doc_a", $"doc_b")
+    val edges = pairs.union(
+      pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .toDF("src", "dst")
+    var labels = edges.select($"src".as("v")).distinct()
+      .withColumn("lbl", $"v")
+    for (_ <- 0 until LabelRounds) {
+      val nb = edges.join(labels.withColumnRenamed("v", "nv"), $"dst" === $"nv")
+        .groupBy($"src").agg(min($"lbl").as("nlbl"))
+      labels = labels.join(nb, $"v" === $"src")
+        .select($"v", least($"lbl", $"nlbl").as("lbl"))
+    }
+    labels.select($"lbl".as("cluster_rep"), $"v".as("doc_id"))
+      .orderBy($"cluster_rep", $"doc_id")
+  }
+
+  private def d06Sql: String = {
+    val rounds = (1 to LabelRounds).map { k =>
+      s"""l$k AS (
+         |  SELECT cur.v AS v, LEAST(cur.lbl, MIN(nb.lbl)) AS lbl
+         |  FROM l${k - 1} cur
+         |  JOIN edges e ON e.src = cur.v
+         |  JOIN l${k - 1} nb ON nb.v = e.dst
+         |  GROUP BY cur.v, cur.lbl)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $d02Ctes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM edges),
+       |$rounds
+       |SELECT lbl AS cluster_rep, v AS doc_id
+       |FROM l$LabelRounds
+       |ORDER BY cluster_rep, doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "d01_exact_dedup" -> (d01 _),
     "d02_ngram_jaccard" -> (d02 _),
     "d03_minhash_lsh" -> (d03 _),
     "d04_simhash" -> (d04 _),
-    "d05_embed_neardup" -> (d05 _))
+    "d05_embed_neardup" -> (d05 _),
+    "d06_dup_clusters" -> (d06 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "d01_exact_dedup" -> d01Sql,
     "d02_ngram_jaccard" -> d02Sql,
     "d03_minhash_lsh" -> d03Sql,
     "d04_simhash" -> d04Sql,
-    "d05_embed_neardup" -> d05Sql)
+    "d05_embed_neardup" -> d05Sql,
+    "d06_dup_clusters" -> d06Sql)
 }

@@ -31,6 +31,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d06 clusters are consistent with the d02 pair graph") {
+    import spark.implicits._
+    val pairs = Dedup.d02(spark, sf).select($"doc_a", $"doc_b")
+      .as[(Long, Long)].collect()
+    val clusters = Dedup.d06(spark, sf)
+      .as[(Long, Long)].collect().map { case (rep, v) => v -> rep }.toMap
+    assert(clusters.nonEmpty)
+    // every paired doc is labeled, both ends share a label, and the
+    // label is the component's minimum doc_id (exact for the small
+    // planted clusters at this SF)
+    pairs.foreach { case (a, b) =>
+      assert(clusters.contains(a) && clusters.contains(b))
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+      assert(clusters(a) <= math.min(a, b))
+    }
+    clusters.foreach { case (v, rep) => assert(rep <= v) }
+  }
+
   test("d02 df-cap bounds candidate pairs under a hot boilerplate shingle") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
