@@ -286,13 +286,59 @@ object EventsStream {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** st07: stream-STREAM inner join — purchases joined to the same
+    * user's clicks from the preceding hour, both sides event-time
+    * streams. This is the missing piece of the streaming-join surface
+    * (st05 covers stream-static): watermarks on both inputs plus the
+    * time-range join condition bound the state store (a click can be
+    * dropped once the purchase watermark passes its ts + 1 hour — the
+    * standard Structured Streaming state-cleanup contract). Inner-join
+    * append emits exactly the matched pairs, so the drained result is
+    * deterministic and oracle-checked against the equivalent batch join. */
+  def st07(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    def src = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val purchases = src.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = src.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      $"p_user" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"c_ts" < $"p_ts")
+    val name = s"st07_out_${counter.incrementAndGet()}"
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select($"p_id".as("purchase_id"), $"c_id".as("click_id"))
+      .orderBy($"purchase_id", $"click_id")
+  }
+
+  private val st07Sql =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+      |FROM events p
+      |JOIN events c ON p.user_id = c.user_id
+      |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "st01_stream_hourly" -> (st01 _),
     "st02_stream_sessionize" -> (st02 _),
     "st03_stream_state" -> (st03 _),
     "st04_stream_sliding" -> (st04 _),
     "st05_stream_static_join" -> (st05 _),
-    "st06_stream_bro_ingest" -> (st06 _))
+    "st06_stream_bro_ingest" -> (st06 _),
+    "st07_stream_stream_join" -> (st07 _))
 
   private val st02Sql =
     """WITH flagged AS (
@@ -322,5 +368,6 @@ object EventsStream {
     "st03_stream_state" -> st03Sql,
     "st04_stream_sliding" -> st04Sql,
     "st05_stream_static_join" -> st05Sql,
-    "st06_stream_bro_ingest" -> st06Sql)
+    "st06_stream_bro_ingest" -> st06Sql,
+    "st07_stream_stream_join" -> st07Sql)
 }
