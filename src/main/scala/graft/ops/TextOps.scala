@@ -241,13 +241,75 @@ object TextOps {
 
   // ---------------------------------------------------------------------
 
+  // ---------------------------------------------------------------------
+  // t07: repetition filters (Gopher-style) — the quality gates real
+  // training-data pipelines run before dedup: the duplicate-2-gram
+  // fraction and the top-2-gram share, plus the keep/drop decision at
+  // Gopher-ish thresholds (top > 0.18 or dup > 0.20 → drop). Computed
+  // entirely within-row with higher-order functions — narrow, no
+  // shuffle; the top-share term is O(distinct²) per document, bounded by
+  // document length, never by corpus size.
+  // ---------------------------------------------------------------------
+  def t07(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val L = tokens(lower($"text"))
+    val grams = when(size(L) >= 2,
+      transform(sequence(lit(1), size(L) - 1), i =>
+        concat_ws(" ", element_at(L, i), element_at(L, i + 1))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val n = size($"g")
+    val dupFrac = when(n > 0,
+      (n - size(array_distinct($"g"))).cast(DoubleType) / n).otherwise(0.0)
+    val topFrac = when(n > 0,
+      array_max(transform(array_distinct($"g"), w =>
+        size(filter($"g", x => x === w)))).cast(DoubleType) / n).otherwise(0.0)
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", grams.as("g"))
+      .select($"doc_id",
+        n.as("n_2grams"),
+        dupFrac.as("dup_2gram_frac"),
+        topFrac.as("top_2gram_frac"),
+        (!(topFrac > 0.18 || dupFrac > 0.20)).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  private val t07Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS L
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(L) >= 2
+      |      THEN [L[i] || ' ' || L[i+1] for i in range(1, len(L))]
+      |      ELSE [] END AS g
+      |  FROM toks)
+      |SELECT doc_id,
+      |  CAST(len(g) AS INTEGER) AS n_2grams,
+      |  CASE WHEN len(g) > 0
+      |    THEN CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g)
+      |    ELSE 0.0 END AS dup_2gram_frac,
+      |  CASE WHEN len(g) > 0
+      |    THEN CAST(list_max(list_transform(list_distinct(g),
+      |           w -> len(list_filter(g, x -> x = w)))) AS DOUBLE) / len(g)
+      |    ELSE 0.0 END AS top_2gram_frac,
+      |  NOT ((CASE WHEN len(g) > 0
+      |    THEN CAST(list_max(list_transform(list_distinct(g),
+      |           w -> len(list_filter(g, x -> x = w)))) AS DOUBLE) / len(g)
+      |    ELSE 0.0 END) > 0.18
+      |   OR (CASE WHEN len(g) > 0
+      |    THEN CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g)
+      |    ELSE 0.0 END) > 0.20) AS keep
+      |FROM grams
+      |ORDER BY doc_id""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "t01_token_stats" -> (t01 _),
     "t02_quality_score" -> (t02 _),
     "t03_fingerprint" -> (t03 _),
     "t04_lang_id" -> (t04 _),
     "t05_bpe_tokens" -> (t05 _),
-    "t06_winnow_fingerprint" -> (t06 _))
+    "t06_winnow_fingerprint" -> (t06 _),
+    "t07_repetition_filter" -> (t07 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "t01_token_stats" -> t01Sql,
@@ -255,5 +317,6 @@ object TextOps {
     "t03_fingerprint" -> t03Sql,
     "t04_lang_id" -> t04Sql,
     "t05_bpe_tokens" -> t05Sql,
-    "t06_winnow_fingerprint" -> t06Sql)
+    "t06_winnow_fingerprint" -> t06Sql,
+    "t07_repetition_filter" -> t07Sql)
 }

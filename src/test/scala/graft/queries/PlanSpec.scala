@@ -99,6 +99,18 @@ class PlanSpec extends SparkSpec {
       s"s04 must probe LSH buckets, not score the whole corpus per query:\n$plan")
   }
 
+  test("d06 label propagation joins on keys (no pair enumeration)") {
+    val plan = executed(graft.ops.Dedup.d06(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"components must propagate via key joins:\n$plan")
+  }
+
+  test("t07 repetition filter is narrow: no hash shuffle") {
+    val plan = executed(graft.ops.TextOps.t07(spark, sf))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"within-row op must not hash-shuffle:\n$plan")
+  }
+
   test("t01 text stats is narrow: only the presentation sort shuffles") {
     val plan = executed(graft.ops.TextOps.t01(spark, sf))
     assert(!plan.contains("Exchange hashpartitioning"),
