@@ -85,6 +85,17 @@ final class BrotliDecoder {
     * consumer handling concatenated streams). */
   def remainingInput: Int = in.availableBytes
 
+  /** Remove and return every whole unconsumed byte — the next member's
+    * bytes when streams are concatenated. Call only after the current
+    * stream finished (the queue is byte-aligned then). */
+  def drainRemaining(): Array[Byte] = {
+    in.alignToByte()
+    val out = new Array[Byte](in.availableBytes)
+    var got = 0
+    while (got < out.length) got += in.readBytes(out, got, out.length - got)
+    out
+  }
+
   def addInput(b: Array[Byte], off: Int, len: Int): Unit = {
     require(!sawEndOfInput || len == 0, "input after endOfInput")
     in.append(b, off, len)

@@ -34,18 +34,20 @@ class BrotliCodec extends Configurable with CompressionCodec {
   private var quality: Int = DefaultQuality
   private var bufferSize: Int = DefaultBufferSize
   private var dictionary: Array[Byte] = Array.emptyByteArray
+  private var concat: Boolean = false
 
   override def setConf(c: Configuration): Unit = {
     conf = c
     quality = c.getInt(QualityKey, DefaultQuality)
     bufferSize = c.getInt(BufferSizeKey, DefaultBufferSize)
     dictionary = loadDictionary(c)
+    concat = c.getBoolean(ConcatStreamsKey, false)
   }
   override def getConf: Configuration = conf
 
   override def createCompressor(): Compressor = new BrotliCompressor(quality)
   override def getCompressorType: Class[_ <: Compressor] = classOf[BrotliCompressor]
-  override def createDecompressor(): Decompressor = new BrotliDecompressor()
+  override def createDecompressor(): Decompressor = new BrotliDecompressor(concat)
   override def getDecompressorType: Class[_ <: Decompressor] = classOf[BrotliDecompressor]
 
   // The dictionary is (re-)applied at stream construction, which is also
@@ -79,6 +81,13 @@ object BrotliCodec {
     * configured on write and read; at cluster scale it lives on the
     * shared FS and every executor task reads it once (cached below). */
   val DictionaryFileKey = "bro.dictionary.file"
+
+  /** When true, a `.bro` file may hold several back-to-back Brotli
+    * streams (like multi-member gzip: `cat a.bro b.bro` is readable);
+    * the decompressor rolls into the next member when one ends. Default
+    * false = reference parity (one stream per file; trailing bytes are
+    * reported via getRemaining, not decoded). */
+  val ConcatStreamsKey = "bro.concat-streams"
 
   val DefaultQuality = 6
   val DefaultBufferSize: Int = 1024 * 2048
@@ -168,9 +177,12 @@ class BrotliCompressor(quality: Int) extends Compressor {
 
 /** Pull-side Hadoop state machine over [[BrotliDecoder]]
   * (contract of BroDecompressor.java:84-122, pure JVM, with a real
-  * `reset()`). */
-class BrotliDecompressor extends Decompressor {
+  * `reset()`). With `concat` (conf `bro.concat-streams`), rolls into the
+  * next back-to-back stream when one ends — multi-member gzip semantics;
+  * the same dictionary (if any) applies to every member. */
+class BrotliDecompressor(concat: Boolean = false) extends Decompressor {
   private var decoder = new BrotliDecoder()
+  private var dict: Array[Byte] = Array.emptyByteArray
   private var bytesRead = 0L
 
   override def setInput(b: Array[Byte], off: Int, len: Int): Unit = {
@@ -181,13 +193,27 @@ class BrotliDecompressor extends Decompressor {
   override def needsInput(): Boolean = decoder.needsInput
   /** Shared-dictionary support (see [[graft.brotli.BrotliDecoder.setDictionary]];
     * reference no-op: BroDecompressor.java:64-66). */
-  override def setDictionary(b: Array[Byte], off: Int, len: Int): Unit =
+  override def setDictionary(b: Array[Byte], off: Int, len: Int): Unit = {
+    dict = java.util.Arrays.copyOfRange(b, off, off + len)
     decoder.setDictionary(b, off, len)
+  }
   override def needsDictionary(): Boolean = false
-  override def finished(): Boolean = decoder.isFinished
+  override def finished(): Boolean =
+    decoder.isFinished && (!concat || decoder.remainingInput == 0)
 
-  override def decompress(b: Array[Byte], off: Int, len: Int): Int =
-    decoder.decode(b, off, len)
+  override def decompress(b: Array[Byte], off: Int, len: Int): Int = {
+    var n = decoder.decode(b, off, len)
+    // member boundary: whole bytes remain after a completed stream —
+    // re-arm and continue into the next member
+    while (concat && n == 0 && decoder.isFinished && decoder.remainingInput > 0) {
+      val rest = decoder.drainRemaining()
+      decoder = new BrotliDecoder()
+      if (dict.nonEmpty) decoder.setDictionary(dict, 0, dict.length)
+      decoder.addInput(rest, 0, rest.length)
+      n = decoder.decode(b, off, len)
+    }
+    n
+  }
 
   /** Real unconsumed-input count (reference contract:
     * BroDecompressor.java:125-127; needed for concatenated-stream
@@ -196,6 +222,7 @@ class BrotliDecompressor extends Decompressor {
 
   override def reset(): Unit = {
     decoder = new BrotliDecoder()
+    dict = Array.emptyByteArray
     bytesRead = 0
   }
 

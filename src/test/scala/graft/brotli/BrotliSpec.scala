@@ -280,6 +280,39 @@ class BrotliSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(got.toByteArray, payload))
   }
 
+  test("bro.concat-streams reads back-to-back members like multi-member gzip") {
+    val p1 = ("first member " * 40).getBytes
+    val p2 = ("second member, different content " * 30).getBytes
+    val catted = Brotli.compress(p1, 6) ++ Brotli.compress(p2, 4)
+    // default (reference parity): one member, trailer reported not decoded
+    val plain = new graft.codec.BrotliDecompressor()
+    plain.setInput(catted, 0, catted.length)
+    val out0 = new ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    var n = plain.decompress(buf, 0, buf.length)
+    while (n > 0) { out0.write(buf, 0, n); n = plain.decompress(buf, 0, buf.length) }
+    assert(plain.finished() && java.util.Arrays.equals(out0.toByteArray, p1))
+    assert(plain.getRemaining > 0)
+    // concat mode: both members decode, then finished with nothing left
+    val multi = new graft.codec.BrotliDecompressor(concat = true)
+    multi.setInput(catted, 0, catted.length)
+    val out = new ByteArrayOutputStream()
+    n = multi.decompress(buf, 0, buf.length)
+    while (n > 0) { out.write(buf, 0, n); n = multi.decompress(buf, 0, buf.length) }
+    assert(multi.finished() && multi.getRemaining == 0)
+    assert(java.util.Arrays.equals(out.toByteArray, p1 ++ p2))
+    // and through the codec stream with the conf key set
+    val codec = new BrotliCodec
+    val hadoopConf = new org.apache.hadoop.conf.Configuration(false)
+    hadoopConf.setBoolean(BrotliCodec.ConcatStreamsKey, true)
+    codec.setConf(hadoopConf)
+    val cin = codec.createInputStream(new ByteArrayInputStream(catted))
+    val got = new ByteArrayOutputStream()
+    var m = cin.read(buf)
+    while (m > 0) { got.write(buf, 0, m); m = cin.read(buf) }
+    assert(java.util.Arrays.equals(got.toByteArray, p1 ++ p2))
+  }
+
   test("getRemaining reports real unconsumed input (reference parity)") {
     // feed a valid stream PLUS trailing garbage in one setInput: after
     // the stream completes, the trailing bytes must be reported, not 0
