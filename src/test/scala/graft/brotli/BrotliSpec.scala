@@ -313,6 +313,41 @@ class BrotliSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(got.toByteArray, p1 ++ p2))
   }
 
+  test("decoder fails cleanly on fuzzed garbage (IOException, never a crash)") {
+    // corrupted .bro files at 100 TB are a when, not an if: the decoder
+    // must surface IOException (the reference's 'Corrupted' contract,
+    // BroDecompressor.java:105-111), not index errors or hangs.
+    val rnd = new Random(99)
+    var decodedOk = 0
+    for (_ <- 0 until 300) {
+      val n = 1 + rnd.nextInt(4096)
+      val garbage = new Array[Byte](n)
+      rnd.nextBytes(garbage)
+      try {
+        Brotli.decompress(garbage)
+        decodedOk += 1 // vanishingly unlikely but legal
+      } catch {
+        case _: java.io.IOException => () // expected
+        case _: IllegalArgumentException => () // truncated-stream require()
+      }
+    }
+    // bit-flip corruption of real streams must also fail cleanly or
+    // decode to SOMETHING without crashing (flips in literal payloads
+    // legitimately decode to altered bytes)
+    val payload = ("fuzz corpus payload " * 200).getBytes
+    val enc = Brotli.compress(payload, 6)
+    for (_ <- 0 until 300) {
+      val c = enc.clone()
+      val i = rnd.nextInt(c.length)
+      c(i) = (c(i) ^ (1 << rnd.nextInt(8))).toByte
+      try Brotli.decompress(c)
+      catch {
+        case _: java.io.IOException => ()
+        case _: IllegalArgumentException => ()
+      }
+    }
+  }
+
   test("getRemaining reports real unconsumed input (reference parity)") {
     // feed a valid stream PLUS trailing garbage in one setInput: after
     // the stream completes, the trailing bytes must be reported, not 0
