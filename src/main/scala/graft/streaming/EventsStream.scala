@@ -20,29 +20,33 @@ object EventsStream {
 
   private val counter = new AtomicLong(0)
 
-  def st01(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // events.ts is parquet TIMESTAMP(NANOS): stream it as raw nanos and
-    // convert (see graft.Tables.load).
+  /** The harness's file-source stream over the events table with `ts`
+    * converted from parquet TIMESTAMP(NANOS) (see graft.Tables.load).
+    * The streaming file source wants a directory: stream the sf dir
+    * with a glob filter selecting just the events file. Transform logic
+    * itself lives in [[StreamOps]] — the sink-agnostic API a library
+    * user wires to their own sources/sinks. */
+  private def eventsSource(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val rawSchema = spark.read.parquet(path).schema
-    // the file streaming source wants a directory: stream the sf dir with
-    // a glob filter selecting just the events file.
-    val stream = spark.readStream.schema(rawSchema)
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", "1 hour")
-      .groupBy(window($"ts", "1 hour"), $"event_type")
-      .agg(count(lit(1)).as("n_events"))
-    val name = s"st01_out_${counter.incrementAndGet()}"
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
+  }
+
+  /** Drain a streaming DF through a memory sink synchronously and
+    * return the settled table (the oracle-gate scaffolding). */
+  private def drain(df: DataFrame, mode: String): DataFrame = {
+    val spark = df.sparkSession
+    val name = s"st_out_${counter.incrementAndGet()}"
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
+  }
+
+  def st01(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    drain(StreamOps.hourlyCounts(eventsSource(spark, dir)), "complete")
       .select(date_format($"window.start", "yyyy-MM-dd HH:00:00").as("hour_bucket"),
         $"event_type", $"n_events")
       .orderBy($"hour_bucket", $"event_type")
@@ -64,23 +68,7 @@ object EventsStream {
     * oracle-checked: batch sessionization filtered by that predicate. */
   def st02(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val rawSchema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", "30 minutes")
-      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
-      .agg(count(lit(1)).as("n_events"))
-    val name = s"st02_out_${counter.incrementAndGet()}"
-    val q = stream.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    drain(StreamOps.sessionCounts(eventsSource(spark, dir)), "append")
       .select(date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
         $"user_id", $"n_events")
       .orderBy($"user_id", $"session_start")
@@ -105,42 +93,14 @@ object EventsStream {
     * the state store — the shape that survives any event volume. */
   def st03(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val rawSchema = spark.read.parquet(path).schema
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val evs = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .select($"user_id", $"event_type", $"value",
         expr("ts div 1000").as("ts_us"))
       .as[Ev]
-    val profiles = evs.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (user: Long, rows: Iterator[Ev], state: GroupState[UserState]) => {
-          var s = state.getOption.getOrElse(
-            UserState(0L, Long.MaxValue, Long.MinValue,
-              Double.MaxValue, Double.MinValue))
-          rows.foreach { e =>
-            s = UserState(s.n + 1, math.min(s.minTs, e.ts_us),
-              math.max(s.maxTs, e.ts_us), math.min(s.minVal, e.value),
-              math.max(s.maxVal, e.value))
-          }
-          state.update(s)
-          val fmt = java.time.format.DateTimeFormatter
-            .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
-          Iterator(UserAgg(user, s.n,
-            fmt.format(java.time.Instant.ofEpochSecond(s.minTs / 1000000)),
-            fmt.format(java.time.Instant.ofEpochSecond(s.maxTs / 1000000)),
-            s.minVal, s.maxVal))
-        })
-    val name = s"st03_out_${counter.incrementAndGet()}"
-    val q = profiles.toDF().writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name).orderBy("user_id")
+    drain(StreamOps.userProfiles(evs).toDF(), "update").orderBy("user_id")
   }
 
   private val st03Sql =
@@ -160,23 +120,7 @@ object EventsStream {
     * overlap factor (window/slide) multiplies state, not input. */
   def st04(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val rawSchema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", "1 hour")
-      .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
-      .agg(count(lit(1)).as("n_events"))
-    val name = s"st04_out_${counter.incrementAndGet()}"
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    drain(StreamOps.slidingCounts(eventsSource(spark, dir)), "complete")
       .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
         $"event_type", $"n_events")
       .orderBy($"window_start", $"event_type")
@@ -204,26 +148,12 @@ object EventsStream {
     * production shape for dimension enrichment at any stream volume. */
   def st05(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val rawSchema = spark.read.parquet(path).schema
     val profile = graft.Tables.load(spark, dir, "events")
       .groupBy($"user_id").agg(count(lit(1)).as("user_total"))
-    val stream = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .select($"event_id", $"user_id", $"event_type")
-      .join(broadcast(profile), Seq("user_id"))
-      .groupBy($"event_type")
-      .agg(count(lit(1)).as("n_events"),
-        sum($"user_total").as("sum_user_total"))
-    val name = s"st05_out_${counter.incrementAndGet()}"
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    val stream = StreamOps.enrichedTypeCounts(
+      eventsSource(spark, dir).select($"event_id", $"user_id", $"event_type"),
+      profile)
+    drain(stream, "complete")
       .select($"event_type", $"n_events", $"sum_user_total")
       .orderBy($"event_type")
   }
@@ -259,20 +189,8 @@ object EventsStream {
       StructField("value", DoubleType)))
     // (no countDistinct here: distinct aggregation is unsupported on
     // streaming DataFrames — use approx_count_distinct in production)
-    val stream = spark.readStream.schema(schema).json(tmp)
-      .groupBy($"event_type")
-      .agg(count(lit(1)).as("n_events"),
-        sum($"user_id").as("user_id_sum"),
-        min($"value").as("min_value"),
-        max($"value").as("max_value"))
-    val name = s"st06_out_${counter.incrementAndGet()}"
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    val stream = StreamOps.typeStats(spark.readStream.schema(schema).json(tmp))
+    drain(stream, "complete")
       .select($"event_type", $"n_events", $"user_id_sum", $"min_value", $"max_value")
       .orderBy($"event_type")
   }
@@ -297,28 +215,10 @@ object EventsStream {
     * deterministic and oracle-checked against the equivalent batch join. */
   def st07(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    def src = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val purchases = src.filter($"event_type" === "purchase")
-      .select($"event_id".as("p_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    val clicks = src.filter($"event_type" === "click")
-      .select($"event_id".as("c_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
-      .withWatermark("c_ts", "1 hour")
-    val joined = purchases.join(clicks,
-      $"p_user" === $"c_user" &&
-        $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"c_ts" < $"p_ts")
-    val name = s"st07_out_${counter.incrementAndGet()}"
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    val joined = StreamOps.purchaseClickJoin(
+      eventsSource(spark, dir).filter($"event_type" === "purchase"),
+      eventsSource(spark, dir).filter($"event_type" === "click"))
+    drain(joined, "append")
       .select($"p_id".as("purchase_id"), $"c_id".as("click_id"))
       .orderBy($"purchase_id", $"click_id")
   }

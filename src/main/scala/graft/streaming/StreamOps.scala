@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The library's streaming API: sink-agnostic transforms over streaming
+  * DataFrames. Each takes the caller's stream (any source — file
+  * landing zone, Kafka, rate) and returns the transformed streaming
+  * DataFrame for the caller to wire into their own sink/trigger/output
+  * mode. `EventsStream` (the correctness harness) drives these same
+  * transforms through memory sinks for the oracle gate — the transforms
+  * are the product; the memory sink is test scaffolding.
+  *
+  * Every transform documents its state-store shape — the thing that
+  * decides whether it survives an unbounded stream.
+  */
+object StreamOps {
+
+  /** Tumbling 1-hour counts by event type. State: one row per
+    * (window, type), evicted once the watermark passes window end. */
+  def hourlyCounts(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events
+      .withWatermark(tsCol, "1 hour")
+      .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** 30-minute-gap session windows per user. Append mode + watermark:
+    * only watermark-closed sessions emit — correct unbounded-stream
+    * semantics. State: open sessions only. */
+  def sessionCounts(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events
+      .withWatermark(tsCol, "30 minutes")
+      .groupBy(session_window(col(tsCol), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Sliding 1-hour/30-minute counts by event type. State: one row per
+    * (window, type) × overlap factor (window/slide = 2). */
+  def slidingCounts(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events
+      .withWatermark(tsCol, "1 hour")
+      .groupBy(window(col(tsCol), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Stream enriched against a static dimension (broadcast per
+    * micro-batch — no state store), then aggregated by type. */
+  def enrichedTypeCounts(events: DataFrame, profile: DataFrame): DataFrame =
+    events
+      .join(broadcast(profile), Seq("user_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("user_total")).as("sum_user_total"))
+
+  /** Running per-type stats (complete/update mode; state: one row per
+    * type). The shape st06 runs over a `.bro` landing zone. */
+  def typeStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("user_id")).as("user_id_sum"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
+  /** Stream-stream interval join: purchases × same-user clicks from the
+    * preceding hour. Dual watermarks + the time-range condition bound
+    * both state stores (a click is evictable once the purchase
+    * watermark passes click_ts + 1 hour). Inner join → append mode. */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = clicks
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"))
+  }
+
+  /** Custom-state per-user profiles via flatMapGroupsWithState (state:
+    * one `UserState` per user, independent of event volume). Defined
+    * over the typed Ev/UserAgg rows in [[EventsStream]]. */
+  def userProfiles(evs: Dataset[EventsStream.Ev]): Dataset[EventsStream.UserAgg] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[EventsStream.Ev],
+            state: GroupState[EventsStream.UserState]) => {
+          var s = state.getOption.getOrElse(
+            EventsStream.UserState(0L, Long.MaxValue, Long.MinValue,
+              Double.MaxValue, Double.MinValue))
+          rows.foreach { e =>
+            s = EventsStream.UserState(s.n + 1, math.min(s.minTs, e.ts_us),
+              math.max(s.maxTs, e.ts_us), math.min(s.minVal, e.value),
+              math.max(s.maxVal, e.value))
+          }
+          state.update(s)
+          val fmt = java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+          Iterator(EventsStream.UserAgg(user, s.n,
+            fmt.format(java.time.Instant.ofEpochSecond(s.minTs / 1000000)),
+            fmt.format(java.time.Instant.ofEpochSecond(s.maxTs / 1000000)),
+            s.minVal, s.maxVal))
+        })
+  }
+}
