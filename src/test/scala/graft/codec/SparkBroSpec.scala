@@ -47,6 +47,34 @@ class SparkBroSpec extends SparkSpec {
     assert(back.count() == 5)
   }
 
+  test("BroDictionary.train beats a naive corpus-head dictionary on ratio") {
+    import spark.implicits._
+    import graft.brotli.Brotli
+    val budget = 4 * 1024
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val trained = BroDictionary.train(docs, "text", "doc_id", maxBytes = budget)
+    assert(trained.nonEmpty && trained.length <= budget)
+    // deterministic: same inputs → byte-identical artifact
+    val again = BroDictionary.train(docs, "text", "doc_id", maxBytes = budget)
+    assert(java.util.Arrays.equals(trained, again))
+    // equal-budget baseline: the corpus head truncated to the same bytes
+    val naive = docs.orderBy($"doc_id").limit(20).select($"text")
+      .as[String].collect().mkString("\n").getBytes("UTF-8").take(budget)
+    // compress held-out documents (beyond the head) with each dictionary
+    val payload = docs.orderBy($"doc_id".desc).limit(100).select($"text")
+      .as[String].collect().mkString("\n").getBytes("UTF-8")
+    val withTrained = Brotli.compress(payload, 6, trained).length
+    val withNaive = Brotli.compress(payload, 6, naive).length
+    val without = Brotli.compress(payload, 6).length
+    assert(withTrained < without,
+      s"trained dictionary must help: $withTrained vs $without")
+    assert(withTrained <= withNaive,
+      s"trained ($withTrained) should beat corpus-head ($withNaive)")
+    // and round-trips
+    assert(java.util.Arrays.equals(
+      Brotli.decompress(Brotli.compress(payload, 6, trained), trained), payload))
+  }
+
   test("bro.dictionary.file conf compresses and reads with a shared dictionary") {
     import spark.implicits._
     BroWriter.register(spark)
