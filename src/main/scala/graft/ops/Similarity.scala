@@ -129,6 +129,13 @@ object Similarity {
       .select($"vec_id".as("cluster"), $"qv".as("m"))
     for (_ <- 0 until IvfIters)
       cents = ivfUpdate(ivfAssign(qe, cents))
+    // materialize the nlist-row centroid table (exact doubles survive the
+    // driver round-trip): the final assignment and the probe arm both
+    // reference it, and without the cut each would re-execute the whole
+    // Lloyd lineage — doubling the corpus scans
+    cents = spark.createDataFrame(
+      spark.sparkContext.parallelize(cents.collect().toIndexedSeq, 1),
+      cents.schema)
     val corpus = ivfAssign(qe, cents) // final index assignment
     val q = queriesSubset(spark, dir).withColumn("qq", ivfQuant($"q_emb"))
     val wProbe = Window.partitionBy($"q_id").orderBy($"dist".asc, $"cluster".asc)
