@@ -423,6 +423,75 @@ object Extras2 {
       |GROUP BY key
       |ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q45: approximate percentiles via a fixed 1024-bin histogram — the
+  // 100 TB percentile path (exact percentile_cont needs a full sort per
+  // group; q24's HLL-style sketches are engine-private). Two narrow
+  // aggregation passes: exact per-group min/max/count bounds the bins,
+  // then bin counts + a cumulative window pick the bin whose lower bound
+  // is the estimate. Bin membership uses one shared double expression
+  // and the quantile thresholds are PURE INTEGER comparisons
+  // (cum*2 >= n, cum*20 >= 19n), so the result is hash-exact vs DuckDB.
+  // Error is bounded by (max-min)/1024 per group.
+  // ---------------------------------------------------------------------
+  def q45(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // NULL guard pinned on both engines: a NULL value would otherwise
+    // produce a NULL bin whose window ordering differs (Spark NULLS
+    // FIRST vs DuckDB NULLS LAST), shifting every cumulative count
+    val ev = Tables.load(spark, dir, "events")
+      .select($"event_type", $"value")
+      .filter($"value".isNotNull)
+    val stats = ev.groupBy($"event_type").agg(
+      min($"value").as("mn"), max($"value").as("mx"), count(lit(1)).as("n"))
+    val binned = ev.join(stats, "event_type")
+      .withColumn("bin", when($"mx" === $"mn", lit(0L))
+        .otherwise(least(
+          floor((($"value" - $"mn") / ($"mx" - $"mn")) * 1024.0), lit(1023L))
+          .cast(LongType)))
+      .groupBy($"event_type", $"bin").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"event_type").orderBy($"bin")
+    val cums = binned.withColumn("cum", sum($"c").over(w))
+    cums.join(stats, "event_type")
+      .groupBy($"event_type", $"mn", $"mx", $"n")
+      .agg(
+        min(when($"cum" * 2 >= $"n", $"bin")).as("b50"),
+        min(when($"cum" * 20 >= $"n" * 19, $"bin")).as("b95"))
+      .select($"event_type", $"n",
+        ($"mn" + ($"b50".cast(DoubleType) * ($"mx" - $"mn")) / 1024.0).as("p50_approx"),
+        ($"mn" + ($"b95".cast(DoubleType) * ($"mx" - $"mn")) / 1024.0).as("p95_approx"))
+      .orderBy($"event_type")
+  }
+
+  private val q45Sql =
+    """WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |stats AS (
+      |  SELECT event_type, MIN(value) AS mn, MAX(value) AS mx, COUNT(*) AS n
+      |  FROM ev GROUP BY 1),
+      |binned AS (
+      |  SELECT e.event_type,
+      |    CASE WHEN s.mx = s.mn THEN 0
+      |      ELSE CAST(LEAST(FLOOR(((e.value - s.mn) / (s.mx - s.mn)) * 1024.0),
+      |                      1023) AS BIGINT) END AS bin,
+      |    COUNT(*) AS c
+      |  FROM ev e JOIN stats s USING (event_type)
+      |  GROUP BY 1, 2),
+      |cums AS (
+      |  SELECT event_type, bin,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+      |  FROM binned),
+      |picks AS (
+      |  SELECT c.event_type,
+      |    MIN(CASE WHEN cum * 2 >= s.n THEN bin END) AS b50,
+      |    MIN(CASE WHEN cum * 20 >= s.n * 19 THEN bin END) AS b95
+      |  FROM cums c JOIN stats s USING (event_type)
+      |  GROUP BY 1)
+      |SELECT p.event_type, s.n,
+      |  s.mn + (CAST(b50 AS DOUBLE) * (s.mx - s.mn)) / 1024.0 AS p50_approx,
+      |  s.mn + (CAST(b95 AS DOUBLE) * (s.mx - s.mn)) / 1024.0 AS p95_approx
+      |FROM picks p JOIN stats s USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q31_outer_join" -> (q31 _),
     "q32_exists_subquery" -> (q32 _),
@@ -434,7 +503,8 @@ object Extras2 {
     "q39_date_funcs" -> (q39 _),
     "q40_salted_join" -> (q40 _),
     "q42_range_frame" -> (q42 _),
-    "q43_map_ops" -> (q43 _))
+    "q43_map_ops" -> (q43 _),
+    "q45_approx_percentile" -> (q45 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q31_outer_join" -> q31Sql,
@@ -447,5 +517,6 @@ object Extras2 {
     "q39_date_funcs" -> q39Sql,
     "q40_salted_join" -> q40Sql,
     "q42_range_frame" -> q42Sql,
-    "q43_map_ops" -> q43Sql)
+    "q43_map_ops" -> q43Sql,
+    "q45_approx_percentile" -> q45Sql)
 }
