@@ -46,14 +46,20 @@ object BroDictionary {
     val dfCounts = sh.select(explode($"s").as("w"))
       .groupBy($"w").agg(count(lit(1)).as("df"))
       .filter($"df" >= 2)
-    // per-candidate: text + its shared shingles with df weights
-    val cand = sh.select($"id", $"t", explode($"s").as("w"))
+    // the explode carries only (id, w) — not the document text, which
+    // would otherwise ship once per shingle through the join shuffle;
+    // texts re-join only for the final ≤`candidates` rows
+    val topIds = sh.select($"id", explode($"s").as("w"))
       .join(dfCounts, "w")
-      .groupBy($"id", $"t")
+      .groupBy($"id")
       .agg(collect_list(struct($"w", $"df")).as("ws"),
         sum(($"df" - 1) * (length($"w") + 1)).as("mass"))
       .orderBy($"mass".desc, $"id".asc)
       .limit(candidates)
+    val cand = topIds
+      .join(sample.withColumnRenamed("id", "sid"), $"id" === $"sid")
+      .select($"id", $"t", $"ws", $"mass")
+      .orderBy($"mass".desc, $"id".asc)
       .as[(Long, String, Seq[(String, Long)], Long)]
       .collect()
     // driver-side greedy max-coverage over ≤`candidates` rows

@@ -34,20 +34,18 @@ class BrotliCodec extends Configurable with CompressionCodec {
   private var quality: Int = DefaultQuality
   private var bufferSize: Int = DefaultBufferSize
   private var dictionary: Array[Byte] = Array.emptyByteArray
-  private var concat: Boolean = false
 
   override def setConf(c: Configuration): Unit = {
     conf = c
     quality = c.getInt(QualityKey, DefaultQuality)
     bufferSize = c.getInt(BufferSizeKey, DefaultBufferSize)
     dictionary = loadDictionary(c)
-    concat = c.getBoolean(ConcatStreamsKey, false)
   }
   override def getConf: Configuration = conf
 
   override def createCompressor(): Compressor = new BrotliCompressor(quality)
   override def getCompressorType: Class[_ <: Compressor] = classOf[BrotliCompressor]
-  override def createDecompressor(): Decompressor = new BrotliDecompressor(concat)
+  override def createDecompressor(): Decompressor = new BrotliDecompressor()
   override def getDecompressorType: Class[_ <: Decompressor] = classOf[BrotliDecompressor]
 
   // The dictionary is (re-)applied at stream construction, which is also
@@ -63,7 +61,12 @@ class BrotliCodec extends Configurable with CompressionCodec {
   override def createInputStream(in: InputStream): CompressionInputStream =
     createInputStream(in, createDecompressor())
   override def createInputStream(in: InputStream, d: Decompressor): CompressionInputStream = {
-    if (dictionary.nonEmpty) d.setDictionary(dictionary, 0, dictionary.length)
+    d match {
+      // always normalize (len 0 clears a pooled instance's stale dict)
+      case bd: BrotliDecompressor => bd.setDictionary(dictionary, 0, dictionary.length)
+      case other => if (dictionary.nonEmpty)
+        other.setDictionary(dictionary, 0, dictionary.length)
+    }
     new DecompressorStream(in, d, bufferSize)
   }
 
@@ -82,28 +85,28 @@ object BrotliCodec {
     * shared FS and every executor task reads it once (cached below). */
   val DictionaryFileKey = "bro.dictionary.file"
 
-  /** When true, a `.bro` file may hold several back-to-back Brotli
-    * streams (like multi-member gzip: `cat a.bro b.bro` is readable);
-    * the decompressor rolls into the next member when one ends. Default
-    * false = reference parity (one stream per file; trailing bytes are
-    * reported via getRemaining, not decoded). */
-  val ConcatStreamsKey = "bro.concat-streams"
-
   val DefaultQuality = 6
   val DefaultBufferSize: Int = 1024 * 2048
 
-  // per-JVM cache: one read per dictionary path per executor, not per task
+  // per-JVM cache: one read per dictionary artifact per executor, not
+  // per task. Keyed by (path, length, mtime) so a retrained artifact
+  // overwritten in place is re-read, not served stale.
   private val dictCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
 
   private def loadDictionary(conf: Configuration): Array[Byte] = {
     val path = conf.getTrimmed(DictionaryFileKey, "")
     if (path.isEmpty) Array.emptyByteArray
-    else dictCache.computeIfAbsent(path, p => {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val in = hp.getFileSystem(conf).open(hp)
-      try in.readAllBytes() finally in.close()
-    })
+    else {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(conf)
+      val st = fs.getFileStatus(hp)
+      val key = s"$path:${st.getLen}:${st.getModificationTime}"
+      dictCache.computeIfAbsent(key, _ => {
+        val in = fs.open(hp)
+        try in.readAllBytes() finally in.close()
+      })
+    }
   }
 }
 
@@ -177,10 +180,19 @@ class BrotliCompressor(quality: Int) extends Compressor {
 
 /** Pull-side Hadoop state machine over [[BrotliDecoder]]
   * (contract of BroDecompressor.java:84-122, pure JVM, with a real
-  * `reset()`). With `concat` (conf `bro.concat-streams`), rolls into the
-  * next back-to-back stream when one ends — multi-member gzip semantics;
-  * the same dictionary (if any) applies to every member. */
-class BrotliDecompressor(concat: Boolean = false) extends Decompressor {
+  * `reset()`).
+  *
+  * Concatenated members come for free: Hadoop's `DecompressorStream`
+  * implements the multi-member protocol itself — on `finished()` with
+  * `getRemaining() == 0` it reads further file bytes, and with a
+  * leftover it calls `reset()` and re-feeds the tail slice — so honest
+  * `finished`/`getRemaining`/`reset` contracts (the reference hard-codes
+  * 0 and no-ops reset) make `cat a.bro b.bro` readable with no extra
+  * machinery. `reset()` re-arms the configured dictionary precisely so
+  * that mid-file member rollover keeps decoding dictionary-compressed
+  * members; pool reuse is safe because `createInputStream` re-normalizes
+  * the dictionary (including clearing it) per stream. */
+class BrotliDecompressor extends Decompressor {
   private var decoder = new BrotliDecoder()
   private var dict: Array[Byte] = Array.emptyByteArray
   private var bytesRead = 0L
@@ -192,28 +204,16 @@ class BrotliDecompressor(concat: Boolean = false) extends Decompressor {
 
   override def needsInput(): Boolean = decoder.needsInput
   /** Shared-dictionary support (see [[graft.brotli.BrotliDecoder.setDictionary]];
-    * reference no-op: BroDecompressor.java:64-66). */
+    * reference no-op: BroDecompressor.java:64-66). Length 0 clears. */
   override def setDictionary(b: Array[Byte], off: Int, len: Int): Unit = {
     dict = java.util.Arrays.copyOfRange(b, off, off + len)
     decoder.setDictionary(b, off, len)
   }
   override def needsDictionary(): Boolean = false
-  override def finished(): Boolean =
-    decoder.isFinished && (!concat || decoder.remainingInput == 0)
+  override def finished(): Boolean = decoder.isFinished
 
-  override def decompress(b: Array[Byte], off: Int, len: Int): Int = {
-    var n = decoder.decode(b, off, len)
-    // member boundary: whole bytes remain after a completed stream —
-    // re-arm and continue into the next member
-    while (concat && n == 0 && decoder.isFinished && decoder.remainingInput > 0) {
-      val rest = decoder.drainRemaining()
-      decoder = new BrotliDecoder()
-      if (dict.nonEmpty) decoder.setDictionary(dict, 0, dict.length)
-      decoder.addInput(rest, 0, rest.length)
-      n = decoder.decode(b, off, len)
-    }
-    n
-  }
+  override def decompress(b: Array[Byte], off: Int, len: Int): Int =
+    decoder.decode(b, off, len)
 
   /** Real unconsumed-input count (reference contract:
     * BroDecompressor.java:125-127; needed for concatenated-stream
@@ -222,7 +222,11 @@ class BrotliDecompressor(concat: Boolean = false) extends Decompressor {
 
   override def reset(): Unit = {
     decoder = new BrotliDecoder()
-    dict = Array.emptyByteArray
+    // keep and re-arm the dictionary: Hadoop's member-rollover protocol
+    // calls reset() mid-file, and subsequent members share the stream's
+    // dictionary. A pooled instance reused for a dictionary-less stream
+    // is re-normalized by createInputStream (setDictionary with len 0).
+    if (dict.nonEmpty) decoder.setDictionary(dict, 0, dict.length)
     bytesRead = 0
   }
 

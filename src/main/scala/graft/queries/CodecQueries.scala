@@ -145,6 +145,7 @@ object CodecQueries {
     // `.bro` queries' lazily-executed reads never see a dictionary their
     // files weren't written with
     val hc = spark.sparkContext.hadoopConfiguration
+    val prevDict = hc.get(graft.codec.BrotliCodec.DictionaryFileKey)
     hc.set(graft.codec.BrotliCodec.DictionaryFileKey, dictPath.toString)
     try {
       val tmp = Scratch.dir("docs_text_dict")
@@ -159,7 +160,11 @@ object CodecQueries {
         .head()
       Seq((row.getLong(0), row.getLong(1), row.getLong(2)))
         .toDF("n_lines", "total_chars", "content_checksum")
-    } finally hc.unset(graft.codec.BrotliCodec.DictionaryFileKey)
+    } finally {
+      // restore, don't clobber: the session may have its own dictionary
+      if (prevDict == null) hc.unset(graft.codec.BrotliCodec.DictionaryFileKey)
+      else hc.set(graft.codec.BrotliCodec.DictionaryFileKey, prevDict)
+    }
   }
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(

@@ -280,37 +280,42 @@ class BrotliSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(got.toByteArray, payload))
   }
 
-  test("bro.concat-streams reads back-to-back members like multi-member gzip") {
+  test("concatenated members read via Hadoop's own multi-member protocol") {
+    // DecompressorStream handles member rollover itself — on finished()
+    // with getRemaining()==0 it fetches more file bytes, with a leftover
+    // it reset()s and re-feeds the tail — so honest finished/
+    // getRemaining/reset contracts make `cat a.bro b.bro` readable with
+    // the GENERIC stream, no codec-specific machinery (the reference's
+    // hard-coded getRemaining=0 + no-op reset broke exactly this).
     val p1 = ("first member " * 40).getBytes
     val p2 = ("second member, different content " * 30).getBytes
-    val catted = Brotli.compress(p1, 6) ++ Brotli.compress(p2, 4)
-    // default (reference parity): one member, trailer reported not decoded
-    val plain = new graft.codec.BrotliDecompressor()
-    plain.setInput(catted, 0, catted.length)
+    val p3 = "third, tiny".getBytes
+    val catted = Brotli.compress(p1, 6) ++ Brotli.compress(p2, 4) ++
+      Brotli.compress(p3, 9)
+    // raw decompressor level: stops at the member boundary and reports
+    // the remaining bytes (the contract the stream protocol builds on)
+    val raw = new graft.codec.BrotliDecompressor()
+    raw.setInput(catted, 0, catted.length)
     val out0 = new ByteArrayOutputStream()
     val buf = new Array[Byte](4096)
-    var n = plain.decompress(buf, 0, buf.length)
-    while (n > 0) { out0.write(buf, 0, n); n = plain.decompress(buf, 0, buf.length) }
-    assert(plain.finished() && java.util.Arrays.equals(out0.toByteArray, p1))
-    assert(plain.getRemaining > 0)
-    // concat mode: both members decode, then finished with nothing left
-    val multi = new graft.codec.BrotliDecompressor(concat = true)
-    multi.setInput(catted, 0, catted.length)
-    val out = new ByteArrayOutputStream()
-    n = multi.decompress(buf, 0, buf.length)
-    while (n > 0) { out.write(buf, 0, n); n = multi.decompress(buf, 0, buf.length) }
-    assert(multi.finished() && multi.getRemaining == 0)
-    assert(java.util.Arrays.equals(out.toByteArray, p1 ++ p2))
-    // and through the codec stream with the conf key set
+    var n = raw.decompress(buf, 0, buf.length)
+    while (n > 0) { out0.write(buf, 0, n); n = raw.decompress(buf, 0, buf.length) }
+    assert(raw.finished() && java.util.Arrays.equals(out0.toByteArray, p1))
+    assert(raw.getRemaining > 0)
+    // stream level: all members decode, across various chunk sizes so
+    // member boundaries land both mid-chunk and on chunk edges
     val codec = new BrotliCodec
-    val hadoopConf = new org.apache.hadoop.conf.Configuration(false)
-    hadoopConf.setBoolean(BrotliCodec.ConcatStreamsKey, true)
-    codec.setConf(hadoopConf)
-    val cin = codec.createInputStream(new ByteArrayInputStream(catted))
-    val got = new ByteArrayOutputStream()
-    var m = cin.read(buf)
-    while (m > 0) { got.write(buf, 0, m); m = cin.read(buf) }
-    assert(java.util.Arrays.equals(got.toByteArray, p1 ++ p2))
+    codec.setConf(new org.apache.hadoop.conf.Configuration(false))
+    for (chunk <- Seq(1 << 16, 333, 64, catted.length)) {
+      val cin = codec.createInputStream(
+        new ByteArrayInputStream(catted), new graft.codec.BrotliDecompressor())
+      val got = new ByteArrayOutputStream()
+      val rb = new Array[Byte](chunk)
+      var m = cin.read(rb)
+      while (m > 0) { got.write(rb, 0, m); m = cin.read(rb) }
+      assert(java.util.Arrays.equals(got.toByteArray, p1 ++ p2 ++ p3),
+        s"multi-member read failed at read-buffer $chunk")
+    }
   }
 
   test("decoder fails cleanly on fuzzed garbage (IOException, never a crash)") {

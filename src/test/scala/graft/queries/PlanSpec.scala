@@ -61,9 +61,8 @@ class PlanSpec extends SparkSpec {
       assert(!p03.contains("BroadcastHashJoin"),
         s"q03 still broadcasts with threshold off — forced hint present:\n$p03")
       val p21 = executed(Relational.q21(spark, sf))
-      // nation keeps its hint; supplier must not broadcast
-      assert(!p21.contains("BroadcastHashJoin build") ||
-        "BroadcastHashJoin".r.findAllIn(p21).size <= 1,
+      // nation keeps its hint (1 BHJ); supplier must not broadcast
+      assert("BroadcastHashJoin".r.findAllIn(p21).size <= 1,
         s"q21 broadcasts more than the hinted nation dim:\n$p21")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
