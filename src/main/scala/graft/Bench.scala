@@ -64,8 +64,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val failed = results.count(_._2 < 0)
+    // representative LLM-pipeline ops, timed once each (informational —
+    // not part of the headline total/gate)
+    val opNames = Seq("d01_exact_dedup", "d03_minhash_lsh", "d06_dup_clusters",
+      "s02_ann_lsh", "s04_ann_int8_rerank", "t07_repetition_filter")
+    val ops = opNames.filter(all.contains).map { name =>
+      try {
+        val t0 = System.nanoTime()
+        all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        "\"" + name + f"\":${(System.nanoTime() - t0) / 1e9}%.3f"
+      } catch { case _: Throwable => "\"" + name + "\":-1" }
+    }.mkString("{", ",", "}")
     val codec = try codecBench(spark, sfDir) catch { case _: Throwable => "{}" }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"codec":$codec,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"ops":$ops,"codec":$codec,"sf":"$sfDir"}""")
     spark.stop()
   }
 

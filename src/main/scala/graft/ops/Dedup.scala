@@ -384,9 +384,13 @@ object Dedup {
     import spark.implicits._
     val pairs = d02On(Tables.load(spark, dir, "documents"))
       .select($"doc_a", $"doc_b")
+    // persist the edge list: it is tiny (O(near-dup pairs)) but its
+    // lineage is the whole d02 pipeline, which every label round would
+    // otherwise re-execute (measured ~2.5x the query time at sf0.1)
     val edges = pairs.union(
       pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
       .toDF("src", "dst")
+      .persist()
     var labels = edges.select($"src".as("v")).distinct()
       .withColumn("lbl", $"v")
     for (_ <- 0 until LabelRounds) {
