@@ -14,8 +14,11 @@ final class BitWriter {
   private def ensure(n: Int): Unit =
     if (pos + n > buf.length) buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, pos + n))
 
-  /** Append the low `n` bits of `value` (n <= 56). */
+  /** Append the low `n` bits of `value` (n <= 56: with up to 7 pending
+    * bits, anything larger would shift past bit 63 of `cur` and silently
+    * corrupt the stream — hence the hard check, not just this comment). */
   def writeBits(value: Long, n: Int): Unit = {
+    require(n >= 0 && n <= 56, s"writeBits supports 0..56 bits, got $n")
     cur |= (value & ((1L << n) - 1)) << nbits
     nbits += n
     if (nbits >= 8) {

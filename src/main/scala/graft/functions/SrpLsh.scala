@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** Signed-random-projection LSH bucket keys as a native Catalyst
+  * expression with whole-stage codegen — the shared candidate-generation
+  * kernel of d05 (embedding near-dup), s02 (ANN LSH) and s04 (int8
+  * re-rank). For each of [[SrpLsh.Tables]] hash tables it computes
+  * [[SrpLsh.BitsPerTable]] hyperplane sign bits and packs them with the
+  * table id into one long: `(t << BitsPerTable) | bucket` — the same
+  * equivalence classes as a `(t, bucket)` struct, in a primitive join key.
+  *
+  * The interpreted predecessor (nested `aggregate(zip_with(...))`
+  * higher-order functions) evaluated ~4k lambda closures per row; this
+  * compiles to one primitive triple loop inside the generated stage, so
+  * at 100 TB the bucket computation stays a narrow, SIMD-able map over
+  * the corpus scan. The dot accumulates in ascending index order
+  * (left-associated, starting at 0.0) — bit-identical to the old fold
+  * and to the oracle's explicit `w1*x1 + w2*x2 + ...` SQL chain, which
+  * is what keeps d05/s02/s04 hash-verified.
+  *
+  * Vectors shorter than [[SrpLsh.Dim]] use only their own elements
+  * (missing dims contribute 0 to every dot); elements must be non-null.
+  */
+case class SrpBuckets(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"srp_buckets expects ARRAY<FLOAT>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "srp_buckets"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), SrpLsh.Dim)
+    val planes = SrpLsh.flatPlanes
+    val out = new Array[Long](SrpLsh.Tables)
+    var t = 0
+    while (t < SrpLsh.Tables) {
+      var bucket = 0L
+      var j = 0
+      while (j < SrpLsh.BitsPerTable) {
+        val base = (t * SrpLsh.BitsPerTable + j) * SrpLsh.Dim
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          dot += a.getFloat(i).toDouble * planes(base + i)
+          i += 1
+        }
+        if (dot >= 0.0) bucket |= (1L << j)
+        j += 1
+      }
+      out(t) = (t.toLong << SrpLsh.BitsPerTable) | bucket
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val planes = ctx.addReferenceObj("srpPlanes", SrpLsh.flatPlanes, "double[]")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val base = ctx.freshName("base")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), ${SrpLsh.Dim});
+         |final long[] $out = new long[${SrpLsh.Tables}];
+         |for (int $t = 0; $t < ${SrpLsh.Tables}; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $j = 0; $j < ${SrpLsh.BitsPerTable}; $j++) {
+         |    final int $base = ($t * ${SrpLsh.BitsPerTable} + $j) * ${SrpLsh.Dim};
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $dot += (double) $a.getFloat($i) * $planes[$base + $i];
+         |    }
+         |    if ($dot >= 0.0) $bucket |= (1L << $j);
+         |  }
+         |  $out[$t] = ((long) $t << ${SrpLsh.BitsPerTable}) | $bucket;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Multi-table SRP-LSH constants + hyperplanes, shared by the codegen'd
+  * [[SrpBuckets]] kernel and the generated oracle SQL (the planes embed
+  * as Double.toString literals, which round-trip exactly). A vector
+  * lands in one bucket per table; two vectors are candidates if they
+  * collide in ANY table. Recall at cos θ is 1-(1-p^k)^L with p = 1-θ/π —
+  * at cos 0.9 (θ≈25.8°), 8 tables × 8 bits gives ~0.94, vs ~0.08 for a
+  * single 16-bit table.
+  */
+object SrpLsh {
+  val Tables = 8
+  val BitsPerTable = 8
+  val Dim = 64
+
+  val planes: IndexedSeq[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    IndexedSeq.fill(Tables * BitsPerTable)(Array.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  private[functions] val flatPlanes: Array[Double] = planes.flatten.toArray
+
+  /** Idempotently register the SQL-callable kernel on the session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "srp_buckets", exprs => SrpBuckets(exprs.head), "built-in")
+
+  /** `ARRAY<BIGINT>` of packed `(table << BitsPerTable) | bucket` keys
+    * for an `ARRAY<FLOAT>` embedding column (registers on first use). */
+  def buckets(spark: SparkSession, emb: Column): Column = {
+    register(spark)
+    call_function("srp_buckets", emb)
+  }
+}

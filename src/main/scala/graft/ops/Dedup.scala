@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.functions.VectorOps
+import graft.functions.{SrpLsh, VectorOps}
 
 /** Deduplication operators over `documents` / `embeddings`:
   *
@@ -279,49 +279,20 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
-  // d05: embedding near-dup — SRP-LSH bucket (16 signed random
-  // projections → 16-bit bucket) generates candidates; exact cosine
-  // (native codegen expression) verifies. The bucket key is the shuffle
-  // key; the verify join touches only same-bucket pairs.
+  // d05: embedding near-dup — multi-table SRP-LSH buckets (the codegen'd
+  // SrpBuckets kernel, shared with s02/s04) generate candidates; exact
+  // cosine (native codegen expression) verifies. The packed bucket key
+  // is the shuffle key; the verify join touches only same-bucket pairs.
   // ---------------------------------------------------------------------
-  /** Signed-random-projection LSH, multi-table layout: `Tables` hash
-    * tables of `BitsPerTable` hyperplanes each. A vector lands in one
-    * bucket per table; two vectors are candidates if they collide in ANY
-    * table. Recall at cos θ is 1-(1-p^k)^L with p = 1-θ/π — at cos 0.9
-    * (θ≈25.8°), 8 tables × 8 bits gives ~0.94, vs ~0.08 for one 16-bit
-    * table. Returns an array of (table, bucket) structs to explode.
-    */
-  private val SrpTables = 8
-  private val BitsPerTable = 8
-
-  /** SRP hyperplanes shared by the Spark kernels and the generated
-    * oracle SQL (Double.toString literals round-trip exactly). */
-  private[ops] val srpPlanes: IndexedSeq[Array[Double]] = {
-    val rnd = new scala.util.Random(7)
-    IndexedSeq.fill(SrpTables * BitsPerTable)(Array.fill(64)(rnd.nextGaussian()))
-  }
-
-  private[ops] def srpTableKeys(emb: Column): Column = {
-    val buckets = (0 until SrpTables).map { t =>
-      val bucket = (0 until BitsPerTable).map { j =>
-        val dot = aggregate(
-          zip_with(emb, typedLit(srpPlanes(t * BitsPerTable + j).toSeq),
-            (x, w) => x.cast(DoubleType) * w),
-          lit(0.0), (acc, v) => acc + v)
-        when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
-      struct(lit(t).as("t"), bucket.as("b"))
-    }
-    array(buckets: _*)
-  }
-
   /** SQL arms computing (vec_id, embedding, t, b) — one UNION arm per SRP
     * table, bucket assembled from the literal hyperplanes. Shared by the
-    * d05 and s02 oracles. */
+    * d05 and s02 oracles. Joining on (t, b) is equivalent to the Spark
+    * side's packed `(t << BitsPerTable) | b` long key. */
   private[ops] def srpKeysSql(source: String): String =
-    (0 until SrpTables).map { t =>
-      val bucket = (0 until BitsPerTable).map { j =>
-        val ws = PortableSql.weightedSumSql("embedding", srpPlanes(t * BitsPerTable + j))
+    (0 until SrpLsh.Tables).map { t =>
+      val bucket = (0 until SrpLsh.BitsPerTable).map { j =>
+        val ws = PortableSql.weightedSumSql("embedding",
+          SrpLsh.planes(t * SrpLsh.BitsPerTable + j))
         s"(CASE WHEN ($ws) >= 0.0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
       s"SELECT vec_id, embedding, $t AS t, $bucket AS b FROM $source"
@@ -334,7 +305,7 @@ object Dedup {
     import spark.implicits._
     val emb = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", $"embedding",
-        explode(srpTableKeys($"embedding")).as("key"))
+        explode(SrpLsh.buckets(spark, $"embedding")).as("key"))
     emb.as("x").join(emb.as("y"),
         $"x.key" === $"y.key" && $"x.vec_id" < $"y.vec_id")
       .select($"x.vec_id".as("vec_a"), $"y.vec_id".as("vec_b"),

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
-import graft.functions.VectorOps
+import graft.functions.{SrpLsh, VectorOps}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
@@ -48,9 +48,9 @@ object Similarity {
     import spark.implicits._
     val emb = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", $"embedding",
-        explode(Dedup.srpTableKeys($"embedding")).as("key"))
+        explode(SrpLsh.buckets(spark, $"embedding")).as("key"))
     val q = queriesSubset(spark, dir)
-      .select($"q_id", $"q_emb", explode(Dedup.srpTableKeys($"q_emb")).as("key"))
+      .select($"q_id", $"q_emb", explode(SrpLsh.buckets(spark, $"q_emb")).as("key"))
     val scored = emb.join(broadcast(q), Seq("key"))
       .filter($"vec_id" =!= $"q_id")
       .dropDuplicates("q_id", "vec_id")
@@ -207,11 +207,11 @@ object Similarity {
     // sub-linear candidates: same-SRP-bucket pairs only (s02's index)
     val emb = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", $"embedding",
-        explode(Dedup.srpTableKeys($"embedding")).as("key"))
+        explode(SrpLsh.buckets(spark, $"embedding")).as("key"))
     val q = queriesSubset(spark, dir)
       .withColumnRenamed("q_emb", "q_embedding")
       .select($"q_id", $"q_embedding",
-        explode(Dedup.srpTableKeys($"q_embedding")).as("key"))
+        explode(SrpLsh.buckets(spark, $"q_embedding")).as("key"))
     val cand0 = emb.join(broadcast(q), Seq("key"))
       .filter($"vec_id" =!= $"q_id")
       .dropDuplicates("q_id", "vec_id")
