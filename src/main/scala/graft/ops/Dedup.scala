@@ -104,10 +104,11 @@ object Dedup {
     d02On(Tables.load(spark, dir, "documents"))
 
   /** d02's pair computation as a CTE chain ending in `pairs`; shared by
-    * the d02 oracle and d06's edge source. */
-  private val d02Ctes =
+    * the d02 oracle and d06's edge source (which feeds a prefiltered
+    * document set, hence the `source` parameter). */
+  private def d02Ctes(source: String) =
     s"""toks AS (
-      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS L FROM documents),
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS L FROM $source),
       |sh AS (
       |  SELECT doc_id, list_distinct([L[i] || ' ' || L[i+1] || ' ' || L[i+2] for i in range(1, len(L)-1)]) AS S
       |  FROM toks WHERE len(L) >= 3),
@@ -128,7 +129,7 @@ object Dedup {
       |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8)""".stripMargin
 
   private val d02Sql =
-    s"WITH $d02Ctes\nSELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"
+    s"WITH ${d02Ctes("documents")}\nSELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"
 
   // ---------------------------------------------------------------------
   // d03: MinHash + LSH banding. 128 permutation-hashes (min over shingle
