@@ -384,7 +384,7 @@ object Dedup {
          |  JOIN l${k - 1} nb ON nb.v = e.dst
          |  GROUP BY cur.v, cur.lbl)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $d02Ctes,
+    s"""WITH ${d02Ctes("documents")},
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
