@@ -104,11 +104,10 @@ object Dedup {
     d02On(Tables.load(spark, dir, "documents"))
 
   /** d02's pair computation as a CTE chain ending in `pairs`; shared by
-    * the d02 oracle and d06's edge source (which feeds a prefiltered
-    * document set, hence the `source` parameter). */
-  private def d02Ctes(source: String) =
+    * the d02 oracle and d06's edge source. */
+  private val d02Ctes =
     s"""toks AS (
-      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS L FROM $source),
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS L FROM documents),
       |sh AS (
       |  SELECT doc_id, list_distinct([L[i] || ' ' || L[i+1] || ' ' || L[i+2] for i in range(1, len(L)-1)]) AS S
       |  FROM toks WHERE len(L) >= 3),
@@ -129,7 +128,7 @@ object Dedup {
       |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8)""".stripMargin
 
   private val d02Sql =
-    s"WITH ${d02Ctes("documents")}\nSELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"
+    s"WITH $d02Ctes\nSELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"
 
   // ---------------------------------------------------------------------
   // d03: MinHash + LSH banding. 128 permutation-hashes (min over shingle
@@ -337,63 +336,86 @@ object Dedup {
 
   // ---------------------------------------------------------------------
   // d06: duplicate CLUSTERS — near-dup pairs (d02's capped Jaccard
-  // graph) grouped into connected components by min-label propagation:
-  // each round, every vertex takes the minimum label among itself and
-  // its neighbors; after k rounds labels are exact for components of
-  // diameter <= k (planted near-dups come in pairs/triples; both engines
-  // run the identical fixed k, so results match even pre-convergence —
-  // all-integer arithmetic, no float concerns).
+  // graph) grouped into exact connected components by min-label
+  // propagation run to convergence: each round, every vertex takes the
+  // minimum label among itself and its neighbors; the loop exits when a
+  // round changes no label, which happens after at most
+  // max-component-diameter rounds (labels only decrease and the fixed
+  // point is the component minimum). All-integer arithmetic, so the
+  // DuckDB oracle (reachability via a recursive CTE — exact components
+  // by construction) matches hash-exactly.
   //
   // This is what a dedup pipeline actually consumes: "keep cluster_rep,
-  // drop the rest", not a bag of pairs. Scale: k bounded rounds, each
+  // drop the rest", not a bag of pairs. Scale: O(diameter) rounds, each
   // one join + groupBy shuffled on vertex id — the standard distributed
   // connected-components loop (large-star/small-star is the same shape
-  // with better skew behavior at extreme component sizes).
+  // with better skew behavior at extreme component sizes). Near-dup
+  // graphs are overwhelmingly short chains, so the expected round count
+  // is small and data-independent work per round is O(|E|).
   // ---------------------------------------------------------------------
-  private val LabelRounds = 3
+  /** Safety cap only — the loop exits on the first no-change round. A
+    * component of diameter > MaxLabelRounds would get split labels, but
+    * hitting that would mean a near-dup chain 64 hops long. */
+  private val MaxLabelRounds = 64
+
+  /** Exact connected components of an undirected pair list (columns =
+    * two vertex ids): returns (v, lbl) with lbl = min vertex id of v's
+    * component. Runs min-label propagation until no label changes.
+    *
+    * Each round's labels are `localCheckpoint`ed: the checkpoint cuts
+    * the lineage so (a) round k+1's plan doesn't re-execute rounds 1..k,
+    * and (b) the input's lineage (for d06, the whole d02 pipeline) is
+    * executed exactly once and released — no persist handle outlives the
+    * call. On a real cluster swap `localCheckpoint` for a reliable
+    * `checkpoint` dir so executor loss can't drop a round. */
+  private[ops] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p = pairs.toDF("pa", "pb")
+    val edges = p.union(p.select($"pb", $"pa")).toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges.select($"src".as("v")).distinct()
+      .withColumn("lbl", $"v").localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < MaxLabelRounds) {
+      val nb = edges.join(labels.withColumnRenamed("v", "nv"), $"dst" === $"nv")
+        .groupBy($"src").agg(min($"lbl").as("nlbl"))
+      val next = labels.join(nb, $"v" === $"src")
+        .select($"v", least($"lbl", $"nlbl").as("lbl"), $"lbl".as("prev"))
+        .localCheckpoint()
+      changed = next.filter($"lbl" < $"prev").count() // labels only decrease
+      labels = next.select($"v", $"lbl")
+      round += 1
+    }
+    labels
+  }
 
   def d06(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = d02On(Tables.load(spark, dir, "documents"))
-      .select($"doc_a", $"doc_b")
-    // persist the edge list: it is tiny (O(near-dup pairs)) but its
-    // lineage is the whole d02 pipeline, which every label round would
-    // otherwise re-execute (measured ~2.5x the query time at sf0.1)
-    val edges = pairs.union(
-      pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-      .toDF("src", "dst")
-      .persist()
-    var labels = edges.select($"src".as("v")).distinct()
-      .withColumn("lbl", $"v")
-    for (_ <- 0 until LabelRounds) {
-      val nb = edges.join(labels.withColumnRenamed("v", "nv"), $"dst" === $"nv")
-        .groupBy($"src").agg(min($"lbl").as("nlbl"))
-      labels = labels.join(nb, $"v" === $"src")
-        .select($"v", least($"lbl", $"nlbl").as("lbl"))
-    }
-    labels.select($"lbl".as("cluster_rep"), $"v".as("doc_id"))
+    connectedComponents(
+      d02On(Tables.load(spark, dir, "documents")).select($"doc_a", $"doc_b"))
+      .select($"lbl".as("cluster_rep"), $"v".as("doc_id"))
       .orderBy($"cluster_rep", $"doc_id")
   }
 
-  private def d06Sql: String = {
-    val rounds = (1 to LabelRounds).map { k =>
-      s"""l$k AS (
-         |  SELECT cur.v AS v, LEAST(cur.lbl, MIN(nb.lbl)) AS lbl
-         |  FROM l${k - 1} cur
-         |  JOIN edges e ON e.src = cur.v
-         |  JOIN l${k - 1} nb ON nb.v = e.dst
-         |  GROUP BY cur.v, cur.lbl)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH ${d02Ctes("documents")},
+  // Oracle: exact components via reachability — `reach` closes the edge
+  // list transitively (UNION dedups, so it terminates), then each vertex
+  // takes the minimum reachable id (LEAST with v itself covers the
+  // component-minimum vertex). Exact for any diameter, matching the
+  // Spark side's run-to-convergence semantics.
+  private def d06Sql: String =
+    s"""WITH RECURSIVE $d02Ctes,
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM edges),
-       |$rounds
-       |SELECT lbl AS cluster_rep, v AS doc_id
-       |FROM l$LabelRounds
+       |reach(v, r) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT w.v, e.dst FROM reach w JOIN edges e ON e.src = w.r)
+       |SELECT LEAST(v, MIN(r)) AS cluster_rep, v AS doc_id
+       |FROM reach GROUP BY v
        |ORDER BY cluster_rep, doc_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------------
 

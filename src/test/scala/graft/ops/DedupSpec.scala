@@ -49,6 +49,23 @@ class DedupSpec extends SparkSpec {
     clusters.foreach { case (v, rep) => assert(rep <= v) }
   }
 
+  test("label propagation converges on a planted diameter-5 chain") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 (diameter 5 — a fixed 3-round loop splits it),
+    // a separate pair, and a triangle with ids out of order
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L),
+      (22L, 20L), (21L, 22L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L)
+    assert(got == want, s"got $got")
+  }
+
   test("d02 df-cap bounds candidate pairs under a hot boilerplate shingle") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
