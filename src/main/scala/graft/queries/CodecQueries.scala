@@ -124,19 +124,18 @@ object CodecQueries {
   // TODO (README.md:4-5), reachable from Spark: `bro.dictionary.file`
   // names a shared dictionary on any Hadoop FS; every stream written and
   // read under that conf is prefix-dictionary compressed. The dictionary
-  // here is derived deterministically from the corpus head (the standard
-  // practice: train on a sample, ship the artifact next to the data).
-  // Oracle = the same content checksum DuckDB computes on the original
-  // table, so any dictionary-path corruption breaks the hash match.
+  // is the shipped trainer's artifact (greedy shingle-coverage document
+  // selection, BroDictionary.train — deterministic, so the oracle stays
+  // reproducible). Oracle = the same content checksum DuckDB computes on
+  // the original table, so any dictionary-path corruption breaks the
+  // hash match.
   // ---------------------------------------------------------------------
   def q44(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     BroWriter.register(spark)
     val docs = Tables.load(spark, dir, "documents")
-    // dictionary: first 20 documents by doc_id (tiny, driver-side)
-    val dictBytes = docs.orderBy($"doc_id").limit(20)
-      .select($"text").as[String].collect().mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val dictBytes =
+      graft.codec.BroDictionary.train(docs, "text", "doc_id", maxBytes = 16 * 1024)
     val dictPath = java.nio.file.Paths.get(graft.Scratch.dir("bro_dict") + ".bin")
     java.nio.file.Files.createDirectories(dictPath.getParent)
     java.nio.file.Files.write(dictPath, dictBytes)
