@@ -26,7 +26,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * is what keeps d05/s02/s04 hash-verified.
   *
   * Vectors shorter than [[SrpLsh.Dim]] use only their own elements
-  * (missing dims contribute 0 to every dot); elements must be non-null.
+  * (missing dims contribute 0 to every dot) — the oracle's
+  * `PortableSql.weightedSumSql` COALESCEs out-of-range terms to 0.0 to
+  * match, so the bit-identical claim holds for any length, not just
+  * exactly-Dim vectors. Elements must be non-null.
   */
 case class SrpBuckets(child: Expression) extends UnaryExpression {
 

@@ -44,6 +44,22 @@ class SrpLshSpec extends SparkSpec {
     assert(keys.distinct.length == keys.length)
   }
 
+  test("srp_buckets partial-dot semantics on vectors shorter than Dim") {
+    import spark.implicits._
+    val short = Array.tabulate(10)(i => (if (i % 2 == 0) 0.25f else -0.75f) * (i + 1))
+    val got = Seq(Tuple1(short)).toDF("v")
+      .select(SrpLsh.buckets(spark, $"v")).as[Array[Long]].head()
+    assert(got.sameElements(bucketsRef(short)),
+      "codegen path must use only the vector's own elements")
+    // empty vector: every dot is 0.0, which signs positive -> all bits set
+    val empty = Seq(Tuple1(Array.empty[Float])).toDF("v")
+      .select(SrpLsh.buckets(spark, $"v")).as[Array[Long]].head()
+    assert(empty.sameElements(bucketsRef(Array.empty[Float])))
+    empty.zipWithIndex.foreach { case (k, t) =>
+      assert(k == ((t.toLong << SrpLsh.BitsPerTable) | ((1L << SrpLsh.BitsPerTable) - 1)))
+    }
+  }
+
   test("srp_buckets interpreted eval agrees with the codegen result") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
