@@ -10,12 +10,15 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Representative headline set: scan+agg, selective scan, star join,
-    * windows, top-k, JSON, set ops, as-of. Names missing from the
+    * windows, top-k, JSON, set ops, as-of — plus the three LLM-ops
+    * representatives (minhash-LSH dedup, SRP-LSH ANN, repetition filter)
+    * so an ops regression fails the gate. Names missing from the
     * registry are reported as failed (value -1). */
   val headline: Seq[String] = Seq(
     "q01_pricing_summary", "q02_selective_filter", "q03_bcast_join",
     "q04_multiway_join", "q07_topk_per_group", "q09_global_topk",
-    "q15_json_extract", "q19_time_bucket", "q20_asof_join")
+    "q15_json_extract", "q19_time_bucket", "q20_asof_join",
+    "d03_minhash_lsh", "s02_ann_lsh", "t07_repetition_filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,10 +67,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val failed = results.count(_._2 < 0)
-    // representative LLM-pipeline ops, timed once each (informational —
-    // not part of the headline total/gate)
-    val opNames = Seq("d01_exact_dedup", "d03_minhash_lsh", "d06_dup_clusters",
-      "s02_ann_lsh", "s04_ann_int8_rerank", "t07_repetition_filter")
+    // remaining LLM-pipeline ops, timed once each (informational —
+    // not part of the headline total/gate; d03/s02/t07 moved into it)
+    val opNames = Seq("d01_exact_dedup", "d06_dup_clusters",
+      "s04_ann_int8_rerank")
     val ops = opNames.filter(all.contains).map { name =>
       try {
         val t0 = System.nanoTime()
