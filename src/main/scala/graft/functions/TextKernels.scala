@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Gopher-style repetition statistics of a document as ONE native
+  * Catalyst expression: whitespace-tokenize, form adjacent word 2-grams,
+  * and in a single sorted pass compute the 2-gram count, the duplicate
+  * fraction `(n - distinct)/n` and the top-gram share `max_mult/n`.
+  *
+  * The interpreted predecessor (t07's `transform`/`array_sort`/
+  * `aggregate` higher-order-function chain) dispatched a lambda closure
+  * per token, per gram, and per fold step — the same anti-pattern whose
+  * removal bought s02 a 25× win via [[SrpBuckets]]. This compiles to one
+  * static-kernel call per row inside the generated stage; the kernel is
+  * a plain JIT-compiled sort + linear scan, O(d log d) per document and
+  * embarrassingly parallel over the corpus scan at 100 TB.
+  *
+  * Both `eval` and the generated code call the same
+  * [[TextKernels.repetitionStats]] kernel, so interpreted and codegen
+  * paths cannot diverge.
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats expects STRING, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_2grams", IntegerType, nullable = false),
+    StructField("dup_2gram_frac", DoubleType, nullable = false),
+    StructField("top_2gram_frac", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.repetitionStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.repetitionStats($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Compiled text kernels + SQL-function registration. Static forwarders
+  * make these callable from generated Java code. */
+object TextKernels {
+
+  /** The t07 kernel: tokens → adjacent 2-grams → sort → one-pass
+    * distinct count and longest equal-run. Token split matches Spark's
+    * `split(text, " ")` + non-empty filter (single-space separators,
+    * consecutive spaces yield no token). Grouping 2-grams by sorted
+    * String order partitions identically to the old `array_sort` over
+    * `concat_ws(" ", ...)` grams: tokens never contain spaces, so gram
+    * string equality is pair equality, and any total order groups equal
+    * grams contiguously. */
+  def repetitionStats(s: UTF8String): InternalRow = {
+    val toks = s.toString.split(" ", -1)
+    // compact non-empty tokens in place
+    var nTok = 0
+    var i = 0
+    while (i < toks.length) {
+      if (!toks(i).isEmpty) { toks(nTok) = toks(i); nTok += 1 }
+      i += 1
+    }
+    val n = nTok - 1 // number of adjacent 2-grams
+    if (n < 1) return new GenericInternalRow(Array[Any](0, 0.0, 0.0))
+    val grams = new Array[String](n)
+    i = 0
+    while (i < n) { grams(i) = toks(i) + " " + toks(i + 1); i += 1 }
+    java.util.Arrays.sort(grams.asInstanceOf[Array[AnyRef]])
+    var distinct = 1
+    var run = 1
+    var best = 1
+    i = 1
+    while (i < n) {
+      if (grams(i) == grams(i - 1)) {
+        run += 1
+        if (run > best) best = run
+      } else { distinct += 1; run = 1 }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      n, (n - distinct).toDouble / n, best.toDouble / n))
+  }
+
+  /** Idempotently register the SQL-callable kernel on the session (a
+    * guard, not create-or-replace, so repeated query construction leaves
+    * the registry untouched and warning-free). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("repetition_stats"))) {
+      reg.createOrReplaceTempFunction(
+        "repetition_stats", exprs => RepetitionStats(exprs.head), "built-in")
+    }
+  }
+
+  /** Struct column `(n_2grams, dup_2gram_frac, top_2gram_frac)` for a
+    * string column (registers on first use). */
+  def repetitionStatsCol(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("repetition_stats", text)
+  }
+}

@@ -246,11 +246,27 @@ object TextOps {
   // training-data pipelines run before dedup: the duplicate-2-gram
   // fraction and the top-2-gram share, plus the keep/drop decision at
   // Gopher-ish thresholds (top > 0.18 or dup > 0.20 → drop). Computed
-  // entirely within-row with higher-order functions — narrow, no
-  // shuffle; the top-share term is O(distinct²) per document, bounded by
-  // document length, never by corpus size.
+  // entirely within-row by the codegen'd RepetitionStats kernel —
+  // narrow, no shuffle, one compiled sort+scan per document; O(d log d)
+  // bounded by document length, never by corpus size.
   // ---------------------------------------------------------------------
   def t07(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val st = graft.functions.TextKernels.repetitionStatsCol(spark, lower($"text"))
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", st.as("st"))
+      .select($"doc_id",
+        $"st.n_2grams".as("n_2grams"),
+        $"st.dup_2gram_frac".as("dup_2gram_frac"),
+        $"st.top_2gram_frac".as("top_2gram_frac"),
+        (!($"st.top_2gram_frac" > 0.18 || $"st.dup_2gram_frac" > 0.20)).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** The pre-round-6 higher-order-function formulation of t07, kept as
+    * the independent semantics witness: TextKernelSpec asserts the
+    * codegen kernel produces row-identical output. Not registered. */
+  private[ops] def t07Interpreted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val L = tokens(lower($"text"))
     val grams = when(size(L) >= 2,
