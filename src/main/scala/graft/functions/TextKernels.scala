@@ -53,6 +53,37 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Distinct word-3-gram shingles of a document as a native Catalyst
+  * expression — the candidate-generation front end of the Jaccard dedup
+  * family (d02, and d06's edge source). Returns the shingles in first-
+  * appearance order, matching the `array_distinct(transform(...))`
+  * column formulation it replaces; empty array for documents with fewer
+  * than 3 tokens. Same interpreted-HOF-removal rationale as
+  * [[RepetitionStats]]: one compiled pass per row instead of a lambda
+  * dispatch per token.
+  */
+case class ShingleSet(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_set expects STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_set"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.shingleSet(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.shingleSet($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Compiled text kernels + SQL-function registration. Static forwarders
   * make these callable from generated Java code. */
 object TextKernels {
@@ -95,7 +126,30 @@ object TextKernels {
       n, (n - distinct).toDouble / n, best.toDouble / n))
   }
 
-  /** Idempotently register the SQL-callable kernel on the session (a
+  /** The shingle kernel behind [[ShingleSet]]: distinct adjacent word
+    * 3-grams in first-appearance order (insertion-ordered set). */
+  def shingleSet(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    var nTok = 0
+    var i = 0
+    while (i < toks.length) {
+      if (!toks(i).isEmpty) { toks(nTok) = toks(i); nTok += 1 }
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[String]
+    i = 0
+    while (i <= nTok - 3) {
+      out.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    val arr = new Array[AnyRef](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  /** Idempotently register the SQL-callable kernels on the session (a
     * guard, not create-or-replace, so repeated query construction leaves
     * the registry untouched and warning-free). */
   def register(spark: SparkSession): Unit = {
@@ -104,6 +158,17 @@ object TextKernels {
       reg.createOrReplaceTempFunction(
         "repetition_stats", exprs => RepetitionStats(exprs.head), "built-in")
     }
+    if (!reg.functionExists(FunctionIdentifier("shingle_set"))) {
+      reg.createOrReplaceTempFunction(
+        "shingle_set", exprs => ShingleSet(exprs.head), "built-in")
+    }
+  }
+
+  /** `ARRAY<STRING>` of distinct word-3-gram shingles of a (lowercased)
+    * text column (registers on first use). */
+  def shingleSetCol(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("shingle_set", text)
   }
 
   /** Struct column `(n_2grams, dup_2gram_frac, top_2gram_frac)` for a

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.functions.{SrpLsh, VectorOps}
+import graft.functions.{MinHash, SrpLsh, VectorOps}
 
 /** Deduplication operators over `documents` / `embeddings`:
   *
@@ -26,8 +26,14 @@ import graft.functions.{SrpLsh, VectorOps}
   */
 object Dedup {
 
-  /** Distinct word-3-gram shingles of a text column (empty if <3 tokens). */
-  def shingles(text: Column): Column = {
+  /** Distinct word-3-gram shingles of a text column (empty if <3
+    * tokens) — the codegen'd ShingleSet kernel. */
+  def shingles(spark: SparkSession, text: Column): Column =
+    graft.functions.TextKernels.shingleSetCol(spark, lower(text))
+
+  /** The pre-round-6 higher-order-function formulation of [[shingles]],
+    * kept as the independent semantics witness for DedupSpec. */
+  private[ops] def shinglesInterpreted(text: Column): Column = {
     val L = TextOps.tokens(lower(text))
     when(size(L) >= 3,
       array_distinct(transform(sequence(lit(1), size(L) - 2), i =>
@@ -77,7 +83,8 @@ object Dedup {
     * join and partially aggregates map-side. */
   private[ops] def cappedShingleIndex(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val sh = docs.select($"doc_id", explode(shingles($"text")).as("w"))
+    val sh = docs.select($"doc_id",
+      explode(shingles(docs.sparkSession, $"text")).as("w"))
     val hot = sh.groupBy($"w").agg(count(lit(1)).as("df"))
       .filter($"df" > DfCap).select($"w")
     sh.join(hot, Seq("w"), "left_anti")
@@ -131,31 +138,64 @@ object Dedup {
     s"WITH $d02Ctes\nSELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"
 
   // ---------------------------------------------------------------------
-  // d03: MinHash + LSH banding. 128 permutation-hashes (min over shingle
-  // base hashes under (a*h+b) mod P) computed as 128 partial-aggregated
-  // mins — one shuffle on doc_id. Band keys (32 bands × 4 rows) bucket
-  // candidates; estimated Jaccard = signature agreement. At 100 TB this
-  // is the standard layout: no pass ever holds more than (doc, 128 longs).
-  // Base hash is the portable md5-derived h60 (PortableSql), so the whole
-  // pipeline is hash-verified against a DuckDB oracle.
+  // d03: MinHash + LSH banding. The full 128-permutation signature is
+  // ONE codegen'd kernel (MinHashSig: shingle → h60 → affine mins in a
+  // compiled per-row loop), so signature building is a narrow map with
+  // no shuffle at all — at 100 TB nothing is exchanged until the
+  // (doc, 128 longs) signatures hit the band-key bucket join. Band keys
+  // (32 bands × 4 rows) bucket candidates; estimated Jaccard = signature
+  // agreement (codegen'd MinHashAgree). Base hash is the portable
+  // md5-derived h60, so the whole pipeline is hash-verified against a
+  // DuckDB oracle.
   // ---------------------------------------------------------------------
-  private val NumHashes = 128
-  private val Bands = 32
-  private val RowsPerBand = NumHashes / Bands
-  private val P = 2038074743L // prime < 2^31
-  private val hashCoefs: Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(NumHashes)((rnd.nextInt((P - 1).toInt).toLong + 1L,
-      rnd.nextInt(P.toInt).toLong))
-  }
+  private def NumHashes = MinHash.NumHashes
+  private def Bands = MinHash.Bands
+  private def RowsPerBand = MinHash.RowsPerBand
+  private def P = MinHash.P
 
   def d03(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
+    val withSig = docs
+      .select($"doc_id", MinHash.sigCol(spark, lower($"text")).as("sig"))
+      .filter($"sig".isNotNull) // <3-token docs have no shingles
+    val bandKeys = (0 until Bands).map { j =>
+      struct(lit(j).as("j") +: (0 until RowsPerBand).map(r =>
+        element_at($"sig", j * RowsPerBand + r + 1).as(s"k$r")): _*)
+    }
+    // the banding self-join exchanges only (doc_id, band_key) — carrying
+    // the 128-long signature through the 32× explode would multiply the
+    // shuffle by the fan-out; instead the (small) surviving pair list
+    // re-joins the signature map, which AQE turns into broadcast joins
+    // (withSig is a narrow recompute, never shuffled).
+    val bands = withSig.select($"doc_id",
+      explode(array(bandKeys: _*)).as("band_key"))
+    val pairIds = bands.as("x").join(bands.as("y"),
+        $"x.band_key" === $"y.band_key" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    pairIds
+      .join(withSig.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(withSig.as("sb"), $"doc_b" === $"sb.doc_id")
+      .withColumn("est_jaccard",
+        MinHash.agreeCol(spark, $"sa.sig", $"sb.sig").cast(DoubleType) / NumHashes)
+      .filter($"est_jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"est_jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The pre-round-6 column-pipeline formulation of d03 (explode +
+    * 128-column min aggregation + interpreted zip_with agreement), kept
+    * as the independent semantics witness: DedupSpec asserts the codegen
+    * kernels produce row-identical output. Not registered. */
+  private[ops] def d03Interpreted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
     // base hash reduced into [0, P) so a*h+b stays < 2^62 (ANSI-safe).
-    val sh = docs.select($"doc_id", explode(shingles($"text")).as("w"))
+    val sh = docs.select($"doc_id",
+        explode(shinglesInterpreted($"text")).as("w"))
       .withColumn("h", pmod(PortableSql.h60($"w"), lit(P)))
-    val minExprs = hashCoefs.zipWithIndex.map { case ((a, b), i) =>
+    val minExprs = MinHash.coefs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod($"h" * lit(a) + lit(b), lit(P))).as(s"s$i")
     }
     val sigs = sh.groupBy($"doc_id").agg(minExprs.head, minExprs.tail: _*)
@@ -183,7 +223,7 @@ object Dedup {
   }
 
   private def d03Sql: String = {
-    val sigEntries = hashCoefs.map { case (a, b) =>
+    val sigEntries = MinHash.coefs.map { case (a, b) =>
       s"list_min(list_transform(H, h -> (h * $a + $b) % $P))"
     }.mkString(",\n    ")
     val h60 = PortableSql.h60Sql("w")

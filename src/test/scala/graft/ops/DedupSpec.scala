@@ -22,6 +22,41 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} true pairs")
   }
 
+  test("shingle kernel == interpreted HOF formulation on testdata") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val both = docs.select($"doc_id",
+      Dedup.shingles(spark, $"text").as("fast"),
+      Dedup.shinglesInterpreted($"text").as("slow"))
+    val bad = both.filter(!($"fast" <=> $"slow")).count()
+    assert(bad == 0, s"$bad docs with diverging shingle sets")
+  }
+
+  test("d03 codegen kernels == interpreted column pipeline") {
+    // the MinHashSig/MinHashAgree kernels must reproduce the pre-round-6
+    // explode + 128-min-agg + zip_with formulation row for row (same
+    // doubles — the oracle hash contract depends on it)
+    val fast = Dedup.d03(spark, sf).collect()
+    val slow = Dedup.d03Interpreted(spark, sf).collect()
+    assert(fast.length == slow.length)
+    fast.zip(slow).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("minhash_sig drops <3-token docs and agrees with itself at 128") {
+    import spark.implicits._
+    import graft.functions.MinHash
+    val df = Seq((1L, "a b"), (2L, ""), (3L, "one two three four"))
+      .toDF("doc_id", "text")
+    val sigs = df.select($"doc_id",
+        MinHash.sigCol(spark, org.apache.spark.sql.functions.lower($"text")).as("sig"))
+    val rows = sigs.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(rows == Map(1L -> true, 2L -> true, 3L -> false))
+    val agree = sigs.filter($"sig".isNotNull)
+      .select(MinHash.agreeCol(spark, $"sig", $"sig"))
+      .head.getInt(0)
+    assert(agree == MinHash.NumHashes)
+  }
+
   test("simhash pairs are symmetric-free and within hamming bound") {
     import spark.implicits._
     val rows = Dedup.d04(spark, sf)
@@ -77,7 +112,7 @@ class DedupSpec extends SparkSpec {
       (i.toLong, s"lorem ipsum dolor unique$i word$i token$i")
     }.toDF("doc_id", "text")
     val uncappedPairs = {
-      val sh = docs.select($"doc_id", explode(Dedup.shingles($"text")).as("w"))
+      val sh = docs.select($"doc_id", explode(Dedup.shingles(spark, $"text")).as("w"))
       sh.as("a").join(sh.as("b"), $"a.w" === $"b.w" && $"a.doc_id" < $"b.doc_id").count()
     }
     assert(uncappedPairs >= n.toLong * (n - 1) / 2,
