@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -123,10 +124,16 @@ object SrpLsh {
 
   private[functions] val flatPlanes: Array[Double] = planes.flatten.toArray
 
-  /** Idempotently register the SQL-callable kernel on the session. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "srp_buckets", exprs => SrpBuckets(exprs.head), "built-in")
+  /** Idempotently register the SQL-callable kernel on the session (a
+    * guard, not create-or-replace, so repeated query construction leaves
+    * the registry untouched and warning-free). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("srp_buckets"))) {
+      reg.createOrReplaceTempFunction(
+        "srp_buckets", exprs => SrpBuckets(exprs.head), "built-in")
+    }
+  }
 
   /** `ARRAY<BIGINT>` of packed `(table << BitsPerTable) | bucket` keys
     * for an `ARRAY<FLOAT>` embedding column (registers on first use). */

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -74,10 +75,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object VectorOps {
-  /** Idempotently register SQL-callable vector functions on the session. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+  /** Idempotently register SQL-callable vector functions on the session (a
+    * guard, not create-or-replace, so repeated query construction leaves
+    * the registry untouched and warning-free). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("cosine_sim"))) {
+      reg.createOrReplaceTempFunction(
+        "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    }
+  }
 
   /** Column-API handle (registers on first use). */
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {

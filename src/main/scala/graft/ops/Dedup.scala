@@ -428,6 +428,14 @@ object Dedup {
       labels = next.select($"v", $"lbl")
       round += 1
     }
+    if (changed > 0) {
+      // cap hit with labels still moving: the result has split components
+      // (a near-dup chain > MaxLabelRounds hops). Surface it here rather
+      // than as a downstream oracle mismatch.
+      System.err.println(
+        s"[graft] connectedComponents hit MaxLabelRounds=$MaxLabelRounds " +
+          s"with $changed labels still changing — components are SPLIT")
+    }
     labels
   }
 

@@ -231,6 +231,61 @@ object EventsStream {
       |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** st08: the append-mode production path of st01 — tumbling hourly
+    * counts where a window emits only once the watermark (max ts − 1 h)
+    * closes it. This is the sink shape an unbounded deployment uses
+    * (each window row written exactly once, state evicted on close;
+    * `StreamEvictionSpec` asserts the bounded-state property directly).
+    * The emitted set is deterministic — window.end ≤ final watermark —
+    * so it is oracle-checked like st02. */
+  def st08(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    drain(StreamOps.hourlyCounts(eventsSource(spark, dir)), "append")
+      .select(date_format($"window.start", "yyyy-MM-dd HH:00:00").as("hour_bucket"),
+        $"event_type", $"n_events")
+      .orderBy($"hour_bucket", $"event_type")
+  }
+
+  private val st08Sql =
+    """WITH m AS (SELECT MAX(ts) AS mx FROM events),
+      |b AS (
+      |  SELECT time_bucket(INTERVAL '1 hour', ts) AS w, event_type
+      |  FROM events, m
+      |  WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR
+      |          <= mx - INTERVAL 1 HOUR)
+      |SELECT strftime(w, '%Y-%m-%d %H:00:00') AS hour_bucket, event_type,
+      |  COUNT(*) AS n_events
+      |FROM b
+      |GROUP BY hour_bucket, event_type
+      |ORDER BY hour_bucket, event_type""".stripMargin
+
+  /** st09: append-mode st04 — sliding 1 h / 30 min counts emitted on
+    * watermark close (window.end ≤ max ts − 1 h). Same epoch-aligned
+    * two-arm window reconstruction as st04's oracle, filtered by the
+    * close predicate. */
+  def st09(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    drain(StreamOps.slidingCounts(eventsSource(spark, dir)), "append")
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"event_type", $"n_events")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  private val st09Sql =
+    """WITH m AS (SELECT MAX(ts) AS mx FROM events),
+      |b AS (
+      |  SELECT event_type, time_bucket(INTERVAL '30 minutes', ts) AS b0 FROM events),
+      |arms AS (
+      |  SELECT event_type, b0 AS wstart FROM b
+      |  UNION ALL
+      |  SELECT event_type, b0 - INTERVAL '30 minutes' AS wstart FROM b)
+      |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, COUNT(*) AS n_events
+      |FROM arms, m
+      |WHERE wstart + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
+      |GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "st01_stream_hourly" -> (st01 _),
     "st02_stream_sessionize" -> (st02 _),
@@ -238,7 +293,9 @@ object EventsStream {
     "st04_stream_sliding" -> (st04 _),
     "st05_stream_static_join" -> (st05 _),
     "st06_stream_bro_ingest" -> (st06 _),
-    "st07_stream_stream_join" -> (st07 _))
+    "st07_stream_stream_join" -> (st07 _),
+    "st08_stream_append_hourly" -> (st08 _),
+    "st09_stream_append_sliding" -> (st09 _))
 
   private val st02Sql =
     """WITH flagged AS (
@@ -269,5 +326,7 @@ object EventsStream {
     "st04_stream_sliding" -> st04Sql,
     "st05_stream_static_join" -> st05Sql,
     "st06_stream_bro_ingest" -> st06Sql,
-    "st07_stream_stream_join" -> st07Sql)
+    "st07_stream_stream_join" -> st07Sql,
+    "st08_stream_append_hourly" -> st08Sql,
+    "st09_stream_append_sliding" -> st09Sql)
 }
