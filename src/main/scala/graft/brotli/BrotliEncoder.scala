@@ -4,11 +4,15 @@ import java.io.ByteArrayOutputStream
 
 /** Streaming Brotli encoder (RFC 7932). The quality knob selects a rung
   * of the ladder (SURVEY.md §7.0), all emitting spec-valid streams:
-  *   - q0..1: uncompressed meta-blocks (ratio ~1.0 at GB/s);
-  *   - q2:    order-0 Huffman literals, single insert command per block;
-  *   - q3+:   LZ77 over a persistent lgwin-wide sliding window with
-  *            quality-scaled hash chains, rep-match search, and all three
-  *            alphabets Huffman-coded from block histograms (emitLzBlock).
+  *   - q0:  uncompressed meta-blocks (store mode, ratio ~1.0 at GB/s —
+  *          the one deliberate divergence from libbrotli, whose q0 also
+  *          compresses; callers wanting raw-speed framing get it here);
+  *   - q1+: LZ77 over a persistent lgwin-wide sliding window with
+  *          quality-scaled hash chains, rep-match search, and all three
+  *          alphabets Huffman-coded from block histograms (emitLzBlock).
+  *          q1 is the greedy fast tier (depth-1 chains, early skip
+  *          ramp, short nice-length) matching libbrotli's fast modes;
+  *          depth/niceLen/skip/hash width all scale with quality.
   *
   * Mirrors the reference's block-granular encode semantics
   * (BroCompressor.java:117-148: stage until a block is full, then emit)
@@ -18,14 +22,9 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
   require(quality >= 0 && quality <= 11, s"quality $quality out of range 0..11")
   require(lgwin >= 10 && lgwin <= 24, s"lgwin $lgwin out of range 10..24")
 
-  /** Whether this quality uses entropy-coded meta-blocks at all
-    * (q0..1 stay uncompressed; q2 is order-0; q3+ takes the LZ77 path —
-    * see emitBlock's dispatch). */
-  private val compressed = quality >= 2
-
   /** Input staged per meta-block. Uncompressed meta-blocks allow MLEN up
     * to 2^24; entropy-coded blocks use 1 MiB so histograms adapt. */
-  val blockSize: Int = if (quality <= 1) 1 << 16 else 1 << 20
+  val blockSize: Int = if (quality == 0) 1 << 16 else 1 << 20
 
   private val staging = new Array[Byte](blockSize)
   private var staged = 0
@@ -62,10 +61,9 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
   }
 
   // -------------------------------------------------------------------
-  // Entropy-coded meta-block (RFC 7932 §9.2/9.3), minimal layout: one
-  // block type everywhere, NPOSTFIX=NDIRECT=0, one literal tree (no
-  // context map), one command per block (insert = MLEN, so the copy part
-  // and distance are never executed), literals order-0 Huffman coded.
+  // Entropy-coded meta-block machinery (RFC 7932 §9.2/9.3). Prefix
+  // codes use the §3.4 simple form for ≤4 symbols and the §3.5 complex
+  // form (no repeat codes) otherwise.
   // -------------------------------------------------------------------
   import Tables7932._
 
@@ -126,55 +124,8 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     }
   }
 
-  private def emitCompressedBlock(data: Array[Byte], off: Int, len: Int,
-      sink: ByteArrayOutputStream): Unit = {
-    require(len >= 1 && len <= (1 << 24))
-    if (!headerWritten) writeStreamHeader()
-    bits.writeBits(0, 1) // ISLAST
-    val mlenMinus1 = len - 1
-    val nibbles = if (mlenMinus1 < (1 << 16)) 4
-      else if (mlenMinus1 < (1 << 20)) 5 else 6
-    bits.writeBits(nibbles - 4, 2)
-    bits.writeBits(mlenMinus1.toLong, nibbles * 4)
-    bits.writeBits(0, 1) // ISUNCOMPRESSED = 0
-    bits.writeBits(0, 1) // NBLTYPESL = 1
-    bits.writeBits(0, 1) // NBLTYPESI = 1
-    bits.writeBits(0, 1) // NBLTYPESD = 1
-    bits.writeBits(0, 2) // NPOSTFIX = 0
-    bits.writeBits(0, 4) // NDIRECT = 0
-    bits.writeBits(0, 2) // context mode 0 (LSB6) for the literal block type
-    bits.writeBits(0, 1) // NTREESL = 1 (no context map)
-    bits.writeBits(0, 1) // NTREESD = 1 (no context map)
-    // literal prefix code from the block's histogram
-    val freqs = new Array[Long](LiteralAlphabetSize)
-    var i = 0
-    while (i < len) { freqs(data(off + i) & 0xff) += 1; i += 1 }
-    val (litLen, litCode) = writePrefixCode(freqs, 8)
-    // command prefix code: the single command (insert covers MLEN)
-    val icode = insertCodeFor(len)
-    val cmd = packCommandExplicit(icode, 0)
-    val cmdFreq = new Array[Long](CommandAlphabetSize)
-    cmdFreq(cmd) = 1
-    writePrefixCode(cmdFreq, 10)
-    // distance prefix code: never consulted, single symbol 0
-    val distFreq = new Array[Long](numDistanceCodes(0, 0))
-    distFreq(0) = 1
-    writePrefixCode(distFreq, 6)
-    // the command: symbol (0 bits), insert extra, copy extra (code 0 → 0)
-    bits.writeBits((len - InsertBase(icode)).toLong, InsertExtra(icode))
-    // literals (codes pre-reversed so each is one writeBits call)
-    val litRev = Array.tabulate(256)(b => Huffman.reverseBits(litCode(b), litLen(b)))
-    i = 0
-    while (i < len) {
-      val b = data(off + i) & 0xff
-      bits.writeBits(litRev(b).toLong, litLen(b))
-      i += 1
-    }
-    bits.drainTo(sink)
-  }
-
   // -------------------------------------------------------------------
-  // LZ77 rung (quality ≥ 4): hash-chain matching over a persistent
+  // LZ77 rungs (quality ≥ 1): hash-chain matching over a persistent
   // sliding window that spans meta-blocks (up to lgwin, like native
   // brotli — matches reach back across block boundaries into the
   // decoder's backward-reference window), real insert+copy commands with
@@ -225,12 +176,14 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     * nice_length): longer candidates are possible but the marginal bit
     * savings don't pay for the cache-missing walk. */
   private val niceLen =
-    if (quality >= 10) Int.MaxValue else if (quality >= 8) 512 else 128
+    if (quality >= 10) Int.MaxValue else if (quality >= 8) 512
+    else if (quality >= 2) 128 else 64
   /** Skip-ahead ramp on unmatched positions: after 2^skipShift
     * consecutive misses the parse starts stepping >1 byte. Higher
     * qualities ramp later (better ratio on barely-compressible data). */
   private val skipShift =
-    if (quality >= 10) 30 else if (quality >= 8) 9 else if (quality >= 6) 7 else 5
+    if (quality >= 10) 30 else if (quality >= 8) 9 else if (quality >= 6) 7
+    else if (quality >= 2) 5 else 4
   // q3-4: 4-byte hash (catches minimum-length matches). q5+: 5-byte
   // hash — on low-entropy data (CSV digits, spaces) 4-gram chains are
   // pathologically collision-heavy; hashing 5 bytes thins them at the
@@ -266,14 +219,14 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     * reference's sole TODO (README.md:4-5): its native API plumbs
     * `dict, dictSize` end-to-end (bro.cc:46-48) but the Java layer's
     * `setDictionary` is a no-op (BroCompressor.java:79-81). Only the LZ
-    * rungs (quality >= 3) emit backward references; lower rungs ignore
+    * rungs (quality >= 1) emit backward references; the store rung ignores
     * the dictionary (streams stay valid either way). Must precede the
     * first write; a decoder needs the same dictionary to reproduce the
     * stream. */
   def setDictionary(b: Array[Byte], off: Int, len: Int): Unit = {
     require(!headerWritten && staged == 0 && histTail == 0,
       "setDictionary must precede writes")
-    if (quality < 3 || len == 0) return
+    if (quality < 1 || len == 0) return
     val n = math.min(len, maxBackward) // beyond-window prefix is unreachable
     System.arraycopy(b, off + len - n, hist, 0, n)
     histTail = n
@@ -552,8 +505,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
 
   private def emitBlock(data: Array[Byte], off: Int, len: Int,
       sink: ByteArrayOutputStream): Unit =
-    if (quality >= 3) emitLzBlock(data, off, len, sink)
-    else if (compressed) emitCompressedBlock(data, off, len, sink)
+    if (quality >= 1) emitLzBlock(data, off, len, sink)
     else emitUncompressedBlock(data, off, len, sink)
 
   /** Stage input, emitting meta-blocks as the staging buffer fills.
@@ -596,7 +548,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     streamFinished = false
     System.arraycopy(Tables7932.InitialDistanceRing, 0, distRing, 0, 4)
     distRingIdx = 0
-    if (quality >= 3) { // sliding-window LZ state
+    if (quality >= 1) { // sliding-window LZ state
       java.util.Arrays.fill(hashTable, -1)
       histTail = 0
     }

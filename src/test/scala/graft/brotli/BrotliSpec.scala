@@ -165,13 +165,19 @@ class BrotliSpec extends AnyFunSuite {
     assert(e.getMessage.contains("truncated"))
   }
 
-  test("compression ratio < 1 on text-like data at quality >= 2") {
+  test("quality ladder: q0 stores, q1 fast-LZ compresses, q6 at least as well") {
     val text = ("the quick brown fox jumps over the lazy dog " * 2000).getBytes
-    val q6 = Brotli.compress(text, 6)
+    val q0 = Brotli.compress(text, 0)
     val q1 = Brotli.compress(text, 1)
-    // order-0 entropy of this text is ~4.3 bits/char → expect ~0.55
-    assert(q6.length < text.length * 7 / 10, s"entropy rung ratio: ${q6.length}/${text.length}")
-    assert(q1.length >= text.length) // uncompressed rung ~1.0
+    val q6 = Brotli.compress(text, 6)
+    assert(q0.length >= text.length) // store rung ~1.0
+    // highly repetitive input: even the greedy depth-1 q1 tier should
+    // collapse it by >10× (libbrotli q1 manages ~20× here)
+    assert(q1.length < text.length / 10, s"fast-LZ rung ratio: ${q1.length}/${text.length}")
+    assert(q6.length <= q1.length * 11 / 10,
+      s"ladder inversion: q6 ${q6.length} vs q1 ${q1.length}")
+    assert(java.util.Arrays.equals(Brotli.decompress(q0), text))
+    assert(java.util.Arrays.equals(Brotli.decompress(q1), text))
     assert(java.util.Arrays.equals(Brotli.decompress(q6), text))
   }
 
