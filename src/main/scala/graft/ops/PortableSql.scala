@@ -37,15 +37,17 @@ object PortableSql {
 
   /** Explicit dim-term weighted sum `Σ w(k)·a[k]` with literal weights
     * (used for SRP hyperplane projections; Double.toString round-trips
-    * exactly through DuckDB's double parser). Each term is COALESCEd to
-    * 0.0 so an array shorter than `weights.length` contributes only its
-    * own elements (out-of-range SQL indexing yields NULL) — the same
-    * partial-dot semantics as the SrpBuckets kernel; the trailing `+0.0`
-    * terms cannot flip the sign decision (`-0.0 + 0.0 = +0.0` and both
-    * compare `>= 0.0`). In-range elements must be non-null. */
+    * exactly through DuckDB's double parser). Indices beyond the array's
+    * length contribute 0.0 — the same partial-dot semantics as the
+    * SrpBuckets kernel; the trailing `+0.0` terms cannot flip the sign
+    * decision (`-0.0 + 0.0 = +0.0` and both compare `>= 0.0`). The
+    * length guard is explicit (not COALESCE) so a genuinely-null
+    * IN-range element still poisons the sum to NULL and fails the
+    * oracle loudly instead of silently contributing 0. */
   def weightedSumSql(a: String, weights: Array[Double]): String =
     weights.zipWithIndex
-      .map { case (w, k) => s"COALESCE(CAST($a[${k + 1}] AS DOUBLE) * $w, 0.0)" }
+      .map { case (w, k) =>
+        s"(CASE WHEN len($a) >= ${k + 1} THEN CAST($a[${k + 1}] AS DOUBLE) * $w ELSE 0.0 END)" }
       .mkString(" + ")
 
   /** Cosine similarity from precomputed dot/na/nb columns, mirroring
