@@ -84,6 +84,51 @@ case class ShingleSet(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Winnowing fingerprint summary (Schleimer et al., SIGMOD'03) of a
+  * document as ONE native Catalyst expression: rolling char-5-gram h60
+  * hashes, min per 4-hash window, then the distinct-min set's size,
+  * minimum, and xor fold. Returns NULL for documents shorter than 8
+  * characters (no complete window), matching t06's `length >= 8` gate.
+  *
+  * The interpreted predecessor was t06's `transform(sequence(...))` HOF
+  * chain — which additionally re-evaluated the inlined `lower(text)`
+  * expression for EVERY sequence element, i.e. O(n²) character work per
+  * document on top of per-element lambda dispatch (a single sf0.1
+  * partition burned 700+ s of CPU in `Lower.nullSafeEval`). The kernel
+  * is one compiled pass: O(n) md5 calls and a 4-wide window min, no
+  * per-element expression tree walks.
+  */
+case class WinnowFp(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fp expects STRING, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_kgrams", IntegerType, nullable = false),
+    StructField("n_fp", IntegerType, nullable = false),
+    StructField("fp_min", LongType, nullable = false),
+    StructField("fp_xor", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fp"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.winnowFp(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.TextKernels.winnowFp($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Compiled text kernels + SQL-function registration. Static forwarders
   * make these callable from generated Java code. */
 object TextKernels {
@@ -149,6 +194,73 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
+  /** Winnowing parameters: char k-gram width and window size. With
+    * k = 5, w = 4 any common substring of length ≥ k + w - 1 = 8 chars
+    * is guaranteed to share a fingerprint (the winnowing guarantee). */
+  private val WinK = 5
+  private val WinW = 4
+
+  /** The t06 kernel behind [[WinnowFp]]: rolling char-[[WinK]]-gram h60
+    * hashes over the (already lowercased) text, min per [[WinW]]-hash
+    * window, distinct mins summarized as (count, min, xor). Character
+    * positions are Unicode code points, matching Spark's `substring`/
+    * `length` semantics (and DuckDB's). Null for < 8 chars (no window).
+    */
+  def winnowFp(s: UTF8String): InternalRow = {
+    val bytes = s.getBytes
+    // code-point start offsets (UTF-8 lead bytes); off(n) = total length
+    val off = new Array[Int](bytes.length + 1)
+    var n = 0
+    var p = 0
+    while (p < bytes.length) {
+      off(n) = p
+      n += 1
+      val b = bytes(p) & 0xff
+      p += (if (b < 0x80) 1 else if (b < 0xe0) 2 else if (b < 0xf0) 3 else 4)
+    }
+    off(n) = bytes.length
+    if (n < WinK + WinW - 1) return null
+    val m = n - (WinK - 1) // k-gram count
+    val hashes = new Array[Long](m)
+    val md = TextKernels.md5.get()
+    var i = 0
+    while (i < m) {
+      md.reset()
+      md.update(bytes, off(i), off(i + WinK) - off(i))
+      val d = md.digest()
+      var h = 0L
+      var k = 0
+      while (k < 7) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      hashes(i) = (h << 4) | ((d(7) & 0xffL) >>> 4)
+      i += 1
+    }
+    val nWin = m - (WinW - 1)
+    val mins = new Array[Long](nWin)
+    var j = 0
+    while (j < nWin) {
+      var mn = hashes(j)
+      var q = 1
+      while (q < WinW) {
+        if (hashes(j + q) < mn) mn = hashes(j + q)
+        q += 1
+      }
+      mins(j) = mn
+      j += 1
+    }
+    java.util.Arrays.sort(mins)
+    var nFp = 1
+    var fpXor = mins(0)
+    j = 1
+    while (j < nWin) {
+      if (mins(j) != mins(j - 1)) { nFp += 1; fpXor ^= mins(j) }
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](m, nFp, mins(0), fpXor))
+  }
+
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
   /** Idempotently register the SQL-callable kernels on the session (a
     * guard, not create-or-replace, so repeated query construction leaves
     * the registry untouched and warning-free). */
@@ -161,6 +273,10 @@ object TextKernels {
     if (!reg.functionExists(FunctionIdentifier("shingle_set"))) {
       reg.createOrReplaceTempFunction(
         "shingle_set", exprs => ShingleSet(exprs.head), "built-in")
+    }
+    if (!reg.functionExists(FunctionIdentifier("winnow_fp"))) {
+      reg.createOrReplaceTempFunction(
+        "winnow_fp", exprs => WinnowFp(exprs.head), "built-in")
     }
   }
 
@@ -176,5 +292,13 @@ object TextKernels {
   def repetitionStatsCol(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function("repetition_stats", text)
+  }
+
+  /** Struct column `(n_kgrams, n_fp, fp_min, fp_xor)` — winnowing
+    * fingerprint summary of a (lowercased) text column (registers on
+    * first use); NULL for texts shorter than 8 characters. */
+  def winnowFpCol(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("winnow_fp", text)
   }
 }

@@ -198,16 +198,41 @@ object TextOps {
   // at 100 TB the fingerprint set (not the text) is what flows into any
   // downstream near-dup join, bounding shuffle width.
   // ---------------------------------------------------------------------
-  def t06(spark: SparkSession, dir: String): DataFrame = {
+  def t06(spark: SparkSession, dir: String): DataFrame =
+    t06On(spark, Tables.load(spark, dir, "documents"))
+
+  private[ops] def t06On(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val txt = lower($"text")
+    val st = graft.functions.TextKernels.winnowFpCol(spark, lower($"text"))
+    docs
+      .select($"doc_id", st.as("st"))
+      .filter($"st".isNotNull) // < 8 chars: no complete window
+      .select(
+        $"doc_id",
+        $"st.n_kgrams".as("n_kgrams"),
+        $"st.n_fp".as("n_fp"),
+        $"st.fp_min".as("fp_min"),
+        $"st.fp_xor".as("fp_xor"))
+      .orderBy($"doc_id")
+  }
+
+  /** The pre-round-6 higher-order-function formulation of t06, kept as
+    * the independent semantics witness: TextKernelSpec asserts the
+    * codegen kernel produces row-identical output. Not registered. (One
+    * deviation from the retired production form: `lower(text)` is
+    * hoisted to a column so interpreted HOF eval doesn't re-lower the
+    * whole document per sequence element — same values, O(n) not O(n²),
+    * which keeps the spec fast.) */
+  private[ops] def t06InterpretedOn(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val n = length($"text")
     val hashes = transform(sequence(lit(1), n - 4), i =>
-      PortableSql.h60(txt.substr(i, lit(5))))
+      PortableSql.h60($"t".substr(i, lit(5))))
     val mins = transform(sequence(lit(1), n - 7), j =>
       array_min(slice(hashes, j, lit(4))))
-    Tables.load(spark, dir, "documents")
+    docs
       .filter(n >= 8)
+      .withColumn("t", lower($"text"))
       .withColumn("fp", array_distinct(mins))
       .select(
         $"doc_id",

@@ -18,6 +18,53 @@ class TextKernelSpec extends SparkSpec {
     fast.zip(slow).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("t06 codegen winnow kernel == interpreted HOF formulation on testdata") {
+    import spark.implicits._
+    // a 1-in-5 sample keeps the interpreted witness fast; full-corpus t06
+    // coverage comes from the DuckDB oracle in the correctness gate
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" % 5 === 0)
+    val fast = TextOps.t06On(spark, docs).collect()
+    val slow = TextOps.t06InterpretedOn(docs).collect()
+    assert(fast.length == slow.length)
+    assert(fast.nonEmpty)
+    fast.zip(slow).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("winnow kernel edge cases: short texts, one window, repetition, multibyte") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ""),                  // null (no window)
+      (2L, "1234567"),           // 7 chars → null
+      (3L, "12345678"),          // exactly one window of 4 k-grams
+      (4L, "aaaaaaaaaaaa"),      // all k-grams equal → 1 distinct min
+      (5L, "größenwahn äöü xyz") // multibyte chars count as 1 position
+    ).toDF("doc_id", "text")
+    val fast = df.select($"doc_id",
+        TextKernels.winnowFpCol(spark, lower($"text")).as("st"))
+      .filter($"st".isNotNull)
+      .select($"doc_id", $"st.n_kgrams".as("n_kgrams"), $"st.n_fp".as("n_fp"),
+        $"st.fp_min".as("fp_min"), $"st.fp_xor".as("fp_xor"))
+    // witness: the interpreted column formulation over the same frame
+    val txt = lower($"text")
+    val n = length($"text")
+    val hashes = transform(sequence(lit(1), n - 4), i =>
+      PortableSql.h60(txt.substr(i, lit(5))))
+    val mins = transform(sequence(lit(1), n - 7), j =>
+      array_min(slice(hashes, j, lit(4))))
+    val slow = df.filter(n >= 8)
+      .withColumn("fp", array_distinct(mins))
+      .select($"doc_id", (n - 4).as("n_kgrams"), size($"fp").as("n_fp"),
+        array_min($"fp").as("fp_min"),
+        aggregate($"fp", lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fp_xor"))
+    val f = fast.collect().sortBy(_.getLong(0))
+    val s = slow.collect().sortBy(_.getLong(0))
+    assert(f.length == 3 && s.length == 3) // rows 1-2 are null (no window)
+    f.zip(s).foreach { case (a, b) => assert(a == b) }
+    val r4 = f.find(_.getLong(0) == 4L).get
+    assert(r4.getInt(2) == 1) // all-equal k-grams → single distinct fingerprint
+  }
+
   test("kernel edge cases: empty, single token, runs, multi-space") {
     import spark.implicits._
     val df = Seq(
