@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
@@ -129,6 +129,52 @@ case class WinnowFp(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The mod-sampled winnowing fingerprint SET of a document — the
+  * candidate-generation front end of t08's overlap detection: distinct
+  * window-min fingerprints whose value is ≡ 0 (mod `mod`), as
+  * `ARRAY<BIGINT>`.
+  * Value-based ("mod") sampling keeps the same fingerprints across
+  * documents, so two documents sharing content share sampled
+  * fingerprints; a near-dup pair (word-3-gram Jaccard ≥ 0.8) shares the
+  * bulk of its winnow set and therefore, w.h.p., at least one sampled
+  * member.
+  *
+  * Documents with at most `minKeep` distinct fingerprints keep the FULL
+  * set: a short document has so few fingerprints that mod sampling can
+  * miss every shared one (near-dup pairs are length-matched — Jaccard
+  * ≥ 0.8 bounds the size ratio — so short docs pair with short docs,
+  * and both keep everything). The sample only thins fingerprint-rich
+  * documents, which are exactly the ones where it pays. NULL for
+  * documents shorter than 8 characters (no window), matching
+  * [[WinnowFp]].
+  */
+case class WinnowFpSample(child: Expression, mod: Int, minKeep: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fp_sample expects STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fp_sample"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.winnowFpSample(input.asInstanceOf[UTF8String], mod, minKeep)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.TextKernels.winnowFpSample($c, $mod, $minKeep);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Compiled text kernels + SQL-function registration. Static forwarders
   * make these callable from generated Java code. */
 object TextKernels {
@@ -207,6 +253,40 @@ object TextKernels {
     * `length` semantics (and DuckDB's). Null for < 8 chars (no window).
     */
   def winnowFp(s: UTF8String): InternalRow = {
+    val md = winnowDistinctMins(s)
+    if (md == null) return null
+    val (m, mins) = md
+    var fpXor = mins(0)
+    var j = 1
+    while (j < mins.length) { fpXor ^= mins(j); j += 1 }
+    new GenericInternalRow(Array[Any](m, mins.length, mins(0), fpXor))
+  }
+
+  /** The kernel behind [[WinnowFpSample]]: the distinct window-min
+    * fingerprints with value ≡ 0 (mod `mod`), sorted ascending — or the
+    * full distinct set when it has at most `minKeep` members; null for
+    * texts shorter than 8 characters. Value-based sampling — the same
+    * fingerprint survives in every document that contains it. */
+  def winnowFpSample(s: UTF8String, mod: Int,
+      minKeep: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val md = winnowDistinctMins(s)
+    if (md == null) return null
+    val mins = md._2
+    if (mins.length <= minKeep)
+      return UnsafeArrayData.fromPrimitiveArray(mins)
+    var kept = 0
+    var j = 0
+    while (j < mins.length) {
+      if (mins(j) % mod == 0) { mins(kept) = mins(j); kept += 1 }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(mins, kept))
+  }
+
+  /** Shared winnowing core: (k-gram count, sorted distinct window-min
+    * fingerprints), or null for texts shorter than k + w - 1 = 8
+    * characters (no complete window). */
+  private def winnowDistinctMins(s: UTF8String): (Int, Array[Long]) = {
     val bytes = s.getBytes
     // code-point start offsets (UTF-8 lead bytes); off(n) = total length
     val off = new Array[Int](bytes.length + 1)
@@ -249,13 +329,12 @@ object TextKernels {
     }
     java.util.Arrays.sort(mins)
     var nFp = 1
-    var fpXor = mins(0)
     j = 1
     while (j < nWin) {
-      if (mins(j) != mins(j - 1)) { nFp += 1; fpXor ^= mins(j) }
+      if (mins(j) != mins(j - 1)) { mins(nFp) = mins(j); nFp += 1 }
       j += 1
     }
-    new GenericInternalRow(Array[Any](m, nFp, mins(0), fpXor))
+    (m, java.util.Arrays.copyOf(mins, nFp))
   }
 
   private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
@@ -277,6 +356,12 @@ object TextKernels {
     if (!reg.functionExists(FunctionIdentifier("winnow_fp"))) {
       reg.createOrReplaceTempFunction(
         "winnow_fp", exprs => WinnowFp(exprs.head), "built-in")
+    }
+    if (!reg.functionExists(FunctionIdentifier("winnow_fp_sample"))) {
+      reg.createOrReplaceTempFunction(
+        "winnow_fp_sample", exprs => WinnowFpSample(exprs.head,
+          exprs(1).eval(InternalRow.empty).asInstanceOf[Int],
+          exprs(2).eval(InternalRow.empty).asInstanceOf[Int]), "built-in")
     }
   }
 
@@ -300,5 +385,17 @@ object TextKernels {
   def winnowFpCol(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function("winnow_fp", text)
+  }
+
+  /** `ARRAY<BIGINT>` of the mod-`mod` sampled winnowing fingerprints of
+    * a (lowercased) text column — full set for documents with ≤
+    * `minKeep` fingerprints (registers on first use); NULL for texts
+    * shorter than 8 characters. */
+  def winnowFpSampleCol(
+      spark: SparkSession, text: Column, mod: Int, minKeep: Int): Column = {
+    register(spark)
+    call_function("winnow_fp_sample", text,
+      org.apache.spark.sql.functions.lit(mod),
+      org.apache.spark.sql.functions.lit(minKeep))
   }
 }

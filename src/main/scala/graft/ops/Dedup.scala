@@ -110,11 +110,12 @@ object Dedup {
   def d02(spark: SparkSession, dir: String): DataFrame =
     d02On(Tables.load(spark, dir, "documents"))
 
-  /** d02's pair computation as a CTE chain ending in `pairs`; shared by
-    * the d02 oracle and d06's edge source. */
-  private val d02Ctes =
+  /** d02's pair computation as a CTE chain ending in `pairs`, over the
+    * given source table; shared by the d02 oracle (full `documents`) and
+    * d06's edge source (the winnow-prefiltered subset). */
+  private def d02Ctes(source: String) =
     s"""toks AS (
-      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS L FROM documents),
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS L FROM $source),
       |sh AS (
       |  SELECT doc_id, list_distinct([L[i] || ' ' || L[i+1] || ' ' || L[i+2] for i in range(1, len(L)-1)]) AS S
       |  FROM toks WHERE len(L) >= 3),
@@ -135,7 +136,7 @@ object Dedup {
       |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8)""".stripMargin
 
   private val d02Sql =
-    s"WITH $d02Ctes\nSELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"
+    s"WITH ${d02Ctes("documents")}\nSELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"
 
   // ---------------------------------------------------------------------
   // d03: MinHash + LSH banding. The full 128-permutation signature is
@@ -408,7 +409,7 @@ object Dedup {
     * executed exactly once and released — no persist handle outlives the
     * call. On a real cluster swap `localCheckpoint` for a reliable
     * `checkpoint` dir so executor loss can't drop a round. */
-  private[ops] def connectedComponents(pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val p = pairs.toDF("pa", "pb")
@@ -439,6 +440,18 @@ object Dedup {
     labels
   }
 
+  // A winnow-fingerprint candidate prefilter for this edge source
+  // (sample each doc's char-5-gram winnowing fingerprints, keep only
+  // docs sharing a rare one) was built and MEASURED in round 6, then
+  // rejected: at sf0.1 it pruned 59% of docs but dropped 61% of true
+  // near-dup pairs, because this template-heavy corpus shares 8-char
+  // substrings across unrelated documents (every fingerprint a missed
+  // pair shared had df > 100), while word-3-gram shingles (~15-20 chars
+  // of context) still discriminate. The codegen ShingleSet kernel
+  // already took d06 from 19.6s to ~3.4s at sf0.1; exactness is worth
+  // more than the remaining ~0.4s. The sampled-fingerprint machinery
+  // ships where it is sound: t08_winnow_overlap (TextOps), winnowing's
+  // native overlap-detection use case.
   def d06(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     connectedComponents(
@@ -453,7 +466,7 @@ object Dedup {
   // component-minimum vertex). Exact for any diameter, matching the
   // Spark side's run-to-convergence semantics.
   private def d06Sql: String =
-    s"""WITH RECURSIVE $d02Ctes,
+    s"""WITH RECURSIVE ${d02Ctes("documents")},
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),

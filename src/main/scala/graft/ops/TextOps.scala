@@ -355,6 +355,75 @@ object TextOps {
       |FROM grams
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t08: cross-document overlap detection via sampled winnowing
+  // fingerprints — the winnowing paper's own use case (Schleimer et al.,
+  // SIGMOD'03: local document fingerprinting for copy detection).
+  // Unlike Jaccard dedup (d02), fingerprint overlap also surfaces
+  // PARTIAL containment: a paragraph lifted into a much larger document
+  // shares its fingerprints even though whole-document Jaccard is low.
+  //
+  // Pipeline: each doc's distinct window-min fingerprints, mod-sampled
+  // by VALUE (fp ≡ 0 mod OvMod) so the same fingerprint survives in
+  // every doc containing it — docs with ≤ OvMinKeep fingerprints keep
+  // the full set (too few to sample; overlapping docs at that size
+  // share most of them). A df-cap (like d02's stop-shingle filter)
+  // drops boilerplate fingerprints BEFORE the self-join, bounding
+  // candidates at df² per surviving fingerprint; pairs sharing ≥
+  // OvMinShared sampled fingerprints are reported with their overlap
+  // count. Scale: one narrow O(chars) kernel pass, one shuffle on fp
+  // for the df count, one bounded fp-key join — never all pairs.
+  // ---------------------------------------------------------------------
+  private[ops] val OvMod = 8
+  private[ops] val OvMinKeep = 64
+  private[ops] val OvDfCap = 100
+  private[ops] val OvMinShared = 3
+
+  def t08(spark: SparkSession, dir: String): DataFrame =
+    t08On(spark, Tables.load(spark, dir, "documents"))
+
+  private[graft] def t08On(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val fps = docs.select($"doc_id",
+      explode(graft.functions.TextKernels.winnowFpSampleCol(
+        spark, lower($"text"), OvMod, OvMinKeep)).as("fp"))
+    // sampled mins are distinct within a doc, so count(*) = document df
+    val rare = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2 && $"df" <= OvDfCap).select($"fp")
+    val idx = fps.join(rare, Seq("fp"), "left_semi")
+    idx.as("a").join(idx.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .filter($"n_shared_fp" >= OvMinShared)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private def t08Sql: String = {
+    val h = PortableSql.h60Sql("substring(t, CAST(i AS INTEGER), 5)")
+    s"""WITH wd AS (
+       |  SELECT doc_id, lower(text) AS t, length(text) AS n
+       |  FROM documents WHERE length(text) >= 8),
+       |wg AS (SELECT doc_id, unnest(range(1, n - 3)) AS i, t, n FROM wd),
+       |wh AS (SELECT doc_id, i, n, $h AS hv FROM wg),
+       |ww AS (SELECT doc_id, i, n,
+       |    min(hv) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+       |  FROM wh),
+       |wf0 AS (SELECT DISTINCT doc_id, m FROM ww WHERE i <= n - 7),
+       |wcnt AS (SELECT doc_id, COUNT(*) AS nfp FROM wf0 GROUP BY doc_id),
+       |wf AS (SELECT doc_id, m FROM wf0 JOIN wcnt USING (doc_id)
+       |  WHERE nfp <= $OvMinKeep OR m % $OvMod = 0),
+       |wrare AS (SELECT m FROM wf GROUP BY m
+       |  HAVING COUNT(*) >= 2 AND COUNT(*) <= $OvDfCap),
+       |wi AS (SELECT doc_id, m FROM wf SEMI JOIN wrare USING (m))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_fp
+       |FROM wi a JOIN wi b ON a.m = b.m AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) >= $OvMinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "t01_token_stats" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -362,7 +431,8 @@ object TextOps {
     "t04_lang_id" -> (t04 _),
     "t05_bpe_tokens" -> (t05 _),
     "t06_winnow_fingerprint" -> (t06 _),
-    "t07_repetition_filter" -> (t07 _))
+    "t07_repetition_filter" -> (t07 _),
+    "t08_winnow_overlap" -> (t08 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "t01_token_stats" -> t01Sql,
@@ -371,5 +441,6 @@ object TextOps {
     "t04_lang_id" -> t04Sql,
     "t05_bpe_tokens" -> t05Sql,
     "t06_winnow_fingerprint" -> t06Sql,
-    "t07_repetition_filter" -> t07Sql)
+    "t07_repetition_filter" -> t07Sql,
+    "t08_winnow_overlap" -> t08Sql)
 }

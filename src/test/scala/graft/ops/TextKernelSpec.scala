@@ -65,6 +65,67 @@ class TextKernelSpec extends SparkSpec {
     assert(r4.getInt(2) == 1) // all-equal k-grams → single distinct fingerprint
   }
 
+  test("winnow sample kernel: mod-1 == full set, mod-8 filters, minKeep keeps whole") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" % 7 === 0)
+    val both = docs.select($"doc_id",
+        TextKernels.winnowFpCol(spark, lower($"text")).as("st"),
+        TextKernels.winnowFpSampleCol(spark, lower($"text"), 1, 0).as("all"),
+        TextKernels.winnowFpSampleCol(spark, lower($"text"), 8, 0).as("s8"),
+        TextKernels.winnowFpSampleCol(spark, lower($"text"), 8, 64).as("ad"))
+      .filter($"st".isNotNull)
+    assert(both.count() > 0)
+    // mod-1 sample == the full distinct-min set summarized by winnow_fp;
+    // the adaptive form keeps the whole set for fp-poor docs and the
+    // mod-8 filter for fp-rich ones
+    val bad = both.filter(
+      size($"all") =!= $"st.n_fp" ||
+        element_at($"all", 1) =!= $"st.fp_min" ||
+        aggregate($"all", lit(0L), (acc, x) => acc.bitwiseXOR(x)) =!= $"st.fp_xor" ||
+        !($"s8" <=> filter($"all", x => x % 8 === 0)) ||
+        !($"ad" <=> when($"st.n_fp" <= 64, $"all").otherwise($"s8")))
+    assert(bad.count() == 0)
+    // both branches of the adaptive rule are exercised on testdata
+    assert(both.filter($"st.n_fp" <= 64).count() > 0)
+    assert(both.filter($"st.n_fp" > 64).count() > 0)
+  }
+
+  test("t08 winnow overlap detects partial containment that Jaccard misses") {
+    import spark.implicits._
+    // doc 2 contains doc 1's paragraph inside a much larger document:
+    // word-3-gram Jaccard is far below d02's 0.8 threshold, but the
+    // lifted paragraph's fingerprints are shared. Docs 3-4 are unrelated
+    // filler (distinct vocabularies), doc 5 is a short unrelated note.
+    val para = "the winnowing algorithm selects the minimum hash in each sliding window and guarantees any sufficiently long match is detected by construction"
+    val filler = (1 to 40).map(i => s"unrelated$i filler$i content$i").mkString(" ")
+    val docs = Seq(
+      (1L, para),
+      (2L, s"$filler $para completely different surrounding prose here"),
+      (3L, (1 to 60).map(i => s"alpha$i beta$i gamma$i").mkString(" ")),
+      (4L, (1 to 60).map(i => s"delta$i epsilon$i zeta$i").mkString(" ")),
+      (5L, "short unrelated note")).toDF("doc_id", "text")
+    val overlaps = TextOps.t08On(spark, docs)
+      .as[(Long, Long, Long)].collect()
+    assert(overlaps.exists { case (a, b, _) => a == 1L && b == 2L },
+      s"containment pair (1,2) not detected: ${overlaps.toSeq}")
+    assert(!overlaps.exists { case (a, b, _) => Set(a, b).contains(3L) || Set(a, b).contains(4L) },
+      s"unrelated filler docs reported: ${overlaps.toSeq}")
+    // the Jaccard dedup op does NOT pair them (that's the point of t08)
+    val jac = Dedup.d02On(docs).as[(Long, Long, Double)].collect()
+    assert(!jac.exists { case (a, b, _) => a == 1L && b == 2L })
+  }
+
+  test("t08 on testdata is non-trivial and symmetric-free") {
+    import spark.implicits._
+    val rows = TextOps.t08(spark, sf).as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty, "testdata should contain overlapping docs")
+    rows.foreach { case (a, b, n) =>
+      assert(a < b)
+      assert(n >= 3)
+    }
+  }
+
   test("kernel edge cases: empty, single token, runs, multi-space") {
     import spark.implicits._
     val df = Seq(

@@ -47,6 +47,9 @@ object Profile {
     val nDocs = pairs.select(explode(array($"doc_a", $"doc_b"))).distinct().count()
     println(s"docs in d02 pairs: $nDocs")
 
+    // t08 winnow overlap
+    time("t08.full")(graft.ops.TextOps.t08(spark, dir).write.format("noop").mode("overwrite").save())
+
     // LSH band candidate doc count (prefilter selectivity)
     val bandsOnly = {
       val withSig = sig
