@@ -14,11 +14,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object BroWriter {
 
   val CodecClass: String = classOf[BrotliCodec].getName
+  /** The splittable framed variant (`.brf`, see BroFramedCodec). */
+  val FramedCodecClass: String = classOf[BroFramedCodec].getName
 
-  /** Append our codec to `io.compression.codecs` (preserving any
-    * user-configured codecs; the Hadoop defaults list is used only when
-    * the key is unset); `CompressionCodecFactory` then resolves `.bro`
-    * by extension on the read path. */
+  /** Append our codecs (`.bro` whole-stream + `.brf` splittable framed)
+    * to `io.compression.codecs` (preserving any user-configured codecs;
+    * the Hadoop defaults list is used only when the key is unset);
+    * `CompressionCodecFactory` then resolves both extensions on the read
+    * path. */
   def register(spark: SparkSession): Unit = {
     val hc = spark.sparkContext.hadoopConfiguration
     val defaults = Seq(
@@ -29,10 +32,10 @@ object BroWriter {
       "org.apache.hadoop.io.compress.SnappyCodec",
       "org.apache.hadoop.io.compress.Lz4Codec")
     val cur = Option(hc.get("io.compression.codecs")).map(_.trim).filter(_.nonEmpty)
-    if (!cur.exists(_.split(',').map(_.trim).contains(CodecClass)))
-      hc.set("io.compression.codecs",
-        (cur.map(_.split(',').map(_.trim).toSeq).getOrElse(defaults) :+ CodecClass)
-          .mkString(","))
+    val have = cur.map(_.split(',').map(_.trim).toSeq).getOrElse(defaults)
+    val want = Seq(CodecClass, FramedCodecClass).filterNot(have.contains)
+    if (want.nonEmpty)
+      hc.set("io.compression.codecs", (have ++ want).mkString(","))
   }
 
   /** Write a DataFrame as `.bro`-compressed files of the given format

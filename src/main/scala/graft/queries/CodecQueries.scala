@@ -166,15 +166,85 @@ object CodecQueries {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // q46: SPLITTABLE framed codec (`.brf`, BroFramedCodec) — the
+  // capability the reference lacks entirely (BroCodec.java:18 implements
+  // no SplittableCompressionCodec; SURVEY §4.2 calls non-splittability
+  // the defining 100 TB constraint). lineitem is written as ONE `.brf`
+  // file, read back through Hadoop's SplittableCompressionCodec path
+  // with split thresholds forced small, and the query REQUIRES the scan
+  // to produce multiple splits — a splitting regression fails the
+  // correctness gate, not just a spec. The aggregate (same contract as
+  // q22) is computed through that multi-split scan and hash-checked
+  // against DuckDB on the original parquet, so a boundary bug that
+  // loses or duplicates a line breaks the oracle hash.
+  //
+  // Conf scoping follows q44: frame size and split thresholds are
+  // session/Hadoop state, so the write+read are materialized eagerly
+  // inside the scope and restored in `finally`.
+  // ---------------------------------------------------------------------
+  def q46(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    BroWriter.register(spark)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevFrame = hc.get(graft.codec.BroFramed.FrameSizeKey)
+    hc.setInt(graft.codec.BroFramed.FrameSizeKey, 8 * 1024)
+    val prevMax = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.getOption("spark.sql.files.openCostInBytes")
+    try {
+      val tmp = Scratch.dir("lineitem_brf")
+      val li = Tables.load(spark, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice",
+          $"l_returnflag")
+      li.coalesce(1).write.option("compression", BroWriter.FramedCodecClass)
+        .option("header", "false")
+        .csv(tmp)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (8 * 1024).toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("l_linenumber", IntegerType),
+        StructField("l_quantity", DoubleType),
+        StructField("l_extendedprice", DoubleType),
+        StructField("l_returnflag", StringType)))
+      val back = spark.read.schema(schema).csv(tmp)
+      val nSplits = back.rdd.getNumPartitions
+      require(nSplits > 1,
+        s"one .brf file must scan as multiple splits, got $nSplits")
+      val rows = back.groupBy($"l_returnflag")
+        .agg(
+          sum($"l_quantity".cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          sum($"l_extendedprice".cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      rows.toSeq.toDF("l_returnflag", "sum_qty", "sum_price", "n_rows")
+    } finally {
+      if (prevFrame == null) hc.unset(graft.codec.BroFramed.FrameSizeKey)
+      else hc.set(graft.codec.BroFramed.FrameSizeKey, prevFrame)
+      prevMax match {
+        case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+        case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      }
+      prevOpen match {
+        case Some(v) => spark.conf.set("spark.sql.files.openCostInBytes", v)
+        case None => spark.conf.unset("spark.sql.files.openCostInBytes")
+      }
+    }
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q22_bro_roundtrip" -> (q22 _),
     "q38_json_bro" -> (q38 _),
     "q41_text_bro" -> (q41 _),
-    "q44_dict_bro" -> (q44 _))
+    "q44_dict_bro" -> (q44 _),
+    "q46_splittable_bro" -> (q46 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q22_bro_roundtrip" -> q22Sql,
     "q38_json_bro" -> q38Sql,
     "q41_text_bro" -> q41Sql,
-    "q44_dict_bro" -> q41Sql) // same content contract as q41
+    "q44_dict_bro" -> q41Sql, // same content contract as q41
+    "q46_splittable_bro" -> q22Sql) // same aggregate contract as q22
 }

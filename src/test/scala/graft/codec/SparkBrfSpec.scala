@@ -1,0 +1,134 @@
+package graft.codec
+
+import java.io.{File, FileOutputStream}
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.compress.SplittableCompressionCodec
+import org.apache.hadoop.mapreduce.TaskAttemptID
+import org.apache.hadoop.mapreduce.lib.input.{FileSplit, LineRecordReader}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+
+import graft.SparkSpec
+
+/** The splittable `.brf` codec: frame round-trip, and — the actual
+  * contract — that Hadoop's real `LineRecordReader` over arbitrary
+  * split points reproduces every line exactly once. The split-point
+  * sweep is the gold test: any ownership/position bug shows up as a
+  * duplicated or lost line at some boundary. */
+class SparkBrfSpec extends SparkSpec {
+
+  private def hadoopConf(): Configuration = {
+    val conf = new Configuration()
+    conf.set("io.compression.codecs", BroWriter.FramedCodecClass)
+    conf
+  }
+
+  /** Write lines as one `.brf` file with the given frame size. */
+  private def writeBrf(lines: Seq[String], frameSize: Int): File = {
+    val f = Files.createTempFile("brf_", ".brf").toFile
+    val out = new BroFramedOutputStream(new FileOutputStream(f), 6, frameSize)
+    lines.foreach { l => out.write((l + "\n").getBytes("UTF-8")) }
+    out.finish()
+    out.close()
+    f
+  }
+
+  /** Read all lines of one split through Hadoop's LineRecordReader. */
+  private def readSplit(f: File, start: Long, len: Long): Seq[String] = {
+    val split = new FileSplit(new Path(f.toURI), start, len, null)
+    val rr = new LineRecordReader()
+    rr.initialize(split, new TaskAttemptContextImpl(hadoopConf(), new TaskAttemptID()))
+    val out = Seq.newBuilder[String]
+    while (rr.nextKeyValue()) out += rr.getCurrentValue.toString
+    rr.close()
+    out.result()
+  }
+
+  private val lines: Seq[String] =
+    (0 until 2000).map(i => f"line-$i%05d-" + ("x" * (17 + i % 23)))
+
+  test("whole-file read reproduces all lines; empty input is a valid file") {
+    val f = writeBrf(lines, frameSize = 1000)
+    assert(readSplit(f, 0, f.length()) == lines)
+    val empty = writeBrf(Seq.empty, frameSize = 1000)
+    assert(empty.length() == 0 && readSplit(empty, 0, 0) == Seq.empty)
+  }
+
+  test("two-way split sweep: every boundary yields each line exactly once") {
+    val f = writeBrf(lines, frameSize = 1000) // many small frames
+    val len = f.length()
+    assert(len > 10000, "fixture should span many frames")
+    // sweep boundaries at a stride coprime-ish to the frame size, plus
+    // the exact start of a frame (header-aligned) found by scanning
+    val boundaries =
+      (257L until len by 509L) ++ Seq(1L, 16L, len - 1, len / 2)
+    boundaries.foreach { cut =>
+      val got = readSplit(f, 0, cut) ++ readSplit(f, cut, len - cut)
+      assert(got == lines, s"split at $cut lost or duplicated lines " +
+        s"(got ${got.size} of ${lines.size})")
+    }
+  }
+
+  test("three-way split at frame-aligned and unaligned cuts") {
+    val f = writeBrf(lines, frameSize = 1000)
+    val len = f.length()
+    for ((a, b) <- Seq((len / 3, 2 * len / 3), (1013L, 1013L + 4096),
+        (16L, len - 17))) {
+      val got = readSplit(f, 0, a) ++ readSplit(f, a, b - a) ++ readSplit(f, b, len - b)
+      assert(got == lines, s"3-way split at ($a,$b) mismatch (${got.size})")
+    }
+  }
+
+  test("lines longer than a frame span frames and survive splitting") {
+    val big = (0 until 50).map(i => f"big-$i%03d-" + ("y" * 3000)) // 3 KB lines, 1 KB frames
+    val f = writeBrf(big, frameSize = 1000)
+    val len = f.length()
+    (1000L until len by 1777L).foreach { cut =>
+      val got = readSplit(f, 0, cut) ++ readSplit(f, cut, len - cut)
+      assert(got == big, s"split at $cut on multi-frame lines (${got.size})")
+    }
+  }
+
+  test("spark reads one .brf file with MULTIPLE tasks and exact content") {
+    import spark.implicits._
+    BroWriter.register(spark)
+    val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(
+      spark.sparkContext.hadoopConfiguration)
+      .getCodec(new Path("/x/y.brf"))
+    assert(codec.isInstanceOf[SplittableCompressionCodec])
+
+    val dir = Files.createTempDirectory("brf_spark_").toString + "/t"
+    // post-session spark.hadoop.* conf does not propagate; set the task
+    // Hadoop conf directly (local mode shares the object)
+    spark.sparkContext.hadoopConfiguration.setInt(BroFramed.FrameSizeKey, 4 * 1024)
+    try {
+      val df = graft.Tables.load(spark, sf, "lineitem")
+        .select($"l_orderkey", $"l_partkey", $"l_quantity")
+      // ONE file so the parallelism can only come from splitting
+      df.coalesce(1).write.option("compression", BroWriter.FramedCodecClass).csv(dir)
+      val files = new File(dir).listFiles.filter(_.getName.endsWith(".brf"))
+      assert(files.length == 1, "expected a single .brf output file")
+      // openCostInBytes floors the split size — drop both for small files
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (4 * 1024).toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+      val back = spark.read
+        .schema("l_orderkey LONG, l_partkey LONG, l_quantity DOUBLE")
+        .csv(dir)
+      assert(back.rdd.getNumPartitions > 1,
+        s"one .brf file should split into multiple tasks, " +
+          s"got ${back.rdd.getNumPartitions} (file ${files.head.length()} B)")
+      assert(back.count() == df.count())
+      val a = df.orderBy($"l_orderkey", $"l_partkey", $"l_quantity")
+        .collect().map(_.toString)
+      val b = back.orderBy($"l_orderkey", $"l_partkey", $"l_quantity")
+        .collect().map(_.toString)
+      assert(a.sameElements(b))
+    } finally {
+      spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+      spark.sparkContext.hadoopConfiguration.unset(BroFramed.FrameSizeKey)
+    }
+  }
+}
