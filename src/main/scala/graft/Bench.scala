@@ -175,6 +175,28 @@ object Bench {
         if (p.exitValue() != 0) None else Some(out.size() / 1e6 / t)
       } catch { case _: Throwable => None }
     }
+    // framed splittable variant (.brf): quantifies the splittability tax
+    // (each DefaultFrameSize frame restarts the LZ window) against the
+    // whole-stream numbers above
+    val (brfEnc, tBe) = median3(time {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new graft.codec.BroFramedOutputStream(
+        bos, 6, graft.codec.BroFramed.DefaultFrameSize)
+      o.write(data, 0, data.length); o.finish(); o.close()
+      bos.toByteArray
+    })
+    val (_, tBd) = median3(time {
+      val s = new graft.codec.BroFramedInputStream(
+        new java.io.ByteArrayInputStream(brfEnc), 0L, Long.MaxValue)
+      val buf = new Array[Byte](1 << 16)
+      var total = 0L
+      var n = s.read(buf, 0, buf.length)
+      while (n >= 0) { total += n; n = s.read(buf, 0, buf.length) }
+      require(total == data.length, "framed round-trip length mismatch")
+    })
+    val brfPart =
+      f""","enc_brf_q6_mbps":${mb / tBe}%.1f,"ratio_brf_q6":${data.length.toDouble / brfEnc.length}%.2f,"dec_brf_mbps":${mb / tBd}%.1f"""
+
     val nat6 = native(6, data)
     val natDec = nat6.flatMap { case (_, _, enc) => nativeDec(enc) }
     val natPart = (nat6, natDec) match {
@@ -188,6 +210,6 @@ object Bench {
       case None => ""
     }
     val natGrid = natEnc(1, data) + natEnc(5, data) + natEnc(11, dataQ11)
-    f"""{"input_mb":$mb%.1f,"enc_q1_mbps":${mb / tE1}%.1f,"ratio_q1":${data.length.toDouble / encQ1.length}%.2f,"enc_q5_mbps":${mb / tE5}%.1f,"ratio_q5":${data.length.toDouble / encQ5.length}%.2f,"enc_q6_mbps":${mb / tE6}%.1f,"ratio_q6":${data.length.toDouble / encQ6.length}%.2f,"enc_q11_mbps":${mbQ11 / tE11}%.1f,"ratio_q11":${dataQ11.length.toDouble / encQ11.length}%.2f,"dec_mbps":${mb / tD}%.1f$natPart$natGrid}"""
+    f"""{"input_mb":$mb%.1f,"enc_q1_mbps":${mb / tE1}%.1f,"ratio_q1":${data.length.toDouble / encQ1.length}%.2f,"enc_q5_mbps":${mb / tE5}%.1f,"ratio_q5":${data.length.toDouble / encQ5.length}%.2f,"enc_q6_mbps":${mb / tE6}%.1f,"ratio_q6":${data.length.toDouble / encQ6.length}%.2f,"enc_q11_mbps":${mbQ11 / tE11}%.1f,"ratio_q11":${dataQ11.length.toDouble / encQ11.length}%.2f,"dec_mbps":${mb / tD}%.1f$brfPart$natPart$natGrid}"""
   }
 }

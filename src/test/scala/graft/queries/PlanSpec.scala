@@ -116,6 +116,17 @@ class PlanSpec extends SparkSpec {
       s"narrow per-row op must not hash-shuffle:\n$plan")
   }
 
+  test("t08 winnow overlap joins on fingerprint keys with partial aggs") {
+    val df = graft.ops.TextOps.t08(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"overlap detection must join on fp keys, not enumerate pairs:\n$plan")
+    // the df count and the pair count both partial-aggregate map-side
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"expected partial+final aggregation for df and pair counts:\n$plan")
+  }
+
   test("d03 minhash signatures partially aggregate before the shuffle") {
     val df = graft.ops.Dedup.d03(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
