@@ -113,6 +113,102 @@ case class MinHashAgree(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The 60-bit SimHash signature of a document as ONE native Catalyst
+  * expression: whitespace-tokenize, hash each token with the portable
+  * h60, and take the sign of the per-bit ±1 frequency-weighted vote
+  * tally. Output BIGINT, or NULL for documents with no tokens (exactly
+  * the rows the explode+groupBy build dropped).
+  *
+  * This replaces d04's token explode + 60-column conditional-sum
+  * aggregation: signature building becomes a narrow map with NO shuffle
+  * — at 100 TB nothing is exchanged until the (doc, 60-bit sig) rows
+  * hit the 15-bit band-key join. Same structural rewrite as
+  * [[MinHashSig]] (d03) and `SrpBuckets` (s02/s04/d05).
+  */
+case class SimHashSig(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_sig expects STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash.signature(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("sig")
+      s"""
+         |final java.lang.Long $r = graft.functions.SimHash.signature($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SimHash constants + the compiled signature kernel (static forwarder
+  * for generated code). Bit votes are token-frequency weighted (every
+  * occurrence votes), matching the explode-based formulation and the
+  * DuckDB oracle bit-for-bit. */
+object SimHash {
+  val Bits = 60
+
+  private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** Boxed so generated code can null-check; null for token-less docs. */
+  def signature(s: UTF8String): java.lang.Long = {
+    val toks = s.toString.split(" ", -1)
+    val votes = new Array[Int](Bits)
+    val md = md5.get()
+    var any = false
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (!t.isEmpty) {
+        any = true
+        val h = MinHash.h60(t.getBytes(StandardCharsets.UTF_8), md)
+        var j = 0
+        while (j < Bits) {
+          votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) return null
+    var sig = 0L
+    var j = 0
+    while (j < Bits) {
+      if (votes(j) >= 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  /** Idempotently register the SQL-callable kernel. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("simhash_sig"))) {
+      reg.createOrReplaceTempFunction(
+        "simhash_sig", exprs => SimHashSig(exprs.head), "built-in")
+    }
+  }
+
+  /** BIGINT SimHash signature of a (lowercased) text column. */
+  def sigCol(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("simhash_sig", text)
+  }
+}
+
 /** MinHash constants + the compiled signature kernel. The affine
   * coefficients are drawn from Random(42) in (a, b) pairs — the same
   * stream the pre-round-6 column pipeline used — and are embedded as
@@ -141,7 +237,7 @@ object MinHash {
   /** h60 of a string: value of the first 15 hex chars of its md5 — the
     * top 60 bits of the digest, byte-order identical to
     * `conv(substring(md5(s), 1, 15), 16, 10)`. */
-  private def h60(bytes: Array[Byte], md: MessageDigest): Long = {
+  private[functions] def h60(bytes: Array[Byte], md: MessageDigest): Long = {
     md.reset()
     val d = md.digest(bytes)
     var h = 0L

@@ -256,27 +256,20 @@ object Dedup {
 
   // ---------------------------------------------------------------------
   // d04: SimHash — 60-bit signature (portable h60 token hash) from
-  // token-frequency-weighted bit votes; candidates from 4×15-bit band
-  // equality; verified by Hamming distance (bit_count of XOR, codegen'd
-  // builtin). Hash-verified against a DuckDB oracle.
+  // token-frequency-weighted bit votes, built by the codegen'd
+  // SimHashSig kernel as a narrow per-row map (no token explode, no
+  // shuffle until banding — the same structural rewrite as d03's
+  // MinHashSig); candidates from 4×15-bit band equality; verified by
+  // Hamming distance (bit_count of XOR, codegen'd builtin).
+  // Hash-verified against a DuckDB oracle.
   // ---------------------------------------------------------------------
-  private val SimBits = 60
+  private def SimBits = graft.functions.SimHash.Bits
   private val SimChunks = 4
-  private val SimChunkBits = SimBits / SimChunks
+  private def SimChunkBits = SimBits / SimChunks
 
-  def d04(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables.load(spark, dir, "documents")
-    val tok = docs.select($"doc_id", explode(TextOps.tokens(lower($"text"))).as("t"))
-      .withColumn("h", PortableSql.h60($"t"))
-    val bitSums = (0 until SimBits).map { j =>
-      sum(when(shiftright($"h", j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
-    }
-    val agged = tok.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until SimBits).map { j =>
-      when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    val sigs = agged.select($"doc_id", simhash.as("simhash"))
+  /** The banding + Hamming verify back end over (doc_id, simhash). */
+  private def d04Pairs(sigs: DataFrame): DataFrame = {
+    import sigs.sparkSession.implicits._
     val chunks = sigs.select($"doc_id", $"simhash",
       explode(array((0 until SimChunks).map(k =>
         struct(lit(k).as("k"),
@@ -290,6 +283,31 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
       .filter($"hamming" <= 6)
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  def d04(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    d04Pairs(Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        graft.functions.SimHash.sigCol(spark, lower($"text")).as("simhash"))
+      .filter($"simhash".isNotNull))
+  }
+
+  /** The pre-round-6 explode + 60-column vote aggregation formulation,
+    * kept as the independent semantics witness for DedupSpec. */
+  private[ops] def d04Interpreted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val tok = docs.select($"doc_id", explode(TextOps.tokens(lower($"text"))).as("t"))
+      .withColumn("h", PortableSql.h60($"t"))
+    val bitSums = (0 until SimBits).map { j =>
+      sum(when(shiftright($"h", j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agged = tok.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until SimBits).map { j =>
+      when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    d04Pairs(agged.select($"doc_id", simhash.as("simhash")))
   }
 
   private def d04Sql: String = {

@@ -66,6 +66,14 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d04 codegen kernel == interpreted explode pipeline") {
+    val fast = Dedup.d04(spark, sf).collect()
+    val slow = Dedup.d04Interpreted(spark, sf).collect()
+    assert(fast.length == slow.length)
+    assert(fast.nonEmpty)
+    fast.zip(slow).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("d06 clusters are consistent with the d02 pair graph") {
     import spark.implicits._
     val pairs = Dedup.d02(spark, sf).select($"doc_a", $"doc_b")
