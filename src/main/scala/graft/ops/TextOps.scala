@@ -424,6 +424,86 @@ object TextOps {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // t09: the composite quality GATE — what a production training-data
+  // pipeline actually runs before dedup: every per-document signal
+  // (length, stopword ratio, punctuation ratio, repetition) evaluated in
+  // ONE narrow pass, producing keep/drop plus a deterministic reason
+  // list. Thresholds are C4/Gopher-shaped: too_short (< 5 tokens),
+  // low_stopword (< 1% stopwords — gibberish/non-prose), high_punct
+  // (> 30% punctuation — markup/code soup), repetitive (t07's Gopher
+  // thresholds, via the codegen'd RepetitionStats kernel). One scan, no
+  // shuffle except the presentation sort: at 100 TB this gate runs at
+  // I/O speed and the kept subset flows straight into d01-d06.
+  // ---------------------------------------------------------------------
+  def t09(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens(lower($"text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    val nTok = size(toks)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast(DoubleType)
+    val punctRatio = ((length($"text") -
+      length(regexp_replace($"text", "[^a-zA-Z0-9 ]", ""))).cast(DoubleType) /
+      length($"text"))
+    val st = graft.functions.TextKernels.repetitionStatsCol(spark, lower($"text"))
+    val base = Tables.load(spark, dir, "documents")
+      .select($"doc_id", nTok.as("n_tokens"),
+        when(nTok > 0, nStop / nTok).otherwise(0.0).as("stop_ratio"),
+        punctRatio.as("punct_ratio"),
+        st.getField("dup_2gram_frac").as("dup_frac"),
+        st.getField("top_2gram_frac").as("top_frac"))
+    val tooShort = $"n_tokens" < 5
+    val lowStop = $"stop_ratio" < 0.01
+    val highPunct = $"punct_ratio" > 0.30
+    val repetitive = $"top_frac" > 0.18 || $"dup_frac" > 0.20
+    base.select($"doc_id", $"n_tokens", $"stop_ratio", $"punct_ratio",
+        (!(tooShort || lowStop || highPunct || repetitive)).as("keep"),
+        concat_ws(",",
+          when(tooShort, "too_short"),
+          when(lowStop, "low_stopword"),
+          when(highPunct, "high_punct"),
+          when(repetitive, "repetitive")).as("drop_reasons"))
+      .orderBy($"doc_id")
+  }
+
+  private def t09Sql: String = {
+    val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH sig AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS INTEGER) AS n_tokens,
+       |    CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains($stopList, t))) AS DOUBLE) AS n_stop,
+       |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS punct_ratio,
+       |    CASE WHEN len(L) >= 2
+       |      THEN [L[i] || ' ' || L[i+1] for i in range(1, len(L))]
+       |      ELSE [] END AS g
+       |  FROM (SELECT *, list_filter(string_split(lower(text), ' '), x -> x <> '') AS L
+       |        FROM documents)),
+       |frac AS (
+       |  SELECT doc_id, n_tokens,
+       |    CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stop_ratio,
+       |    punct_ratio,
+       |    CASE WHEN len(g) > 0
+       |      THEN CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g)
+       |      ELSE 0.0 END AS dup_frac,
+       |    CASE WHEN len(g) > 0
+       |      THEN CAST(list_max(list_transform(list_distinct(g),
+       |             w -> len(list_filter(g, x -> x = w)))) AS DOUBLE) / len(g)
+       |      ELSE 0.0 END AS top_frac
+       |  FROM sig)
+       |SELECT doc_id, n_tokens, stop_ratio, punct_ratio,
+       |  NOT (n_tokens < 5 OR stop_ratio < 0.01 OR punct_ratio > 0.30
+       |    OR top_frac > 0.18 OR dup_frac > 0.20) AS keep,
+       |  concat_ws(',',
+       |    CASE WHEN n_tokens < 5 THEN 'too_short' END,
+       |    CASE WHEN stop_ratio < 0.01 THEN 'low_stopword' END,
+       |    CASE WHEN punct_ratio > 0.30 THEN 'high_punct' END,
+       |    CASE WHEN top_frac > 0.18 OR dup_frac > 0.20 THEN 'repetitive' END)
+       |    AS drop_reasons
+       |FROM frac
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "t01_token_stats" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -432,7 +512,8 @@ object TextOps {
     "t05_bpe_tokens" -> (t05 _),
     "t06_winnow_fingerprint" -> (t06 _),
     "t07_repetition_filter" -> (t07 _),
-    "t08_winnow_overlap" -> (t08 _))
+    "t08_winnow_overlap" -> (t08 _),
+    "t09_quality_filter" -> (t09 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "t01_token_stats" -> t01Sql,
@@ -442,5 +523,6 @@ object TextOps {
     "t05_bpe_tokens" -> t05Sql,
     "t06_winnow_fingerprint" -> t06Sql,
     "t07_repetition_filter" -> t07Sql,
-    "t08_winnow_overlap" -> t08Sql)
+    "t08_winnow_overlap" -> t08Sql,
+    "t09_quality_filter" -> t09Sql)
 }

@@ -126,6 +126,28 @@ class TextKernelSpec extends SparkSpec {
     }
   }
 
+  test("t09 quality gate flags each failure mode and keeps clean prose") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // write a fixture documents.parquet so t09 runs its real path
+    val dir = Files.createTempDirectory("t09_").toString
+    Seq(
+      (1L, "the cat sat on the mat and it is a fine day to be out in the sun", "en"),
+      (2L, "tiny doc", "en"),                                   // too_short
+      (3L, (1 to 40).map(i => s"w$i").mkString(" "), "en"),     // low_stopword
+      (4L, "the !!! ??? *** ### $$$ %%% of ((( ))) @@@ ^^^ &&& it", "en"), // high_punct
+      (5L, ("the dog " * 30).trim + " and it is a of to in", "en")) // repetitive
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.t09(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(4), r.getString(5)))).toMap
+    assert(out(1L) == ((true, "")))
+    assert(out(2L)._2.contains("too_short") && !out(2L)._1)
+    assert(out(3L)._2 == "low_stopword")
+    assert(out(4L)._2.contains("high_punct") && !out(4L)._1)
+    assert(out(5L)._2.contains("repetitive") && !out(5L)._1)
+  }
+
   test("kernel edge cases: empty, single token, runs, multi-space") {
     import spark.implicits._
     val df = Seq(
