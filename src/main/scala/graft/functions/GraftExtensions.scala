@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** `spark.sql.extensions` entry point: injects every graft kernel as a
+  * session-scoped SQL function, so a pure-SQL user gets the whole
+  * custom-expression surface without touching the Scala API:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions ...
+  *   spark.sql("SELECT doc_id, simhash_sig(lower(text)) FROM docs")
+  * }}}
+  *
+  * The same builders back the `createOrReplaceTempFunction` paths the
+  * Scala column helpers use (VectorOps/SrpLsh/MinHash/SimHash/
+  * TextKernels `register`), so both routes resolve to identical
+  * codegen'd expressions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression): Int =
+    e.eval(InternalRow.empty).asInstanceOf[Int]
+
+  /** (name, usage, builder) for every SQL-callable kernel. */
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim",
+      "_FUNC_(a, b) - exact cosine similarity of two float vectors",
+      e => CosineSimilarity(e(0), e(1))),
+    ("srp_buckets",
+      "_FUNC_(v) - packed signed-random-projection LSH bucket keys",
+      e => SrpBuckets(e.head)),
+    ("minhash_sig",
+      "_FUNC_(text) - 128-permutation MinHash signature over word 3-gram shingles",
+      e => MinHashSig(e.head)),
+    ("minhash_agree",
+      "_FUNC_(sig_a, sig_b) - positions at which two MinHash signatures agree",
+      e => MinHashAgree(e(0), e(1))),
+    ("simhash_sig",
+      "_FUNC_(text) - 60-bit SimHash signature from token-frequency bit votes",
+      e => SimHashSig(e.head)),
+    ("repetition_stats",
+      "_FUNC_(text) - (n_2grams, dup_2gram_frac, top_2gram_frac) repetition stats",
+      e => RepetitionStats(e.head)),
+    ("shingle_set",
+      "_FUNC_(text) - distinct word 3-gram shingles in first-appearance order",
+      e => ShingleSet(e.head)),
+    ("winnow_fp",
+      "_FUNC_(text) - winnowing fingerprint summary (n_kgrams, n_fp, fp_min, fp_xor)",
+      e => WinnowFp(e.head)),
+    ("winnow_fp_sample",
+      "_FUNC_(text, mod, minKeep) - mod-sampled winnowing fingerprint set",
+      e => WinnowFpSample(e.head, intLit(e(1)), intLit(e(2)))))
+}

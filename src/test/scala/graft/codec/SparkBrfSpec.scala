@@ -49,6 +49,51 @@ class SparkBrfSpec extends SparkSpec {
   private val lines: Seq[String] =
     (0 until 2000).map(i => f"line-$i%05d-" + ("x" * (17 + i % 23)))
 
+  test("random payloads round-trip at random frame sizes (property grid)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 12) {
+      val n = rnd.nextInt(200000)
+      val data = new Array[Byte](n)
+      // mixed-entropy payload: runs of text-like bytes and random noise
+      var i = 0
+      while (i < n) {
+        val run = math.min(n - i, 1 + rnd.nextInt(999))
+        if (rnd.nextBoolean()) {
+          val b = (97 + rnd.nextInt(26)).toByte
+          java.util.Arrays.fill(data, i, i + run, b)
+        } else {
+          val noise = new Array[Byte](run)
+          rnd.nextBytes(noise)
+          System.arraycopy(noise, 0, data, i, run)
+        }
+        i += run
+      }
+      val frameSize = 1 << (10 + rnd.nextInt(8)) // 1 KiB .. 128 KiB
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new BroFramedOutputStream(bos, 1 + rnd.nextInt(9), frameSize)
+      // write through a random chunking, including single-byte writes
+      var off = 0
+      while (off < n) {
+        if (rnd.nextInt(10) == 0) { out.write(data(off) & 0xff); off += 1 }
+        else {
+          val k = math.min(n - off, 1 + rnd.nextInt(70000))
+          out.write(data, off, k); off += k
+        }
+      }
+      out.finish(); out.close()
+      val enc = bos.toByteArray
+      assert((n == 0) == (enc.length == 0))
+      val in = new BroFramedInputStream(
+        new java.io.ByteArrayInputStream(enc), 0L, Long.MaxValue)
+      val back = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var r = in.read(buf, 0, buf.length)
+      while (r >= 0) { back.write(buf, 0, r); r = in.read(buf, 0, buf.length) }
+      assert(java.util.Arrays.equals(back.toByteArray, data),
+        s"round-trip mismatch at n=$n frameSize=$frameSize")
+    }
+  }
+
   test("whole-file read reproduces all lines; empty input is a valid file") {
     val f = writeBrf(lines, frameSize = 1000)
     assert(readSplit(f, 0, f.length()) == lines)
