@@ -504,6 +504,61 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // t10: deterministic source-mixture resampling — the data-mixing step
+  // of a training pipeline: downsample every source stratum to the size
+  // of the smallest one (balanced mixture) by HASH-gating each document
+  // (`h60(source:doc_id) mod 1e6 < rate·1e6`) instead of drawing random
+  // numbers. Hash gating is the 100 TB approach: one narrow pass, no
+  // RNG state, bit-reproducible across retries/re-runs, and any
+  // executor can decide keep/drop locally after a tiny broadcast of
+  // per-source rates (one small agg). Output is per-source audit rows:
+  // stratum size, kept count, and a checksum over the KEPT doc ids —
+  // so the oracle verifies the exact kept set, not just its size.
+  // ---------------------------------------------------------------------
+  def t10(spark: SparkSession, dir: String): DataFrame =
+    t10On(Tables.load(spark, dir, "documents"))
+
+  private[graft] def t10On(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import docs.sparkSession.implicits._
+    val rated = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("rate",
+        min($"n_docs").over(Window.partitionBy()).cast(DoubleType) / $"n_docs")
+    val gate = pmod(PortableSql.h60(
+        concat($"source", lit(":"), $"doc_id".cast(StringType))), lit(1000000L))
+      .cast(DoubleType) < $"rate" * 1000000.0
+    val ck = pmod(PortableSql.h60($"doc_id".cast(StringType)), lit(1000000007L))
+    docs.join(broadcast(rated), Seq("source"))
+      .groupBy($"source", $"n_docs")
+      .agg(
+        sum(when(gate, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(gate, ck).otherwise(0L)).as("kept_checksum"))
+      .orderBy($"source")
+  }
+
+  private def t10Sql: String = {
+    val gateH = PortableSql.h60Sql("source || ':' || CAST(doc_id AS VARCHAR)")
+    val ckH = PortableSql.h60Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH counts AS (
+       |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+       |rated AS (
+       |  SELECT source, n_docs,
+       |    CAST(MIN(n_docs) OVER () AS DOUBLE) / n_docs AS rate
+       |  FROM counts),
+       |flags AS (
+       |  SELECT d.source, r.n_docs,
+       |    CASE WHEN CAST($gateH % 1000000 AS DOUBLE) < r.rate * 1000000.0
+       |      THEN 1 ELSE 0 END AS keep,
+       |    $ckH % 1000000007 AS ck
+       |  FROM documents d JOIN rated r USING (source))
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN keep = 1 THEN ck ELSE 0 END) AS BIGINT) AS kept_checksum
+       |FROM flags GROUP BY source, n_docs
+       |ORDER BY source""".stripMargin
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "t01_token_stats" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -513,7 +568,8 @@ object TextOps {
     "t06_winnow_fingerprint" -> (t06 _),
     "t07_repetition_filter" -> (t07 _),
     "t08_winnow_overlap" -> (t08 _),
-    "t09_quality_filter" -> (t09 _))
+    "t09_quality_filter" -> (t09 _),
+    "t10_source_mixture" -> (t10 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "t01_token_stats" -> t01Sql,
@@ -524,5 +580,6 @@ object TextOps {
     "t06_winnow_fingerprint" -> t06Sql,
     "t07_repetition_filter" -> t07Sql,
     "t08_winnow_overlap" -> t08Sql,
-    "t09_quality_filter" -> t09Sql)
+    "t09_quality_filter" -> t09Sql,
+    "t10_source_mixture" -> t10Sql)
 }

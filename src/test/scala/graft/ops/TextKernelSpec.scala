@@ -148,6 +148,30 @@ class TextKernelSpec extends SparkSpec {
     assert(out(5L)._2.contains("repetitive") && !out(5L)._1)
   }
 
+  test("t10 mixture gate downsamples skewed sources toward the smallest stratum") {
+    import spark.implicits._
+    // testdata sources are balanced (rate 1.0 everywhere), so the
+    // sampling branch is exercised on a skewed fixture: 1000/250/50
+    val docs = (
+      (1 to 1000).map(i => (i.toLong, s"text $i", "big")) ++
+        (1 to 250).map(i => (2000L + i, s"text b$i", "mid")) ++
+        (1 to 50).map(i => (3000L + i, s"text c$i", "small")))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.t10On(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("small") == ((50L, 50L))) // rate 1.0: the target stratum keeps all
+    // hash gating is binomial around target=50: allow generous noise
+    val (bigN, bigKept) = out("big")
+    val (midN, midKept) = out("mid")
+    assert(bigN == 1000 && midN == 250)
+    assert(bigKept > 20 && bigKept < 90, s"big kept $bigKept, want ≈50")
+    assert(midKept > 20 && midKept < 90, s"mid kept $midKept, want ≈50")
+    // deterministic: a second run is bit-identical (no RNG state)
+    val again = TextOps.t10On(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again == out)
+  }
+
   test("kernel edge cases: empty, single token, runs, multi-space") {
     import spark.implicits._
     val df = Seq(
