@@ -92,7 +92,14 @@ object Dedup {
 
   private[ops] def d02On(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val shc = cappedShingleIndex(docs)
+    // materialize the capped index ONCE: it feeds both self-join sides
+    // and the per-doc sizes, and Spark plans each consumer as a full
+    // recompute of the kernel+explode+df-cap subtree (no exchange reuse
+    // across differing aggregates — verified on the physical plan, where
+    // the Generate appeared 4×). The checkpoint also cuts the lineage so
+    // d06's loop never re-derives it. On a real cluster swap for a
+    // reliable `checkpoint` dir (same note as connectedComponents).
+    val shc = cappedShingleIndex(docs).localCheckpoint()
     val sizes = shc.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = shc.as("a").join(shc.as("b"),
         $"a.w" === $"b.w" && $"a.doc_id" < $"b.doc_id")
