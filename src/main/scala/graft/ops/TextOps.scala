@@ -559,6 +559,86 @@ object TextOps {
        |ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // t11: BM25 relevance scoring — rank every document against a fixed
+  // keyword query, the retrieval/quality-weighting step of a training
+  // pipeline (e.g. selecting domain-relevant documents for a mixture).
+  // Two narrow passes over a tiny projection: pass 1 computes per-doc
+  // (dl, tf_term...) with NO explode — per-term token counts are
+  // column expressions, so a 3-term query costs 3 array scans, not a
+  // tokens-explode shuffle; pass 2 is a scalar agg (N, Σdl, df_term...)
+  // broadcast back over the per-doc frame. At 100 TB the stats agg is
+  // one map-side-combined pass producing ONE row, and scoring is
+  // embarrassingly parallel — no shuffle anywhere except the final sort.
+  //
+  // The idf is the RATIONAL Robertson form (N - df + 0.5)/(df + 0.5)
+  // without the usual ln(): scoring is monotone-equivalent per term, and
+  // staying inside +,·,/ keeps the score bit-identical across engines
+  // (libm log() is not guaranteed correctly-rounded, so an ln-based
+  // oracle could differ in the last ulp and fail a hash gate).
+  // ---------------------------------------------------------------------
+  private[ops] val bm25Terms = Seq("spark", "join", "filter")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  def t11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens(lower($"text"))
+    val tfCols = bm25Terms.map(t =>
+      size(filter(toks, x => x === t)).as(s"tf_$t"))
+    val base = Tables.load(spark, dir, "documents")
+      .select(($"doc_id" +: size(toks).as("dl") +: tfCols): _*)
+    val statAggs = count(lit(1)).as("n_docs") +: sum($"dl").as("sum_dl") +:
+      bm25Terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val nd = $"n_docs".cast(DoubleType)
+    val avgdl = $"sum_dl".cast(DoubleType) / nd
+    val norm = lit(Bm25K1) * (lit(1.0) - lit(Bm25B) +
+      lit(Bm25B) * ($"dl".cast(DoubleType) / avgdl))
+    val score = bm25Terms.map { t =>
+      val tf = col(s"tf_$t").cast(DoubleType)
+      val df = col(s"df_$t").cast(DoubleType)
+      val idf = (nd - df + lit(0.5)) / (df + lit(0.5))
+      idf * (tf * (lit(Bm25K1) + lit(1.0))) / (tf + norm)
+    }.reduce(_ + _)
+    val nMatched = bm25Terms.map(t =>
+      when(col(s"tf_$t") > 0, 1).otherwise(0)).reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select($"doc_id", $"dl".cast(IntegerType).as("n_tokens"),
+        nMatched.cast(IntegerType).as("n_matched"), score.as("bm25"))
+      .orderBy($"doc_id")
+  }
+
+  private def t11Sql: String = {
+    def tf(t: String) =
+      s"CAST(len(list_filter(L, x -> x = '$t')) AS DOUBLE)"
+    val tfCols = bm25Terms.map(t => s"${tf(t)} AS tf_$t").mkString(",\n    ")
+    val dfCols = bm25Terms
+      .map(t => s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t")
+      .mkString(",\n    ")
+    val norm = s"(CAST($Bm25K1 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST($Bm25B AS DOUBLE) + CAST($Bm25B AS DOUBLE) * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+    val score = bm25Terms.map { t =>
+      s"(((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df_$t AS DOUBLE) + CAST(0.5 AS DOUBLE))) * (tf_$t * (CAST($Bm25K1 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / (tf_$t + $norm))"
+    }.mkString("\n    + ")
+    val matched = bm25Terms
+      .map(t => s"CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id, len(L) AS dl,
+       |    $tfCols
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS L
+       |        FROM documents)),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+       |    $dfCols
+       |  FROM base)
+       |SELECT doc_id, CAST(dl AS INTEGER) AS n_tokens,
+       |  CAST($matched AS INTEGER) AS n_matched,
+       |  $score AS bm25
+       |FROM base CROSS JOIN stats
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "t01_token_stats" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -569,7 +649,8 @@ object TextOps {
     "t07_repetition_filter" -> (t07 _),
     "t08_winnow_overlap" -> (t08 _),
     "t09_quality_filter" -> (t09 _),
-    "t10_source_mixture" -> (t10 _))
+    "t10_source_mixture" -> (t10 _),
+    "t11_bm25_score" -> (t11 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "t01_token_stats" -> t01Sql,
@@ -581,5 +662,6 @@ object TextOps {
     "t07_repetition_filter" -> t07Sql,
     "t08_winnow_overlap" -> t08Sql,
     "t09_quality_filter" -> t09Sql,
-    "t10_source_mixture" -> t10Sql)
+    "t10_source_mixture" -> t10Sql,
+    "t11_bm25_score" -> t11Sql)
 }

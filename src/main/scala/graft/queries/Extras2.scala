@@ -492,6 +492,72 @@ object Extras2 {
       |FROM picks p JOIN stats s USING (event_type)
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q47: runtime BLOOM-FILTER join pruning — the 100 TB fact-pruning
+  // pattern: a selective dimension filter (p_brand = 'Brand#12', ~1.3%
+  // of part) is turned by Catalyst's InjectRuntimeFilter rule into a
+  // bloom_filter_agg on the dim side whose bloom is evaluated as a
+  // might_contain predicate on the FACT side *before* its shuffle — so
+  // at scale the exchange moves ~1.3% of lineitem instead of all of it.
+  // Nothing is hand-built: the declarative join is enough once the
+  // bloom-filter rule is on; the rule's thresholds are tuned for real
+  // clusters (10 GB application-side scans), so at test SF they are
+  // scoped down inside this query and restored after. The physical-plan
+  // shape (bloom built on dim, probed below the fact shuffle) is
+  // asserted in PlanSpec; correctness oracle is the plain join SQL —
+  // bloom false positives cannot leak rows because the exact join still
+  // runs behind the probe.
+  // ---------------------------------------------------------------------
+  private[graft] def q47Join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+    val part = Tables.load(spark, dir, "part").filter($"p_brand" === "Brand#12")
+    val discPrice = ($"l_extendedprice".cast(D2) *
+      (lit(1).cast(D2) - $"l_discount".cast(D2))).cast(DecimalType(18, 4))
+    li.join(part, $"l_partkey" === $"p_partkey")
+      .groupBy($"p_size")
+      .agg(count(lit(1)).as("n_items"),
+        sum(discPrice).cast(DoubleType).as("revenue"))
+      .orderBy($"p_size")
+  }
+
+  /** Confs that make InjectRuntimeFilter fire at test SF; production
+    * defaults (10 GB application-side threshold) already fire at 100 TB. */
+  private[graft] val q47Confs = Seq(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    // force the shuffle join the runtime filter exists to prune; with
+    // broadcast available at toy SF the rule (correctly) stays out
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  def q47(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Optimizer confs only affect plans *created* while they are set, so
+    // the plan is materialized eagerly inside the conf scope (q44's
+    // pattern) — the driver's later write of the returned frame must not
+    // depend on session state this query already restored. The collect
+    // is bounded: one row per distinct p_size (≤ 50).
+    val prev = q47Confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    q47Confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val rows = q47Join(spark, dir).collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        q47Join(spark, dir).schema)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private val q47Sql =
+    """SELECT p_size, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand = 'Brand#12'
+      |GROUP BY p_size
+      |ORDER BY p_size""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q31_outer_join" -> (q31 _),
     "q32_exists_subquery" -> (q32 _),
@@ -504,7 +570,8 @@ object Extras2 {
     "q40_salted_join" -> (q40 _),
     "q42_range_frame" -> (q42 _),
     "q43_map_ops" -> (q43 _),
-    "q45_approx_percentile" -> (q45 _))
+    "q45_approx_percentile" -> (q45 _),
+    "q47_bloom_join" -> (q47 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q31_outer_join" -> q31Sql,
@@ -518,5 +585,6 @@ object Extras2 {
     "q40_salted_join" -> q40Sql,
     "q42_range_frame" -> q42Sql,
     "q43_map_ops" -> q43Sql,
-    "q45_approx_percentile" -> q45Sql)
+    "q45_approx_percentile" -> q45Sql,
+    "q47_bloom_join" -> q47Sql)
 }

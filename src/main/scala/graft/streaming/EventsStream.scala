@@ -286,6 +286,28 @@ object EventsStream {
       |GROUP BY window_start, event_type
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** st10: streaming exact dedup (StreamOps.dedupKeys) — every distinct
+    * (hour, user, type) key emits exactly once, on first arrival, in
+    * append mode. Unlike the windowed aggs there is no close predicate:
+    * first-occurrence rows are final the moment they emit, so the
+    * settled output equals batch DISTINCT exactly and the oracle needs
+    * no watermark filter. */
+  def st10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    drain(StreamOps.dedupKeys(eventsSource(spark, dir)), "append")
+      .select(date_format($"ts_hour", "yyyy-MM-dd HH:00:00").as("hour_bucket"),
+        $"user_id", $"event_type")
+      .orderBy($"hour_bucket", $"user_id", $"event_type")
+  }
+
+  private val st10Sql =
+    """SELECT DISTINCT
+      |  strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:00:00')
+      |    AS hour_bucket,
+      |  user_id, event_type
+      |FROM events
+      |ORDER BY hour_bucket, user_id, event_type""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "st01_stream_hourly" -> (st01 _),
     "st02_stream_sessionize" -> (st02 _),
@@ -295,7 +317,8 @@ object EventsStream {
     "st06_stream_bro_ingest" -> (st06 _),
     "st07_stream_stream_join" -> (st07 _),
     "st08_stream_append_hourly" -> (st08 _),
-    "st09_stream_append_sliding" -> (st09 _))
+    "st09_stream_append_sliding" -> (st09 _),
+    "st10_stream_dedup" -> (st10 _))
 
   private val st02Sql =
     """WITH flagged AS (
@@ -328,5 +351,6 @@ object EventsStream {
     "st06_stream_bro_ingest" -> st06Sql,
     "st07_stream_stream_join" -> st07Sql,
     "st08_stream_append_hourly" -> st08Sql,
-    "st09_stream_append_sliding" -> st09Sql)
+    "st09_stream_append_sliding" -> st09Sql,
+    "st10_stream_dedup" -> st10Sql)
 }

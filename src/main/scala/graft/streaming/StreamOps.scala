@@ -42,6 +42,21 @@ object StreamOps {
       .groupBy(window(col(tsCol), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Streaming exact deduplication — the ingest-side twin of the batch
+    * d01: the FIRST occurrence of each (user_id, event_type, hour) key
+    * emits immediately (append mode), later duplicates are dropped
+    * against the state store. The dedup key includes the event-time
+    * hour and the watermark is on that column, so state holds only keys
+    * newer than the watermark horizon — bounded by disorder, not by
+    * stream length. At 100 TB/day this is the standard exactly-once
+    * ingest gate in front of the batch dedup family. */
+  def dedupKeys(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events
+      .withColumn("ts_hour", date_trunc("hour", col(tsCol)))
+      .withWatermark("ts_hour", "1 hour")
+      .dropDuplicates("user_id", "event_type", "ts_hour")
+      .select(col("ts_hour"), col("user_id"), col("event_type"))
+
   /** Stream enriched against a static dimension (broadcast per
     * micro-batch — no state store), then aggregated by type. */
   def enrichedTypeCounts(events: DataFrame, profile: DataFrame): DataFrame =

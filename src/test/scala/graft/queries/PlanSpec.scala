@@ -67,6 +67,21 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q47 injects a runtime bloom filter probing the fact below its shuffle") {
+    val prev = Extras2.q47Confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    Extras2.q47Confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val plan = executed(Extras2.q47Join(spark, sf))
+      assert(plan.contains("might_contain"),
+        s"no bloom probe on the fact side:\n$plan")
+      assert(plan.contains("bloom_filter_agg"),
+        s"no bloom build on the dim side:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q20 as-of join uses exactly one data shuffle before the sort") {
     val plan = executed(Relational.q20(spark, sf))
     // union + window pattern: one hashpartitioning exchange on user_id

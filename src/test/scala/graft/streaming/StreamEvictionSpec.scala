@@ -66,6 +66,41 @@ class StreamEvictionSpec extends SparkSpec {
       s"expected ${(hours - 2) * 2} closed-window rows, got $emitted")
   }
 
+  private case class DupEv(ts: Timestamp, user_id: Long, event_type: String)
+
+  test("streaming dedup: duplicates drop, first occurrences emit, state evicts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val hours = 30
+    val input = MemoryStream[DupEv]
+    val q = StreamOps.dedupKeys(input.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("evict_dedup").start()
+    val trace = scala.collection.mutable.ArrayBuffer[Long]()
+    try {
+      (0 until hours).foreach { h =>
+        val (day, hod) = (1 + h / 24, h % 24)
+        // 3 duplicate (user 1, click) arrivals + 1 (user 2, view) per hour
+        input.addData(
+          DupEv(ts(day, hod, 0), 1L, "click"), DupEv(ts(day, hod, 10), 1L, "click"),
+          DupEv(ts(day, hod, 20), 1L, "click"), DupEv(ts(day, hod, 30), 2L, "view"))
+        q.processAllAvailable()
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty)
+          trace += p.stateOperators.head.numRowsTotal
+      }
+    } finally q.stop()
+    // dedup emits first occurrences immediately — no close predicate —
+    // so every distinct (hour, user, type) key appears exactly once
+    assert(spark.table("evict_dedup").count() == hours * 2L,
+      "expected one emitted row per distinct key")
+    // without eviction the dedup state would hold hours × 2 = 60 keys;
+    // the 1-hour watermark keeps only the unexpired tail resident
+    assert(trace.nonEmpty, "no state-operator progress captured")
+    assert(trace.max <= 8,
+      s"dedup state grew with stream length — eviction not happening: $trace")
+  }
+
   test("sliding append: overlap multiplies state by window/slide, not by stream length") {
     val hours = 30
     val (trace, emitted) = run(hours, "evict_sliding", StreamOps.slidingCounts(_))
