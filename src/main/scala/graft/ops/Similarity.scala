@@ -311,15 +311,56 @@ object Similarity {
        |    k.embedding AS emb, q.embedding AS q_emb
        |  FROM keys k JOIN qk q ON k.t = q.t AND k.b = q.b AND k.vec_id <> q.vec_id)""".stripMargin)
 
+  // ---------------------------------------------------------------------
+  // s05: kNN JOIN — every corpus vector retrieves its own top-5
+  // neighbors (q_id = each vec_id), the SemDeDup/semantic-clustering
+  // primitive: unlike s01-s04 there is no small query side to broadcast,
+  // so the only scalable shape is the bucketed SELF-join d05 proved out
+  // — SRP buckets as the shuffle key, candidates limited to bucket-mates,
+  // exact cosine + per-vector top-k window on the candidates only.
+  // Scale: candidates per vector ≈ |corpus| / 2^BitsPerTable × Tables —
+  // sub-quadratic by construction; the top-k window shuffles on vec_id,
+  // which is the same key the candidate join already produced. A
+  // brute-force kNN join would be |corpus|² and is exactly what this op
+  // exists to avoid at 100 TB.
+  // ---------------------------------------------------------------------
+  def s05(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding",
+        explode(SrpLsh.buckets(spark, $"embedding")).as("key"))
+    val scored = emb.as("x").join(emb.as("y"),
+        $"x.key" === $"y.key" && $"x.vec_id" =!= $"y.vec_id")
+      .select($"x.vec_id".as("q_id"), $"y.vec_id".as("vec_id"),
+        VectorOps.cosineSim(spark, $"y.embedding", $"x.embedding").as("cosine"))
+      .dropDuplicates("q_id", "vec_id")
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"vec_id", $"cosine")
+      .orderBy($"q_id", $"rank")
+  }
+
+  private def s05Sql: String = rankedSql(
+    s"""WITH keys AS (
+       |  ${Dedup.srpKeysSql("embeddings")}),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS q_id, y.vec_id AS vec_id,
+       |    y.embedding AS emb, x.embedding AS q_emb
+       |  FROM keys x JOIN keys y
+       |    ON x.t = y.t AND x.b = y.b AND x.vec_id <> y.vec_id)""".stripMargin)
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "s01_ann_bruteforce" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_ann_ivf" -> (s03 _),
-    "s04_ann_int8_rerank" -> (s04 _))
+    "s04_ann_int8_rerank" -> (s04 _),
+    "s05_knn_join" -> (s05 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "s01_ann_bruteforce" -> s01Sql,
     "s02_ann_lsh" -> s02Sql,
     "s03_ann_ivf" -> s03Sql,
-    "s04_ann_int8_rerank" -> s04Sql)
+    "s04_ann_int8_rerank" -> s04Sql,
+    "s05_knn_join" -> s05Sql)
 }

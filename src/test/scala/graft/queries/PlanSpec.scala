@@ -113,6 +113,13 @@ class PlanSpec extends SparkSpec {
       s"s04 must probe LSH buckets, not score the whole corpus per query:\n$plan")
   }
 
+  test("s05 kNN join self-joins on bucket keys (never corpus × corpus)") {
+    val plan = executed(graft.ops.Similarity.s05(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"s05 must pair bucket-mates, not enumerate all vector pairs:\n$plan")
+  }
+
   test("d06 label propagation joins on keys (no pair enumeration)") {
     val plan = executed(graft.ops.Dedup.d06(spark, sf))
     assert(!plan.contains("CartesianProduct"),
