@@ -639,6 +639,65 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // t12: PII detection + redaction — the scrub gate every training-data
+  // pipeline runs before release: find email/phone shapes, count them,
+  // and replace them with typed placeholder tokens. One narrow pass (two
+  // regex scans per document), no shuffle except the presentation sort —
+  // at 100 TB this runs at I/O speed like t09.
+  //
+  // The synthetic corpus is PII-free, so the query first INJECTS
+  // deterministic doc_id-derived PII (both engines perform the identical
+  // injection in SQL) — otherwise every count would be zero and the
+  // oracle would verify nothing. The patterns stay inside the regex
+  // subset where Java's engine (Spark) and RE2 (DuckDB) agree:
+  // character classes, bounded repetition, \b word boundaries.
+  // ---------------------------------------------------------------------
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  def t12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withPii = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        concat($"text",
+          when($"doc_id" % 3 === 0,
+            concat(lit(" contact user"), $"doc_id".cast(StringType),
+              lit("@example.com"))).otherwise(lit("")),
+          when($"doc_id" % 5 === 0,
+            concat(lit(" call 555-"),
+              lpad(($"doc_id" % 1000).cast(StringType), 3, "0"),
+              lit("-4567"))).otherwise(lit(""))).as("text"))
+    val redacted = regexp_replace(
+      regexp_replace($"text", EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+    withPii.select($"doc_id",
+        regexp_count($"text", lit(EmailRe)).cast(IntegerType).as("n_emails"),
+        regexp_count($"text", lit(PhoneRe)).cast(IntegerType).as("n_phones"),
+        pmod(PortableSql.h60(redacted), lit(1000000007L)).as("redacted_checksum"))
+      .orderBy($"doc_id")
+  }
+
+  private def t12Sql: String = {
+    val ck = PortableSql.h60Sql(
+      s"regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g')")
+    s"""WITH injected AS (
+       |  SELECT doc_id,
+       |    text ||
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0
+       |      THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-4567'
+       |      ELSE '' END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INTEGER) AS n_phones,
+       |  $ck % 1000000007 AS redacted_checksum
+       |FROM injected
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "t01_token_stats" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -650,7 +709,8 @@ object TextOps {
     "t08_winnow_overlap" -> (t08 _),
     "t09_quality_filter" -> (t09 _),
     "t10_source_mixture" -> (t10 _),
-    "t11_bm25_score" -> (t11 _))
+    "t11_bm25_score" -> (t11 _),
+    "t12_pii_redact" -> (t12 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "t01_token_stats" -> t01Sql,
@@ -663,5 +723,6 @@ object TextOps {
     "t08_winnow_overlap" -> t08Sql,
     "t09_quality_filter" -> t09Sql,
     "t10_source_mixture" -> t10Sql,
-    "t11_bm25_score" -> t11Sql)
+    "t11_bm25_score" -> t11Sql,
+    "t12_pii_redact" -> t12Sql)
 }
