@@ -698,6 +698,76 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // t13: heavy hitters via a COUNT-MIN sketch — the streaming/mergeable
+  // frequent-items structure a 100 TB pipeline uses when the token
+  // vocabulary is too large to count exactly: d=4 hash rows × W=1024
+  // counters (fixed 32 KB of state regardless of input size), estimate =
+  // min over rows, guaranteed ≥ the true count. Distributed shape: the
+  // counter build is ONE shuffle collapsing to ≤ d·W groups map-side
+  // (every executor's partial sketch is itself a count-min sketch —
+  // that mergeability is the whole point of the structure); the probe
+  // joins the distinct vocabulary against the tiny counter table
+  // (broadcast at any scale). The demo emits the top-20 estimates next
+  // to the exact counts, so overestimation (est ≥ exact, tighter with
+  // fewer collisions) is visible and oracle-checked — both engines run
+  // the identical h60-keyed sketch, so estimates are bit-equal.
+  // ---------------------------------------------------------------------
+  private val CmRows = 4
+  private val CmWidth = 1024L
+
+  def t13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def bucket(tok: Column, r: Int): Column =
+      pmod(PortableSql.h60(concat(lit(s"$r:"), tok)), lit(CmWidth))
+    val occ = Tables.load(spark, dir, "documents")
+      .select(explode(tokens(lower($"text"))).as("tok"))
+    val arms = (0 until CmRows).map(r =>
+      struct(lit(r).as("r"), bucket($"tok", r).as("b")))
+    val counters = occ
+      .select(explode(array(arms: _*)).as("rb"))
+      .groupBy($"rb.r".as("r"), $"rb.b".as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = occ.groupBy($"tok").agg(count(lit(1)).as("n_exact"))
+    val probes = exact.select($"tok", $"n_exact",
+        explode(array(arms: _*)).as("rb"))
+      .select($"tok", $"n_exact", $"rb.r".as("r"), $"rb.b".as("b"))
+    probes.join(broadcast(counters), Seq("r", "b"))
+      .groupBy($"tok", $"n_exact")
+      .agg(min($"cnt").as("est"))
+      .orderBy($"est".desc, $"tok".asc)
+      .limit(20)
+      .select($"tok", $"est", $"n_exact")
+  }
+
+  private def t13Sql: String = {
+    def bucketSql(r: Int) =
+      s"${PortableSql.h60Sql(s"'$r:' || tok")} % $CmWidth"
+    val armRows = (0 until CmRows)
+      .map(r => s"SELECT tok, $r AS r, ${bucketSql(r)} AS b FROM occ")
+      .mkString("\n  UNION ALL ")
+    val probeRows = (0 until CmRows)
+      .map(r => s"SELECT tok, n_exact, $r AS r, ${bucketSql(r)} AS b FROM exact")
+      .mkString("\n  UNION ALL ")
+    s"""WITH occ AS (
+       |  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+       |  FROM documents),
+       |arms AS (
+       |  $armRows),
+       |counters AS (SELECT r, b, COUNT(*) AS cnt FROM arms GROUP BY r, b),
+       |exact AS (SELECT tok, COUNT(*) AS n_exact FROM occ GROUP BY tok),
+       |probes AS (
+       |  $probeRows),
+       |ests AS (
+       |  SELECT tok, n_exact, MIN(cnt) AS est
+       |  FROM probes JOIN counters USING (r, b)
+       |  GROUP BY tok, n_exact)
+       |SELECT tok, est, n_exact
+       |FROM ests
+       |ORDER BY est DESC, tok ASC
+       |LIMIT 20""".stripMargin
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "t01_token_stats" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -710,7 +780,8 @@ object TextOps {
     "t09_quality_filter" -> (t09 _),
     "t10_source_mixture" -> (t10 _),
     "t11_bm25_score" -> (t11 _),
-    "t12_pii_redact" -> (t12 _))
+    "t12_pii_redact" -> (t12 _),
+    "t13_heavy_hitters" -> (t13 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "t01_token_stats" -> t01Sql,
@@ -724,5 +795,6 @@ object TextOps {
     "t09_quality_filter" -> t09Sql,
     "t10_source_mixture" -> t10Sql,
     "t11_bm25_score" -> t11Sql,
-    "t12_pii_redact" -> t12Sql)
+    "t12_pii_redact" -> t12Sql,
+    "t13_heavy_hitters" -> t13Sql)
 }
