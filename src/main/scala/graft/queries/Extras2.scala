@@ -558,6 +558,75 @@ object Extras2 {
       |GROUP BY p_size
       |ORDER BY p_size""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q48: Z-ORDER layout clustering — the 100 TB data-layout decision
+  // made measurable. Interleaving the bits of (l_partkey, l_suppkey)
+  // into one Morton key and tiling files by its prefix bounds BOTH
+  // dimensions inside every file, so min/max file statistics prune scans
+  // for predicates on EITHER column; a linear partkey sort gives perfect
+  // partkey spans but every file covers the full suppkey range. The
+  // query computes per-file (min,max) spans under both layouts and
+  // emits the two summary rows side by side — the exact numbers a table
+  // optimizer would use to choose a clustering. Everything is integer
+  // arithmetic (bit tests as shifts/masks both engines share), one
+  // narrow projection + one groupBy per layout; the file assignment is
+  // a pure map (zkey prefix = spatial tile), NOT a global sort — at
+  // scale the write is repartitionByRange(zkey) + sortWithinPartitions
+  // and this query is its costing model.
+  // ---------------------------------------------------------------------
+  def q48(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val partBits = 11 // l_partkey < 2^11 per TESTDATA generator
+    val suppBits = 7  // l_suppkey < 2^7
+    val zkey = ((0 until partBits).map(i =>
+        shiftleft(shiftright($"l_partkey", i).bitwiseAND(1), 2 * i)) ++
+      (0 until suppBits).map(i =>
+        shiftleft(shiftright($"l_suppkey", i).bitwiseAND(1), 2 * i + 1)))
+      .reduce(_ + _)
+    val base = Tables.load(spark, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey", zkey.as("zkey"))
+    def layout(name: String, fileId: org.apache.spark.sql.Column): DataFrame =
+      base.groupBy(fileId.as("file_id"))
+        .agg((max($"l_partkey") - min($"l_partkey")).as("span_p"),
+          (max($"l_suppkey") - min($"l_suppkey")).as("span_s"))
+        .agg(count(lit(1)).as("n_files"),
+          sum($"span_p").as("sum_part_span"),
+          sum($"span_s").as("sum_supp_span"),
+          max($"span_p").as("max_part_span"),
+          max($"span_s").as("max_supp_span"))
+        .select(lit(name).as("layout"), $"n_files", $"sum_part_span",
+          $"sum_supp_span", $"max_part_span", $"max_supp_span")
+    // zkey >> 10 frees 5 partkey + 5 suppkey low bits per tile (spans
+    // ≤ 31 in BOTH dims); partkey >> 3 is the equal-file-count linear
+    // clustering (~250 files each at any SF)
+    layout("linear", shiftright($"l_partkey", 3))
+      .unionAll(layout("zorder", shiftright($"zkey", 10)))
+      .orderBy($"layout")
+  }
+
+  private def q48Sql: String = {
+    val zkey = ((0 until 11).map(i => s"(((l_partkey >> $i) & 1) << ${2 * i})") ++
+      (0 until 7).map(i => s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})"))
+      .mkString(" + ")
+    def layoutSql(name: String, fileId: String) =
+      s"""SELECT '$name' AS layout, COUNT(*) AS n_files,
+         |  CAST(SUM(span_p) AS BIGINT) AS sum_part_span,
+         |  CAST(SUM(span_s) AS BIGINT) AS sum_supp_span,
+         |  CAST(MAX(span_p) AS BIGINT) AS max_part_span,
+         |  CAST(MAX(span_s) AS BIGINT) AS max_supp_span
+         |FROM (
+         |  SELECT $fileId AS file_id,
+         |    MAX(l_partkey) - MIN(l_partkey) AS span_p,
+         |    MAX(l_suppkey) - MIN(l_suppkey) AS span_s
+         |  FROM keyed GROUP BY file_id)""".stripMargin
+    s"""WITH keyed AS (
+       |  SELECT l_partkey, l_suppkey, $zkey AS zkey FROM lineitem)
+       |${layoutSql("linear", "l_partkey >> 3")}
+       |UNION ALL
+       |${layoutSql("zorder", "zkey >> 10")}
+       |ORDER BY layout""".stripMargin
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q31_outer_join" -> (q31 _),
     "q32_exists_subquery" -> (q32 _),
@@ -571,7 +640,8 @@ object Extras2 {
     "q42_range_frame" -> (q42 _),
     "q43_map_ops" -> (q43 _),
     "q45_approx_percentile" -> (q45 _),
-    "q47_bloom_join" -> (q47 _))
+    "q47_bloom_join" -> (q47 _),
+    "q48_zorder_layout" -> (q48 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q31_outer_join" -> q31Sql,
@@ -586,5 +656,6 @@ object Extras2 {
     "q42_range_frame" -> q42Sql,
     "q43_map_ops" -> q43Sql,
     "q45_approx_percentile" -> q45Sql,
-    "q47_bloom_join" -> q47Sql)
+    "q47_bloom_join" -> q47Sql,
+    "q48_zorder_layout" -> q48Sql)
 }
