@@ -768,6 +768,63 @@ object TextOps {
        |LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // t14: sequence PACKING — the step that turns a cleaned corpus into
+  // fixed-length training sequences: concatenate every document's
+  // tokens in deterministic (source, doc_id) order and split the stream
+  // every C=512 tokens (the GPT-style concat-and-split packer). Each
+  // document's placement is pure arithmetic over the running token
+  // total, so the op is one narrow pass + ONE window cumsum partitioned
+  // by source — every source stratum packs independently and in
+  // parallel, which is exactly how a 100 TB corpus shards (the window
+  // never sees more than one source's documents). Emitted per source:
+  // sequence count, exact fill of the last (ragged) sequence, and how
+  // many documents straddle a sequence boundary — the packing-quality
+  // numbers that decide C and whether boundary docs need masking.
+  // ---------------------------------------------------------------------
+  private val PackC = 512L
+
+  def t14(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Tables.load(spark, dir, "documents")
+      .select($"source", $"doc_id", size(tokens(lower($"text"))).cast(LongType).as("n"))
+      .withColumn("cum", sum($"n").over(w))
+    // a doc occupies token interval [cum-n, cum); it straddles iff its
+    // first and last tokens land in different C-sized sequences
+    val straddles = (($"cum" - $"n") / PackC).cast(LongType) =!=
+      (($"cum" - 1) / PackC).cast(LongType)
+    base.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n").as("total_tokens"),
+        ((max($"cum") + PackC - 1) / PackC).cast(LongType).as("n_seqs"),
+        (max($"cum") % PackC).as("last_seq_fill"),
+        sum(when(straddles && $"n" > 0, 1L).otherwise(0L)).as("n_straddling"))
+      .orderBy($"source")
+  }
+
+  private def t14Sql: String =
+    s"""WITH base AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n
+       |  FROM documents),
+       |cums AS (
+       |  SELECT source, n,
+       |    SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM base)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+       |  CAST((MAX(cum) + $PackC - 1) // $PackC AS BIGINT) AS n_seqs,
+       |  CAST(MAX(cum) % $PackC AS BIGINT) AS last_seq_fill,
+       |  CAST(SUM(CASE WHEN (cum - n) // $PackC <> (cum - 1) // $PackC
+       |    AND n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+       |FROM cums
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "t01_token_stats" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -781,7 +838,8 @@ object TextOps {
     "t10_source_mixture" -> (t10 _),
     "t11_bm25_score" -> (t11 _),
     "t12_pii_redact" -> (t12 _),
-    "t13_heavy_hitters" -> (t13 _))
+    "t13_heavy_hitters" -> (t13 _),
+    "t14_sequence_pack" -> (t14 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "t01_token_stats" -> t01Sql,
@@ -796,5 +854,6 @@ object TextOps {
     "t10_source_mixture" -> t10Sql,
     "t11_bm25_score" -> t11Sql,
     "t12_pii_redact" -> t12Sql,
-    "t13_heavy_hitters" -> t13Sql)
+    "t13_heavy_hitters" -> t13Sql,
+    "t14_sequence_pack" -> t14Sql)
 }
