@@ -505,13 +505,108 @@ object Dedup {
 
   // ---------------------------------------------------------------------
 
+  // ---------------------------------------------------------------------
+  // d07: INCREMENTAL dedup — the production shape at 100 TB: nobody
+  // re-deduplicates the whole corpus per ingest; the daily delta is
+  // checked against the standing index. Here the delta is the
+  // deterministic doc_id % 10 == 0 slice, the "index" is everything
+  // else, and the check is d02's capped-shingle Jaccard run ACROSS the
+  // two sets (delta shingles probe the corpus inverted index; the
+  // df-cap comes from corpus statistics, as it would from the stored
+  // index's metadata). Per delta document the verdict is emitted
+  // directly: match count, best-matching corpus doc (highest Jaccard,
+  // lowest id on ties), and the admit flag a pipeline acts on. Scale:
+  // the corpus index is pre-built and bucketed by shingle; the delta is
+  // tiny by comparison, so the probe join shuffles only delta rows into
+  // the index's layout — cost tracks the DELTA size, not the corpus.
+  // ---------------------------------------------------------------------
+  def d07(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val delta = docs.filter($"doc_id" % 10 === 0)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    def index(d: DataFrame) = d.select($"doc_id",
+      explode(shingles(spark, $"text")).as("w"))
+    val shC = index(corpus)
+    val hot = shC.groupBy($"w").agg(count(lit(1)).as("df"))
+      .filter($"df" > DfCap).select($"w")
+    val idxC = shC.join(hot, Seq("w"), "left_anti")
+    val idxN = index(delta).join(hot, Seq("w"), "left_anti")
+    val sizeC = idxC.groupBy($"doc_id".as("corpus_id")).agg(count(lit(1)).as("nc"))
+    val sizeN = idxN.groupBy($"doc_id".as("new_id")).agg(count(lit(1)).as("nn"))
+    val inter = idxN.as("a").join(idxC.as("b"), $"a.w" === $"b.w")
+      .groupBy($"a.doc_id".as("new_id"), $"b.doc_id".as("corpus_id"))
+      .agg(count(lit(1)).as("c"))
+    val matches = inter.join(sizeN, Seq("new_id")).join(sizeC, Seq("corpus_id"))
+      .withColumn("jaccard",
+        $"c".cast(DoubleType) / ($"nn" + $"nc" - $"c"))
+      .filter($"jaccard" >= 0.8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"new_id").orderBy($"jaccard".desc, $"corpus_id".asc)
+    val best = matches
+      .withColumn("rk", row_number().over(w))
+      .groupBy($"new_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min(when($"rk" === 1, $"corpus_id")).as("best_match_id"),
+        min(when($"rk" === 1, $"jaccard")).as("best_jaccard"))
+    delta.select($"doc_id".as("new_id"))
+      .join(best, Seq("new_id"), "left_outer")
+      .select($"new_id",
+        coalesce($"n_matches", lit(0L)).as("n_matches"),
+        $"best_match_id", $"best_jaccard",
+        ($"n_matches".isNull).as("admit"))
+      .orderBy($"new_id")
+  }
+
+  private val d07Sql =
+    s"""WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+       |tokN AS (
+       |  SELECT doc_id, unnest(list_distinct([L[i] || ' ' || L[i+1] || ' ' || L[i+2] for i in range(1, len(L)-1)])) AS w
+       |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS L
+       |        FROM delta) WHERE len(L) >= 3),
+       |tokC AS (
+       |  SELECT doc_id, unnest(list_distinct([L[i] || ' ' || L[i+1] || ' ' || L[i+2] for i in range(1, len(L)-1)])) AS w
+       |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS L
+       |        FROM corpus) WHERE len(L) >= 3),
+       |hot AS (SELECT w FROM tokC GROUP BY w HAVING COUNT(*) > $DfCap),
+       |idxC AS (SELECT doc_id, w FROM tokC ANTI JOIN hot USING (w)),
+       |idxN AS (SELECT doc_id, w FROM tokN ANTI JOIN hot USING (w)),
+       |sizeC AS (SELECT doc_id AS corpus_id, COUNT(*) AS nc FROM idxC GROUP BY 1),
+       |sizeN AS (SELECT doc_id AS new_id, COUNT(*) AS nn FROM idxN GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS c
+       |  FROM idxN a JOIN idxC b ON a.w = b.w GROUP BY 1, 2),
+       |matches AS (
+       |  SELECT new_id, corpus_id,
+       |    CAST(c AS DOUBLE) / (nn + nc - c) AS jaccard
+       |  FROM inter JOIN sizeN USING (new_id) JOIN sizeC USING (corpus_id)
+       |  WHERE CAST(c AS DOUBLE) / (nn + nc - c) >= 0.8),
+       |ranked AS (
+       |  SELECT new_id, corpus_id, jaccard,
+       |    ROW_NUMBER() OVER (PARTITION BY new_id
+       |      ORDER BY jaccard DESC, corpus_id ASC) AS rk
+       |  FROM matches),
+       |best AS (
+       |  SELECT new_id, COUNT(*) AS n_matches,
+       |    MIN(CASE WHEN rk = 1 THEN corpus_id END) AS best_match_id,
+       |    MIN(CASE WHEN rk = 1 THEN jaccard END) AS best_jaccard
+       |  FROM ranked GROUP BY new_id)
+       |SELECT d.doc_id AS new_id,
+       |  COALESCE(b.n_matches, 0) AS n_matches,
+       |  b.best_match_id, b.best_jaccard,
+       |  b.n_matches IS NULL AS admit
+       |FROM delta d LEFT JOIN best b ON d.doc_id = b.new_id
+       |ORDER BY new_id""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "d01_exact_dedup" -> (d01 _),
     "d02_ngram_jaccard" -> (d02 _),
     "d03_minhash_lsh" -> (d03 _),
     "d04_simhash" -> (d04 _),
     "d05_embed_neardup" -> (d05 _),
-    "d06_dup_clusters" -> (d06 _))
+    "d06_dup_clusters" -> (d06 _),
+    "d07_incremental_dedup" -> (d07 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "d01_exact_dedup" -> d01Sql,
@@ -519,5 +614,6 @@ object Dedup {
     "d03_minhash_lsh" -> d03Sql,
     "d04_simhash" -> d04Sql,
     "d05_embed_neardup" -> d05Sql,
-    "d06_dup_clusters" -> d06Sql)
+    "d06_dup_clusters" -> d06Sql,
+    "d07_incremental_dedup" -> d07Sql)
 }
