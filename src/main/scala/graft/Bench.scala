@@ -75,8 +75,9 @@ object Bench {
     // remaining LLM-pipeline ops, timed once each (informational —
     // not part of the headline total/gate; d03/s02/t07 moved into it)
     val opNames = Seq("d01_exact_dedup", "d06_dup_clusters",
-      "s04_ann_int8_rerank", "s05_knn_join", "t08_winnow_overlap",
-      "t09_quality_filter", "t11_bm25_score")
+      "d07_incremental_dedup", "s04_ann_int8_rerank", "s05_knn_join",
+      "t08_winnow_overlap", "t09_quality_filter", "t11_bm25_score",
+      "t14_sequence_pack")
     val ops = opNames.filter(all.contains).map { name =>
       try {
         val t0 = System.nanoTime()
