@@ -293,5 +293,11 @@ class BroFramedInputStream(in: InputStream, adjStart: Long, endArg: Long)
     }
   }
 
-  override def resetState(): Unit = { frame = null; fpos = 0; eof = false }
+  override def resetState(): Unit = {
+    // full return to the constructor state: a pooled/reused stream that
+    // keeps the old nextFrameOffset/reportedPos would report stale
+    // positions to a split reader's pos-vs-end check after reset
+    frame = null; fpos = 0; eof = false
+    nextFrameOffset = adjStart; reportedPos = adjStart
+  }
 }

@@ -31,8 +31,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def intLit(e: Expression): Int =
-    e.eval(InternalRow.empty).asInstanceOf[Int]
+  private def intLit(fn: String, arg: String, e: Expression): Int = e match {
+    case f if f.foldable &&
+        f.dataType == org.apache.spark.sql.types.IntegerType =>
+      f.eval(InternalRow.empty).asInstanceOf[Int]
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a constant INT literal, got ${other.sql}")
+  }
+
+  /** Idempotently install kernels (all by default, or the named subset)
+    * into the session's function registry. The SINGLE source of truth
+    * for name → builder: the `spark.sql.extensions` route above and the
+    * Scala column helpers (`VectorOps`/`SrpLsh`/`MinHash`/`SimHash`/
+    * `TextKernels.register`) both resolve through [[functions]], so the
+    * two routes can never drift apart. The existence guard (rather than
+    * create-or-replace) keeps repeated query construction registry-
+    * mutation-free and warning-free. */
+  def register(spark: org.apache.spark.sql.SparkSession, names: String*): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val wanted =
+      if (names.isEmpty) functions
+      else functions.filter(f => names.contains(f._1))
+    wanted.foreach { case (name, _, builder) =>
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
 
   /** (name, usage, builder) for every SQL-callable kernel. */
   val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
@@ -62,5 +86,7 @@ object GraftExtensions {
       e => WinnowFp(e.head)),
     ("winnow_fp_sample",
       "_FUNC_(text, mod, minKeep) - mod-sampled winnowing fingerprint set",
-      e => WinnowFpSample(e.head, intLit(e(1)), intLit(e(2)))))
+      e => WinnowFpSample(e.head,
+        intLit("winnow_fp_sample", "mod", e(1)),
+        intLit("winnow_fp_sample", "minKeep", e(2)))))
 }

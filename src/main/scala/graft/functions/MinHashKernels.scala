@@ -4,7 +4,6 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -194,13 +193,8 @@ object SimHash {
   }
 
   /** Idempotently register the SQL-callable kernel. */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("simhash_sig"))) {
-      reg.createOrReplaceTempFunction(
-        "simhash_sig", exprs => SimHashSig(exprs.head), "built-in")
-    }
-  }
+  def register(spark: SparkSession): Unit =
+    GraftExtensions.register(spark, "simhash_sig")
 
   /** BIGINT SimHash signature of a (lowercased) text column. */
   def sigCol(spark: SparkSession, text: Column): Column = {
@@ -276,17 +270,8 @@ object MinHash {
   }
 
   /** Idempotently register both SQL-callable kernels on the session. */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("minhash_sig"))) {
-      reg.createOrReplaceTempFunction(
-        "minhash_sig", exprs => MinHashSig(exprs.head), "built-in")
-    }
-    if (!reg.functionExists(FunctionIdentifier("minhash_agree"))) {
-      reg.createOrReplaceTempFunction(
-        "minhash_agree", exprs => MinHashAgree(exprs(0), exprs(1)), "built-in")
-    }
-  }
+  def register(spark: SparkSession): Unit =
+    GraftExtensions.register(spark, "minhash_sig", "minhash_agree")
 
   /** `ARRAY<BIGINT>` MinHash signature of a (lowercased) text column. */
   def sigCol(spark: SparkSession, text: Column): Column = {

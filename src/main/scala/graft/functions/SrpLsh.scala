@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -127,13 +126,8 @@ object SrpLsh {
   /** Idempotently register the SQL-callable kernel on the session (a
     * guard, not create-or-replace, so repeated query construction leaves
     * the registry untouched and warning-free). */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("srp_buckets"))) {
-      reg.createOrReplaceTempFunction(
-        "srp_buckets", exprs => SrpBuckets(exprs.head), "built-in")
-    }
-  }
+  def register(spark: SparkSession): Unit =
+    GraftExtensions.register(spark, "srp_buckets")
 
   /** `ARRAY<BIGINT>` of packed `(table << BitsPerTable) | bucket` keys
     * for an `ARRAY<FLOAT>` embedding column (registers on first use). */

@@ -343,27 +343,9 @@ object TextKernels {
   /** Idempotently register the SQL-callable kernels on the session (a
     * guard, not create-or-replace, so repeated query construction leaves
     * the registry untouched and warning-free). */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("repetition_stats"))) {
-      reg.createOrReplaceTempFunction(
-        "repetition_stats", exprs => RepetitionStats(exprs.head), "built-in")
-    }
-    if (!reg.functionExists(FunctionIdentifier("shingle_set"))) {
-      reg.createOrReplaceTempFunction(
-        "shingle_set", exprs => ShingleSet(exprs.head), "built-in")
-    }
-    if (!reg.functionExists(FunctionIdentifier("winnow_fp"))) {
-      reg.createOrReplaceTempFunction(
-        "winnow_fp", exprs => WinnowFp(exprs.head), "built-in")
-    }
-    if (!reg.functionExists(FunctionIdentifier("winnow_fp_sample"))) {
-      reg.createOrReplaceTempFunction(
-        "winnow_fp_sample", exprs => WinnowFpSample(exprs.head,
-          exprs(1).eval(InternalRow.empty).asInstanceOf[Int],
-          exprs(2).eval(InternalRow.empty).asInstanceOf[Int]), "built-in")
-    }
-  }
+  def register(spark: SparkSession): Unit =
+    GraftExtensions.register(spark,
+      "repetition_stats", "shingle_set", "winnow_fp", "winnow_fp_sample")
 
   /** `ARRAY<STRING>` of distinct word-3-gram shingles of a (lowercased)
     * text column (registers on first use). */

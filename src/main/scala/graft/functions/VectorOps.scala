@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -78,13 +77,8 @@ object VectorOps {
   /** Idempotently register SQL-callable vector functions on the session (a
     * guard, not create-or-replace, so repeated query construction leaves
     * the registry untouched and warning-free). */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("cosine_sim"))) {
-      reg.createOrReplaceTempFunction(
-        "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    }
-  }
+  def register(spark: SparkSession): Unit =
+    GraftExtensions.register(spark, "cosine_sim")
 
   /** Column-API handle (registers on first use). */
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {

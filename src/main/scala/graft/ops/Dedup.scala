@@ -527,11 +527,16 @@ object Dedup {
     val corpus = docs.filter($"doc_id" % 10 =!= 0)
     def index(d: DataFrame) = d.select($"doc_id",
       explode(shingles(spark, $"text")).as("w"))
-    val shC = index(corpus)
+    // materialize each side's capped index ONCE (d02On's rationale: hot
+    // feeds both sides, idxC feeds sizes AND the probe join, and Spark
+    // would replan the kernel+explode subtree per consumer). In
+    // production idxC IS the stored corpus index — only idxN is built
+    // per ingest.
+    val shC = index(corpus).localCheckpoint()
     val hot = shC.groupBy($"w").agg(count(lit(1)).as("df"))
       .filter($"df" > DfCap).select($"w")
-    val idxC = shC.join(hot, Seq("w"), "left_anti")
-    val idxN = index(delta).join(hot, Seq("w"), "left_anti")
+    val idxC = shC.join(hot, Seq("w"), "left_anti").localCheckpoint()
+    val idxN = index(delta).join(hot, Seq("w"), "left_anti").localCheckpoint()
     val sizeC = idxC.groupBy($"doc_id".as("corpus_id")).agg(count(lit(1)).as("nc"))
     val sizeN = idxN.groupBy($"doc_id".as("new_id")).agg(count(lit(1)).as("nn"))
     val inter = idxN.as("a").join(idxC.as("b"), $"a.w" === $"b.w")

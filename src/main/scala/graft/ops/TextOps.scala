@@ -30,8 +30,10 @@ object TextOps {
         size(tokens($"text")).as("n_tokens"),
         length($"text").as("n_chars_measured"),
         length(regexp_replace($"text", " ", "")).as("n_alpha_chars"),
-        (length(regexp_replace($"text", " ", "")).cast(DoubleType) /
-          size(tokens($"text"))).as("avg_token_len"))
+        // zero-guard (see t02): Spark NULL vs DuckDB IEEE on /0
+        when(size(tokens($"text")) > 0,
+          length(regexp_replace($"text", " ", "")).cast(DoubleType) /
+            size(tokens($"text"))).otherwise(0.0).as("avg_token_len"))
       .orderBy($"doc_id")
   }
 
@@ -40,8 +42,10 @@ object TextOps {
       |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_tokens,
       |  CAST(length(text) AS INTEGER) AS n_chars_measured,
       |  CAST(length(replace(text, ' ', '')) AS INTEGER) AS n_alpha_chars,
-      |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
-      |    / len(list_filter(string_split(text, ' '), x -> x <> '')) AS avg_token_len
+      |  CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+      |    THEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |      / len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |    ELSE 0.0 END AS avg_token_len
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
@@ -59,30 +63,40 @@ object TextOps {
     val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast(DoubleType)
     val nPunct = (length($"text") -
       length(regexp_replace($"text", "[^a-zA-Z0-9 ]", ""))).cast(DoubleType)
+    // zero guards: Spark's non-ANSI x/0 is NULL while DuckDB's IEEE
+    // double division is inf/nan — empty documents would silently
+    // diverge between the engines without the explicit CASE on both
+    // sides (identical values for every non-empty row)
+    val stopRatio = when(nTok > 0, nStop / nTok).otherwise(0.0)
+    val punctRatio =
+      when(length($"text") > 0, nPunct / length($"text")).otherwise(0.0)
     Tables.load(spark, dir, "documents")
       .select(
         $"doc_id",
-        (nStop / nTok).as("stop_ratio"),
-        (nPunct / length($"text")).as("punct_ratio"),
+        stopRatio.as("stop_ratio"),
+        punctRatio.as("punct_ratio"),
         nTok.cast(LongType).as("n_tokens"),
-        ((nStop / nTok) * lit(0.5) +
-          (lit(1.0) - nPunct / length($"text")) * lit(0.5)).as("quality_score"))
+        (stopRatio * lit(0.5) +
+          (lit(1.0) - punctRatio) * lit(0.5)).as("quality_score"))
       .orderBy($"doc_id")
   }
 
   private val t02Sql = {
     val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
-    s"""SELECT doc_id,
-       |  CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains($stopList, t))) AS DOUBLE)
-       |    / len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS stop_ratio,
-       |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-       |    / length(text) AS punct_ratio,
-       |  CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
-       |  (CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains($stopList, t))) AS DOUBLE)
-       |    / len(list_filter(string_split(lower(text), ' '), x -> x <> ''))) * 0.5
-       |  + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-       |    / length(text)) * 0.5 AS quality_score
-       |FROM documents
+    s"""SELECT doc_id, stop_ratio, punct_ratio, n_tokens,
+       |  stop_ratio * 0.5 + (1.0 - punct_ratio) * 0.5 AS quality_score
+       |FROM (
+       |  SELECT doc_id,
+       |    CASE WHEN len(list_filter(string_split(lower(text), ' '), x -> x <> '')) > 0
+       |      THEN CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains($stopList, t))) AS DOUBLE)
+       |        / len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+       |      ELSE 0.0 END AS stop_ratio,
+       |    CASE WHEN length(text) > 0
+       |      THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+       |        / length(text)
+       |      ELSE 0.0 END AS punct_ratio,
+       |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents)
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -442,9 +456,11 @@ object TextOps {
     val stopArr = array(stopwords.map(lit): _*)
     val nTok = size(toks)
     val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast(DoubleType)
-    val punctRatio = ((length($"text") -
-      length(regexp_replace($"text", "[^a-zA-Z0-9 ]", ""))).cast(DoubleType) /
-      length($"text"))
+    // same zero-guard rationale as t02: Spark NULL vs DuckDB IEEE on /0
+    val punctRatio = when(length($"text") > 0,
+      (length($"text") -
+        length(regexp_replace($"text", "[^a-zA-Z0-9 ]", ""))).cast(DoubleType) /
+        length($"text")).otherwise(0.0)
     val st = graft.functions.TextKernels.repetitionStatsCol(spark, lower($"text"))
     val base = Tables.load(spark, dir, "documents")
       .select($"doc_id", nTok.as("n_tokens"),
@@ -472,8 +488,10 @@ object TextOps {
        |  SELECT doc_id,
        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS INTEGER) AS n_tokens,
        |    CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains($stopList, t))) AS DOUBLE) AS n_stop,
-       |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-       |      / length(text) AS punct_ratio,
+       |    CASE WHEN length(text) > 0
+       |      THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+       |        / length(text)
+       |      ELSE 0.0 END AS punct_ratio,
        |    CASE WHEN len(L) >= 2
        |      THEN [L[i] || ' ' || L[i+1] for i in range(1, len(L))]
        |      ELSE [] END AS g
@@ -800,7 +818,10 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
         sum($"n").as("total_tokens"),
         ((max($"cum") + PackC - 1) / PackC).cast(LongType).as("n_seqs"),
-        (max($"cum") % PackC).as("last_seq_fill"),
+        // fill of the final sequence in 1..C (an exact multiple means the
+        // last sequence is FULL, not empty — hence the -1/+1 dance)
+        when(max($"cum") > 0, (max($"cum") - 1) % PackC + 1)
+          .otherwise(0L).as("last_seq_fill"),
         sum(when(straddles && $"n" > 0, 1L).otherwise(0L)).as("n_straddling"))
       .orderBy($"source")
   }
@@ -818,7 +839,8 @@ object TextOps {
        |SELECT source, COUNT(*) AS n_docs,
        |  CAST(SUM(n) AS BIGINT) AS total_tokens,
        |  CAST((MAX(cum) + $PackC - 1) // $PackC AS BIGINT) AS n_seqs,
-       |  CAST(MAX(cum) % $PackC AS BIGINT) AS last_seq_fill,
+       |  CAST(CASE WHEN MAX(cum) > 0 THEN (MAX(cum) - 1) % $PackC + 1
+       |    ELSE 0 END AS BIGINT) AS last_seq_fill,
        |  CAST(SUM(CASE WHEN (cum - n) // $PackC <> (cum - 1) // $PackC
        |    AND n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
        |FROM cums

@@ -540,10 +540,10 @@ object Extras2 {
     val prev = q47Confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     q47Confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
-      val rows = q47Join(spark, dir).collect()
+      val df = q47Join(spark, dir)
       spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
-        q47Join(spark, dir).schema)
+        spark.sparkContext.parallelize(df.collect().toIndexedSeq, 1),
+        df.schema)
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)

@@ -101,14 +101,33 @@ class SparkBrfSpec extends SparkSpec {
     assert(empty.length() == 0 && readSplit(empty, 0, 0) == Seq.empty)
   }
 
+  /** Exact frame-start offsets, walked from the headers themselves. */
+  private def frameStarts(f: java.io.File): Seq[Long] = {
+    import graft.codec.BroFramed
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val starts = scala.collection.mutable.ArrayBuffer[Long]()
+    var off = 0L
+    while (off < bytes.length) {
+      starts += off
+      val compLen = BroFramed.readInt(bytes.slice(off.toInt, off.toInt + BroFramed.HeaderLen), 8)
+      off += BroFramed.HeaderLen + compLen
+    }
+    starts.toSeq
+  }
+
   test("two-way split sweep: every boundary yields each line exactly once") {
     val f = writeBrf(lines, frameSize = 1000) // many small frames
     val len = f.length()
     assert(len > 10000, "fixture should span many frames")
-    // sweep boundaries at a stride coprime-ish to the frame size, plus
-    // the exact start of a frame (header-aligned) found by scanning
+    // sweep boundaries at a stride coprime-ish to the frame size, PLUS
+    // every exact frame start and its ±1 neighbors — the trickiest
+    // ownership cases (cut exactly at a header: the previous split must
+    // emit exactly one extra record, the next must skip exactly one)
+    val aligned = frameStarts(f).filter(s => s > 0 && s < len)
+    assert(aligned.size >= 5, "fixture should have many interior frames")
     val boundaries =
-      (257L until len by 509L) ++ Seq(1L, 16L, len - 1, len / 2)
+      (257L until len by 509L) ++ Seq(1L, 16L, len - 1, len / 2) ++
+        aligned ++ aligned.map(_ - 1) ++ aligned.map(_ + 1)
     boundaries.foreach { cut =>
       val got = readSplit(f, 0, cut) ++ readSplit(f, cut, len - cut)
       assert(got == lines, s"split at $cut lost or duplicated lines " +
