@@ -404,7 +404,10 @@ object TextOps {
     // sampled mins are distinct within a doc, so count(*) = document df
     val rare = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
       .filter($"df" >= 2 && $"df" <= OvDfCap).select($"fp")
-    val idx = fps.join(rare, Seq("fp"), "left_semi")
+    // materialize once: idx feeds BOTH self-join sides, and Spark would
+    // otherwise replan the kernel+explode+df-cap subtree per side (the
+    // d02/d07 fix)
+    val idx = fps.join(rare, Seq("fp"), "left_semi").localCheckpoint()
     idx.as("a").join(idx.as("b"),
         $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
