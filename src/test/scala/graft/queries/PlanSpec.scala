@@ -144,9 +144,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"overlap detection must join on fp keys, not enumerate pairs:\n$plan")
-    // the df count and the pair count both partial-aggregate map-side
-    assert("HashAggregate".r.findAllIn(plan).size >= 4,
-      s"expected partial+final aggregation for df and pair counts:\n$plan")
+    // the pair count partial-aggregates map-side; the df-cap agg is
+    // inside the checkpointed index (Scan ExistingRDD) and no longer
+    // shows in this plan — the checkpoint itself is what we assert:
+    // both join sides read the materialized index, not a recompute
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregation for the pair count:\n$plan")
+    assert("Scan ExistingRDD".r.findAllIn(plan).size >= 2,
+      s"both self-join sides should scan the checkpointed index:\n$plan")
   }
 
   test("d03 minhash signatures partially aggregate before the shuffle") {
