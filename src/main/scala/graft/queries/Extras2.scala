@@ -627,6 +627,47 @@ object Extras2 {
        |ORDER BY layout""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q49: RECURSIVE CTE — hierarchy traversal through Spark 4's own
+  // recursive-CTE executor (UnionLoop), the SQL-frontier surface a
+  // DataFrame API can't express: each supplier's ancestor chain in the
+  // implicit binary parent tree `parent(s) = s DIV 2`, rolled up into
+  // depth + chain account-balance. The recursion is a strictly
+  // decreasing walk, so UNION ALL terminates without any hop cap (Spark
+  // does not yet allow UNION-distinct recursion, which rules out cyclic
+  // closures — d06's iterative loop remains the connected-components
+  // path; this query covers the acyclic-hierarchy operator class:
+  // org charts, bill-of-materials, category trees). Scale: the executor
+  // runs one keyed join per level — log₂(N) levels for this tree — each
+  // a plain shuffle join; state between levels is the frontier only.
+  // ---------------------------------------------------------------------
+  def q49(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "supplier").createOrReplaceTempView("q49_supplier")
+    spark.sql(
+      """WITH RECURSIVE anc(id, a) AS (
+        |  SELECT s_suppkey, s_suppkey FROM q49_supplier
+        |  UNION ALL
+        |  SELECT id, a DIV 2 FROM anc WHERE a > 0
+        |)
+        |SELECT anc.id AS s_suppkey, CAST(COUNT(*) - 1 AS BIGINT) AS depth,
+        |  CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS chain_acctbal
+        |FROM anc JOIN q49_supplier s ON anc.a = s.s_suppkey
+        |GROUP BY anc.id
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  private val q49Sql =
+    """WITH RECURSIVE anc(id, a) AS (
+      |  SELECT s_suppkey, s_suppkey FROM supplier
+      |  UNION ALL
+      |  SELECT id, a // 2 FROM anc WHERE a > 0
+      |)
+      |SELECT anc.id AS s_suppkey, CAST(COUNT(*) - 1 AS BIGINT) AS depth,
+      |  CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS chain_acctbal
+      |FROM anc JOIN supplier s ON anc.a = s.s_suppkey
+      |GROUP BY anc.id
+      |ORDER BY s_suppkey""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q31_outer_join" -> (q31 _),
     "q32_exists_subquery" -> (q32 _),
@@ -641,7 +682,8 @@ object Extras2 {
     "q43_map_ops" -> (q43 _),
     "q45_approx_percentile" -> (q45 _),
     "q47_bloom_join" -> (q47 _),
-    "q48_zorder_layout" -> (q48 _))
+    "q48_zorder_layout" -> (q48 _),
+    "q49_recursive_cte" -> (q49 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q31_outer_join" -> q31Sql,
@@ -657,5 +699,6 @@ object Extras2 {
     "q43_map_ops" -> q43Sql,
     "q45_approx_percentile" -> q45Sql,
     "q47_bloom_join" -> q47Sql,
-    "q48_zorder_layout" -> q48Sql)
+    "q48_zorder_layout" -> q48Sql,
+    "q49_recursive_cte" -> q49Sql)
 }
