@@ -668,6 +668,67 @@ object Extras2 {
       |GROUP BY anc.id
       |ORDER BY s_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q50: EXACT moment statistics — variance, stddev, correlation. The
+  // built-in float aggregates (var_samp/corr) partial-aggregate doubles,
+  // so their results depend on partition merge order — fine for BI,
+  // fatal for a hash-verified gate and for any 100 TB job that must be
+  // bit-reproducible across retries. The deterministic formulation:
+  // accumulate the power/cross sums Σx, Σx², Σy, Σy², Σxy EXACTLY as
+  // decimals (map-side combinable, order-independent by exactness), and
+  // apply the closed forms in IEEE doubles once at the end — decimal →
+  // double conversion is exact here (≤ 10¹³ ≪ 2⁵³), and sqrt is
+  // correctly rounded, so both engines produce the same bits.
+  // ---------------------------------------------------------------------
+  def q50(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val DS = DecimalType(38, 6)
+    val x = $"l_quantity".cast(DecimalType(18, 2))
+    val y = $"l_discount".cast(DecimalType(18, 2))
+    val sums = Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast(DS)).as("sx"), sum((x * x).cast(DS)).as("sxx"),
+        sum(y.cast(DS)).as("sy"), sum((y * y).cast(DS)).as("syy"),
+        sum((x * y).cast(DS)).as("sxy"))
+    val n = $"n".cast(DoubleType)
+    val (sx, sxx, sy, syy, sxy) = ($"sx".cast(DoubleType),
+      $"sxx".cast(DoubleType), $"sy".cast(DoubleType),
+      $"syy".cast(DoubleType), $"sxy".cast(DoubleType))
+    val varX = (n * sxx - sx * sx) / (n * (n - lit(1.0)))
+    val covXY = (n * sxy - sx * sy) / (n * (n - lit(1.0)))
+    val corr = (n * sxy - sx * sy) /
+      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    sums.select($"l_returnflag", $"n",
+        (sx / n).as("mean_qty"), varX.as("var_qty"),
+        sqrt(varX).as("stddev_qty"), covXY.as("cov_qty_disc"),
+        corr.as("corr_qty_disc"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q50Sql =
+    """WITH sums AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS sx,
+      |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS sxx,
+      |    SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS sy,
+      |    SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS syy,
+      |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+      |  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_qty,
+      |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS stddev_qty,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS cov_qty_disc,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_disc
+      |FROM sums
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q31_outer_join" -> (q31 _),
     "q32_exists_subquery" -> (q32 _),
@@ -683,7 +744,8 @@ object Extras2 {
     "q45_approx_percentile" -> (q45 _),
     "q47_bloom_join" -> (q47 _),
     "q48_zorder_layout" -> (q48 _),
-    "q49_recursive_cte" -> (q49 _))
+    "q49_recursive_cte" -> (q49 _),
+    "q50_exact_stats" -> (q50 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q31_outer_join" -> q31Sql,
@@ -700,5 +762,6 @@ object Extras2 {
     "q45_approx_percentile" -> q45Sql,
     "q47_bloom_join" -> q47Sql,
     "q48_zorder_layout" -> q48Sql,
-    "q49_recursive_cte" -> q49Sql)
+    "q49_recursive_cte" -> q49Sql,
+    "q50_exact_stats" -> q50Sql)
 }
