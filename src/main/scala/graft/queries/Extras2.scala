@@ -729,6 +729,36 @@ object Extras2 {
       |FROM sums
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q51: correlated LATERAL join — the per-row-subquery operator class:
+  // for every nation, the top-2 suppliers by balance, expressed as a
+  // dependent subquery in the FROM clause rather than a window + filter
+  // (q07's formulation of the same semantics). Spark plans the
+  // correlation with DecorrelateInnerQuery into a ranked join — no
+  // per-row re-execution — so the declarative form keeps the window
+  // plan's scale behavior while matching the SQL surface users migrate
+  // in with (DuckDB/Postgres LATERAL).
+  // ---------------------------------------------------------------------
+  def q51(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "nation").createOrReplaceTempView("q51_nation")
+    Tables.load(spark, dir, "supplier").createOrReplaceTempView("q51_supplier")
+    spark.sql(
+      """SELECT n_name, s.s_name, s.s_acctbal
+        |FROM q51_nation n JOIN LATERAL (
+        |  SELECT s_name, s_acctbal FROM q51_supplier
+        |  WHERE s_nationkey = n.n_nationkey
+        |  ORDER BY s_acctbal DESC, s_name LIMIT 2) s
+        |ORDER BY n_name, s.s_acctbal DESC, s.s_name""".stripMargin)
+  }
+
+  private val q51Sql =
+    """SELECT n_name, s.s_name, s.s_acctbal
+      |FROM nation n JOIN LATERAL (
+      |  SELECT s_name, s_acctbal FROM supplier
+      |  WHERE s_nationkey = n.n_nationkey
+      |  ORDER BY s_acctbal DESC, s_name LIMIT 2) s ON TRUE
+      |ORDER BY n_name, s.s_acctbal DESC, s.s_name""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q31_outer_join" -> (q31 _),
     "q32_exists_subquery" -> (q32 _),
@@ -745,7 +775,8 @@ object Extras2 {
     "q47_bloom_join" -> (q47 _),
     "q48_zorder_layout" -> (q48 _),
     "q49_recursive_cte" -> (q49 _),
-    "q50_exact_stats" -> (q50 _))
+    "q50_exact_stats" -> (q50 _),
+    "q51_lateral_topk" -> (q51 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q31_outer_join" -> q31Sql,
@@ -763,5 +794,6 @@ object Extras2 {
     "q47_bloom_join" -> q47Sql,
     "q48_zorder_layout" -> q48Sql,
     "q49_recursive_cte" -> q49Sql,
-    "q50_exact_stats" -> q50Sql)
+    "q50_exact_stats" -> q50Sql,
+    "q51_lateral_topk" -> q51Sql)
 }
