@@ -759,6 +759,55 @@ object Extras2 {
       |  ORDER BY s_acctbal DESC, s_name LIMIT 2) s ON TRUE
       |ORDER BY n_name, s.s_acctbal DESC, s.s_name""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q52: DYNAMIC partition pruning — the partitioned-table counterpart
+  // of q47's row-level bloom: at 100 TB fact tables are laid out as
+  // date/month partitions, and a selective dimension filter must prune
+  // PARTITIONS (skip whole directories) at runtime, not just rows.
+  // The query materializes a ship-month-partitioned copy of lineitem
+  // (scratch stand-in for the production layout), joins it to a
+  // 3-month dim derived with a selective filter, and aggregates.
+  // Catalyst inserts a dynamicpruning#N subquery into the scan's
+  // PartitionFilters (asserted in PlanSpec): the fact scan reads 3 of
+  // ~84 month directories. Oracle = the same SQL on the unpartitioned
+  // table — pruning must never change results.
+  // ---------------------------------------------------------------------
+  private[graft] def q52Fact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = graft.Scratch.dir("q52_part_lineitem")
+    Tables.load(spark, dir, "lineitem")
+      .withColumn("ship_month", date_format($"l_shipdate", "yyyy-MM"))
+      .write.partitionBy("ship_month").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  private[graft] def q52Join(spark: SparkSession, dir: String,
+      fact: DataFrame): DataFrame = {
+    import spark.implicits._
+    // dim: the 3 months around 1995-06 (selective filter on a tiny side)
+    val months = Tables.load(spark, dir, "lineitem")
+      .select(date_format($"l_shipdate", "yyyy-MM").as("month")).distinct()
+      .filter($"month" >= "1995-05" && $"month" <= "1995-07")
+    fact.join(broadcast(months), $"ship_month" === $"month")
+      .groupBy($"ship_month")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_quantity".cast(D2)).cast(DoubleType).as("sum_qty"))
+      .orderBy($"ship_month")
+  }
+
+  def q52(spark: SparkSession, dir: String): DataFrame =
+    q52Join(spark, dir, q52Fact(spark, dir))
+
+  private val q52Sql =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE strftime(l_shipdate, '%Y-%m') >= '1995-05'
+      |  AND strftime(l_shipdate, '%Y-%m') <= '1995-07'
+      |GROUP BY ship_month
+      |ORDER BY ship_month""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q31_outer_join" -> (q31 _),
     "q32_exists_subquery" -> (q32 _),
@@ -776,7 +825,8 @@ object Extras2 {
     "q48_zorder_layout" -> (q48 _),
     "q49_recursive_cte" -> (q49 _),
     "q50_exact_stats" -> (q50 _),
-    "q51_lateral_topk" -> (q51 _))
+    "q51_lateral_topk" -> (q51 _),
+    "q52_dynamic_pruning" -> (q52 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q31_outer_join" -> q31Sql,
@@ -795,5 +845,6 @@ object Extras2 {
     "q48_zorder_layout" -> q48Sql,
     "q49_recursive_cte" -> q49Sql,
     "q50_exact_stats" -> q50Sql,
-    "q51_lateral_topk" -> q51Sql)
+    "q51_lateral_topk" -> q51Sql,
+    "q52_dynamic_pruning" -> q52Sql)
 }

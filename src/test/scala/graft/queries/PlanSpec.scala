@@ -82,6 +82,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q52 prunes fact partitions dynamically from the dim filter") {
+    val fact = Extras2.q52Fact(spark, sf)
+    val df = Extras2.q52Join(spark, sf, fact)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no runtime partition-pruning subquery on the fact scan:\n$plan")
+  }
+
   test("q20 as-of join uses exactly one data shuffle before the sort") {
     val plan = executed(Relational.q20(spark, sf))
     // union + window pattern: one hashpartitioning exchange on user_id
