@@ -21,6 +21,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Extras.queries ++
       graft.queries.Extras2.queries ++
+      graft.queries.Extras3.queries ++
       graft.queries.CodecQueries.queries ++
       graft.ops.TextOps.queries ++
       graft.ops.Dedup.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.Extras.oracle ++
       graft.queries.Extras2.oracle ++
+      graft.queries.Extras3.oracle ++
       graft.queries.CodecQueries.oracle ++
       graft.ops.TextOps.oracle ++
       graft.ops.Dedup.oracle ++

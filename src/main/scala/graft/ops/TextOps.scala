@@ -850,6 +850,75 @@ object TextOps {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t15: collocation mining — the corpus-statistics op behind tokenizer
+  // vocabulary and phrase-table construction: which word PAIRS co-occur
+  // far more than chance. Pipeline: word tokens (letter runs — disjoint
+  // char class, so Java regex and RE2 agree) → adjacent-pair explode →
+  // count bigrams and unigrams (both partial-agg'd, shuffle width
+  // bounded by VOCABULARY not corpus size) → PMI-style lift
+  // c_ab·N / (c_a·c_b) as one identically-shaped IEEE expression per
+  // engine (multiplies + one division — no transcendentals, so the
+  // doubles are bit-identical). The df-floor (c_ab ≥ 5) prunes the
+  // hapax tail BEFORE the unigram joins, and at 100 TB the unigram
+  // table is vocabulary-sized → broadcast both join sides.
+  // ---------------------------------------------------------------------
+  private val ColMinCount = 5
+
+  def t15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0))
+    val tok = Tables.load(spark, dir, "documents")
+      .select($"doc_id", toks.as("toks"))
+    val uni = tok.select(explode($"toks").as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum($"c").as("total"))
+    val big = tok
+      // guard: Spark sequence(1, n) runs DESCENDING for n < 1 (DuckDB's
+      // generate_series is empty there), so short docs need an explicit
+      // empty list or element_at would see index 0
+      .select(explode(when(size($"toks") >= 2,
+        sequence(lit(1), size($"toks") - 1))
+        .otherwise(array().cast(ArrayType(IntegerType)))).as("i"), $"toks")
+      .select(element_at($"toks", $"i").as("w1"),
+        element_at($"toks", $"i" + 1).as("w2"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c_ab"))
+      .filter($"c_ab" >= ColMinCount)
+    big
+      .join(uni.select($"token".as("w1"), $"c".as("c_a")), Seq("w1"))
+      .join(uni.select($"token".as("w2"), $"c".as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(concat($"w1", lit(" "), $"w2").as("bigram"),
+        $"c_ab", $"c_a", $"c_b",
+        ($"c_ab".cast(DoubleType) * $"total".cast(DoubleType) /
+          ($"c_a".cast(DoubleType) * $"c_b".cast(DoubleType))).as("lift"))
+      .orderBy($"lift".desc, $"bigram")
+      .limit(100)
+  }
+
+  private val t15Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+       |  FROM documents),
+       |uni AS (
+       |  SELECT t AS token, COUNT(*) AS c
+       |  FROM tok, unnest(toks) AS u(t) GROUP BY t),
+       |n AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM uni),
+       |big AS (
+       |  SELECT toks[i] AS w1, toks[i + 1] AS w2, COUNT(*) AS c_ab
+       |  FROM tok, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+       |  GROUP BY w1, w2
+       |  HAVING COUNT(*) >= $ColMinCount)
+       |SELECT b.w1 || ' ' || b.w2 AS bigram, b.c_ab, a.c AS c_a, c.c AS c_b,
+       |  CAST(b.c_ab AS DOUBLE) * CAST(n.total AS DOUBLE)
+       |    / (CAST(a.c AS DOUBLE) * CAST(c.c AS DOUBLE)) AS lift
+       |FROM big b
+       |JOIN uni a ON b.w1 = a.token
+       |JOIN uni c ON b.w2 = c.token
+       |CROSS JOIN n
+       |ORDER BY lift DESC, bigram
+       |LIMIT 100""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "t01_token_stats" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -864,7 +933,8 @@ object TextOps {
     "t11_bm25_score" -> (t11 _),
     "t12_pii_redact" -> (t12 _),
     "t13_heavy_hitters" -> (t13 _),
-    "t14_sequence_pack" -> (t14 _))
+    "t14_sequence_pack" -> (t14 _),
+    "t15_collocations" -> (t15 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "t01_token_stats" -> t01Sql,
@@ -880,5 +950,6 @@ object TextOps {
     "t11_bm25_score" -> t11Sql,
     "t12_pii_redact" -> t12Sql,
     "t13_heavy_hitters" -> t13Sql,
-    "t14_sequence_pack" -> t14Sql)
+    "t14_sequence_pack" -> t14Sql,
+    "t15_collocations" -> t15Sql)
 }

@@ -1,0 +1,262 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Third relational batch (round 6): the remaining scale-critical scan
+  * and maintenance surfaces — statistics-only scans (parquet aggregate
+  * pushdown), time-series gap filling with forward-fill, and SCD2
+  * merge (the batch CDC/upsert pattern). Same exactness rules as
+  * Relational.scala: decimal casts for money sums, portable window
+  * formulations, total ORDER BY everywhere.
+  */
+object Extras3 {
+
+  private val D2 = DecimalType(18, 2)
+
+  // ---------------------------------------------------------------------
+  // q53: parquet AGGREGATE pushdown — the "don't scan at all" path.
+  // MIN/MAX/COUNT over an unfiltered parquet table are answered from
+  // footer statistics (row-group min/max + row counts), so at 100 TB
+  // the query reads ~KB of metadata per file instead of the table. The
+  // DSv2 parquet reader performs the rewrite when
+  // spark.sql.parquet.aggregatePushdown is on; the scan's
+  // PushedAggregation list is asserted in PlanSpec. Pushdown-eligible
+  // aggregates only: MIN/MAX on long/int/double columns (timestamps and
+  // strings are excluded by Spark because parquet stat semantics for
+  // them are unsafe) and COUNT — which is exactly the class of query
+  // that is metadata-answerable. Oracle = the same aggregates computed
+  // by DuckDB from the data; pushdown must never change results.
+  // ---------------------------------------------------------------------
+  private[graft] val q53Confs = Seq(
+    // the v1 parquet path has no aggregate pushdown; scope the read to
+    // DSv2 (where the rewrite lives) for this statistics-only query
+    "spark.sql.sources.useV1SourceList" -> "",
+    "spark.sql.parquet.aggregatePushdown" -> "true")
+
+  private[graft] def q53Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("l_partkey")).as("n_partkeys"),
+        min(col("l_orderkey")).as("min_orderkey"),
+        max(col("l_orderkey")).as("max_orderkey"),
+        min(col("l_linenumber")).as("min_linenumber"),
+        max(col("l_linenumber")).as("max_linenumber"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+
+  def q53(spark: SparkSession, dir: String): DataFrame = {
+    // Plans only see confs set at creation time, so materialize inside
+    // the scope and restore after (q47's pattern). One row collected.
+    val prev = q53Confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    q53Confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = q53Agg(spark, dir)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(df.collect().toIndexedSeq, 1),
+        df.schema)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private val q53Sql =
+    """SELECT COUNT(*) AS n_rows, COUNT(l_partkey) AS n_partkeys,
+      |  MIN(l_orderkey) AS min_orderkey, MAX(l_orderkey) AS max_orderkey,
+      |  MIN(l_linenumber) AS min_linenumber, MAX(l_linenumber) AS max_linenumber,
+      |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+      |FROM lineitem""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q54: time-series GAP FILL + forward fill — the resample operator
+  // every monitoring/feature pipeline needs: hourly buckets that have no
+  // events must still appear (count 0), and a sampled metric carries the
+  // last observed value forward. The hour grid is generated with
+  // sequence()+explode from the global [min,max] hour — its size depends
+  // on the TIME SPAN, not the data volume, so at 100 TB the grid is
+  // still ~1e4 rows/type while the event agg keeps partial-agg + one
+  // shuffle. The fill window partitions by event_type over the grid
+  // (bounded rows/partition). Forward fill is last(ignoreNulls) on the
+  // Spark side; the oracle uses the portable grouped-fill formulation
+  // (cumulative COUNT of observations defines fill groups, MAX within
+  // group fills) — identical semantics, pure ANSI SQL.
+  // ---------------------------------------------------------------------
+  def q54(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"event_type", date_trunc("hour", $"ts").as("h"), $"value")
+    val agg = ev.groupBy($"event_type", $"h")
+      .agg(count(lit(1)).as("n"), max($"value").as("mx"))
+    val hours = ev.agg(min($"h").as("tmin"), max($"h").as("tmax"))
+      .select(explode(sequence($"tmin", $"tmax",
+        expr("interval 1 hour"))).as("h"))
+    val grid = ev.select($"event_type").distinct().crossJoin(hours)
+    val fillW = Window.partitionBy($"event_type").orderBy($"h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq("event_type", "h"), "left")
+      .select($"event_type",
+        date_format($"h", "yyyy-MM-dd HH:00:00").as("hour_bucket"),
+        coalesce($"n", lit(0L)).as("n_events"),
+        last($"mx", ignoreNulls = true).over(fillW).as("obs_max"))
+      .orderBy($"event_type", $"hour_bucket")
+  }
+
+  private val q54Sql =
+    """WITH b AS (
+      |  SELECT min(date_trunc('hour', ts)) AS tmin,
+      |         max(date_trunc('hour', ts)) AS tmax FROM events),
+      |hours AS (
+      |  SELECT unnest(generate_series(tmin, tmax, INTERVAL 1 HOUR)) AS h
+      |  FROM b),
+      |grid AS (
+      |  SELECT event_type, h
+      |  FROM (SELECT DISTINCT event_type FROM events) CROSS JOIN hours),
+      |agg AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h,
+      |         COUNT(*) AS n, MAX(value) AS mx
+      |  FROM events GROUP BY 1, 2),
+      |j AS (
+      |  SELECT g.event_type, g.h, COALESCE(a.n, 0) AS n_events, a.mx,
+      |         COUNT(a.mx) OVER (PARTITION BY g.event_type ORDER BY g.h
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM grid g LEFT JOIN agg a
+      |    ON g.event_type = a.event_type AND g.h = a.h)
+      |SELECT event_type, strftime(h, '%Y-%m-%d %H:00:00') AS hour_bucket,
+      |  n_events, MAX(mx) OVER (PARTITION BY event_type, grp) AS obs_max
+      |FROM j
+      |ORDER BY event_type, hour_bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q55: SCD2 MERGE — the slowly-changing-dimension upsert every
+  // warehouse maintains: a delta of changed rows closes the current
+  // version (valid_to = effective date) and opens a new one, while
+  // untouched rows pass through. Spark-first shape: ONE left join of
+  // the dimension against the (much smaller, pre-aggregated) delta —
+  // broadcast at real scale — then explode() emits 1 row (untouched)
+  // or 2 rows (close + reopen) per input row. No second join, no
+  // anti-join branch, single pass over the dimension; this is the
+  // MERGE INTO execution shape (Delta/Iceberg) expressed on plain
+  // DataFrames. Delta here: customers who ordered in 1995H1 get their
+  // balance bumped by their ordered total, effective at their last
+  // order date. Oracle spells the same result as 3-branch UNION ALL.
+  // ---------------------------------------------------------------------
+  def q55(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val baseFrom = lit("1990-01-01").cast(DateType)
+    val nullDate = lit(null).cast(DateType)
+    val bal = $"c_acctbal".cast(D2)
+    val upd = Tables.load(spark, dir, "orders")
+      .filter($"o_orderdate" >= lit("1995-01-01").cast(TimestampType) &&
+        $"o_orderdate" < lit("1995-07-01").cast(TimestampType))
+      .groupBy($"o_custkey")
+      .agg(max($"o_orderdate".cast(DateType)).as("eff_date"),
+        sum($"o_totalprice".cast(D2)).as("ordered"))
+    Tables.load(spark, dir, "customer")
+      .join(upd, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey", $"c_name",
+        explode(when($"o_custkey".isNull,
+          array(struct(
+            bal.cast(DoubleType).as("acctbal"),
+            baseFrom.as("valid_from"),
+            nullDate.as("valid_to"),
+            lit(true).as("is_current"))))
+        .otherwise(array(
+          struct(
+            bal.cast(DoubleType).as("acctbal"),
+            baseFrom.as("valid_from"),
+            $"eff_date".as("valid_to"),
+            lit(false).as("is_current")),
+          struct(
+            (bal + $"ordered").cast(DoubleType).as("acctbal"),
+            $"eff_date".as("valid_from"),
+            nullDate.as("valid_to"),
+            lit(true).as("is_current"))))).as("v"))
+      .select($"c_custkey", $"c_name", $"v.acctbal",
+        // dates as formatted strings: both engines emit identical bytes
+        // (q19/q39 convention), and NULL valid_to stays NULL
+        date_format($"v.valid_from", "yyyy-MM-dd").as("valid_from"),
+        date_format($"v.valid_to", "yyyy-MM-dd").as("valid_to"),
+        $"v.is_current")
+      .orderBy($"c_custkey", $"valid_from")
+  }
+
+  private val q55Sql =
+    """WITH upd AS (
+      |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS eff_date,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS ordered
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate < TIMESTAMP '1995-07-01'
+      |  GROUP BY o_custkey)
+      |SELECT c_custkey, c_name,
+      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+      |  '1990-01-01' AS valid_from,
+      |  strftime(u.eff_date, '%Y-%m-%d') AS valid_to,
+      |  FALSE AS is_current
+      |FROM customer c JOIN upd u ON c.c_custkey = u.o_custkey
+      |UNION ALL
+      |SELECT c_custkey, c_name,
+      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) + u.ordered AS DOUBLE),
+      |  strftime(u.eff_date, '%Y-%m-%d'), NULL, TRUE
+      |FROM customer c JOIN upd u ON c.c_custkey = u.o_custkey
+      |UNION ALL
+      |SELECT c_custkey, c_name,
+      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE),
+      |  '1990-01-01', NULL, TRUE
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q56: selective-aggregate suite — MAX_BY / MIN_BY (argmax/argmin),
+  // COUNT_IF, BOOL_OR / BOOL_AND: the "which row won" aggregates users
+  // reach for daily. All are single-pass hash aggregates with partial
+  // merge (each carries O(1) state), so the shuffle moves one row per
+  // group at any scale. The argmax ordering key is the UNIQUE c_custkey
+  // so the winner is engine-independent (argmax over a tied key is
+  // underdetermined in both engines).
+  // ---------------------------------------------------------------------
+  def q56(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "customer")
+      .groupBy($"c_nationkey")
+      .agg(
+        max_by($"c_name", $"c_custkey").as("latest_cust"),
+        min_by($"c_name", $"c_custkey").as("earliest_cust"),
+        count_if($"c_acctbal" < 0).as("n_negative"),
+        bool_or($"c_acctbal" < 0).as("any_negative"),
+        bool_and($"c_acctbal" > -1000).as("all_above_floor"))
+      .orderBy($"c_nationkey")
+  }
+
+  private val q56Sql =
+    """SELECT c_nationkey,
+      |  max_by(c_name, c_custkey) AS latest_cust,
+      |  min_by(c_name, c_custkey) AS earliest_cust,
+      |  CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_negative,
+      |  bool_or(c_acctbal < 0) AS any_negative,
+      |  bool_and(c_acctbal > -1000) AS all_above_floor
+      |FROM customer
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q53_agg_pushdown" -> (q53 _),
+    "q54_gapfill_ffill" -> (q54 _),
+    "q55_scd2_merge" -> (q55 _),
+    "q56_argminmax" -> (q56 _))
+
+  val oracle: ListMap[String, String] = ListMap(
+    "q53_agg_pushdown" -> q53Sql,
+    "q54_gapfill_ffill" -> q54Sql,
+    "q55_scd2_merge" -> q55Sql,
+    "q56_argminmax" -> q56Sql)
+}

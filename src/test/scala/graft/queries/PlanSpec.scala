@@ -90,6 +90,22 @@ class PlanSpec extends SparkSpec {
       s"no runtime partition-pruning subquery on the fact scan:\n$plan")
   }
 
+  test("q53 pushes MIN/MAX/COUNT into the parquet scan (metadata-only)") {
+    val prev = Extras3.q53Confs.map { case (k, _) =>
+      k -> spark.conf.getOption(k) }
+    Extras3.q53Confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val plan = Extras3.q53Agg(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT(*)"),
+        s"aggregates not pushed to the scan:\n$plan")
+      assert(plan.contains("MIN(l_orderkey)"),
+        s"MIN not pushed to the scan:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q20 as-of join uses exactly one data shuffle before the sort") {
     val plan = executed(Relational.q20(spark, sf))
     // union + window pattern: one hashpartitioning exchange on user_id
