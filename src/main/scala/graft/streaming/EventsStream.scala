@@ -308,6 +308,64 @@ object EventsStream {
       |FROM events
       |ORDER BY hour_bucket, user_id, event_type""".stripMargin
 
+  /** st11: incremental UPSERT sink via foreachBatch — the production
+    * "streaming materialized table" path: each micro-batch is partially
+    * aggregated per key and merged (full-outer, associative combine —
+    * [[StreamOps.upsertMerge]]) into a standing versioned table. The
+    * source is the events table split across 4 files streamed with
+    * maxFilesPerTrigger=1, so the merge demonstrably runs across
+    * MULTIPLE micro-batches (spec-asserted ≥ 2), and because the
+    * combine is associative+commutative the settled table equals the
+    * one-shot batch aggregate exactly — which is what the oracle
+    * checks. Each version is materialized to parquet before the next
+    * merge: finite plans (no across-batch lineage growth), and the
+    * version swap is the local stand-in for a Delta/Iceberg MERGE
+    * commit on a real cluster. */
+  private[graft] def st11Run(spark: SparkSession, dir: String): (DataFrame, Long) = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val src = graft.Scratch.dir("st11_src")
+    graft.Tables.load(spark, dir, "events").repartition(4)
+      .write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val stateRef = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    val nBatches = new AtomicLong(0)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        nBatches.incrementAndGet()
+        val delta = StreamOps.batchUserAgg(batch)
+        val merged = Option(stateRef.get())
+          .map(StreamOps.upsertMerge(_, delta)).getOrElse(delta)
+        val version = graft.Scratch.dir("st11_state")
+        merged.write.parquet(version)
+        stateRef.set(spark.read.parquet(version))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val out = stateRef.get()
+      .select($"user_id", $"n_events",
+        $"sum_value".cast("double").as("sum_value"),
+        date_format($"first_ts", "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        date_format($"last_ts", "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+      .orderBy($"user_id")
+    (out, nBatches.get())
+  }
+
+  def st11(spark: SparkSession, dir: String): DataFrame =
+    st11Run(spark, dir)._1
+
+  private val st11Sql =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+      |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "st01_stream_hourly" -> (st01 _),
     "st02_stream_sessionize" -> (st02 _),
@@ -318,7 +376,8 @@ object EventsStream {
     "st07_stream_stream_join" -> (st07 _),
     "st08_stream_append_hourly" -> (st08 _),
     "st09_stream_append_sliding" -> (st09 _),
-    "st10_stream_dedup" -> (st10 _))
+    "st10_stream_dedup" -> (st10 _),
+    "st11_stream_upsert" -> (st11 _))
 
   private val st02Sql =
     """WITH flagged AS (
@@ -352,5 +411,6 @@ object EventsStream {
     "st07_stream_stream_join" -> st07Sql,
     "st08_stream_append_hourly" -> st08Sql,
     "st09_stream_append_sliding" -> st09Sql,
-    "st10_stream_dedup" -> st10Sql)
+    "st10_stream_dedup" -> st10Sql,
+    "st11_stream_upsert" -> st11Sql)
 }

@@ -95,6 +95,42 @@ object StreamOps {
         col("c_ts") < col("p_ts"))
   }
 
+  /** Per-key partial aggregates of one micro-batch — the delta a
+    * foreachBatch upsert merges into the standing table. Sums go
+    * through a FIXED decimal type so the merged schema (and the exact
+    * result) is independent of how the stream was micro-batched. */
+  def batchUserAgg(batch: DataFrame): DataFrame =
+    batch.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(MoneyType)).cast(MergeDecimal).as("sum_value"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"))
+
+  /** One upsert round: FULL OUTER join of the standing table with the
+    * batch delta on the key, combining with associative+commutative
+    * merges (count add, exact decimal add, min/max) — so ANY split of
+    * the input into micro-batches converges to the same table, and a
+    * replayed batch only needs source-side dedup (st10) to stay
+    * exactly-once. This is MERGE INTO's execution shape; on a real
+    * cluster the write side is Delta/Iceberg MERGE or an overwrite of
+    * the (partitioned) table — the join below is the engine work. */
+  def upsertMerge(state: DataFrame, delta: DataFrame): DataFrame = {
+    val s = state.columns.foldLeft(state)((d, c) => d.withColumnRenamed(c, s"s_$c"))
+    s.join(delta, col("s_user_id") === col("user_id"), "full_outer")
+      .select(
+        coalesce(col("user_id"), col("s_user_id")).as("user_id"),
+        (coalesce(col("s_n_events"), lit(0L)) +
+          coalesce(col("n_events"), lit(0L))).as("n_events"),
+        (coalesce(col("s_sum_value"), lit(0).cast(MergeDecimal)) +
+          coalesce(col("sum_value"), lit(0).cast(MergeDecimal)))
+          .cast(MergeDecimal).as("sum_value"),
+        least(col("s_first_ts"), col("first_ts")).as("first_ts"),
+        greatest(col("s_last_ts"), col("last_ts")).as("last_ts"))
+  }
+
+  private val MoneyType = org.apache.spark.sql.types.DecimalType(18, 2)
+  private val MergeDecimal = org.apache.spark.sql.types.DecimalType(28, 2)
+
   /** Custom-state per-user profiles via flatMapGroupsWithState (state:
     * one `UserState` per user, independent of event volume). Defined
     * over the typed Ev/UserAgg rows in [[EventsStream]]. */
