@@ -604,6 +604,59 @@ object Dedup {
        |FROM delta d LEFT JOIN best b ON d.doc_id = b.new_id
        |ORDER BY new_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d08: EDIT-DISTANCE near-dup — the character-level complement to the
+  // token-level families: catches OCR noise, typo-level mutations, and
+  // template fills that shift token boundaries (where shingle Jaccard
+  // degrades). All-pairs Levenshtein is O(n²·len²) — never. Candidates
+  // come from deterministic blocking (the same generate-by-key shape as
+  // every other d-op): normalized text (letters+spaces, lowercased)
+  // keyed by (length div 20, 20-char prefix); real near-dups land in
+  // the same block because a small edit distance can't move the length
+  // across a 20-wide bucket often, nor change a shared prefix. Within a
+  // block, pairs are verified with the THRESHOLDED Levenshtein kernel
+  // (Spark's 3-arg levenshtein): banded O(k·len) with early exit, not
+  // the full O(len²) matrix. One shuffle on the block key; block sizes
+  // are bounded in practice (prefix collisions ≈ near-dup families), so
+  // no quadratic blowup — the verify cost tracks the DUPLICATE count,
+  // not the corpus. Oracle = identical blocking + DuckDB's exact
+  // levenshtein (same ASCII-normalized strings, so the distances are
+  // engine-identical integers).
+  // ---------------------------------------------------------------------
+  private val EditMax = 20
+
+  def d08(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        lower(regexp_replace($"text", "[^a-zA-Z ]", "")).as("nt"))
+      .withColumn("lb", expr("length(nt) div 20"))
+      .withColumn("pfx", substring($"nt", 1, 20))
+    val a = docs.select($"doc_id".as("doc_a"), $"nt".as("nt_a"), $"lb", $"pfx")
+    val b = docs.select($"doc_id".as("doc_b"), $"nt".as("nt_b"), $"lb", $"pfx")
+    a.join(b, Seq("lb", "pfx"))
+      .filter($"doc_a" < $"doc_b")
+      .withColumn("edit_dist", levenshtein($"nt_a", $"nt_b", EditMax))
+      .filter($"edit_dist" =!= -1)
+      .select($"doc_a", $"doc_b", $"edit_dist".cast(LongType).as("edit_dist"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val d08Sql =
+    s"""WITH n AS (
+       |  SELECT doc_id,
+       |    lower(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS nt
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, nt, length(nt) // 20 AS lb,
+       |    substring(nt, 1, 20) AS pfx FROM n)
+       |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       |  CAST(levenshtein(a.nt, b2.nt) AS BIGINT) AS edit_dist
+       |FROM b a JOIN b b2 ON a.lb = b2.lb AND a.pfx = b2.pfx
+       |  AND a.doc_id < b2.doc_id
+       |WHERE levenshtein(a.nt, b2.nt) <= $EditMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "d01_exact_dedup" -> (d01 _),
     "d02_ngram_jaccard" -> (d02 _),
@@ -611,7 +664,8 @@ object Dedup {
     "d04_simhash" -> (d04 _),
     "d05_embed_neardup" -> (d05 _),
     "d06_dup_clusters" -> (d06 _),
-    "d07_incremental_dedup" -> (d07 _))
+    "d07_incremental_dedup" -> (d07 _),
+    "d08_editdist_dedup" -> (d08 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "d01_exact_dedup" -> d01Sql,
@@ -620,5 +674,6 @@ object Dedup {
     "d04_simhash" -> d04Sql,
     "d05_embed_neardup" -> d05Sql,
     "d06_dup_clusters" -> d06Sql,
-    "d07_incremental_dedup" -> d07Sql)
+    "d07_incremental_dedup" -> d07Sql,
+    "d08_editdist_dedup" -> d08Sql)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import scala.collection.immutable.ListMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -248,15 +248,131 @@ object Extras3 {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q57: column profiling — the data-quality pass every ingestion
+  // pipeline runs before training on a new source: per column, row
+  // count, null count, exact distinct count, min and max. ONE scan of
+  // the table computes every metric (the per-column aggregates live in
+  // a single agg node; the multiple exact COUNT(DISTINCT)s plan as one
+  // Expand + two-phase aggregate, data passes once). Min/max aggregate
+  // on the NATIVE type and render to string after (so "min" means
+  // numeric/time order, not string order), through the engine-portable
+  // renderings used everywhere else (date_format, DECIMAL(18,2)).
+  // The `channel` column is a derived nullable (NULLIF) so the null
+  // path is exercised on a dataset with no physical nulls. At 100 TB
+  // the same single-pass shape holds; swap the exact distincts for
+  // approx_count_distinct to drop the Expand (exact kept here because
+  // the oracle hash-checks the counts).
+  // ---------------------------------------------------------------------
+  private case class ProfCol(name: String, value: Column,
+      render: Column => Column = _.cast(StringType))
+
+  def q57(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val specs = Seq(
+      ProfCol("event_id", $"event_id"),
+      ProfCol("user_id", $"user_id"),
+      ProfCol("event_type", $"event_type"),
+      ProfCol("ts", $"ts", date_format(_, "yyyy-MM-dd HH:mm:ss")),
+      ProfCol("value", $"value".cast(D2)),
+      ProfCol("channel", expr("nullif(event_type, 'click')")))
+    val base = Tables.load(spark, dir, "events")
+    val aggs = count(lit(1)).as("n_rows") +: specs.flatMap { s =>
+      Seq(count(s.value).as(s"nn_${s.name}"),
+        countDistinct(s.value).as(s"nd_${s.name}"),
+        s.render(min(s.value)).as(s"mn_${s.name}"),
+        s.render(max(s.value)).as(s"mx_${s.name}"))
+    }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val rows = specs.map { s =>
+      struct(lit(s.name).as("col_name"), col("n_rows"),
+        (col("n_rows") - col(s"nn_${s.name}")).as("n_null"),
+        col(s"nd_${s.name}").as("n_distinct"),
+        col(s"mn_${s.name}").as("min_s"),
+        col(s"mx_${s.name}").as("max_s"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select($"p.*")
+      .orderBy($"col_name")
+  }
+
+  private val q57Sql = {
+    // (metric SQL per column) mirrored arm-by-arm; min/max aggregate on
+    // the native type and render after, like the Spark side
+    def arm(name: String, v: String, render: String => String) =
+      s"""SELECT '$name' AS col_name, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($v) AS n_null,
+         |  COUNT(DISTINCT $v) AS n_distinct,
+         |  ${render(s"MIN($v)")} AS min_s,
+         |  ${render(s"MAX($v)")} AS max_s
+         |FROM events""".stripMargin
+    def varchar(e: String) = s"CAST($e AS VARCHAR)"
+    Seq(
+      arm("event_id", "event_id", varchar),
+      arm("user_id", "user_id", varchar),
+      arm("event_type", "event_type", varchar),
+      arm("ts", "ts", e => s"strftime($e, '%Y-%m-%d %H:%M:%S')"),
+      arm("value", "CAST(value AS DECIMAL(18,2))", varchar),
+      arm("channel", "NULLIF(event_type, 'click')", varchar))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  // ---------------------------------------------------------------------
+  // q58: small-file COMPACTION planner — q48's sibling maintenance op.
+  // Input is a file listing (path-ordered sizes per table partition;
+  // the documents table stands in: source = partition, doc_id = file,
+  // n_chars = bytes). Files are packed first-fit in listing order: a
+  // running cumulative size is binned by integer-dividing each file's
+  // START offset by the target bin size, so every bin holds
+  // consecutive files totalling ~target bytes (the last file may
+  // straddle). Output is the rewrite plan: per (partition, bin) the
+  // file range and total bytes a compaction job would coalesce into
+  // one output file. The planner runs over METADATA (one listing row
+  // per file — millions of rows at 100 TB, not data-scale): one window
+  // cumsum per partition + one group-by, all integer arithmetic.
+  // ---------------------------------------------------------------------
+  private val CompactTarget = 4096L
+
+  def q58(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    Tables.load(spark, dir, "documents")
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("cum", sum($"n_chars").over(w))
+      .withColumn("bin_id", expr(s"(cum - n_chars) div $CompactTarget"))
+      .groupBy($"source", $"bin_id")
+      .agg(count(lit(1)).as("n_files"),
+        sum($"n_chars").as("total_bytes"),
+        min($"doc_id").as("first_file"),
+        max($"doc_id").as("last_file"))
+      .orderBy($"source", $"bin_id")
+  }
+
+  private val q58Sql =
+    s"""WITH listed AS (
+       |  SELECT source, doc_id, n_chars,
+       |    CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM documents)
+       |SELECT source, CAST((cum - n_chars) // $CompactTarget AS BIGINT) AS bin_id,
+       |  COUNT(*) AS n_files, CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+       |  MIN(doc_id) AS first_file, MAX(doc_id) AS last_file
+       |FROM listed
+       |GROUP BY source, bin_id
+       |ORDER BY source, bin_id""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q53_agg_pushdown" -> (q53 _),
     "q54_gapfill_ffill" -> (q54 _),
     "q55_scd2_merge" -> (q55 _),
-    "q56_argminmax" -> (q56 _))
+    "q56_argminmax" -> (q56 _),
+    "q57_profile" -> (q57 _),
+    "q58_compaction" -> (q58 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q53_agg_pushdown" -> q53Sql,
     "q54_gapfill_ffill" -> q54Sql,
     "q55_scd2_merge" -> q55Sql,
-    "q56_argminmax" -> q56Sql)
+    "q56_argminmax" -> q56Sql,
+    "q57_profile" -> q57Sql,
+    "q58_compaction" -> q58Sql)
 }

@@ -186,4 +186,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"LSH banding must join on band keys, not enumerate pairs:\n$plan")
   }
+
+  test("d08 edit-distance dedup pairs within blocks (no all-pairs join)") {
+    val plan = executed(graft.ops.Dedup.d08(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the blocking key equi-join:\n$plan")
+  }
+
+  test("q57 profiles every column in one scan of the table") {
+    val plan = executed(Extras3.q57(spark, sf))
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"profiler must compute all per-column metrics in a single pass:\n$plan")
+  }
 }
