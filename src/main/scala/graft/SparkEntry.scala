@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.Extras.queries ++
       graft.queries.Extras2.queries ++
       graft.queries.Extras3.queries ++
+      graft.queries.Extras4.queries ++
       graft.queries.CodecQueries.queries ++
       graft.ops.TextOps.queries ++
       graft.ops.Dedup.queries ++
@@ -36,6 +37,7 @@ object SparkEntry {
       graft.queries.Extras.oracle ++
       graft.queries.Extras2.oracle ++
       graft.queries.Extras3.oracle ++
+      graft.queries.Extras4.oracle ++
       graft.queries.CodecQueries.oracle ++
       graft.ops.TextOps.oracle ++
       graft.ops.Dedup.oracle ++

@@ -1,0 +1,140 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Behavioral / product-analytics batch: the event-sequence queries an
+  * analytics engine is asked for daily — funnel conversion and cohort
+  * retention. Both reduce to keyed aggregates and co-partitioned
+  * self-joins on `user_id` (one hash shuffle onto the user key, then
+  * narrow), so they scale the same way the relational inventory does.
+  * Exactness rules as everywhere: counts are exact longs; the only
+  * floating-point is a single two-operand division (IEEE-rounded
+  * identically by both engines).
+  */
+object Extras4 {
+
+  // ---------------------------------------------------------------------
+  // q59: FUNNEL analysis — ordered-sequence conversion: of the users
+  // who ever viewed, how many later clicked, and of those, how many
+  // later purchased. "Later" is strict event-time order per user, not
+  // mere set membership: each stage keeps the FIRST qualifying time
+  // and the next stage only counts events strictly after it. Shape:
+  // per-stage min-aggregates chained by co-partitioned user_id joins —
+  // every join key is user_id, so after one shuffle the chain is
+  // narrow; stage tables only shrink. The final 4-row summary ranks
+  // with a lag window for the step conversion rate.
+  // ---------------------------------------------------------------------
+  private val FunnelStages = Seq("view", "click", "purchase")
+
+  def q59(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_type", $"ts")
+    // chain: users[k] = users who hit stage k strictly after stage k-1,
+    // carrying the first qualifying timestamp forward
+    val s1 = ev.filter($"event_type" === FunnelStages.head)
+      .groupBy($"user_id").agg(min($"ts").as("ts_prev"))
+    val reached = FunnelStages.tail.scanLeft(s1) { (prev, stage) =>
+      ev.filter($"event_type" === stage)
+        .join(prev, "user_id")
+        .filter($"ts" > $"ts_prev")
+        .groupBy($"user_id").agg(min($"ts").as("ts_prev"))
+    }
+    val all = ev.agg(countDistinct($"user_id").as("n_users"))
+      .withColumn("stage", lit("0_all"))
+    val counts = FunnelStages.zip(reached).map { case (stage, df) =>
+      val rank = FunnelStages.indexOf(stage) + 1
+      df.agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", lit(s"${rank}_$stage"))
+    }
+    val w = Window.orderBy($"stage")
+    counts.foldLeft(all)(_ unionByName _)
+      .withColumn("conv_rate",
+        $"n_users".cast(DoubleType) / lag($"n_users", 1).over(w).cast(DoubleType))
+      .select($"stage", $"n_users", $"conv_rate")
+      .orderBy($"stage")
+  }
+
+  private val q59Sql =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS ts_prev FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS ts_prev
+      |  FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s1.ts_prev
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS ts_prev
+      |  FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.ts_prev
+      |  GROUP BY e.user_id),
+      |counts AS (
+      |  SELECT '0_all' AS stage, COUNT(DISTINCT user_id) AS n_users FROM events
+      |  UNION ALL SELECT '1_view', COUNT(*) FROM s1
+      |  UNION ALL SELECT '2_click', COUNT(*) FROM s2
+      |  UNION ALL SELECT '3_purchase', COUNT(*) FROM s3)
+      |SELECT stage, n_users,
+      |  CAST(n_users AS DOUBLE) /
+      |    CAST(LAG(n_users, 1) OVER (ORDER BY stage) AS DOUBLE) AS conv_rate
+      |FROM counts
+      |ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q60: COHORT retention — the week-over-week activity matrix: users
+  // grouped by their first-seen week (the cohort), counted as active in
+  // each subsequent week. Shape: first-seen per user (one keyed agg),
+  // joined back to the event stream on user_id (co-partitioned — at
+  // scale the join inherits the agg's partitioning, no extra shuffle),
+  // then an exact distinct-user count per (cohort, offset) cell. Weeks
+  // via date_trunc to Monday boundaries in both engines; the offset is
+  // whole days divided by 7 in integer arithmetic — no timezone or
+  // fractional-day semantics involved.
+  // ---------------------------------------------------------------------
+  def q60(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events").select($"user_id", $"ts")
+    val first = ev.groupBy($"user_id")
+      .agg(date_trunc("week", min($"ts")).as("cohort_w"))
+    ev.join(first, "user_id")
+      .select($"user_id", $"cohort_w",
+        expr("datediff(date_trunc('week', ts), cohort_w) div 7")
+          .cast(LongType).as("week_offset"))
+      .distinct()
+      .groupBy($"cohort_w", $"week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .select(date_format($"cohort_w", "yyyy-MM-dd").as("cohort_week"),
+        $"week_offset", $"n_active")
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  private val q60Sql =
+    """WITH first_seen AS (
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_w
+      |  FROM events GROUP BY user_id),
+      |active AS (
+      |  SELECT DISTINCT e.user_id, f.cohort_w,
+      |    CAST(date_diff('day', f.cohort_w, date_trunc('week', e.ts)) // 7
+      |      AS BIGINT) AS week_offset
+      |  FROM events e JOIN first_seen f USING (user_id))
+      |SELECT strftime(cohort_w, '%Y-%m-%d') AS cohort_week, week_offset,
+      |  COUNT(*) AS n_active
+      |FROM active
+      |GROUP BY cohort_w, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q59_funnel" -> (q59 _),
+    "q60_cohort_retention" -> (q60 _))
+
+  val oracle: ListMap[String, String] = ListMap(
+    "q59_funnel" -> q59Sql,
+    "q60_cohort_retention" -> q60Sql)
+}
