@@ -919,6 +919,67 @@ object TextOps {
        |ORDER BY lift DESC, bigram
        |LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t16: TF-IDF keyword extraction — per document, the top-5 terms by
+  // tf·(N/df): the corpus-statistics summarizer behind doc tagging,
+  // topical clustering labels, and retrieval indices (t11's BM25 is the
+  // per-QUERY scorer; this is the per-DOCUMENT profile). Pipeline:
+  // letter-run tokens → per-(doc, term) counts (partial-agg'd, one
+  // shuffle on the pair key) → document frequency per term (VOCABULARY-
+  // sized, broadcast at scale) → score and rank per doc. The score is
+  // (tf·N)/df as one identically-associated IEEE expression (exact
+  // long→double conversions, one multiply, one divide — bit-equal in
+  // both engines; no logarithms by design, same rationale as t11). Ties
+  // break by term so the top-5 is total-ordered. Window state per doc
+  // is bounded by the doc's distinct-term count.
+  // ---------------------------------------------------------------------
+  private val KeywordsK = 5
+
+  def t16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val tf = docs
+      .select($"doc_id",
+        explode(regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0)))
+          .as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        $"tf".cast(DoubleType) * $"n_docs".cast(DoubleType) /
+          $"df".cast(DoubleType))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter($"rk" <= KeywordsK)
+      .select($"doc_id", $"rk", $"term", $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  private val t16Sql =
+    s"""WITH tf AS (
+       |  SELECT doc_id, t AS term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+       |        FROM documents), unnest(toks) AS u(t)
+       |  GROUP BY doc_id, t),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+       |    CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+       |      / CAST(dfreq.df AS DOUBLE) AS score
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, term, tf, df, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, term ASC) AS BIGINT) AS rk
+       |  FROM scored)
+       |SELECT doc_id, rk, term, tf, df, score
+       |FROM ranked WHERE rk <= $KeywordsK
+       |ORDER BY doc_id, rk""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "t01_token_stats" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -934,7 +995,8 @@ object TextOps {
     "t12_pii_redact" -> (t12 _),
     "t13_heavy_hitters" -> (t13 _),
     "t14_sequence_pack" -> (t14 _),
-    "t15_collocations" -> (t15 _))
+    "t15_collocations" -> (t15 _),
+    "t16_tfidf_keywords" -> (t16 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "t01_token_stats" -> t01Sql,
@@ -951,5 +1013,6 @@ object TextOps {
     "t12_pii_redact" -> t12Sql,
     "t13_heavy_hitters" -> t13Sql,
     "t14_sequence_pack" -> t14Sql,
-    "t15_collocations" -> t15Sql)
+    "t15_collocations" -> t15Sql,
+    "t16_tfidf_keywords" -> t16Sql)
 }
