@@ -54,7 +54,10 @@ object Extras4 {
       df.agg(count(lit(1)).as("n_users"))
         .withColumn("stage", lit(s"${rank}_$stage"))
     }
-    val w = Window.orderBy($"stage")
+    // constant partition key: the window runs over the 4-row summary,
+    // and the explicit spec keeps WindowExec's single-partition WARN out
+    // of the logs (the data is already 4 rows by construction)
+    val w = Window.partitionBy(lit(0)).orderBy($"stage")
     counts.foldLeft(all)(_ unionByName _)
       .withColumn("conv_rate",
         $"n_users".cast(DoubleType) / lag($"n_users", 1).over(w).cast(DoubleType))
