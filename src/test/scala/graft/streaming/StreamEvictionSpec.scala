@@ -15,9 +15,12 @@ import graft.SparkSpec
   * `StreamingQueryProgress.stateOperators.numRowsTotal` across many
   * micro-batches of steadily advancing event time.
   */
-class StreamEvictionSpec extends SparkSpec {
+// Top-level so the case-class encoders codegen (an inner class would
+// need an outer pointer and silently falls back to interpreter mode).
+private[streaming] case class RawEv(ts: Timestamp, event_type: String)
+private[streaming] case class DupEv(ts: Timestamp, user_id: Long, event_type: String)
 
-  private case class RawEv(ts: Timestamp, event_type: String)
+class StreamEvictionSpec extends SparkSpec {
 
   private def ts(day: Int, h: Int, m: Int): Timestamp =
     Timestamp.valueOf(f"2026-01-$day%02d $h%02d:$m%02d:00")
@@ -65,8 +68,6 @@ class StreamEvictionSpec extends SparkSpec {
     assert(emitted == (hours - 2) * 2L,
       s"expected ${(hours - 2) * 2} closed-window rows, got $emitted")
   }
-
-  private case class DupEv(ts: Timestamp, user_id: Long, event_type: String)
 
   test("streaming dedup: duplicates drop, first occurrences emit, state evicts") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
