@@ -28,6 +28,7 @@ object SparkEntry {
       graft.ops.Dedup.queries ++
       graft.ops.Similarity.queries ++
       graft.ops.Multimodal.queries ++
+      graft.ops.Pipeline.queries ++
       graft.streaming.EventsStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.ops.Dedup.oracle ++
       graft.ops.Similarity.oracle ++
       graft.ops.Multimodal.oracle ++
+      graft.ops.Pipeline.oracle ++
       graft.streaming.EventsStream.oracle
 }

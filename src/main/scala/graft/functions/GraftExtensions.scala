@@ -75,6 +75,9 @@ object GraftExtensions {
     ("simhash_sig",
       "_FUNC_(text) - 60-bit SimHash signature from token-frequency bit votes",
       e => SimHashSig(e.head)),
+    ("ahash_sig",
+      "_FUNC_(media) - 60-bit block-mean average-hash of a binary payload",
+      e => AHashSig(e.head)),
     ("repetition_stats",
       "_FUNC_(text) - (n_2grams, dup_2gram_frac, top_2gram_frac) repetition stats",
       e => RepetitionStats(e.head)),

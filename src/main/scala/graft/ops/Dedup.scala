@@ -274,8 +274,10 @@ object Dedup {
   private val SimChunks = 4
   private def SimChunkBits = SimBits / SimChunks
 
-  /** The banding + Hamming verify back end over (doc_id, simhash). */
-  private def d04Pairs(sigs: DataFrame): DataFrame = {
+  /** The banding + Hamming verify back end over (doc_id, simhash) —
+    * shared with m04, which runs the same 4×15-bit band join over
+    * aHash signatures of the media bytes. */
+  private[ops] def d04Pairs(sigs: DataFrame): DataFrame = {
     import sigs.sparkSession.implicits._
     val chunks = sigs.select($"doc_id", $"simhash",
       explode(array((0 until SimChunks).map(k =>

@@ -123,13 +123,93 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // m04: perceptual-hash near-dup over media payloads — the image-dedup
+  // pattern: aHash (block-mean bits) signatures, banded candidates,
+  // Hamming verify. The codegen'd AHashSig kernel builds each 60-bit
+  // signature in a narrow no-shuffle map; candidates and verification
+  // reuse d04's 4×15-bit banding + bit_count(XOR) back end
+  // (Dedup.d04Pairs) — generate-by-key then verify, no all-pairs.
+  //
+  // The payloads: no image codec exists in this env (the m01-m03 stub
+  // convention), so each doc carries a DETERMINISTIC synthesized
+  // "decoded image" — 60 intensity blocks whose level is a modular
+  // sawtooth of the doc's visual group (doc_id % 120) plus per-byte
+  // noise, at a per-doc LENGTH (600..960 bytes). Same-group docs are
+  // the planted near-dups: their payloads differ in length and noise
+  // but share the block-level structure, which is exactly the
+  // invariance aHash exists to catch (a resized/re-encoded image
+  // matches). The signature is exact integer arithmetic
+  // (cross-multiplied block means), so the DuckDB oracle rebuilds the
+  // same bytes and bits and the whole pipeline is hash-verified.
+  // ---------------------------------------------------------------------
+  // payload byte j of doc d: 32 + h60(group ":" blockIdx) % 90 + noise.
+  // Block levels come from the repo's portable md5-derived h60 (truly
+  // independent across groups — arithmetic mixing mod 90 stays locally
+  // linear and left cross-group Hamming collisions), so the planted
+  // same-group pairs separate cleanly: Hamming ≤ 2 within a group,
+  // ≥ 15 across groups (measured). ASCII-range bytes so `encode`
+  // yields one byte per char on both engines.
+  private val m04PayloadSpark =
+    "encode(array_join(transform(sequence(0, 599 + (doc_id % 7) * 60)," +
+      " j -> char(32 + cast(conv(substring(md5(concat(" +
+      "cast(doc_id % 120 as string), ':'," +
+      " cast((j * 60) div (600 + (doc_id % 7) * 60) as string)" +
+      ")), 1, 15), 16, 10) as bigint) % 90" +
+      " + (doc_id * 7 + j) % 3)), ''), 'UTF-8')"
+
+  def m04(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.d04Pairs(Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        graft.functions.AHash.sigCol(spark, expr(m04PayloadSpark))
+          .as("simhash"))
+      .filter($"simhash".isNotNull))
+  }
+
+  private def m04Sql: String = {
+    val B = graft.functions.AHash.Bits
+    // bit b: block = bytes[(b·n)/B, ((b+1)·n)/B) (0-based half-open →
+    // 1-based inclusive slice), set when blockSum·n ≥ total·blockLen
+    val terms = (0 until B).map { b =>
+      val lo = s"((${b} * n) // $B)"
+      val hi = s"((${b + 1} * n) // $B)"
+      s"(CASE WHEN $hi > $lo AND COALESCE(list_sum(bytes[$lo + 1 : $hi]), 0) * n >= total * ($hi - $lo) THEN ${1L << b} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH bl AS (
+       |  SELECT doc_id, 600 + (doc_id % 7) * 60 AS n,
+       |    list_transform(range(0, 600 + (doc_id % 7) * 60),
+       |      j -> 32 + CAST('0x' || substring(md5(
+       |          CAST(doc_id % 120 AS VARCHAR) || ':' ||
+       |          CAST((j * 60) // (600 + (doc_id % 7) * 60) AS VARCHAR)),
+       |        1, 15) AS BIGINT) % 90
+       |        + (doc_id * 7 + j) % 3) AS bytes
+       |  FROM documents),
+       |tot AS (SELECT doc_id, bytes, n, list_sum(bytes) AS total FROM bl),
+       |sigs AS (SELECT doc_id, CAST($terms AS BIGINT) AS sig FROM tot),
+       |chunks AS (
+       |  SELECT doc_id, sig, k, (sig >> (k * 15)) & ${(1L << 15) - 1} AS v
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS k)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.sig AS sa, y.sig AS sb
+       |  FROM chunks x JOIN chunks y
+       |    ON x.k = y.k AND x.v = y.v AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(sa, sb)) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "m01_media_meta" -> (m01 _),
     "m02_media_features" -> (m02 _),
-    "m03_frame_sample" -> (m03 _))
+    "m03_frame_sample" -> (m03 _),
+    "m04_phash_neardup" -> (m04 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "m01_media_meta" -> m01Sql,
     "m02_media_features" -> m02Sql,
-    "m03_frame_sample" -> m03Sql)
+    "m03_frame_sample" -> m03Sql,
+    "m04_phash_neardup" -> m04Sql)
 }

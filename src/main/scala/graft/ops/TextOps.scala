@@ -485,9 +485,17 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  private def t09Sql: String = {
+  /** The t09 gate's drop predicate over the `frac` CTE's columns —
+    * shared with p01's oracle so the pipeline's quality stage is
+    * definitionally identical to the standalone gate. */
+  private[ops] val t09KeepSql =
+    """NOT (n_tokens < 5 OR stop_ratio < 0.01 OR punct_ratio > 0.30
+      |    OR top_frac > 0.18 OR dup_frac > 0.20)""".stripMargin
+
+  /** The t09 metric CTEs (`sig`, `frac`) — shared with p01's oracle. */
+  private[ops] def t09QualityCtes: String = {
     val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
-    s"""WITH sig AS (
+    s"""sig AS (
        |  SELECT doc_id,
        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS INTEGER) AS n_tokens,
        |    CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains($stopList, t))) AS DOUBLE) AS n_stop,
@@ -511,10 +519,13 @@ object TextOps {
        |      THEN CAST(list_max(list_transform(list_distinct(g),
        |             w -> len(list_filter(g, x -> x = w)))) AS DOUBLE) / len(g)
        |      ELSE 0.0 END AS top_frac
-       |  FROM sig)
+       |  FROM sig)""".stripMargin
+  }
+
+  private def t09Sql: String =
+    s"""WITH $t09QualityCtes
        |SELECT doc_id, n_tokens, stop_ratio, punct_ratio,
-       |  NOT (n_tokens < 5 OR stop_ratio < 0.01 OR punct_ratio > 0.30
-       |    OR top_frac > 0.18 OR dup_frac > 0.20) AS keep,
+       |  $t09KeepSql AS keep,
        |  concat_ws(',',
        |    CASE WHEN n_tokens < 5 THEN 'too_short' END,
        |    CASE WHEN stop_ratio < 0.01 THEN 'low_stopword' END,
@@ -523,7 +534,6 @@ object TextOps {
        |    AS drop_reasons
        |FROM frac
        |ORDER BY doc_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------------
   // t10: deterministic source-mixture resampling — the data-mixing step
@@ -980,6 +990,61 @@ object TextOps {
        |FROM ranked WHERE rk <= $KeywordsK
        |ORDER BY doc_id, rk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t17: BOILERPLATE removal — the first cleaning pass of every web-
+  // corpus pipeline: strip markup tags, decode entities, collapse
+  // whitespace, and report what was removed. The corpus is plain text,
+  // so (as with t12's PII) a deterministic HTML wrapper is injected
+  // first — title header, paragraph tags, a footer with entities — and
+  // the op must recover exactly the content. Narrow single-pass map
+  // (regex chain, no shuffle); the cleaned text is reported as the
+  // portable h60 checksum (full-string equality with the oracle) plus
+  // removal counters. The regexes live in the Java-regex/RE2 common
+  // subset (t12's rule): character classes, bounded alternation — no
+  // backrefs or lookarounds.
+  // ---------------------------------------------------------------------
+  private val TagRe = "<[^>]*>"
+
+  def t17(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wrapped = concat(
+      lit("<html><head><title>Doc "), $"doc_id".cast(StringType),
+      lit("</title></head><body><p>"), $"text",
+      lit("</p><div class=\"footer\">&copy; 2026 Example &amp; Co.</div></body></html>"))
+    val stripped = regexp_replace(col("raw"), TagRe, "")
+    val decoded = regexp_replace(
+      regexp_replace(stripped, "&amp;", "&"), "&copy;", "(c)")
+    val clean = trim(regexp_replace(decoded, "\\s+", " "))
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", wrapped.as("raw"))
+      .select($"doc_id",
+        length($"raw").cast(LongType).as("raw_len"),
+        regexp_count($"raw", lit(TagRe)).cast(IntegerType).as("n_tags"),
+        length(clean).cast(LongType).as("clean_len"),
+        pmod(PortableSql.h60(clean), lit(1000000007L)).as("clean_checksum"))
+      .orderBy($"doc_id")
+  }
+
+  private def t17Sql: String = {
+    val clean = "trim(regexp_replace(regexp_replace(regexp_replace(" +
+      s"regexp_replace(raw, '$TagRe', '', 'g'), " +
+      "'&amp;', '&', 'g'), '&copy;', '(c)', 'g'), '\\s+', ' ', 'g'))"
+    s"""WITH injected AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+       |    '</title></head><body><p>' || text ||
+       |    '</p><div class="footer">&copy; 2026 Example &amp; Co.</div></body></html>'
+       |      AS raw
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(length(raw) AS BIGINT) AS raw_len,
+       |  CAST(len(regexp_extract_all(raw, '$TagRe')) AS INTEGER) AS n_tags,
+       |  CAST(length($clean) AS BIGINT) AS clean_len,
+       |  ${PortableSql.h60Sql(clean)} % 1000000007 AS clean_checksum
+       |FROM injected
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "t01_token_stats" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -996,7 +1061,8 @@ object TextOps {
     "t13_heavy_hitters" -> (t13 _),
     "t14_sequence_pack" -> (t14 _),
     "t15_collocations" -> (t15 _),
-    "t16_tfidf_keywords" -> (t16 _))
+    "t16_tfidf_keywords" -> (t16 _),
+    "t17_boilerplate_strip" -> (t17 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "t01_token_stats" -> t01Sql,
@@ -1014,5 +1080,6 @@ object TextOps {
     "t13_heavy_hitters" -> t13Sql,
     "t14_sequence_pack" -> t14Sql,
     "t15_collocations" -> t15Sql,
-    "t16_tfidf_keywords" -> t16Sql)
+    "t16_tfidf_keywords" -> t16Sql,
+    "t17_boilerplate_strip" -> t17Sql)
 }

@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.ops.PortableSql
 
 /** Third relational batch (round 6): the remaining scale-critical scan
   * and maintenance surfaces — statistics-only scans (parquet aggregate
@@ -360,13 +361,157 @@ object Extras3 {
        |GROUP BY source, bin_id
        |ORDER BY source, bin_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q61: SCHEMA EVOLUTION read — the long-lived-table reality at 100 TB:
+  // files written before a column existed must read together with files
+  // written after. An early generation of the events table (3 columns)
+  // and a later one that added `value` land in the same directory; the
+  // merged read (`mergeSchema` — schema reconciliation across parquet
+  // footers, the scan-level feature) yields the union schema with NULLs
+  // for pre-evolution rows. The generations are a deterministic
+  // event_id split, so the oracle reproduces the merged table from the
+  // source directly (CASE on the split predicate) — evolution must
+  // never change data, only fill NULLs. At scale mergeSchema's footer
+  // sweep is a one-time listing cost; the data path is unchanged.
+  // ---------------------------------------------------------------------
+  def q61(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val base = graft.Scratch.dir("q61_evolved")
+    // generation 1: before the `value` column existed
+    ev.filter($"event_id" % 2 === 0)
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+      .write.parquet(s"$base/gen=1")
+    // generation 2: the evolved schema
+    ev.filter($"event_id" % 2 === 1)
+      .select($"event_id", $"user_id", $"event_type", $"ts", $"value")
+      .write.parquet(s"$base/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(s"$base/gen=1", s"$base/gen=2")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"value").as("n_with_value"),
+        sum($"value".cast(D2)).cast(DoubleType).as("sum_value"),
+        min($"event_id").as("min_event_id"),
+        max($"event_id").as("max_event_id"))
+      .orderBy($"event_type")
+  }
+
+  private val q61Sql =
+    """SELECT event_type, COUNT(*) AS n_rows,
+      |  COUNT(CASE WHEN event_id % 2 = 1 THEN value END) AS n_with_value,
+      |  CAST(SUM(CASE WHEN event_id % 2 = 1
+      |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_value,
+      |  MIN(event_id) AS min_event_id,
+      |  MAX(event_id) AS max_event_id
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q62: JOIN-CARDINALITY estimation from KMV sketches — the planner
+  // statistic a 100 TB warehouse computes WITHOUT running the join: how
+  // many distinct keys does each side have, and how many overlap? Each
+  // side is summarized by its k smallest h60 key hashes (a KMV/bottom-k
+  // synopsis: distinct → sort → limit k, so the full key sets are never
+  // shuffled together, and partial bottom-k merges map-side); the union
+  // sketch's k-th smallest value estimates |A ∪ B| = (k−1)·2⁶⁰/h_(k),
+  // the fraction of the union sketch present in BOTH sides estimates
+  // Jaccard, and their product estimates the key overlap — the standard
+  // KMV intersection estimator (Beyer et al., SIGMOD'07). Exact
+  // counts ride along (cheap at oracle scale) so the estimation error
+  // is visible; both engines compute identical h60 hashes, so every
+  // estimate is bit-equal and hash-verified.
+  // ---------------------------------------------------------------------
+  private val KmvK = 256
+
+  def q62(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def kmin(keys: DataFrame): DataFrame =
+      keys.toDF("k").distinct()
+        .select(PortableSql.h60($"k".cast(StringType)).as("h"))
+        .orderBy($"h").limit(KmvK)
+    val aKeys = Tables.load(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1995-01-01").cast(TimestampType))
+      .select($"l_orderkey")
+    val bKeys = Tables.load(spark, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey")
+    val ka = kmin(aKeys).withColumn("in_a", lit(1))
+    val kb = kmin(bKeys).withColumn("in_b", lit(1))
+    val union = ka.select($"h").unionByName(kb.select($"h"))
+      .distinct().orderBy($"h").limit(KmvK)
+    val marked = union
+      .join(ka, Seq("h"), "left").join(kb, Seq("h"), "left")
+    // (k−1)·2⁶⁰ / h_(k): 2⁶⁰ is a power of two, exact as a double
+    def est(hk: Column) =
+      (lit((KmvK - 1).toDouble) * lit(math.pow(2, 60))) / hk.cast(DoubleType)
+    val sketch = marked.agg(
+      max($"h").as("hk"),
+      sum(coalesce($"in_a", lit(0)) * coalesce($"in_b", lit(0))).as("n_both"))
+    val exact = aKeys.toDF("k").intersect(bKeys.toDF("k"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    val exacts = aKeys.agg(countDistinct($"l_orderkey").as("exact_a"))
+      .crossJoin(bKeys.agg(countDistinct($"o_orderkey").as("exact_b")))
+      .crossJoin(exact)
+    sketch.crossJoin(exacts)
+      .select(
+        est($"hk").as("est_union"),
+        ($"n_both".cast(DoubleType) / lit(KmvK.toDouble)).as("est_jaccard"),
+        (est($"hk") * ($"n_both".cast(DoubleType) / lit(KmvK.toDouble)))
+          .as("est_overlap"),
+        $"exact_a", $"exact_b", $"exact_overlap")
+  }
+
+  private val q62Sql =
+    s"""WITH ka AS (
+       |  SELECT ${PortableSql.h60Sql("CAST(l_orderkey AS VARCHAR)")} AS h
+       |  FROM (SELECT DISTINCT l_orderkey FROM lineitem
+       |        WHERE l_shipdate >= TIMESTAMP '1995-01-01')
+       |  ORDER BY h LIMIT $KmvK),
+       |kb AS (
+       |  SELECT ${PortableSql.h60Sql("CAST(o_orderkey AS VARCHAR)")} AS h
+       |  FROM (SELECT DISTINCT o_orderkey FROM orders
+       |        WHERE o_orderpriority = '1-URGENT')
+       |  ORDER BY h LIMIT $KmvK),
+       |u AS (
+       |  SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+       |  ORDER BY h LIMIT $KmvK),
+       |sketch AS (
+       |  SELECT MAX(h) AS hk,
+       |    SUM(CASE WHEN h IN (SELECT h FROM ka)
+       |      AND h IN (SELECT h FROM kb) THEN 1 ELSE 0 END) AS n_both
+       |  FROM u),
+       |ex AS (
+       |  SELECT
+       |    (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem
+       |     WHERE l_shipdate >= TIMESTAMP '1995-01-01') AS exact_a,
+       |    (SELECT COUNT(DISTINCT o_orderkey) FROM orders
+       |     WHERE o_orderpriority = '1-URGENT') AS exact_b,
+       |    (SELECT COUNT(*) FROM
+       |      (SELECT DISTINCT l_orderkey FROM lineitem
+       |       WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+       |       INTERSECT
+       |       SELECT DISTINCT o_orderkey FROM orders
+       |       WHERE o_orderpriority = '1-URGENT')) AS exact_overlap)
+       |SELECT
+       |  (CAST(${KmvK - 1} AS DOUBLE) * 1152921504606846976.0)
+       |    / CAST(hk AS DOUBLE) AS est_union,
+       |  CAST(n_both AS DOUBLE) / ${KmvK}.0 AS est_jaccard,
+       |  ((CAST(${KmvK - 1} AS DOUBLE) * 1152921504606846976.0)
+       |    / CAST(hk AS DOUBLE))
+       |    * (CAST(n_both AS DOUBLE) / ${KmvK}.0) AS est_overlap,
+       |  exact_a, exact_b, exact_overlap
+       |FROM sketch CROSS JOIN ex""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q53_agg_pushdown" -> (q53 _),
     "q54_gapfill_ffill" -> (q54 _),
     "q55_scd2_merge" -> (q55 _),
     "q56_argminmax" -> (q56 _),
     "q57_profile" -> (q57 _),
-    "q58_compaction" -> (q58 _))
+    "q58_compaction" -> (q58 _),
+    "q61_schema_evolution" -> (q61 _),
+    "q62_kmv_cardinality" -> (q62 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q53_agg_pushdown" -> q53Sql,
@@ -374,5 +519,7 @@ object Extras3 {
     "q55_scd2_merge" -> q55Sql,
     "q56_argminmax" -> q56Sql,
     "q57_profile" -> q57Sql,
-    "q58_compaction" -> q58Sql)
+    "q58_compaction" -> q58Sql,
+    "q61_schema_evolution" -> q61Sql,
+    "q62_kmv_cardinality" -> q62Sql)
 }

@@ -199,4 +199,37 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(plan).size == 1,
       s"profiler must compute all per-column metrics in a single pass:\n$plan")
   }
+
+  test("t17 boilerplate strip is narrow: no hash shuffle") {
+    val plan = executed(graft.ops.TextOps.t17(spark, sf))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"per-row regex chain must not hash-shuffle:\n$plan")
+  }
+
+  test("m04 perceptual-hash pairs come from band keys (no all-pairs)") {
+    val plan = executed(graft.ops.Multimodal.m04(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"aHash near-dup must join on band keys, not enumerate pairs:\n$plan")
+  }
+
+  test("q61 merged read reconciles both file generations' schemas") {
+    val df = Extras3.q61(spark, sf)
+    // union schema surfaced (value only exists in generation 2) and the
+    // NULL-filled pre-evolution rows are real: value-count < row-count
+    val r = df.agg(
+      org.apache.spark.sql.functions.sum("n_rows"),
+      org.apache.spark.sql.functions.sum("n_with_value")).collect()(0)
+    assert(r.getLong(0) > r.getLong(1) && r.getLong(1) > 0,
+      s"expected NULL-filled evolution rows: $r")
+  }
+
+  test("q62 sketches with bottom-k selections, never a global sort") {
+    val df = Extras3.q62(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("TakeOrderedAndProject".r.findAllIn(plan).size >= 3,
+      s"each KMV sketch must be a top-k selection:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"KMV must never globally sort the key sets:\n$plan")
+  }
 }
