@@ -78,6 +78,9 @@ object GraftExtensions {
     ("ahash_sig",
       "_FUNC_(media) - 60-bit block-mean average-hash of a binary payload",
       e => AHashSig(e.head)),
+    ("m04_payload",
+      "_FUNC_(doc_id) - deterministic synthesized media payload (stub decode)",
+      e => M04Payload(e.head)),
     ("repetition_stats",
       "_FUNC_(text) - (n_2grams, dup_2gram_frac, top_2gram_frac) repetition stats",
       e => RepetitionStats(e.head)),

@@ -97,3 +97,96 @@ object AHash {
     call_function("ahash_sig", media)
   }
 }
+
+/** m04's deterministic media-payload synthesis as ONE native codegen
+  * expression over doc_id. Semantics are bit-identical to the SQL HOF
+  * route (pinned by MediaKernelSpec): byte j of doc d is
+  * `32 + h60(d%120 ":" blockIdx) % 90 + (d·7 + j) % 3` with
+  * `blockIdx = (j·60) div n`, `n = 600 + (d%7)·60` — 60 intensity
+  * blocks keyed by the doc's visual group plus per-byte noise.
+  *
+  * Why a kernel and not the `transform(sequence(...))` HOF: the HOF
+  * evaluates an interpreted lambda — including an md5 — PER BYTE
+  * (~900 per row). The block levels depend only on (group, blockIdx):
+  * 120 × 60 values total, cached here per-JVM, so steady-state
+  * synthesis is a pure primitive loop with zero hashing. This is the
+  * library's stub-decode stand-in (no image codec in this env); a real
+  * deployment replaces this expression with the actual decode kernel
+  * and the rest of the m04 pipeline is unchanged.
+  */
+case class M04Payload(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"m04_payload expects BIGINT doc_id, got ${other.catalogString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "m04_payload"
+
+  override def nullSafeEval(input: Any): Any =
+    M04Synth.payload(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.M04Synth.payload($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The compiled m04 payload kernel + its per-group block-level cache
+  * (static forwarder for generated code). */
+object M04Synth {
+  private val Groups = 120
+  private val Blocks = 60
+
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** h60 of a string: top 60 bits of its md5 — identical to
+    * `conv(substring(md5(s), 1, 15), 16, 10)` (MinHashKernels.h60). */
+  private def h60(s: String): Long = {
+    val md = md5.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var k = 0
+    while (k < 7) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+    (h << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+
+  // Lazily filled 120 × 60 level table: levels depend only on
+  // (group, blockIdx), never on the row. Volatile-free double-checked
+  // fill is safe — entries are idempotent pure values.
+  private val levels = new java.util.concurrent.ConcurrentHashMap[Long, Array[Int]]
+  private def groupLevels(group: Long): Array[Int] =
+    levels.computeIfAbsent(group, g =>
+      Array.tabulate(Blocks)(b => (h60(s"$g:$b") % 90).toInt))
+
+  /** The synthesized payload of doc_id: n = 600 + (doc_id%7)·60 bytes,
+    * byte j = 32 + level(blockOf(j)) + (doc_id·7 + j) % 3. */
+  def payload(docId: Long): Array[Byte] = {
+    val n = (600 + (docId % 7) * 60).toInt
+    val lv = groupLevels(docId % Groups)
+    val out = new Array[Byte](n)
+    val noiseBase = docId * 7
+    var j = 0
+    while (j < n) {
+      out(j) = (32 + lv(j * Blocks / n) + ((noiseBase + j) % 3)).toByte
+      j += 1
+    }
+    out
+  }
+
+  /** Idempotently register the SQL-callable kernel. */
+  def register(spark: SparkSession): Unit =
+    GraftExtensions.register(spark, "m04_payload")
+
+  /** BINARY synthesized payload of a BIGINT doc_id column. */
+  def payloadCol(spark: SparkSession, docId: Column): Column = {
+    register(spark)
+    call_function("m04_payload", docId)
+  }
+}

@@ -150,7 +150,14 @@ object Multimodal {
   // same-group pairs separate cleanly: Hamming ≤ 2 within a group,
   // ≥ 15 across groups (measured). ASCII-range bytes so `encode`
   // yields one byte per char on both engines.
-  private val m04PayloadSpark =
+  //
+  // Synthesis runs in the codegen M04Payload kernel (block levels are
+  // (group, blockIdx)-pure → cached 120×60 table, primitive loop per
+  // row); the equivalent SQL HOF below documents the semantics and is
+  // the spec's cross-route pin (MediaKernelSpec asserts kernel == HOF).
+  // The HOF route costs an interpreted md5 PER BYTE — 22s vs <1s at
+  // sf0.1 — which is why the kernel exists.
+  private[graft] val m04PayloadSpark =
     "encode(array_join(transform(sequence(0, 599 + (doc_id % 7) * 60)," +
       " j -> char(32 + cast(conv(substring(md5(concat(" +
       "cast(doc_id % 120 as string), ':'," +
@@ -162,7 +169,8 @@ object Multimodal {
     import spark.implicits._
     Dedup.d04Pairs(Tables.load(spark, dir, "documents")
       .select($"doc_id",
-        graft.functions.AHash.sigCol(spark, expr(m04PayloadSpark))
+        graft.functions.AHash.sigCol(spark,
+          graft.functions.M04Synth.payloadCol(spark, $"doc_id"))
           .as("simhash"))
       .filter($"simhash".isNotNull))
   }

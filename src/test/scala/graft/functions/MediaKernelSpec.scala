@@ -59,6 +59,18 @@ class MediaKernelSpec extends SparkSpec {
     assert(got.sameElements(interp))
   }
 
+  test("payload kernel is byte-identical to the SQL HOF route") {
+    import spark.implicits._
+    M04Synth.register(spark)
+    // every (group, length, noise-phase) residue class in 0..839
+    val df = spark.range(0, 840).toDF("doc_id")
+    val mismatches = df.select(
+        expr("m04_payload(doc_id)").as("kernel"),
+        expr(graft.ops.Multimodal.m04PayloadSpark).as("hof"))
+      .filter(not($"kernel" === $"hof")).count()
+    assert(mismatches == 0, s"$mismatches payloads diverge from the HOF spec")
+  }
+
   test("m04 finds exactly the planted same-group pairs") {
     import spark.implicits._
     val pairs = graft.ops.Multimodal.m04(spark, sf)
