@@ -350,17 +350,55 @@ object Similarity {
        |  FROM keys x JOIN keys y
        |    ON x.t = y.t AND x.b = y.b AND x.vec_id <> y.vec_id)""".stripMargin)
 
+  // ---------------------------------------------------------------------
+  // s06: ANN RECALL evaluation — the quality metric that decides whether
+  // an approximate index is deployable: recall@5 of the SRP-LSH path
+  // (s02) against the exact brute-force baseline (s01), per query. This
+  // is a composition of two registered pipelines, not a new index: the
+  // exact top-5 left-joins the approximate top-5 on (q_id, vec_id) and
+  // the hit fraction rolls up per query. Scale: both sides are
+  // query-set-sized (k rows per query), so the join and rollup are
+  // trivially broadcastable no matter the corpus size — evaluating
+  // recall costs one extra exact pass over the corpus (s01), which is
+  // exactly what a production recall audit pays on a sampled query set.
+  // ---------------------------------------------------------------------
+  def s06(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = s01(spark, dir).select($"q_id", $"vec_id")
+    val approx = s02(spark, dir).select($"q_id", $"vec_id")
+      .withColumn("hit", lit(1))
+    exact.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy($"q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce($"hit", lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall", $"n_hit".cast(DoubleType) / $"n_exact")
+      .orderBy($"q_id")
+  }
+
+  private def s06Sql: String =
+    s"""WITH ex AS (SELECT q_id, vec_id FROM ($s01Sql)),
+       |ap AS (SELECT q_id, vec_id FROM ($s02Sql))
+       |SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS recall
+       |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+       |GROUP BY ex.q_id
+       |ORDER BY ex.q_id""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "s01_ann_bruteforce" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
     "s03_ann_ivf" -> (s03 _),
     "s04_ann_int8_rerank" -> (s04 _),
-    "s05_knn_join" -> (s05 _))
+    "s05_knn_join" -> (s05 _),
+    "s06_ann_recall" -> (s06 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "s01_ann_bruteforce" -> s01Sql,
     "s02_ann_lsh" -> s02Sql,
     "s03_ann_ivf" -> s03Sql,
     "s04_ann_int8_rerank" -> s04Sql,
-    "s05_knn_join" -> s05Sql)
+    "s05_knn_join" -> s05Sql,
+    "s06_ann_recall" -> s06Sql)
 }

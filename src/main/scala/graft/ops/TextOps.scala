@@ -3,6 +3,7 @@ package graft.ops
 import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -416,9 +417,12 @@ object TextOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  private def t08Sql: String = {
+  /** The winnowing fingerprint CTE chain `wd→wg→wh→ww→wf0`, ending in
+    * `wf0(doc_id, m)` = each doc's distinct window-min fingerprints —
+    * shared by the t08 and t18 oracles. */
+  private def winnowFpCtes: String = {
     val h = PortableSql.h60Sql("substring(t, CAST(i AS INTEGER), 5)")
-    s"""WITH wd AS (
+    s"""wd AS (
        |  SELECT doc_id, lower(text) AS t, length(text) AS n
        |  FROM documents WHERE length(text) >= 8),
        |wg AS (SELECT doc_id, unnest(range(1, n - 3)) AS i, t, n FROM wd),
@@ -427,7 +431,11 @@ object TextOps {
        |    min(hv) OVER (PARTITION BY doc_id ORDER BY i
        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
        |  FROM wh),
-       |wf0 AS (SELECT DISTINCT doc_id, m FROM ww WHERE i <= n - 7),
+       |wf0 AS (SELECT DISTINCT doc_id, m FROM ww WHERE i <= n - 7)""".stripMargin
+  }
+
+  private def t08Sql: String =
+    s"""WITH $winnowFpCtes,
        |wcnt AS (SELECT doc_id, COUNT(*) AS nfp FROM wf0 GROUP BY doc_id),
        |wf AS (SELECT doc_id, m FROM wf0 JOIN wcnt USING (doc_id)
        |  WHERE nfp <= $OvMinKeep OR m % $OvMod = 0),
@@ -439,7 +447,6 @@ object TextOps {
        |GROUP BY 1, 2
        |HAVING COUNT(*) >= $OvMinShared
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   // ---------------------------------------------------------------------
   // t09: the composite quality GATE — what a production training-data
@@ -1045,6 +1052,88 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // t18: benchmark DECONTAMINATION — flag training documents that
+  // contain evaluation-set text, the step every serious LLM corpus runs
+  // before training (n-gram overlap against held-out benchmarks). The
+  // benchmark here is a deterministic held-out slice (doc_id % 11 = 0);
+  // its planted duplicates in the corpus are the contamination to catch.
+  //
+  // Mechanism: full winnowing fingerprint sets (t06's kernel, mod=1 —
+  // every distinct window-min survives, since decontamination wants
+  // recall, not sampling), df-capped at DcDfCap to kill boilerplate
+  // fingerprints the tiny vocabulary repeats everywhere (without the
+  // cap, 99% of the corpus "matches" — measured), then CONTAINMENT per
+  // doc: |shared fp| / |doc fp| ≥ DcMinContainment. Asymmetric by
+  // design — a doc that lifts a whole benchmark answer is contaminated
+  // even if the doc is much larger than the answer.
+  //
+  // Scale: the benchmark fp index is eval-set-sized → broadcast; the
+  // corpus fp stream is never shuffled on fp except the one df-count
+  // pass; per-doc rollups shuffle on doc_id. Nothing is all-pairs.
+  // ---------------------------------------------------------------------
+  private val DcDfCap = 5
+  private val DcMinContainment = 0.5
+
+  def t18(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fps = Tables.load(spark, dir, "documents")
+      .filter(length($"text") >= 8)
+      .select($"doc_id",
+        explode(graft.functions.TextKernels.winnowFpSampleCol(
+          spark, lower($"text"), 1, 0)).as("m"))
+    val rare = fps.groupBy($"m").agg(count(lit(1)).as("df"))
+      .filter($"df" <= DcDfCap).select($"m")
+    // one materialization feeds the size, benchmark, and corpus sides
+    // (the d02/t08 multi-consumer rule)
+    val idx = fps.join(rare, Seq("m"), "left_semi").localCheckpoint()
+    val sz = idx.groupBy($"doc_id").agg(count(lit(1)).as("n_fp"))
+    val bench = idx.filter($"doc_id" % 11 === 0)
+      .select($"doc_id".as("bench_id"), $"m")
+    val shared = idx.filter($"doc_id" % 11 =!= 0)
+      .join(broadcast(bench), Seq("m"))
+    val byDoc = shared.groupBy($"doc_id")
+      .agg(countDistinct($"m").as("n_shared"),
+        countDistinct($"bench_id").as("n_bench_docs"))
+    val pair = shared.groupBy($"doc_id", $"bench_id").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"doc_id").orderBy($"c".desc, $"bench_id".asc)
+    val best = pair.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"doc_id", $"bench_id".as("best_bench_id"), $"c".as("best_shared"))
+    byDoc.join(sz, "doc_id").join(best, "doc_id")
+      .withColumn("containment", $"n_shared".cast(DoubleType) / $"n_fp")
+      .filter($"containment" >= DcMinContainment)
+      .select($"doc_id", $"n_fp", $"n_shared", $"containment",
+        $"n_bench_docs", $"best_bench_id", $"best_shared")
+      .orderBy($"doc_id")
+  }
+
+  private def t18Sql: String =
+    s"""WITH $winnowFpCtes,
+       |dfc AS (SELECT m FROM wf0 GROUP BY m HAVING COUNT(*) <= $DcDfCap),
+       |wf AS (SELECT doc_id, m FROM wf0 SEMI JOIN dfc USING (m)),
+       |sz AS (SELECT doc_id, COUNT(*) AS n_fp FROM wf GROUP BY doc_id),
+       |bench AS (SELECT doc_id AS bench_id, m FROM wf WHERE doc_id % 11 = 0),
+       |sh AS (
+       |  SELECT c.doc_id, c.m, b.bench_id
+       |  FROM (SELECT * FROM wf WHERE doc_id % 11 <> 0) c
+       |  JOIN bench b USING (m)),
+       |bydoc AS (
+       |  SELECT doc_id, COUNT(DISTINCT m) AS n_shared,
+       |    COUNT(DISTINCT bench_id) AS n_bench_docs
+       |  FROM sh GROUP BY doc_id),
+       |pair AS (SELECT doc_id, bench_id, COUNT(*) AS c FROM sh GROUP BY 1, 2),
+       |best AS (
+       |  SELECT doc_id, bench_id AS best_bench_id, c AS best_shared,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bench_id ASC) AS rn
+       |  FROM pair)
+       |SELECT d.doc_id, sz.n_fp, d.n_shared,
+       |  CAST(d.n_shared AS DOUBLE) / sz.n_fp AS containment,
+       |  d.n_bench_docs, b.best_bench_id, b.best_shared
+       |FROM bydoc d JOIN sz USING (doc_id)
+       |JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+       |WHERE CAST(d.n_shared AS DOUBLE) / sz.n_fp >= $DcMinContainment
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "t01_token_stats" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -1062,7 +1151,8 @@ object TextOps {
     "t14_sequence_pack" -> (t14 _),
     "t15_collocations" -> (t15 _),
     "t16_tfidf_keywords" -> (t16 _),
-    "t17_boilerplate_strip" -> (t17 _))
+    "t17_boilerplate_strip" -> (t17 _),
+    "t18_decontaminate" -> (t18 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "t01_token_stats" -> t01Sql,
@@ -1081,5 +1171,6 @@ object TextOps {
     "t14_sequence_pack" -> t14Sql,
     "t15_collocations" -> t15Sql,
     "t16_tfidf_keywords" -> t16Sql,
-    "t17_boilerplate_strip" -> t17Sql)
+    "t17_boilerplate_strip" -> t17Sql,
+    "t18_decontaminate" -> t18Sql)
 }

@@ -503,6 +503,64 @@ object Extras3 {
        |  exact_a, exact_b, exact_overlap
        |FROM sketch CROSS JOIN ex""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q63: INTERVAL COALESCING — merge overlapping variable-length
+  // intervals per key, the interval-scheduling primitive behind uptime/
+  // coverage/billing rollups. Each event opens an interval
+  // [ts, ts + (1 + event_id % 59) minutes); overlapping intervals per
+  // user merge into islands. Unlike q27's sessionize (fixed gap →
+  // lag-gap islands), variable durations mean an interval can be
+  // swallowed by an EARLIER one that extends past it, so the island
+  // boundary needs the RUNNING MAX of interval ends, not a lag diff:
+  // new island ⇔ start > max(end) over all preceding rows. One shuffle
+  // on user_id; both windows and the rollup reuse that partitioning —
+  // the classic one-exchange plan at any scale.
+  // ---------------------------------------------------------------------
+  def q63(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_id",
+        unix_micros($"ts").as("s"),
+        (unix_micros($"ts") +
+          (($"event_id" % 59 + 1) * 60L * 1000000L)).as("e"))
+    val w = Window.partitionBy($"user_id").orderBy($"s", $"event_id")
+    val prevMax = max($"e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    ev.withColumn("new_i",
+        when(prevMax.isNull || $"s" > prevMax, 1).otherwise(0))
+      .withColumn("island", sum($"new_i").over(wRun).cast(LongType))
+      .groupBy($"user_id", $"island")
+      .agg(count(lit(1)).as("n_events"),
+        min($"s").as("start_us"), max($"e").as("end_us"))
+      .select($"user_id", $"island", $"n_events",
+        expr("(end_us - start_us) div 1000000").as("span_seconds"))
+      .orderBy($"user_id", $"island")
+  }
+
+  private val q63Sql =
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS s,
+      |    epoch_us(ts) + (1 + event_id % 59) * 60 * 1000000 AS e
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, s, e,
+      |    CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      OR MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |      THEN 1 ELSE 0 END AS new_i
+      |  FROM iv),
+      |isl AS (
+      |  SELECT user_id, s, e,
+      |    CAST(SUM(new_i) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+      |  FROM flagged)
+      |SELECT user_id, island, COUNT(*) AS n_events,
+      |  (MAX(e) - MIN(s)) // 1000000 AS span_seconds
+      |FROM isl
+      |GROUP BY user_id, island
+      |ORDER BY user_id, island""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q53_agg_pushdown" -> (q53 _),
     "q54_gapfill_ffill" -> (q54 _),
@@ -511,7 +569,8 @@ object Extras3 {
     "q57_profile" -> (q57 _),
     "q58_compaction" -> (q58 _),
     "q61_schema_evolution" -> (q61 _),
-    "q62_kmv_cardinality" -> (q62 _))
+    "q62_kmv_cardinality" -> (q62 _),
+    "q63_interval_coalesce" -> (q63 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q53_agg_pushdown" -> q53Sql,
@@ -521,5 +580,6 @@ object Extras3 {
     "q57_profile" -> q57Sql,
     "q58_compaction" -> q58Sql,
     "q61_schema_evolution" -> q61Sql,
-    "q62_kmv_cardinality" -> q62Sql)
+    "q62_kmv_cardinality" -> q62Sql,
+    "q63_interval_coalesce" -> q63Sql)
 }

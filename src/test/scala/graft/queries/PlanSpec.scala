@@ -224,6 +224,38 @@ class PlanSpec extends SparkSpec {
       s"expected NULL-filled evolution rows: $r")
   }
 
+  test("q63 coalesces intervals behind one user_id exchange") {
+    val plan = executed(Extras3.q63(spark, sf))
+    // both windows and the island rollup key on user_id: one shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"interval merge must reuse the user_id partitioning:\n$plan")
+  }
+
+  test("t18 probes the benchmark index by broadcast, never all-pairs") {
+    val plan = executed(graft.ops.TextOps.t18(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark fp index must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"decontamination must join on fingerprints, not enumerate pairs:\n$plan")
+  }
+
+  test("t18 never flags the benchmark docs themselves") {
+    val rows = graft.ops.TextOps.t18(spark, sf).collect()
+    assert(rows.forall(_.getLong(0) % 11 != 0),
+      "a benchmark doc leaked into the contaminated set")
+  }
+
+  test("s06 recall is a well-formed fraction of the exact top-k") {
+    val rows = graft.ops.Similarity.s06(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nExact, nHit, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nHit <= nExact && recall >= 0.0 && recall <= 1.0,
+        s"malformed recall row: $r")
+    }
+  }
+
   test("q62 sketches with bottom-k selections, never a global sort") {
     val df = Extras3.q62(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
