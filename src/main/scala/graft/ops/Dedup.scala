@@ -118,8 +118,9 @@ object Dedup {
     d02On(Tables.load(spark, dir, "documents"))
 
   /** d02's pair computation as a CTE chain ending in `pairs`, over the
-    * given source table; shared by the d02 oracle (full `documents`) and
-    * d06's edge source (the winnow-prefiltered subset). */
+    * given source table; shared by the d02 oracle and d06's edge source
+    * (both over full `documents` — the winnow prefilter was measured
+    * and rejected, see the note above [[d06]]). */
   private def d02Ctes(source: String) =
     s"""toks AS (
       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS L FROM $source),
