@@ -351,6 +351,111 @@ object Similarity {
        |    ON x.t = y.t AND x.b = y.b AND x.vec_id <> y.vec_id)""".stripMargin)
 
   // ---------------------------------------------------------------------
+  // s07: PRODUCT QUANTIZATION (PQ) + ADC scoring — the memory-compression
+  // rung of the ANN ladder (Jégou et al., TPAMI'11): each vector is
+  // stored as PqM=4 one-byte codes (16 codes/subspace), a 64× reduction
+  // over fp32, and query-time scoring is Asymmetric Distance Computation:
+  // per query, ONE 4×16 lookup table of exact subspace distances, then
+  // every corpus vector scores as the sum of 4 table lookups — no float
+  // math per candidate. At 100 TB this is what keeps an ANN index in
+  // memory: the codes table is bytes per vector, the scan is
+  // lookup-bound, and the ADC table build is per-query constant work.
+  // (Sub-linearity comes from composing with s02/s03's bucketing; PQ's
+  // contribution is the 64× smaller scan, demonstrated here standalone.)
+  //
+  // Portability recipe (s03's): grid-quantized vectors (integer-valued
+  // doubles) make every subspace distance an exact integer; the codebook
+  // is the PqK lowest vec_ids' subvectors (a sampled codebook — no Lloyd
+  // iterations, deterministic by construction); argmin ties break on
+  // code id. The 64-row codebook is materialized once via a documented
+  // bounded collect (s03's centroid rule) and broadcast everywhere.
+  // ---------------------------------------------------------------------
+  private val PqM = 4 // subspaces
+  private val PqSub = 16 // dims per subspace
+  private val PqK = 16 // codes per subspace
+
+  def s07(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qe = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", ivfQuant($"embedding").as("qv"))
+    val subIdx = explode(sequence(lit(0), lit(PqM - 1))).as("s")
+    def subVecs(src: DataFrame): DataFrame =
+      src.select($"vec_id", $"qv", subIdx)
+        .select($"vec_id", $"s", slice($"qv", $"s" * PqSub + 1, lit(PqSub)).as("sv"))
+    // codebook: PqK seed vectors × PqM subspaces = 64 rows, materialized
+    // once (bounded, documented collect — the s03 centroid rule)
+    var cb = subVecs(
+      qe.orderBy($"vec_id").limit(PqK)
+        .withColumn("code",
+          row_number().over(Window.orderBy($"vec_id")).cast("long") - 1)
+        .select($"code".as("vec_id"), $"qv"))
+      .select($"s", $"vec_id".as("code"), $"sv".as("cent"))
+    cb = spark.createDataFrame(
+      spark.sparkContext.parallelize(cb.collect().toIndexedSeq, 1), cb.schema)
+    // index build: every (vector, subspace) takes its nearest code
+    val wAsg = Window.partitionBy($"vec_id", $"s")
+      .orderBy($"dist".asc, $"code".asc)
+    val codes = subVecs(qe).join(broadcast(cb), Seq("s"))
+      .withColumn("dist", sqDist($"sv", $"cent"))
+      .withColumn("pr", row_number().over(wAsg))
+      .filter($"pr" === 1)
+      .select($"vec_id", $"s", $"code")
+    // ADC: per query, the exact distance from its subvector to every code
+    val adc = subVecs(qe.filter($"vec_id" % 47 === 0))
+      .withColumnRenamed("vec_id", "q_id")
+      .join(broadcast(cb), Seq("s"))
+      .select($"q_id", $"s", $"code", sqDist($"sv", $"cent").as("d"))
+    // scoring: 4 lookups per (query, vector); exact integer-valued sums
+    val scored = codes.join(broadcast(adc), Seq("s", "code"))
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id").agg(sum($"d").as("adist"))
+    val w = Window.partitionBy($"q_id").orderBy($"adist".asc, $"vec_id".asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"vec_id", $"adist")
+      .orderBy($"q_id", $"rank")
+  }
+
+  private def s07Sql: String = {
+    val d16 = sqDistSql("v.sv", "c.cent", PqSub)
+    s"""WITH qe AS (
+       |  SELECT vec_id, ${ivfQuantSql("embedding")} AS qv FROM embeddings),
+       |sp AS (SELECT unnest(range(0, $PqM)) AS s),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, qv
+       |  FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id LIMIT $PqK)),
+       |cb AS (
+       |  SELECT sp.s, seeds.code,
+       |    qv[1 + sp.s * $PqSub : (sp.s + 1) * $PqSub] AS cent
+       |  FROM seeds CROSS JOIN sp),
+       |sub AS (
+       |  SELECT vec_id, sp.s, qv[1 + sp.s * $PqSub : (sp.s + 1) * $PqSub] AS sv
+       |  FROM qe CROSS JOIN sp),
+       |codes AS (
+       |  SELECT vec_id, s, code FROM (
+       |    SELECT v.vec_id, v.s, c.code,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.s
+       |        ORDER BY $d16 ASC, c.code ASC) AS pr
+       |    FROM sub v JOIN cb c ON v.s = c.s) WHERE pr = 1),
+       |adc AS (
+       |  SELECT v.vec_id AS q_id, v.s, c.code, $d16 AS d
+       |  FROM (SELECT * FROM sub WHERE vec_id % 47 = 0) v
+       |  JOIN cb c ON v.s = c.s),
+       |scored AS (
+       |  SELECT a.q_id, x.vec_id, SUM(a.d) AS adist
+       |  FROM codes x JOIN adc a ON x.s = a.s AND x.code = a.code
+       |    AND x.vec_id <> a.q_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT q_id, vec_id, adist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, adist
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // s06: ANN RECALL evaluation — the quality metric that decides whether
   // an approximate index is deployable: recall@5 of the SRP-LSH path
   // (s02) against the exact brute-force baseline (s01), per query. This
@@ -392,7 +497,8 @@ object Similarity {
     "s03_ann_ivf" -> (s03 _),
     "s04_ann_int8_rerank" -> (s04 _),
     "s05_knn_join" -> (s05 _),
-    "s06_ann_recall" -> (s06 _))
+    "s06_ann_recall" -> (s06 _),
+    "s07_ann_pq_adc" -> (s07 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "s01_ann_bruteforce" -> s01Sql,
@@ -400,5 +506,6 @@ object Similarity {
     "s03_ann_ivf" -> s03Sql,
     "s04_ann_int8_rerank" -> s04Sql,
     "s05_knn_join" -> s05Sql,
-    "s06_ann_recall" -> s06Sql)
+    "s06_ann_recall" -> s06Sql,
+    "s07_ann_pq_adc" -> s07Sql)
 }

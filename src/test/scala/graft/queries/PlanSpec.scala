@@ -256,6 +256,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("s07 scores by ADC lookups: codebook and table broadcast, no NLJ") {
+    val plan = executed(graft.ops.Similarity.s07(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"codebook/ADC-table joins must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"PQ scoring must join on (s, code), not enumerate pairs:\n$plan")
+  }
+
   test("q62 sketches with bottom-k selections, never a global sort") {
     val df = Extras3.q62(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
