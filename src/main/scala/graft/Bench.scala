@@ -77,7 +77,8 @@ object Bench {
     val opNames = Seq("d01_exact_dedup", "d06_dup_clusters",
       "d07_incremental_dedup", "s04_ann_int8_rerank", "s05_knn_join",
       "t08_winnow_overlap", "t09_quality_filter", "t11_bm25_score",
-      "t14_sequence_pack", "t17_boilerplate_strip", "m04_phash_neardup")
+      "t14_sequence_pack", "t17_boilerplate_strip", "m04_phash_neardup",
+      "t18_decontaminate", "s07_ann_pq_adc")
     val ops = opNames.filter(all.contains).map { name =>
       try {
         val t0 = System.nanoTime()
