@@ -20,13 +20,18 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * codegen'd expressions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
         builder))
     }
+    // whole-operator extensions: the native top-k-per-key planner rule
+    // (graft.plans.TopKPerKey); programmatic sessions get the same
+    // strategy via GraftPlans.install
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -561,6 +561,46 @@ object Extras3 {
       |GROUP BY user_id, island
       |ORDER BY user_id, island""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q64: NATIVE top-k per key — the custom whole-operator extension
+  // (graft.plans.TopKPerKey: LogicalPlan + SparkStrategy + two-phase
+  // SparkPlan) driving a real query: each supplier's 3 highest-value
+  // lineitems. Unlike the row_number window the rest of the registry
+  // uses (full-width shuffle + full sort per key), the operator keeps a
+  // 3-bounded heap per key on the map side, shuffles at most 3 rows per
+  // key per partition, and never sorts a partition — the plan shows
+  // TopKPerKeyPartial below the exchange and no Window/Sort at all.
+  // The ordering is total (extendedprice, orderkey, linenumber), so the
+  // result is deterministic and the DuckDB oracle is the plain window
+  // formulation — proving operator ≡ window semantics, hash-exactly.
+  // ---------------------------------------------------------------------
+  def q64(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+        $"l_extendedprice".cast(D2).as("price"))
+    graft.plans.GraftPlans.topKPerKey(
+        li, Seq("l_suppkey"),
+        Seq(("price", false), ("l_orderkey", true), ("l_linenumber", true)),
+        k = 3)
+      .select($"l_suppkey", $"rank", $"l_orderkey", $"l_linenumber",
+        $"price".cast(DoubleType).as("price"))
+      .orderBy($"l_suppkey", $"rank")
+  }
+
+  private val q64Sql =
+    """SELECT l_suppkey, CAST(rank AS BIGINT) AS rank, l_orderkey,
+      |  l_linenumber, CAST(price AS DOUBLE) AS price
+      |FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+      |    row_number() OVER (PARTITION BY l_suppkey
+      |      ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)) DESC,
+      |               l_orderkey ASC, l_linenumber ASC) AS rank
+      |  FROM lineitem)
+      |WHERE rank <= 3
+      |ORDER BY l_suppkey, rank""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q53_agg_pushdown" -> (q53 _),
     "q54_gapfill_ffill" -> (q54 _),
@@ -570,7 +610,8 @@ object Extras3 {
     "q58_compaction" -> (q58 _),
     "q61_schema_evolution" -> (q61 _),
     "q62_kmv_cardinality" -> (q62 _),
-    "q63_interval_coalesce" -> (q63 _))
+    "q63_interval_coalesce" -> (q63 _),
+    "q64_native_topk" -> (q64 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q53_agg_pushdown" -> q53Sql,
@@ -581,5 +622,6 @@ object Extras3 {
     "q58_compaction" -> q58Sql,
     "q61_schema_evolution" -> q61Sql,
     "q62_kmv_cardinality" -> q62Sql,
-    "q63_interval_coalesce" -> q63Sql)
+    "q63_interval_coalesce" -> q63Sql,
+    "q64_native_topk" -> q64Sql)
 }

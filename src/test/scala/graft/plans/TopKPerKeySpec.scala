@@ -1,0 +1,89 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The native top-k-per-key operator vs the row_number window it
+  * replaces: identical rows on real data, correct edge behavior, and
+  * the two-phase plan shape. */
+class TopKPerKeySpec extends SparkSpec {
+
+  test("operator rows are identical to the row_number window") {
+    import spark.implicits._
+    val li = Tables.load(spark, sf, "lineitem")
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+        $"l_extendedprice".cast("decimal(18,2)").as("price"))
+    val native = GraftPlans.topKPerKey(li, Seq("l_suppkey"),
+      Seq(("price", false), ("l_orderkey", true), ("l_linenumber", true)), 3)
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"price".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+    val win = li.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select(native.columns.map(col).toIndexedSeq: _*)
+    assert(native.count() == win.count())
+    assert(native.except(win).isEmpty && win.except(native).isEmpty,
+      "operator and window top-k disagree")
+  }
+
+  test("k larger than the group emits every row, ranks dense from 1") {
+    import spark.implicits._
+    val df = Seq(("a", 3L), ("a", 1L), ("b", 2L)).toDF("g", "x")
+    val got = GraftPlans.topKPerKey(df, Seq("g"), Seq(("x", true)), 10)
+      .orderBy($"g", $"rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 1L, 1L), ("a", 3L, 2L), ("b", 2L, 1L)))
+  }
+
+  test("null keys group together; null order values follow Spark order") {
+    import spark.implicits._
+    val df = Seq((Some("a"), Some(2L)), (None, Some(5L)), (None, Some(1L)),
+        (None, None)).toDF("g", "x")
+    val got = GraftPlans.topKPerKey(df, Seq("g"), Seq(("x", true)), 2)
+      .filter($"g".isNull).orderBy($"rank")
+      .collect().map(r => (r.isNullAt(1), r.getLong(2)))
+    // ascending => NULLS FIRST (Spark default), then the smallest value
+    assert(got.toSeq == Seq((true, 1L), (false, 2L)))
+  }
+
+  test("plan is the two-phase heap pair: partial below the exchange, no Window") {
+    import spark.implicits._
+    val li = Tables.load(spark, sf, "lineitem")
+      .select($"l_suppkey", $"l_orderkey", $"l_extendedprice")
+    val df = GraftPlans.topKPerKey(li, Seq("l_suppkey"),
+      Seq(("l_extendedprice", false), ("l_orderkey", true)), 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyPartial") && plan.contains("TopKPerKeyFinal"),
+      s"expected the two-phase operator pair:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("WindowExec"),
+      s"operator must not fall back to a window:\n$plan")
+    val partialFirst = plan.indexOf("TopKPerKeyFinal") < plan.indexOf("TopKPerKeyPartial")
+    assert(partialFirst, s"partial phase must sit below the final phase:\n$plan")
+  }
+
+  test("map-side partial bounds the shuffle: at most k rows per key per task") {
+    import spark.implicits._
+    // 4 input partitions x 1000 rows over 5 keys, k=2: the exchange may
+    // carry at most 4 partitions x 5 keys x 2 rows = 40 rows
+    val df = spark.range(0, 4000, 1, 4)
+      .select(($"id" % 5).as("g"), $"id".as("x"))
+    val topk = GraftPlans.topKPerKey(df.toDF(), Seq("g"), Seq(("x", false)), 2)
+    assert(topk.count() == 10)
+    // AQE wraps the final plan; shuffles sit inside query-stage leaves
+    val executed = topk.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val metrics = executed.collect {
+      case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec =>
+        s.shuffle.metrics("shuffleRecordsWritten").value
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.metrics("shuffleRecordsWritten").value
+    }
+    assert(metrics.nonEmpty && metrics.forall(_ <= 40),
+      s"partial did not bound the shuffle: $metrics rows crossed")
+  }
+}
