@@ -491,6 +491,78 @@ object Similarity {
        |GROUP BY ex.q_id
        |ORDER BY ex.q_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s08: SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023 shape) — the
+  // cluster-then-prune recipe used to shrink LLM pretraining corpora:
+  // (1) assign every vector to its nearest coarse centroid, (2) compare
+  // pairs only WITHIN a cluster, (3) drop any vector that has a
+  // sufficiently-similar lower-id cluster-mate (greedy keep-lowest-id —
+  // deterministic, order-free). Output is a per-vector verdict — the
+  // deduplicated corpus is `WHERE keep` — unlike d05, which emits the
+  // near-dup pair list.
+  //
+  // Scale: the cluster id is the only shuffle key; intra-cluster
+  // pairwise work is Σ|cluster|², which SemDeDup bounds by growing
+  // nlist ∝ N (so |cluster| stays ~constant: cost O(N·avg_cluster)).
+  // nlist is a constant here (16 at test SF) but the plan shape —
+  // assign via broadcast centroids, self-join on cluster, codegen
+  // cosine, verdict groupBy on the same key — is the 100 TB layout.
+  // Portability: centroids are the IvfNList lowest vec_ids' grid-
+  // quantized vectors (s03's recipe, no Lloyd refinement needed for the
+  // dedup contract); distances are exact integer arithmetic; the cosine
+  // is the shared left-associated fold. τ = 0.4 per d05's calibration
+  // (max pairwise cosine ≈ 0.51 on the near-uniform synthetic corpus).
+  // ---------------------------------------------------------------------
+  private val SemDedupTau = 0.4
+
+  def s08(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qe = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding", ivfQuant($"embedding").as("qv"))
+    val cents = qe.orderBy($"vec_id").limit(IvfNList)
+      .select($"vec_id".as("cluster"), $"qv".as("m"))
+    val asg = ivfAssign(qe, cents).select($"vec_id", $"embedding", $"cluster")
+    val dups = asg.as("x").join(asg.as("y"),
+        $"x.cluster" === $"y.cluster" && $"x.vec_id" < $"y.vec_id")
+      .select($"y.vec_id".as("vec_id"),
+        VectorOps.cosineSim(spark, $"x.embedding", $"y.embedding").as("cosine"))
+      .filter($"cosine" >= SemDedupTau)
+      .groupBy($"vec_id").agg(count(lit(1)).as("n_dup_lower"))
+    asg.join(dups, Seq("vec_id"), "left")
+      .select($"vec_id", $"cluster",
+        coalesce($"n_dup_lower", lit(0L)).as("n_dup_lower"),
+        $"n_dup_lower".isNull.as("keep"))
+      .orderBy($"vec_id")
+  }
+
+  private def s08Sql: String = {
+    val dot = PortableSql.dotSql("ea", "eb", 64)
+    val na = PortableSql.dotSql("ea", "ea", 64)
+    val nb = PortableSql.dotSql("eb", "eb", 64)
+    val cos = PortableSql.cosineFromPartsSql("dot", "na", "nb")
+    s"""WITH qe AS (
+       |  SELECT vec_id, embedding, ${ivfQuantSql("embedding")} AS qv FROM embeddings),
+       |c0 AS (SELECT vec_id AS cluster, qv AS m
+       |  FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id LIMIT $IvfNList)),
+       |asg AS (SELECT vec_id, embedding, cluster FROM (
+       |  SELECT v.vec_id, v.embedding, c.cluster,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${sqDistSql("v.qv", "c.m", 64)} ASC, c.cluster ASC) AS pr
+       |  FROM qe v CROSS JOIN c0 c) WHERE pr = 1),
+       |pairs AS (
+       |  SELECT y.vec_id AS vec_id, x.embedding AS ea, y.embedding AS eb
+       |  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+       |parts AS (SELECT vec_id, $dot AS dot, $na AS na, $nb AS nb FROM pairs),
+       |dups AS (
+       |  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dup_lower
+       |  FROM parts WHERE $cos >= $SemDedupTau GROUP BY vec_id)
+       |SELECT a.vec_id, a.cluster,
+       |  COALESCE(d.n_dup_lower, 0) AS n_dup_lower,
+       |  d.vec_id IS NULL AS keep
+       |FROM asg a LEFT JOIN dups d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "s01_ann_bruteforce" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
@@ -498,7 +570,8 @@ object Similarity {
     "s04_ann_int8_rerank" -> (s04 _),
     "s05_knn_join" -> (s05 _),
     "s06_ann_recall" -> (s06 _),
-    "s07_ann_pq_adc" -> (s07 _))
+    "s07_ann_pq_adc" -> (s07 _),
+    "s08_semdedup" -> (s08 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "s01_ann_bruteforce" -> s01Sql,
@@ -507,5 +580,6 @@ object Similarity {
     "s04_ann_int8_rerank" -> s04Sql,
     "s05_knn_join" -> s05Sql,
     "s06_ann_recall" -> s06Sql,
-    "s07_ann_pq_adc" -> s07Sql)
+    "s07_ann_pq_adc" -> s07Sql,
+    "s08_semdedup" -> s08Sql)
 }

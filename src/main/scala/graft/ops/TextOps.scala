@@ -1134,6 +1134,139 @@ object TextOps {
        |WHERE CAST(d.n_shared AS DOUBLE) / sz.n_fp >= $DcMinContainment
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t19: VOCABULARY / ZIPF statistics per source — the corpus-health
+  // numbers a pretraining-mix owner tracks: token volume, vocabulary
+  // size, type-token ratio, hapax-legomena share (the Heaps'-law tail),
+  // and the head term's mass (the Zipf head). One (source, token)
+  // aggregation — the shuffle is vocabulary-bounded, NOT corpus-bounded
+  // (t15's scale argument): at 100 TB the partial-aggregated (source,
+  // token) pairs collapse to |sources| × |vocab| rows long before the
+  // exchange. The head term resolves with a per-source ranking window
+  // over that same small aggregate.
+  // ---------------------------------------------------------------------
+  def t19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.load(spark, dir, "documents")
+      .select($"source", explode(tokens(lower($"text"))).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"source").orderBy($"cnt".desc, $"tok".asc)
+    val top = tok.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"source", $"tok".as("top_token"), $"cnt".as("top_cnt"))
+    tok.groupBy($"source").agg(
+        sum($"cnt").as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        sum(when($"cnt" === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .join(top, Seq("source"))
+      .select($"source", $"n_tokens", $"n_vocab", $"n_hapax",
+        ($"n_vocab".cast(DoubleType) / $"n_tokens").as("type_token_ratio"),
+        ($"n_hapax".cast(DoubleType) / $"n_vocab").as("hapax_share"),
+        $"top_token", $"top_cnt",
+        ($"top_cnt".cast(DoubleType) / $"n_tokens").as("top_share"))
+      .orderBy($"source")
+  }
+
+  private val t19Sql =
+    """WITH tok AS (
+      |  SELECT source, t AS tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM (SELECT source,
+      |          unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+      |        FROM documents)
+      |  GROUP BY source, t),
+      |agg AS (
+      |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_vocab,
+      |    CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      |  FROM tok GROUP BY source),
+      |top AS (
+      |  SELECT source, tok AS top_token, cnt AS top_cnt FROM (
+      |    SELECT source, tok, cnt,
+      |      row_number() OVER (PARTITION BY source ORDER BY cnt DESC, tok ASC) AS rn
+      |    FROM tok) WHERE rn = 1)
+      |SELECT a.source, a.n_tokens, a.n_vocab, a.n_hapax,
+      |  CAST(a.n_vocab AS DOUBLE) / a.n_tokens AS type_token_ratio,
+      |  CAST(a.n_hapax AS DOUBLE) / a.n_vocab AS hapax_share,
+      |  t.top_token, t.top_cnt,
+      |  CAST(t.top_cnt AS DOUBLE) / a.n_tokens AS top_share
+      |FROM agg a JOIN top t USING (source)
+      |ORDER BY a.source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t20: BIGRAM-LM document scoring — the model-based quality filter
+  // (the CCNet/KenLM-perplexity recipe, transcendental-free): train a
+  // bigram model ON the corpus itself (c(a,b) counts; prefix mass
+  // c(a,·) = Σ_b c(a,b)), then score every document by the average and
+  // minimum conditional probability p(b|a) = c(a,b)/c(a,·) over its
+  // adjacent token pairs. Low avg_cond_p ⇒ improbable word sequences
+  // (gibberish / boilerplate); min_cond_p pinpoints the worst
+  // transition. No logarithms, so the score is hash-portable.
+  //
+  // IEEE portability: each p is ONE exact-integer division; the per-doc
+  // mean folds the probs in POSITION order (collect → sort by pos →
+  // left-associated aggregate; DuckDB mirrors with
+  // list_reduce(list(p ORDER BY pos)), and the +0.0 init cannot change
+  // any positive sum). MIN is order-free.
+  //
+  // Scale: the model is vocabulary²-bounded — tiny next to a 100 TB
+  // corpus — so the count-join broadcasts when it fits and otherwise
+  // shuffles on the bigram key (AQE splits the frequent-bigram skew);
+  // the per-doc fold is narrow. Two corpus passes total (count, score).
+  // ---------------------------------------------------------------------
+  def t20(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.load(spark, dir, "documents")
+      .select($"doc_id", tokens(lower($"text")).as("toks"))
+    val pairs = base.filter(size($"toks") >= 2)
+      .select($"doc_id", explode(transform(sequence(lit(1), size($"toks") - 1),
+        i => struct(i.as("pos"), element_at($"toks", i).as("a"),
+          element_at($"toks", i + 1).as("b")))).as("p"))
+      .select($"doc_id", $"p.pos".as("pos"), $"p.a".as("a"), $"p.b".as("b"))
+    val cab = pairs.groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
+    val ca = cab.groupBy($"a").agg(sum($"c_ab").as("c_a"))
+    val probs = pairs.join(cab, Seq("a", "b")).join(ca, Seq("a"))
+      .select($"doc_id", $"pos", ($"c_ab".cast(DoubleType) / $"c_a").as("p"))
+    val scored = probs.groupBy($"doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct($"pos", $"p"))),
+            e => e.getField("p")),
+          lit(0.0), (acc, x) => acc + x).as("sum_p"),
+        min($"p").as("min_cond_p"))
+      .select($"doc_id", $"n_bigrams",
+        ($"sum_p" / $"n_bigrams").as("avg_cond_p"), $"min_cond_p")
+    base.select($"doc_id").join(scored, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce($"avg_cond_p", lit(0.0)).as("avg_cond_p"),
+        coalesce($"min_cond_p", lit(0.0)).as("min_cond_p"))
+      .orderBy($"doc_id")
+  }
+
+  private val t20Sql =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT doc_id, i AS pos, toks[i] AS a, toks[i + 1] AS b
+      |  FROM base, unnest(range(1, len(toks))) AS t(i)
+      |  WHERE len(toks) >= 2),
+      |cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM pairs GROUP BY a, b),
+      |ca AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY a),
+      |probs AS (
+      |  SELECT doc_id, pos, CAST(c_ab AS DOUBLE) / c_a AS p
+      |  FROM pairs JOIN cab USING (a, b) JOIN ca USING (a)),
+      |scored AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    list_reduce(list(p ORDER BY pos), (acc, x) -> acc + x) AS sum_p,
+      |    MIN(p) AS min_cond_p
+      |  FROM probs GROUP BY doc_id)
+      |SELECT b.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(s.sum_p / s.n_bigrams, 0.0) AS avg_cond_p,
+      |  COALESCE(s.min_cond_p, 0.0) AS min_cond_p
+      |FROM base b LEFT JOIN scored s ON b.doc_id = s.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "t01_token_stats" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -1152,7 +1285,9 @@ object TextOps {
     "t15_collocations" -> (t15 _),
     "t16_tfidf_keywords" -> (t16 _),
     "t17_boilerplate_strip" -> (t17 _),
-    "t18_decontaminate" -> (t18 _))
+    "t18_decontaminate" -> (t18 _),
+    "t19_vocab_zipf" -> (t19 _),
+    "t20_bigram_lm" -> (t20 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "t01_token_stats" -> t01Sql,
@@ -1172,5 +1307,7 @@ object TextOps {
     "t15_collocations" -> t15Sql,
     "t16_tfidf_keywords" -> t16Sql,
     "t17_boilerplate_strip" -> t17Sql,
-    "t18_decontaminate" -> t18Sql)
+    "t18_decontaminate" -> t18Sql,
+    "t19_vocab_zipf" -> t19Sql,
+    "t20_bigram_lm" -> t20Sql)
 }

@@ -77,4 +77,22 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("s08 semdedup: verdict covers the corpus and cluster minima survive") {
+    import spark.implicits._
+    val out = Similarity.s08(spark, sf)
+      .select($"vec_id", $"cluster", $"n_dup_lower", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+    val corpus = graft.Tables.load(spark, sf, "embeddings").count()
+    assert(out.length == corpus, "one verdict per vector")
+    out.foreach { case (id, _, nDup, keep) =>
+      assert(keep == (nDup == 0), s"vec $id: keep flag inconsistent")
+    }
+    // greedy keep-lowest-id: the smallest vec_id of every cluster has no
+    // lower-id cluster-mate, so it can never be dropped
+    out.groupBy(_._2).foreach { case (c, vs) =>
+      val lead = vs.minBy(_._1)
+      assert(lead._4, s"cluster $c: lowest vec_id ${lead._1} was dropped")
+    }
+  }
 }
