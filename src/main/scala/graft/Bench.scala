@@ -34,12 +34,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val all = SparkEntry.queries
-    // JIT/codegen warm-up: run each headline query once on the smallest SF
-    // so measured times are steady state, not classloading/janino compile.
+    // JIT/codegen warm-up: each headline query once on the smallest SF
+    // (classloading + janino compile), then once at the TARGET SF — the
+    // tiny-SF pass alone leaves the vectorized scan/decimal/broadcast
+    // paths cold enough that the first measured run can still be 2-3×
+    // steady state (q03 measured 4.8s mid-warmup vs 1.3s settled).
     headline.filter(all.contains).foreach { name =>
-      try all(name)(spark, "/root/testdata/sf0.001")
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      try {
+        all(name)(spark, "/root/testdata/sf0.001")
+          .write.format("noop").mode("overwrite").save()
+        all(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
     }
 
     // failed or unknown queries report -1 and are excluded from the total.
@@ -78,7 +84,8 @@ object Bench {
       "d07_incremental_dedup", "s04_ann_int8_rerank", "s05_knn_join",
       "t08_winnow_overlap", "t09_quality_filter", "t11_bm25_score",
       "t14_sequence_pack", "t17_boilerplate_strip", "m04_phash_neardup",
-      "t18_decontaminate", "s07_ann_pq_adc")
+      "t18_decontaminate", "s07_ann_pq_adc", "s08_semdedup",
+      "t20_bigram_lm")
     val ops = opNames.filter(all.contains).map { name =>
       try {
         val t0 = System.nanoTime()

@@ -366,6 +366,56 @@ object EventsStream {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** st12: streaming `.bro` SINK — the write side of the codec under
+    * Structured Streaming (st06 is the read side): each micro-batch
+    * lands as `.bro`-compressed JSON-lines via foreachBatch, the
+    * archival/landing-zone pattern for compressed streaming output. The
+    * events source streams with maxFilesPerTrigger semantics of the
+    * file source (whole file, exactly-once per batch), so the compressed
+    * directory holds every event exactly once; the read-back — batch
+    * JSON scan with transparent `.bro` decode — aggregates to the same
+    * per-type stats the oracle computes straight off the table. At
+    * scale each executor compresses its own partition's files; the
+    * non-splittable-file sizing rule (BroWriter) applies per batch. */
+  def st12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    graft.codec.BroWriter.register(spark)
+    val out = graft.Scratch.dir("st12_bro_sink")
+    val q = eventsSource(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", graft.Scratch.dir("st12_ckpt"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append")
+          .option("compression", graft.codec.BroWriter.CodecClass)
+          .json(out)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    spark.read.schema(schema).json(out)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        min($"value").as("min_value"),
+        max($"value").as("max_value"))
+      .orderBy($"event_type")
+  }
+
+  private val st12Sql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  MIN(value) AS min_value,
+      |  MAX(value) AS max_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "st01_stream_hourly" -> (st01 _),
     "st02_stream_sessionize" -> (st02 _),
@@ -377,7 +427,8 @@ object EventsStream {
     "st08_stream_append_hourly" -> (st08 _),
     "st09_stream_append_sliding" -> (st09 _),
     "st10_stream_dedup" -> (st10 _),
-    "st11_stream_upsert" -> (st11 _))
+    "st11_stream_upsert" -> (st11 _),
+    "st12_stream_bro_sink" -> (st12 _))
 
   private val st02Sql =
     """WITH flagged AS (
@@ -412,5 +463,6 @@ object EventsStream {
     "st08_stream_append_hourly" -> st08Sql,
     "st09_stream_append_sliding" -> st09Sql,
     "st10_stream_dedup" -> st10Sql,
-    "st11_stream_upsert" -> st11Sql)
+    "st11_stream_upsert" -> st11Sql,
+    "st12_stream_bro_sink" -> st12Sql)
 }
