@@ -68,6 +68,9 @@ object GraftExtensions {
     ("cosine_sim",
       "_FUNC_(a, b) - exact cosine similarity of two float vectors",
       e => CosineSimilarity(e(0), e(1))),
+    ("int8_dot",
+      "_FUNC_(a, b) - symmetric-int8-quantized integer dot product",
+      e => Int8Dot(e(0), e(1))),
     ("srp_buckets",
       "_FUNC_(v) - packed signed-random-projection LSH bucket keys",
       e => SrpBuckets(e.head)),

@@ -197,13 +197,6 @@ object Similarity {
     * vector per query via a cross join — a second brute force, not ANN.) */
   def s04(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.types.LongType
-    def quant(v: Column): Column = {
-      val s = array_max(transform(v, x => abs(x.cast(DoubleType))))
-      when(s === 0.0, transform(v, _ => lit(0L)))
-        .otherwise(transform(v, x =>
-          floor(x.cast(DoubleType) * 127.0 / s + 0.5).cast(LongType)))
-    }
     // sub-linear candidates: same-SRP-bucket pairs only (s02's index)
     val emb = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", $"embedding",
@@ -216,9 +209,9 @@ object Similarity {
       .filter($"vec_id" =!= $"q_id")
       .dropDuplicates("q_id", "vec_id")
       .select($"q_id", $"vec_id", $"embedding", $"q_embedding")
-    val iscore = aggregate(
-      zip_with(quant($"embedding"), quant($"q_embedding"), (a, b) => a * b),
-      lit(0L), (acc, v) => acc + v)
+    // quantize + integer dot as ONE codegen'd loop per candidate pair
+    // (was an interpreted aggregate(zip_with(transform(...))) chain)
+    val iscore = VectorOps.int8Dot(spark, $"embedding", $"q_embedding")
     val wCand = Window.partitionBy($"q_id").orderBy($"iscore".desc, $"vec_id".asc)
     val cands = cand0
       .select($"q_id", $"vec_id", $"embedding", $"q_embedding", iscore.as("iscore"))

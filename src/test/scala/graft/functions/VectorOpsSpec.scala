@@ -36,6 +36,29 @@ class VectorOpsSpec extends SparkSpec {
     df.collect().foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  test("int8_dot matches the interpreted HOF formula it replaced (s04 parity)") {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    import spark.implicits._
+    // the exact Column chain s04 used before the codegen kernel
+    def quant(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val s = array_max(transform(v, x => abs(x.cast(DoubleType))))
+      when(s === 0.0, transform(v, _ => lit(0L)))
+        .otherwise(transform(v, x =>
+          floor(x.cast(DoubleType) * 127.0 / s + 0.5).cast(LongType)))
+    }
+    val hof = aggregate(
+      zip_with(quant($"x"), quant($"y"), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val emb = graft.Tables.load(spark, sf, "embeddings").limit(40)
+      .select($"embedding").as[Array[Float]].collect()
+    val pairs = emb.sliding(2, 2).collect { case Array(a, b) => (a, b) }.toSeq
+    val df = (pairs :+ ((Array(0f, 0f, 0f), Array(1f, -2f, 3f)))).toDF("x", "y")
+    df.select(VectorOps.int8Dot(spark, $"x", $"y").as("got"), hof.as("want"))
+      .collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"int8_dot ${r.getLong(0)} != interpreted ${r.getLong(1)}"))
+  }
+
   test("cosine_sim matches reference on real embeddings (interpreted == codegen)") {
     import spark.implicits._
     val emb = graft.Tables.load(spark, sf, "embeddings").limit(20)
