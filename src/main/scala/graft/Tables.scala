@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -17,14 +19,32 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read it as raw nanos and convert with integer
-      // division (ns values exceed 2^53, so no double math).
+      // Some testdata generations write events.ts as TIMESTAMP(NANOS),
+      // which Spark's vectorized reader rejects unless read as raw longs.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      normalizeEventsTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Normalize the events `ts` column to session-TZ TimestampType.
+    *
+    * The driver has generated events.parquet with three different `ts`
+    * physical layouts across rounds, so the loader sniffs the schema
+    * instead of hardcoding one:
+    *   - TIMESTAMP(NANOS), read as raw `Long` nanos via `nanosAsLong`:
+    *     integer-divide to micros (ns values exceed 2^53, so no double
+    *     math) and convert.
+    *   - TIMESTAMP_MICROS with isAdjustedToUTC=false, read as
+    *     TIMESTAMP_NTZ: cast to TimestampType — lossless because every
+    *     session in this project pins spark.sql.session.timeZone=UTC.
+    *   - TimestampType already: pass through.
+    * Works on batch and streaming DataFrames alike (schema-only sniff).
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
 
   /** Register all tables as temp views (for spark.sql-based queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -21,7 +21,9 @@ object EventsStream {
   private val counter = new AtomicLong(0)
 
   /** The harness's file-source stream over the events table with `ts`
-    * converted from parquet TIMESTAMP(NANOS) (see graft.Tables.load).
+    * normalized to TimestampType by the same schema sniff as the batch
+    * loader (graft.Tables.normalizeEventsTs — one shared helper so batch
+    * and streaming can't drift when the testdata layout changes).
     * The streaming file source wants a directory: stream the sf dir
     * with a glob filter selecting just the events file. Transform logic
     * itself lives in [[StreamOps]] — the sink-agnostic API a library
@@ -29,9 +31,9 @@ object EventsStream {
   private def eventsSource(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
   /** Drain a streaming DF through a memory sink synchronously and
@@ -93,12 +95,9 @@ object EventsStream {
     * the state store — the shape that survives any event volume. */
   def st03(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val evs = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val evs = eventsSource(spark, dir)
       .select($"user_id", $"event_type", $"value",
-        expr("ts div 1000").as("ts_us"))
+        unix_micros($"ts").as("ts_us"))
       .as[Ev]
     drain(StreamOps.userProfiles(evs).toDF(), "update").orderBy("user_id")
   }
