@@ -85,7 +85,7 @@ object Bench {
       "t08_winnow_overlap", "t09_quality_filter", "t11_bm25_score",
       "t14_sequence_pack", "t17_boilerplate_strip", "m04_phash_neardup",
       "t18_decontaminate", "s07_ann_pq_adc", "s08_semdedup",
-      "t20_bigram_lm")
+      "t20_bigram_lm", "s09_ann_ivfpq")
     val ops = opNames.filter(all.contains).map { name =>
       try {
         val t0 = System.nanoTime()
@@ -99,10 +99,23 @@ object Bench {
   }
 
   /** Codec throughput micro-bench (the reference's own capability):
-    * encode/decode MB/s + ratio of the pure-JVM brotli on ~32 MiB of
-    * testdata text, plus system libbrotli via tools/brotli_cli when
-    * present (the reference wraps exactly that library over JNI, so
-    * those numbers stand in for reference single-node throughput). */
+    * encode/decode MB/s + ratio of the pure-JVM brotli, plus system
+    * libbrotli via tools/brotli_cli when present (the reference wraps
+    * exactly that library over JNI, so those numbers stand in for
+    * reference single-node throughput).
+    *
+    * Two payloads, two purposes:
+    *  - THROUGHPUT (`enc_*_mbps`/`dec_*`): ~32 MiB built by repeating the
+    *    testdata text — big enough that per-call overhead vanishes. Both
+    *    coders see the identical stream, so MB/s is comparable.
+    *  - RATIO (`ratio_*`): the raw UN-repeated text capped at 4 MiB.
+    *    Every quality on BOTH coders compresses this identical payload
+    *    and every ratio is the one formula payload/encoded — so the
+    *    ladder is monotonic in q and ours-vs-native is apples-to-apples.
+    *    (The repeated stream is useless for ratios: artificial long-range
+    *    repetition rewards whichever matcher happens to reach a full
+    *    period back, which is a window/heuristic artifact, not codec
+    *    quality.) */
   private def codecBench(spark: SparkSession, sfDir: String): String = {
     import graft.brotli.Brotli
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -115,6 +128,9 @@ object Bench {
     var i = 0
     while (i < reps) { System.arraycopy(base, 0, data, i * base.length, base.length); i += 1 }
     val mb = data.length / 1e6
+    // the shared ratio payload: raw text, no artificial repetition
+    val rp = java.util.Arrays.copyOf(base, math.min(base.length, 4 << 20))
+    def ratioOf(enc: Array[Byte]): Double = rp.length.toDouble / enc.length
 
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
@@ -131,20 +147,23 @@ object Bench {
     Brotli.decompress(Brotli.compress(data, 6)) // 2nd warm-up: C2 tier
     // q ∈ {1,5,11} matches the reference's own tested grid
     // (/root/reference/src/test/java/.../TestBro.java:84-86). q11 is the
-    // max-quality path at ~1 MB/s on both sides, so it runs once on a
-    // 4 MiB slice — the full 32 MiB would dominate bench wallclock.
-    val dataQ11 = java.util.Arrays.copyOf(data, math.min(data.length, 4 << 20))
-    val mbQ11 = dataQ11.length / 1e6
-    Brotli.compress(java.util.Arrays.copyOf(dataQ11, 1 << 20), 11) // warm q11 path
+    // max-quality path at ~1 MB/s on both sides, so it times on the 4 MiB
+    // ratio payload — the full 32 MiB would dominate bench wallclock.
+    Brotli.compress(java.util.Arrays.copyOf(rp, 1 << 20), 11) // warm q11 path
     // drop Spark's query-bench garbage before single-threaded timing so
     // a major GC doesn't land inside a measured run
     System.gc()
-    val (encQ1, tE1) = median3(time(Brotli.compress(data, 1)))
-    val (encQ5, tE5) = median3(time(Brotli.compress(data, 5)))
+    val (_, tE1) = median3(time(Brotli.compress(data, 1)))
+    val (_, tE5) = median3(time(Brotli.compress(data, 5)))
     val (encQ6, tE6) = median3(time(Brotli.compress(data, 6)))
-    val (encQ11, tE11) = time(Brotli.compress(dataQ11, 11))
-    require(java.util.Arrays.equals(Brotli.decompress(encQ11), dataQ11))
+    val (encQ11, tE11) = time(Brotli.compress(rp, 11))
+    require(java.util.Arrays.equals(Brotli.decompress(encQ11), rp))
     val (_, tD) = median3(time(Brotli.decompress(encQ6)))
+    // ratio grid: every quality on the identical un-repeated payload
+    val rQ1 = ratioOf(Brotli.compress(rp, 1))
+    val rQ5 = ratioOf(Brotli.compress(rp, 5))
+    val rQ6 = ratioOf(Brotli.compress(rp, 6))
+    val rQ11 = ratioOf(encQ11)
 
     def native(q: Int, payload: Array[Byte]): Option[(Double, Double, Array[Byte])] = {
       val cli = new java.io.File("tools/brotli_cli")
@@ -187,14 +206,16 @@ object Bench {
     }
     // framed splittable variant (.brf): quantifies the splittability tax
     // (each DefaultFrameSize frame restarts the LZ window) against the
-    // whole-stream numbers above
-    val (brfEnc, tBe) = median3(time {
+    // whole-stream numbers above — throughput on the 32 MiB stream, ratio
+    // on the shared payload like every other ratio in this block
+    def brfCompress(payload: Array[Byte]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       val o = new graft.codec.BroFramedOutputStream(
         bos, 6, graft.codec.BroFramed.DefaultFrameSize)
-      o.write(data, 0, data.length); o.finish(); o.close()
+      o.write(payload, 0, payload.length); o.finish(); o.close()
       bos.toByteArray
-    })
+    }
+    val (brfEnc, tBe) = median3(time(brfCompress(data)))
     val (_, tBd) = median3(time {
       val s = new graft.codec.BroFramedInputStream(
         new java.io.ByteArrayInputStream(brfEnc), 0L, Long.MaxValue)
@@ -204,22 +225,30 @@ object Bench {
       while (n >= 0) { total += n; n = s.read(buf, 0, buf.length) }
       require(total == data.length, "framed round-trip length mismatch")
     })
+    val rBrf = ratioOf(brfCompress(rp))
     val brfPart =
-      f""","enc_brf_q6_mbps":${mb / tBe}%.1f,"ratio_brf_q6":${data.length.toDouble / brfEnc.length}%.2f,"dec_brf_mbps":${mb / tBd}%.1f"""
+      f""","enc_brf_q6_mbps":${mb / tBe}%.1f,"ratio_brf_q6":$rBrf%.2f,"dec_brf_mbps":${mb / tBd}%.1f"""
 
+    // native speed on the same 32 MiB stream (q11 on the ratio payload —
+    // both coders time q11 on the identical smaller input)
     val nat6 = native(6, data)
     val natDec = nat6.flatMap { case (_, _, enc) => nativeDec(enc) }
     val natPart = (nat6, natDec) match {
-      case (Some((encMbps, ratio, _)), Some(decMbps)) =>
-        f""","native_enc_q6_mbps":$encMbps%.1f,"native_ratio_q6":$ratio%.2f,"native_dec_mbps":$decMbps%.1f"""
+      case (Some((encMbps, _, _)), Some(decMbps)) =>
+        f""","native_enc_q6_mbps":$encMbps%.1f,"native_dec_mbps":$decMbps%.1f"""
       case _ => ""
     }
     def natEnc(q: Int, payload: Array[Byte]): String = native(q, payload) match {
-      case Some((encMbps, ratio, _)) =>
-        f""","native_enc_q$q%d_mbps":$encMbps%.1f,"native_ratio_q$q%d":$ratio%.2f"""
+      case Some((encMbps, _, _)) => f""","native_enc_q$q%d_mbps":$encMbps%.1f"""
       case None => ""
     }
-    val natGrid = natEnc(1, data) + natEnc(5, data) + natEnc(11, dataQ11)
-    f"""{"input_mb":$mb%.1f,"enc_q1_mbps":${mb / tE1}%.1f,"ratio_q1":${data.length.toDouble / encQ1.length}%.2f,"enc_q5_mbps":${mb / tE5}%.1f,"ratio_q5":${data.length.toDouble / encQ5.length}%.2f,"enc_q6_mbps":${mb / tE6}%.1f,"ratio_q6":${data.length.toDouble / encQ6.length}%.2f,"enc_q11_mbps":${mbQ11 / tE11}%.1f,"ratio_q11":${dataQ11.length.toDouble / encQ11.length}%.2f,"dec_mbps":${mb / tD}%.1f$brfPart$natPart$natGrid}"""
+    val natSpeed = natEnc(1, data) + natEnc(5, data) + natEnc(11, rp)
+    // native ratio grid: identical payload, identical formula as ours
+    def natRatio(q: Int): String = native(q, rp) match {
+      case Some((_, ratio, _)) => f""","native_ratio_q$q%d":$ratio%.2f"""
+      case None => ""
+    }
+    val natRatios = natRatio(1) + natRatio(5) + natRatio(6) + natRatio(11)
+    f"""{"input_mb":$mb%.1f,"ratio_input_mb":${rp.length / 1e6}%.1f,"enc_q1_mbps":${mb / tE1}%.1f,"ratio_q1":$rQ1%.2f,"enc_q5_mbps":${mb / tE5}%.1f,"ratio_q5":$rQ5%.2f,"enc_q6_mbps":${mb / tE6}%.1f,"ratio_q6":$rQ6%.2f,"enc_q11_mbps":${rp.length / 1e6 / tE11}%.1f,"ratio_q11":$rQ11%.2f,"dec_mbps":${mb / tD}%.1f$brfPart$natPart$natSpeed$natRatios}"""
   }
 }

@@ -46,7 +46,15 @@ object Tables {
       case _                => df
     }
 
-  /** Register all tables as temp views (for spark.sql-based queries). */
+  /** Register the named tables as temp views (for spark.sql-based
+    * queries). Callers should register only the tables their SQL
+    * references: at catalog scale, eagerly loading ten tables to serve a
+    * three-table query is wasted footer I/O — and a breaking layout
+    * change in an unrelated table would fail the query by collateral. */
+  def register(spark: SparkSession, dir: String, tables: String*): Unit =
+    tables.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Register all tables as temp views. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    register(spark, dir, names: _*)
 }

@@ -9,6 +9,7 @@ import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
 import graft.functions.{SrpLsh, VectorOps}
+import graft.plans.GraftPlans
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
@@ -29,6 +30,19 @@ object Similarity {
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
   }
 
+  /** Per-query top-5 by (cosine desc, vec_id asc) through the library's
+    * native [[graft.plans.TopKPerKey]] operator: partial K-bounded heaps
+    * below the exchange, so the shuffle moves ≤ 5·|keys per task| rows
+    * and no partition is ever fully sorted — vs. the `row_number` window
+    * it replaces, which shuffled and sorted every candidate row. */
+  private def top5(scored: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
+    GraftPlans.topKPerKey(scored, Seq("q_id"),
+        Seq(("cosine", false), ("vec_id", true)), 5)
+      .select($"q_id", $"rank", $"vec_id", $"cosine")
+      .orderBy($"q_id", $"rank")
+  }
+
   def s01(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.load(spark, dir, "embeddings")
@@ -37,11 +51,7 @@ object Similarity {
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id",
         VectorOps.cosineSim(spark, $"embedding", $"q_emb").as("cosine"))
-    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= 5)
-      .select($"q_id", $"rank", $"vec_id", $"cosine")
-      .orderBy($"q_id", $"rank")
+    top5(scored)
   }
 
   def s02(spark: SparkSession, dir: String): DataFrame = {
@@ -56,11 +66,7 @@ object Similarity {
       .dropDuplicates("q_id", "vec_id")
       .select($"q_id", $"vec_id",
         VectorOps.cosineSim(spark, $"embedding", $"q_emb").as("cosine"))
-    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= 5)
-      .select($"q_id", $"rank", $"vec_id", $"cosine")
-      .orderBy($"q_id", $"rank")
+    top5(scored)
   }
 
   // ---------------------------------------------------------------------
@@ -97,15 +103,21 @@ object Similarity {
   private def sqDistSql(a: String, b: String, dim: Int): String =
     (1 to dim).map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])").mkString(" + ")
 
-  /** One Lloyd assignment: nearest centroid by (dist, cluster). */
+  /** One Lloyd assignment: nearest centroid by (dist, cluster) as a
+    * hash-aggregate argmin — `min_by` over a lexicographic (dist,
+    * cluster) struct, so map-side partial aggregation collapses each
+    * vector's nlist candidate rows in place. (The `row_number` window
+    * this replaces full-sorted every candidate group through a wide
+    * shuffle just to keep one row per vector.) */
   private def ivfAssign(vecs: DataFrame, cents: DataFrame): DataFrame = {
     import vecs.sparkSession.implicits._
-    val w = Window.partitionBy($"vec_id").orderBy($"dist".asc, $"cluster".asc)
     vecs.crossJoin(broadcast(cents))
       .withColumn("dist", sqDist($"qv", $"m"))
-      .withColumn("pr", row_number().over(w))
-      .filter($"pr" === 1)
-      .select($"vec_id", $"embedding", $"qv", $"cluster")
+      .groupBy($"vec_id")
+      .agg(min_by(struct($"embedding", $"qv", $"cluster"),
+        struct($"dist", $"cluster")).as("best"))
+      .select($"vec_id", $"best.embedding".as("embedding"),
+        $"best.qv".as("qv"), $"best.cluster".as("cluster"))
   }
 
   /** One Lloyd update: per-dimension mean of the assigned grid vectors
@@ -148,11 +160,7 @@ object Similarity {
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id",
         VectorOps.cosineSim(spark, $"embedding", $"q_emb").as("cosine"))
-    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= 5)
-      .select($"q_id", $"rank", $"vec_id", $"cosine")
-      .orderBy($"q_id", $"rank")
+    top5(scored)
   }
 
   private def s03Sql: String = {
@@ -210,19 +218,18 @@ object Similarity {
       .dropDuplicates("q_id", "vec_id")
       .select($"q_id", $"vec_id", $"embedding", $"q_embedding")
     // quantize + integer dot as ONE codegen'd loop per candidate pair
-    // (was an interpreted aggregate(zip_with(transform(...))) chain)
+    // (was an interpreted aggregate(zip_with(transform(...))) chain);
+    // both top-k stages run through the native heap operator, not windows
     val iscore = VectorOps.int8Dot(spark, $"embedding", $"q_embedding")
-    val wCand = Window.partitionBy($"q_id").orderBy($"iscore".desc, $"vec_id".asc)
-    val cands = cand0
-      .select($"q_id", $"vec_id", $"embedding", $"q_embedding", iscore.as("iscore"))
-      .withColumn("crank", row_number().over(wCand))
-      .filter($"crank" <= 20)
-    val wFinal = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
-    cands
-      .select($"q_id", $"vec_id", $"iscore",
-        VectorOps.cosineSim(spark, $"embedding", $"q_embedding").as("cosine"))
-      .withColumn("rank", row_number().over(wFinal).cast("long"))
-      .filter($"rank" <= 5)
+    val cands = GraftPlans.topKPerKey(
+        cand0.select($"q_id", $"vec_id", $"embedding", $"q_embedding",
+          iscore.as("iscore")),
+        Seq("q_id"), Seq(("iscore", false), ("vec_id", true)), 20)
+      .drop("rank")
+    GraftPlans.topKPerKey(
+        cands.select($"q_id", $"vec_id", $"iscore",
+          VectorOps.cosineSim(spark, $"embedding", $"q_embedding").as("cosine")),
+        Seq("q_id"), Seq(("cosine", false), ("vec_id", true)), 5)
       .select($"q_id", $"rank", $"vec_id", $"iscore", $"cosine")
       .orderBy($"q_id", $"rank")
   }
@@ -327,11 +334,7 @@ object Similarity {
       .select($"x.vec_id".as("q_id"), $"y.vec_id".as("vec_id"),
         VectorOps.cosineSim(spark, $"y.embedding", $"x.embedding").as("cosine"))
       .dropDuplicates("q_id", "vec_id")
-    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= 5)
-      .select($"q_id", $"rank", $"vec_id", $"cosine")
-      .orderBy($"q_id", $"rank")
+    top5(scored)
   }
 
   private def s05Sql: String = rankedSql(
@@ -377,22 +380,25 @@ object Similarity {
         .select($"vec_id", $"s", slice($"qv", $"s" * PqSub + 1, lit(PqSub)).as("sv"))
     // codebook: PqK seed vectors × PqM subspaces = 64 rows, materialized
     // once (bounded, documented collect — the s03 centroid rule)
+    // constant partition key: the window runs on the PqK-row seed frame
+    // only, and the explicit single partition keeps the plan warning-free
     var cb = subVecs(
       qe.orderBy($"vec_id").limit(PqK)
         .withColumn("code",
-          row_number().over(Window.orderBy($"vec_id")).cast("long") - 1)
+          row_number().over(Window.partitionBy(lit(0)).orderBy($"vec_id"))
+            .cast("long") - 1)
         .select($"code".as("vec_id"), $"qv"))
       .select($"s", $"vec_id".as("code"), $"sv".as("cent"))
     cb = spark.createDataFrame(
       spark.sparkContext.parallelize(cb.collect().toIndexedSeq, 1), cb.schema)
-    // index build: every (vector, subspace) takes its nearest code
-    val wAsg = Window.partitionBy($"vec_id", $"s")
-      .orderBy($"dist".asc, $"code".asc)
+    // index build: every (vector, subspace) takes its nearest code — a
+    // hash-aggregate argmin (min_by over the (dist, code) struct), so the
+    // PqK candidate rows per (vector, subspace) collapse map-side instead
+    // of full-sorting through a window shuffle
     val codes = subVecs(qe).join(broadcast(cb), Seq("s"))
       .withColumn("dist", sqDist($"sv", $"cent"))
-      .withColumn("pr", row_number().over(wAsg))
-      .filter($"pr" === 1)
-      .select($"vec_id", $"s", $"code")
+      .groupBy($"vec_id", $"s")
+      .agg(min_by($"code", struct($"dist", $"code")).as("code"))
     // ADC: per query, the exact distance from its subvector to every code
     val adc = subVecs(qe.filter($"vec_id" % 47 === 0))
       .withColumnRenamed("vec_id", "q_id")
@@ -402,9 +408,8 @@ object Similarity {
     val scored = codes.join(broadcast(adc), Seq("s", "code"))
       .filter($"vec_id" =!= $"q_id")
       .groupBy($"q_id", $"vec_id").agg(sum($"d").as("adist"))
-    val w = Window.partitionBy($"q_id").orderBy($"adist".asc, $"vec_id".asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= 5)
+    GraftPlans.topKPerKey(scored, Seq("q_id"),
+        Seq(("adist", true), ("vec_id", true)), 5)
       .select($"q_id", $"rank", $"vec_id", $"adist")
       .orderBy($"q_id", $"rank")
   }
@@ -438,6 +443,134 @@ object Similarity {
        |  SELECT a.q_id, x.vec_id, SUM(a.d) AS adist
        |  FROM codes x JOIN adc a ON x.s = a.s AND x.code = a.code
        |    AND x.vec_id <> a.q_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT q_id, vec_id, adist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, adist
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // s09: IVF-PQ — the composed production ANN layout (the IVFADC system
+  // of Jégou et al., TPAMI'11 §V, what FAISS ships as IndexIVFPQ): the
+  // coarse IVF quantizer (s03/s08's broadcast-centroid assignment)
+  // prunes the corpus to nprobe clusters per query, and within the
+  // probed clusters every vector scores by PQ-ADC table lookups (s07) —
+  // so a query touches ~nprobe/nlist of the corpus AND each touched
+  // vector costs PqM lookups on a 64×-compressed code, never a float
+  // dot product. This is the 100 TB serving shape: the (cluster,
+  // vec_id, codes) index is bytes per vector and partitions by cluster
+  // on disk, queries read only their probed partitions, and the
+  // centroid table, codebook, probe list, and per-query ADC tables are
+  // all broadcast. Portability: s03's all-integer grid recipe — sampled
+  // seed centroids/codebook, exact integer distances, ties on
+  // (dist, id) — so the op is hash-verified like the rest of the ladder.
+  // ---------------------------------------------------------------------
+  def s09(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qe = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", ivfQuant($"embedding").as("qv"))
+    val cents = qe.orderBy($"vec_id").limit(IvfNList)
+      .select($"vec_id".as("cluster"), $"qv".as("m"))
+    // coarse assignment (hash-agg argmin); no embedding payload — the
+    // PQ codes are the only representation the index keeps
+    val asg = qe.crossJoin(broadcast(cents))
+      .withColumn("dist", sqDist($"qv", $"m"))
+      .groupBy($"vec_id")
+      .agg(min_by(struct($"qv", $"cluster"), struct($"dist", $"cluster")).as("best"))
+      .select($"vec_id", $"best.qv".as("qv"), $"best.cluster".as("cluster"))
+    val subIdx = explode(sequence(lit(0), lit(PqM - 1))).as("s")
+    // PQ codebook: s07's sampled 64-row table, materialized once
+    // (bounded, documented collect — the s03 centroid rule)
+    var cb = qe.orderBy($"vec_id").limit(PqK)
+      .withColumn("code",
+        row_number().over(Window.partitionBy(lit(0)).orderBy($"vec_id"))
+          .cast("long") - 1)
+      .select($"code", $"qv", subIdx)
+      .select($"s", $"code", slice($"qv", $"s" * PqSub + 1, lit(PqSub)).as("cent"))
+    cb = spark.createDataFrame(
+      spark.sparkContext.parallelize(cb.collect().toIndexedSeq, 1), cb.schema)
+    // the on-disk index layout: (cluster, vec_id, s, code)
+    val codes = asg.select($"vec_id", $"cluster", $"qv", subIdx)
+      .select($"vec_id", $"cluster", $"s",
+        slice($"qv", $"s" * PqSub + 1, lit(PqSub)).as("sv"))
+      .join(broadcast(cb), Seq("s"))
+      .withColumn("dist", sqDist($"sv", $"cent"))
+      .groupBy($"vec_id", $"cluster", $"s")
+      .agg(min_by($"code", struct($"dist", $"code")).as("code"))
+    // per-query coarse probes: top-nprobe clusters by centroid distance
+    val q = qe.filter($"vec_id" % 47 === 0).select($"vec_id".as("q_id"), $"qv")
+    val probes = GraftPlans.topKPerKey(
+        q.crossJoin(broadcast(cents))
+          .withColumn("dist", sqDist($"qv", $"m"))
+          .select($"q_id", $"cluster", $"dist"),
+        Seq("q_id"), Seq(("dist", true), ("cluster", true)), IvfNProbe)
+      .select($"q_id", $"cluster")
+    // per-query ADC distance tables (PqM × PqK exact subspace distances)
+    val adc = q.select($"q_id", $"qv", subIdx)
+      .select($"q_id", $"s", slice($"qv", $"s" * PqSub + 1, lit(PqSub)).as("sv"))
+      .join(broadcast(cb), Seq("s"))
+      .select($"q_id", $"s", $"code", sqDist($"sv", $"cent").as("d"))
+    // prune to probed clusters, then lookup-sum the PqM codes per vector
+    val scored = codes.join(broadcast(probes), Seq("cluster"))
+      .filter($"vec_id" =!= $"q_id")
+      .join(broadcast(adc), Seq("q_id", "s", "code"))
+      .groupBy($"q_id", $"vec_id").agg(sum($"d").as("adist"))
+    GraftPlans.topKPerKey(scored, Seq("q_id"),
+        Seq(("adist", true), ("vec_id", true)), 5)
+      .select($"q_id", $"rank", $"vec_id", $"adist")
+      .orderBy($"q_id", $"rank")
+  }
+
+  private def s09Sql: String = {
+    val d64 = sqDistSql("v.qv", "c.m", 64)
+    val d16 = sqDistSql("v.sv", "c.cent", PqSub)
+    s"""WITH qe AS (
+       |  SELECT vec_id, ${ivfQuantSql("embedding")} AS qv FROM embeddings),
+       |c0 AS (SELECT vec_id AS cluster, qv AS m
+       |  FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id LIMIT $IvfNList)),
+       |asg AS (SELECT vec_id, qv, cluster FROM (
+       |  SELECT v.vec_id, v.qv, c.cluster,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY $d64 ASC, c.cluster ASC) AS pr
+       |  FROM qe v CROSS JOIN c0 c) WHERE pr = 1),
+       |sp AS (SELECT unnest(range(0, $PqM)) AS s),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, qv
+       |  FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id LIMIT $PqK)),
+       |cb AS (
+       |  SELECT sp.s, seeds.code,
+       |    qv[1 + sp.s * $PqSub : (sp.s + 1) * $PqSub] AS cent
+       |  FROM seeds CROSS JOIN sp),
+       |sub AS (
+       |  SELECT a.vec_id, a.cluster, sp.s,
+       |    a.qv[1 + sp.s * $PqSub : (sp.s + 1) * $PqSub] AS sv
+       |  FROM asg a CROSS JOIN sp),
+       |codes AS (
+       |  SELECT vec_id, cluster, s, code FROM (
+       |    SELECT v.vec_id, v.cluster, v.s, c.code,
+       |      row_number() OVER (PARTITION BY v.vec_id, v.s
+       |        ORDER BY $d16 ASC, c.code ASC) AS pr
+       |    FROM sub v JOIN cb c ON v.s = c.s) WHERE pr = 1),
+       |probes AS (
+       |  SELECT q_id, cluster FROM (
+       |    SELECT v.vec_id AS q_id, c.cluster,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY $d64 ASC, c.cluster ASC) AS pr
+       |    FROM qe v CROSS JOIN c0 c WHERE v.vec_id % 47 = 0) WHERE pr <= $IvfNProbe),
+       |adc AS (
+       |  SELECT v.vec_id AS q_id, v.s, c.code, $d16 AS d
+       |  FROM (SELECT vec_id, sp.s,
+       |      qv[1 + sp.s * $PqSub : (sp.s + 1) * $PqSub] AS sv
+       |    FROM qe CROSS JOIN sp WHERE vec_id % 47 = 0) v
+       |  JOIN cb c ON v.s = c.s),
+       |scored AS (
+       |  SELECT p.q_id, x.vec_id, SUM(a.d) AS adist
+       |  FROM codes x JOIN probes p ON x.cluster = p.cluster AND x.vec_id <> p.q_id
+       |  JOIN adc a ON a.q_id = p.q_id AND a.s = x.s AND a.code = x.code
        |  GROUP BY 1, 2),
        |ranked AS (
        |  SELECT q_id, vec_id, adist,
@@ -497,9 +630,12 @@ object Similarity {
   // Scale: the cluster id is the only shuffle key; intra-cluster
   // pairwise work is Σ|cluster|², which SemDeDup bounds by growing
   // nlist ∝ N (so |cluster| stays ~constant: cost O(N·avg_cluster)).
-  // nlist is a constant here (16 at test SF) but the plan shape —
-  // assign via broadcast centroids, self-join on cluster, codegen
-  // cosine, verdict groupBy on the same key — is the 100 TB layout.
+  // That rule is ENFORCED here, not just documented: nlist =
+  // max(16, ⌈N / SemDedupTargetCluster⌉), derived from one corpus
+  // count, so expected cluster size is capped at ~SemDedupTargetCluster
+  // and pairwise cost stays O(N · targetCluster) at any SF. The oracle
+  // computes the identical nlist in SQL (COUNT(*) OVER () + the same
+  // ceil), keeping the two engines in lockstep without a literal.
   // Portability: centroids are the IvfNList lowest vec_ids' grid-
   // quantized vectors (s03's recipe, no Lloyd refinement needed for the
   // dedup contract); distances are exact integer arithmetic; the cosine
@@ -507,12 +643,18 @@ object Similarity {
   // (max pairwise cosine ≈ 0.51 on the near-uniform synthetic corpus).
   // ---------------------------------------------------------------------
   private val SemDedupTau = 0.4
+  private val SemDedupTargetCluster = 128
 
   def s08(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val qe = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", $"embedding", ivfQuant($"embedding").as("qv"))
-    val cents = qe.orderBy($"vec_id").limit(IvfNList)
+    // nlist ∝ N (one counting scan, amortized against the corpus pass):
+    // keeps E|cluster| ≤ SemDedupTargetCluster so Σ|cluster|² is linear
+    val n = qe.count()
+    val nlist = math.max(IvfNList.toLong,
+      (n + SemDedupTargetCluster - 1) / SemDedupTargetCluster).toInt
+    val cents = qe.orderBy($"vec_id").limit(nlist)
       .select($"vec_id".as("cluster"), $"qv".as("m"))
     val asg = ivfAssign(qe, cents).select($"vec_id", $"embedding", $"cluster")
     val dups = asg.as("x").join(asg.as("y"),
@@ -535,8 +677,11 @@ object Similarity {
     val cos = PortableSql.cosineFromPartsSql("dot", "na", "nb")
     s"""WITH qe AS (
        |  SELECT vec_id, embedding, ${ivfQuantSql("embedding")} AS qv FROM embeddings),
-       |c0 AS (SELECT vec_id AS cluster, qv AS m
-       |  FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id LIMIT $IvfNList)),
+       |c0 AS (SELECT vec_id AS cluster, qv AS m FROM (
+       |  SELECT vec_id, qv, row_number() OVER (ORDER BY vec_id) AS rn,
+       |    COUNT(*) OVER () AS n FROM qe)
+       |  WHERE rn <= GREATEST($IvfNList,
+       |    CAST(CEIL(CAST(n AS DOUBLE) / $SemDedupTargetCluster) AS BIGINT))),
        |asg AS (SELECT vec_id, embedding, cluster FROM (
        |  SELECT v.vec_id, v.embedding, c.cluster,
        |    row_number() OVER (PARTITION BY v.vec_id
@@ -564,7 +709,8 @@ object Similarity {
     "s05_knn_join" -> (s05 _),
     "s06_ann_recall" -> (s06 _),
     "s07_ann_pq_adc" -> (s07 _),
-    "s08_semdedup" -> (s08 _))
+    "s08_semdedup" -> (s08 _),
+    "s09_ann_ivfpq" -> (s09 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "s01_ann_bruteforce" -> s01Sql,
@@ -574,5 +720,6 @@ object Similarity {
     "s05_knn_join" -> s05Sql,
     "s06_ann_recall" -> s06Sql,
     "s07_ann_pq_adc" -> s07Sql,
-    "s08_semdedup" -> s08Sql)
+    "s08_semdedup" -> s08Sql,
+    "s09_ann_ivfpq" -> s09Sql)
 }

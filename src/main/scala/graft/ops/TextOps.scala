@@ -562,7 +562,7 @@ object TextOps {
     import docs.sparkSession.implicits._
     val rated = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
       .withColumn("rate",
-        min($"n_docs").over(Window.partitionBy()).cast(DoubleType) / $"n_docs")
+        min($"n_docs").over(Window.partitionBy(lit(0))).cast(DoubleType) / $"n_docs")
     val gate = pmod(PortableSql.h60(
         concat($"source", lit(":"), $"doc_id".cast(StringType))), lit(1000000L))
       .cast(DoubleType) < $"rate" * 1000000.0

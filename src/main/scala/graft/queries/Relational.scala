@@ -491,7 +491,7 @@ object Relational {
   // nation-level, and grand-total customer counts in one pass.
   // ---------------------------------------------------------------------
   def q18(spark: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(spark, dir)
+    Tables.register(spark, dir, "customer", "nation", "region")
     spark.sql(
       """SELECT COALESCE(r_name, 'ALL') AS region,
         |  COALESCE(n_name, 'ALL') AS nation,

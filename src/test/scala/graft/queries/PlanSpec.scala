@@ -144,6 +144,19 @@ class PlanSpec extends SparkSpec {
       s"s05 must pair bucket-mates, not enumerate all vector pairs:\n$plan")
   }
 
+  test("ANN top-k runs through the native heap operator, not a window sort") {
+    for ((name, df) <- Seq(
+        "s01" -> graft.ops.Similarity.s01(spark, sf),
+        "s02" -> graft.ops.Similarity.s02(spark, sf),
+        "s05" -> graft.ops.Similarity.s05(spark, sf))) {
+      val plan = executed(df)
+      assert(plan.contains("TopKPerKeyPartial") && plan.contains("TopKPerKeyFinal"),
+        s"$name final top-5 must plan as the native two-phase top-k:\n$plan")
+      assert(!plan.contains("Window"),
+        s"$name must not fall back to a row_number window:\n$plan")
+    }
+  }
+
   test("d06 label propagation joins on keys (no pair enumeration)") {
     val plan = executed(graft.ops.Dedup.d06(spark, sf))
     assert(!plan.contains("CartesianProduct"),
