@@ -76,7 +76,8 @@ final class BrotliDecoder {
     * README.md:4-5 lists custom dictionaries as the sole TODO).
     * Must be called before any compressed bytes are consumed. */
   def setDictionary(b: Array[Byte], off: Int, len: Int): Unit = {
-    require(window == null && totalOut == 0, "setDictionary must precede decoding")
+    require(state == State.StreamHeader && totalOut == 0,
+      "setDictionary must precede decoding")
     dict = java.util.Arrays.copyOfRange(b, off, off + len)
   }
 
@@ -138,7 +139,10 @@ final class BrotliDecoder {
       }
     }
     val size = 1 << wbits
-    window = new Array[Byte](size)
+    // reuse a same-sized window from a previous stream (pooled/framed
+    // reuse): stale contents are unreachable — back-references are
+    // bounded by min(totalOut, maxWindow) and totalOut restarts at 0
+    if (window == null || window.length != size) window = new Array[Byte](size)
     windowMask = size - 1
     // prefix dictionary: preload as already-produced window content
     // (advances totalOut and seeds the p1/p2 literal context, matching
@@ -567,7 +571,7 @@ final class BrotliDecoder {
     islastPending = false
     sawEndOfInput = false
     starved = false
-    window = null; windowMask = 0; totalOut = 0
+    windowMask = 0; totalOut = 0 // window array kept for same-size reuse
     dict = Array.emptyByteArray
     pendingOut = null; pendingPos = 0
     System.arraycopy(InitialDistanceRing, 0, ring, 0, 4)

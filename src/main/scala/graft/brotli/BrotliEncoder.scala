@@ -132,7 +132,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
   // explicit distances, all three alphabets Huffman-coded from block
   // histograms. Chain depth scales with quality.
   // -------------------------------------------------------------------
-  private val HashBits = 17
+  private val HashBits = 19
   /** Little-endian long view over `hist`: match extension compares
     * 8 bytes per load (mismatch position from the XOR's trailing zeros).
     * ByteBuffer.getLong is JIT-intrinsified to an unaligned load (a

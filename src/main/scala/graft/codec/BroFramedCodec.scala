@@ -7,8 +7,6 @@ import org.apache.hadoop.conf.{Configurable, Configuration}
 import org.apache.hadoop.fs.Seekable
 import org.apache.hadoop.io.compress._
 
-import graft.brotli.Brotli
-
 /** Framed SPLITTABLE Brotli codec (`.brf`) — the capability the
   * reference explicitly lacks (BroCodec.java:18 implements no
   * `SplittableCompressionCodec`, making every `.bro` file one Spark task;
@@ -195,6 +193,15 @@ class BroFramedOutputStream(out: OutputStream, quality: Int, frameSize: Int)
   private val buf = new Array[Byte](frameSize)
   private var n = 0
   private var finished = false
+  // ONE encoder for the stream's lifetime, reset() per frame: a fresh
+  // encoder pays ~25 ms of first-touch page faults on its ~45 MB
+  // window/chain arrays, which capped framed encode at ~50 MB/s vs ~250
+  // whole-stream (r8 finding); reset() only refills the 2^17-entry hash
+  // table, so per-frame fixed cost drops ~500×. Frames stay fully
+  // independent streams — reset() is the pooled-reuse contract
+  // BrotliSpec verifies.
+  private val enc = new graft.brotli.BrotliEncoder(quality)
+  private val frameBytes = new java.io.ByteArrayOutputStream()
 
   override def write(b: Int): Unit = {
     buf(n) = b.toByte
@@ -214,14 +221,17 @@ class BroFramedOutputStream(out: OutputStream, quality: Int, frameSize: Int)
   }
 
   private def emit(): Unit = if (n > 0) {
-    val comp = Brotli.compress(java.util.Arrays.copyOf(buf, n), quality)
-    out.write(BroFramed.header(n, comp.length))
-    out.write(comp)
+    frameBytes.reset()
+    enc.reset()
+    enc.write(buf, 0, n, frameBytes)
+    enc.finish(frameBytes)
+    out.write(BroFramed.header(n, frameBytes.size()))
+    frameBytes.writeTo(out)
     n = 0
   }
 
   override def finish(): Unit = if (!finished) { emit(); finished = true }
-  override def resetState(): Unit = { n = 0; finished = false }
+  override def resetState(): Unit = { n = 0; finished = false; enc.reset() }
 }
 
 /** Read side for both whole-file and split use: serves whole frames
@@ -240,6 +250,12 @@ class BroFramedInputStream(in: InputStream, adjStart: Long, endArg: Long)
   private var reportedPos: Long = adjStart
   private var eof = false
   private val hdr = new Array[Byte](HeaderLen)
+  // one decoder reused across frames (reset per frame): keeps the 4 MiB
+  // backward-reference window's pages warm and decodes straight into the
+  // header-sized output array — Brotli.decompress allocated a fresh
+  // decoder + ByteArrayOutputStream per frame, whose first-touch faults
+  // and grow-copies were most of the .brf decode tax (r8 finding)
+  private val dec = new graft.brotli.BrotliDecoder()
 
   override def getPos: Long = reportedPos
 
@@ -271,14 +287,28 @@ class BroFramedInputStream(in: InputStream, adjStart: Long, endArg: Long)
     val compLen = readInt(hdr, 8)
     val payload = new Array[Byte](compLen)
     readFully(payload, 0, compLen)
-    val dec = Brotli.decompress(payload)
-    if (dec.length != uncompLen)
+    dec.reset()
+    dec.addInput(payload, 0, compLen)
+    dec.endOfInput()
+    val out = new Array[Byte](uncompLen)
+    var got = 0
+    var k = dec.decode(out, got, uncompLen - got)
+    while (k > 0) { got += k; k = dec.decode(out, got, uncompLen - got) }
+    if (!dec.isFinished) {
+      // uncompLen == 0 (or a short frame): one probe drives the parse to
+      // the stream's end so truncation/corruption still surfaces
+      val probe = new Array[Byte](1)
+      if (dec.decode(probe, 0, 1) != 0 || !dec.isFinished)
+        throw new IOException(s"frame at offset $nextFrameOffset decoded to " +
+          s"more than the $uncompLen bytes its header declares")
+    }
+    if (got != uncompLen)
       throw new IOException(s"frame at offset $nextFrameOffset decoded to " +
-        s"${dec.length} bytes, header says $uncompLen")
+        s"$got bytes, header says $uncompLen")
     // advertise: this frame's bytes are served against its start offset
     reportedPos = nextFrameOffset + 1
     nextFrameOffset += HeaderLen + compLen
-    frame = dec
+    frame = out
     fpos = 0
     if (uncompLen == 0) advance() else true
   }
