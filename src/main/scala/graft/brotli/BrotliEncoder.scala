@@ -13,6 +13,11 @@ import java.io.ByteArrayOutputStream
   *          q1 is the greedy fast tier (depth-1 chains, early skip
   *          ramp, short nice-length) matching libbrotli's fast modes;
   *          depth/niceLen/skip/hash width all scale with quality.
+  *   - q10+: literal context modeling (multi-tree coding by UTF8
+  *          context with a clustered context map) when literals carry
+  *          enough mass; q11 additionally swaps the greedy parse for
+  *          the iterated zopfli-style shortest-path parse — the
+  *          cost-no-object rung, like libbrotli's own q11.
   *
   * Mirrors the reference's block-granular encode semantics
   * (BroCompressor.java:117-148: stage until a block is full, then emit)
@@ -237,6 +242,157 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     while (i <= last) { insertHash(i); i += 1 }
   }
 
+  // -------------------------------------------------------------------
+  // Literal CONTEXT MODELING (quality >= 10): literals are coded from
+  // one of several Huffman trees selected by the UTF8 context of the
+  // previous two output bytes (RFC 7932 §7.1) — the decoder-side
+  // machinery (cmodes/NTREESL/context map) has been in place since the
+  // beginning; this is the encoder side, and it is where native brotli
+  // gets most of its q10/q11 ratio jump on text. The 64 per-context
+  // histograms are clustered greedily into few trees; the context map
+  // is written in the simplest valid §7.3 form (no RLE, no inverse
+  // MTF — tree indices are the symbols).
+  // -------------------------------------------------------------------
+  private val contextModeling = quality >= 10
+  /** Zopfli DP (quality >= 10): chain-walk depth per position and the
+    * per-block DP state (cost-to-reach, arrival edge, arrival distance),
+    * sized blockSize+1 and reused across blocks. */
+  /** Shallow per-position walk depth; command-start positions from the
+    * pass-1 plan get re-walked at [[ZopfliDeepDepth]] from their
+    * recorded tips (deep-everywhere was ~15× slower for ~4% ratio). */
+  private val ZopfliDepth = 512
+  private val ZopfliDeepDepth = 512
+  private val CmdOverheadBits = 4.0
+  private lazy val zCost = new Array[Double](blockSize + 1)
+  private lazy val zFromLen = new Array[Int](blockSize + 1)
+  private lazy val zFromDist = new Array[Int](blockSize + 1)
+  private lazy val zArrDist = new Array[Int](blockSize + 1)
+  /** Per-position candidate cache (up to 4 (dist, len) pairs), filled
+    * during the insert pass while the chain tips are temporally correct
+    * — pass 2's tips point at positions AFTER p (the whole block is
+    * inserted), so a fresh walk there would burn its depth budget
+    * skipping future candidates and find nothing. */
+  private lazy val zCandD = new Array[Int](4 * (blockSize + 1))
+  private lazy val zCandL = new Array[Int](4 * (blockSize + 1))
+  /** Chain tip (pre-insert) per position, recorded in pass 1 so selected
+    * positions can be re-walked deeper later without the future-tip
+    * problem (fully-inserted chains point past p). */
+  private lazy val zTip = new Array[Int](blockSize + 1)
+  private val MaxLitTrees = 12
+  /** ~bits one extra literal tree costs (code description); merges stop
+    * when the entropy growth of the best merge exceeds this. */
+  private val TreeCostBits = 240.0
+
+  private def utf8Ctx(p1: Int, p2: Int): Int =
+    SpecData.ContextLut((2 << 9) + p1) | SpecData.ContextLut((2 << 9) + 256 + p2)
+
+  /** Shannon bits of a histogram. */
+  private def entropyBits(h: Array[Long]): Double = {
+    var total = 0L
+    var i = 0
+    while (i < h.length) { total += h(i); i += 1 }
+    if (total == 0L) return 0.0
+    val lnT = math.log(total.toDouble)
+    var b = 0.0
+    i = 0
+    while (i < h.length) {
+      val c = h(i)
+      if (c > 0L) b += c * (lnT - math.log(c.toDouble))
+      i += 1
+    }
+    b / math.log(2.0)
+  }
+
+  /** Shannon bits of h1+h2 without materializing the merged histogram. */
+  private def mergedEntropyBits(h1: Array[Long], h2: Array[Long]): Double = {
+    var total = 0L
+    var i = 0
+    while (i < h1.length) { total += h1(i) + h2(i); i += 1 }
+    if (total == 0L) return 0.0
+    val lnT = math.log(total.toDouble)
+    var b = 0.0
+    i = 0
+    while (i < h1.length) {
+      val c = h1(i) + h2(i)
+      if (c > 0L) b += c * (lnT - math.log(c.toDouble))
+      i += 1
+    }
+    b / math.log(2.0)
+  }
+
+  /** Greedy agglomerative clustering of the 64 per-context histograms:
+    * repeatedly merge the pair whose combined entropy grows least, while
+    * more than [[MaxLitTrees]] clusters remain OR the growth is cheaper
+    * than a tree header. Returns (context → tree id over 64 entries,
+    * per-tree histograms), or null when a single tree suffices. */
+  private def clusterContexts(ctxFreq: Array[Array[Long]]): (Array[Int], Array[Array[Long]]) = {
+    val hists = scala.collection.mutable.ArrayBuffer[Array[Long]]()
+    val members = scala.collection.mutable.ArrayBuffer[List[Int]]()
+    var c = 0
+    while (c < 64) {
+      if (ctxFreq(c).exists(_ != 0L)) {
+        hists += ctxFreq(c); members += List(c)
+      }
+      c += 1
+    }
+    if (hists.length <= 1) return null
+    val ent = hists.map(entropyBits)
+    var continueMerging = true
+    while (continueMerging && hists.length > 1) {
+      var bi = -1; var bj = -1
+      var best = Double.MaxValue
+      var i = 0
+      while (i < hists.length) {
+        var j = i + 1
+        while (j < hists.length) {
+          val d = mergedEntropyBits(hists(i), hists(j)) - ent(i) - ent(j)
+          if (d < best) { best = d; bi = i; bj = j }
+          j += 1
+        }
+        i += 1
+      }
+      if (best <= TreeCostBits || hists.length > MaxLitTrees) {
+        val hb = hists(bj)
+        val ha = hists(bi)
+        var k = 0
+        while (k < 256) { ha(k) += hb(k); k += 1 }
+        ent(bi) = entropyBits(ha)
+        members(bi) = members(bi) ++ members(bj)
+        hists.remove(bj); ent.remove(bj); members.remove(bj)
+      } else continueMerging = false
+    }
+    if (hists.length <= 1) return null
+    val cmap = new Array[Int](64)
+    var t = 0
+    while (t < hists.length) {
+      members(t).foreach(ctx => cmap(ctx) = t)
+      t += 1
+    }
+    (cmap, hists.toArray)
+  }
+
+  /** §9.2 variable-length count (inverse of the decoder's readVarCount). */
+  private def writeVarCount(n: Int): Unit =
+    if (n == 1) bits.writeBits(0, 1)
+    else {
+      bits.writeBits(1, 1)
+      val nbits = 31 - Integer.numberOfLeadingZeros(n - 1)
+      bits.writeBits(nbits.toLong, 3)
+      bits.writeBits((n - 1 - (1 << nbits)).toLong, nbits)
+    }
+
+  /** §7.3 context map, simplest valid form: RLEMAX = 0 (tree indices are
+    * the symbols directly), no inverse-MTF. */
+  private def writeContextMap(cmap: Array[Int], nTrees: Int): Unit = {
+    bits.writeBits(0, 1) // no RLE codes
+    val freqs = new Array[Long](nTrees)
+    cmap.foreach(v => freqs(v) += 1)
+    val alphabetBits = 32 - Integer.numberOfLeadingZeros(nTrees - 1)
+    val (lens, codes) = writePrefixCode(freqs, alphabetBits)
+    cmap.foreach(v => bits.writeCodeBits(codes(v), lens(v)))
+    bits.writeBits(0, 1) // no inverse MTF
+  }
+
   // distance ring mirroring the decoder's stream-level state (§4,
   // libbrotli-verified): initial last/2nd/3rd/4th = 4/11/15/16; code 0
   // and implicit-zone distances do not push; everything else does.
@@ -425,36 +581,357 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     // the longer we go without finding one (brotli/zlib's skip
     // heuristic): cost is a missed short match at a skipped position,
     // bounded by the slow ramp; gain is O(1/step) work on random data
-    var misses = 0
-    while (pos <= lastHashPos) {
-      val m = searchAndInsert(pos)
-      val bestLen = (m >>> 32).toInt
-      if (bestLen >= MinMatch) {
-        misses = 0
-        val bestPos = (m & 0xffffffffL).toInt
-        addCmd(litStart, pos - litStart, bestLen, pos - bestPos)
-        lastDist = pos - bestPos
-        if (insertAllPositions) {
-          // inside long matches a strided insert keeps the chains useful
-          // (the rep-match path finds continuations anyway) at a fraction
-          // of the hashing cost; very long matches stride harder
-          val stride = if (bestLen > 2048) 16 else if (bestLen > 256) 4 else 1
-          val stop = math.min(pos + bestLen, lastHashPos + 1)
-          var i = maxInserted + 1
-          while (i < stop) { insertHash(i); i += stride }
-          if (stop - 1 > maxInserted) maxInserted = stop - 1
+    // ----------------------------------------------------------------
+    // ZOPFLI-STYLE PARSE (quality >= 10): r8 bit accounting showed
+    // distance EXTRA bits are ~60% of the q11 stream on text — the
+    // greedy longest-match parse pays a fresh ~20-bit explicit distance
+    // per command where a slightly different match (a same-distance
+    // rep, or a copy cut at a code boundary to land on one) costs ~1
+    // bit. A forward shortest-path DP over the block picks the cheapest
+    // command sequence under a histogram cost model: pass 1 runs on
+    // static costs (and populates the hash chains), its plan's
+    // histograms price pass 2, and the final plan is rebuilt through
+    // addCmd so emission stays bit-exact (DP costs are estimates;
+    // addCmd re-derives implicit/ring/short codes from the true ring).
+    // Rep economics thread the ARRIVAL distance through the DP
+    // (dist == arrival distance ⇒ near-free) — the one-deep
+    // approximation of libbrotli's distance-cache-aware ZopfliNode
+    // search (zopfli.c's BrotliZopfliComputeShortestPath shape).
+    // ----------------------------------------------------------------
+    def zopfliParse(): Unit = {
+      val n = end - b0
+      val litCostT = new Array[Double](256)
+      val cmdCostT = new Array[Double](CommandAlphabetSize)
+      val distCostT = new Array[Double](numDistanceCodes(0, 0))
+      // pass-1 static model: block-byte entropy for literals,
+      // implicit-zone commands cheaper than explicit, flat distances
+      locally {
+        val bf = new Array[Long](256)
+        var p = b0
+        while (p < end) { bf(hist(p) & 0xff) += 1; p += 1 }
+        val bl = Huffman.buildLengths(bf, 15)
+        var i = 0
+        while (i < 256) { litCostT(i) = if (bl(i) > 0) bl(i) else 17.0; i += 1 }
+        i = 0
+        while (i < cmdCostT.length) { cmdCostT(i) = if (i < 128) 7.0 else 10.0; i += 1 }
+        i = 0
+        while (i < distCostT.length) { distCostT(i) = 7.0; i += 1 }
+      }
+      def costsFromFreqs(): Unit = {
+        def fill(freqs: Array[Long], out: Array[Double]): Unit = {
+          val ls = Huffman.buildLengths(freqs, 15)
+          var i = 0
+          while (i < out.length) { out(i) = if (ls(i) > 0) ls(i) else 17.0; i += 1 }
         }
-        pos += bestLen
-        litStart = pos
-      } else {
-        misses += 1
-        pos += 1 + (misses >> skipShift)
+        fill(litFreq, litCostT); fill(cmdFreq, cmdCostT); fill(distFreq, distCostT)
+      }
+      // closed-form §4 distance code (NPOSTFIX=0, NDIRECT=0):
+      // (symbol | extraBits << 16) for an explicit distance
+      def distSymAndBits(dist: Int): Int = {
+        val x = dist + 3
+        val nb = 30 - Integer.numberOfLeadingZeros(x)
+        (16 + ((nb - 1) << 1) + ((x >>> nb) & 1)) | (nb << 16)
+      }
+      def relaxAt(i: Int, len: Int, dist: Int, rep: Boolean): Unit = {
+        val j = i + len
+        val ccode = copyCodeFor(len)
+        // CmdOverheadBits counters fragmentation: the model prices
+        // commands by their icode=0 column, so without a fixed per-
+        // command term the DP happily splits one long copy into several
+        // "free" rep copies that each really cost a command symbol,
+        // insert coupling, and histogram spread
+        var c = zCost(i) + CopyExtra(ccode) + CmdOverheadBits
+        if (rep) {
+          // emission lands in the implicit zone (ccode ≤ 15) or pays an
+          // explicit command + ring dcode 0 — both distance-bit-free
+          if (ccode <= 15) c += cmdCostT(64 * (if (ccode < 8) 0 else 1) + (ccode & 7))
+          else c += cmdCostT(packCommandExplicit(0, ccode)) + distCostT(0)
+        } else {
+          val sb = distSymAndBits(dist)
+          c += cmdCostT(packCommandExplicit(0, ccode)) +
+            distCostT(sb & 0xffff) + (sb >>> 16)
+        }
+        if (c < zCost(j)) {
+          zCost(j) = c; zFromLen(j) = len; zFromDist(j) = dist; zArrDist(j) = dist
+        }
+      }
+      // relax every copy-code boundary ≤ len (cost is flat within a
+      // code, so only the longest length per code matters); bounded to
+      // the top 6 codes
+      def relaxBoundaries(i: Int, len: Int, dist: Int, rep: Boolean): Unit = {
+        val cTop = copyCodeFor(len)
+        val cMin = math.max(copyCodeFor(MinMatch), cTop - 5)
+        var c = cTop
+        while (c >= cMin) {
+          val l = if (c == cTop) len else math.min(len, CopyBase(c + 1) - 1)
+          if (l >= MinMatch) relaxAt(i, l, dist, rep)
+          c -= 1
+        }
+      }
+      def sweep(insertPass: Boolean): Unit = {
+        java.util.Arrays.fill(zCost, 0, n + 1, Double.MaxValue)
+        zCost(0) = 0.0
+        zArrDist(0) = ringLast(0)
+        var p = b0
+        var lastRepD0 = 0
+        var lastRepLen = 0
+        var lastRepClipped = false
+        // after a long chain match, positions interior to it skip their
+        // walks (libbrotli's zopfli does the same past
+        // ZOPFLI_LENGTH_MAX): the boundary edges from the match's start
+        // already cover them, and walking every interior position is
+        // what made the DP ~10x slower than the q11 greedy
+        var walkCooldown = 0
+        while (p < end) {
+          val i = p - b0
+          // literal edge (keeps every node reachable by induction)
+          val lc = zCost(i) + litCostT(hist(p) & 0xff)
+          if (lc < zCost(i + 1)) {
+            zCost(i + 1) = lc; zFromLen(i + 1) = 0; zFromDist(i + 1) = 0
+            zArrDist(i + 1) = zArrDist(i)
+          }
+          val maxLen = math.min(MaxCopy, end - p)
+          if (maxLen >= MinMatch) {
+            val d0 = zArrDist(i)
+            var repLen = 0
+            if (d0 > 0 && d0 <= maxBackward && p - d0 >= 0) {
+              // incremental: at the same arrival distance one step later
+              // the rep match is exactly one byte shorter — rescanning
+              // it at every interior position of a long repeat was
+              // O(L²) per repeat region
+              repLen =
+                if (d0 == lastRepD0 && lastRepLen > 0 && !lastRepClipped)
+                  lastRepLen - 1
+                else matchLen(p - d0, p, maxLen)
+              lastRepD0 = d0; lastRepLen = repLen
+              lastRepClipped = repLen == maxLen
+              if (repLen >= MinMatch) relaxBoundaries(i, repLen, d0, rep = true)
+            } else { lastRepD0 = 0; lastRepLen = 0; lastRepClipped = false }
+            if (p <= lastHashPos) {
+              val ci4 = i << 2
+              if (insertPass) {
+                // walk + record candidates while the chain tips are
+                // temporally correct (ascending-length, closest-first,
+                // so each kept tier has the smallest available distance)
+                val h = hashAt(p)
+                var cand = hashTable(h)
+                zTip(i) = cand
+                if (p > maxInserted) {
+                  chain(p) = p - cand; hashTable(h) = p; maxInserted = p
+                }
+                // inside a long repeat the rep edge already beats any
+                // chain candidate by distance cost — skip the walk (and
+                // its own long matchLen scans) there; likewise inside a
+                // long chain match (walkCooldown)
+                var depth =
+                  if (repLen >= 64) 0
+                  else if (walkCooldown > 0 && (p & 7) != 0) 0
+                  else ZopfliDepth
+                var bestL = 0
+                var nc = 0
+                while (cand >= 0 && depth > 0 && bestL < maxLen) {
+                  if (cand < p) {
+                    if (p - cand > maxBackward) depth = 0
+                    else if (hist(cand + bestL) == hist(p + bestL)) {
+                      val ml = matchLen(cand, p, maxLen)
+                      if (ml >= MinMatch && ml > bestL) {
+                        bestL = ml
+                        val slot = if (nc < 4) { nc += 1; nc - 1 } else 3
+                        zCandD(ci4 + slot) = p - cand
+                        zCandL(ci4 + slot) = ml
+                      }
+                    }
+                  }
+                  cand -= chain(cand)
+                  depth -= 1
+                }
+                var z = nc
+                while (z < 4) { zCandL(ci4 + z) = 0; z += 1 }
+                if (bestL >= 32) walkCooldown = bestL - 1
+                else if (walkCooldown > 0) walkCooldown -= 1
+              }
+              // relax from the cached candidates (identical in both passes)
+              var k = 0
+              var bl = 0
+              var bd = 0
+              while (k < 4) {
+                val l = zCandL(ci4 + k)
+                if (l > 0) {
+                  val d = zCandD(ci4 + k)
+                  relaxAt(i, l, d, rep = false)
+                  if (l > bl) { bl = l; bd = d }
+                }
+                k += 1
+              }
+              // explicit candidates relax at full length only: cutting
+              // them at code boundaries fragments the parse (each cut
+              // pays a distance), while rep cuts stay distance-free
+            }
+          }
+          p += 1
+        }
+      }
+      /** Traceback into flat (litAfter, copyLen, dist) triples, reverse
+        * order; the final triple's litAfter is the block-leading run. */
+      def buildPlan(): Array[Int] = {
+        val buf = new scala.collection.mutable.ArrayBuffer[Int]()
+        var i = n
+        var lit = 0
+        while (i > 0) {
+          val fl = zFromLen(i)
+          if (fl == 0) { lit += 1; i -= 1 }
+          else { buf += lit; buf += fl; buf += zFromDist(i); i -= fl; lit = 0 }
+        }
+        buf += lit; buf += 0; buf += 0
+        buf.toArray
+      }
+      def replay(plan: Array[Int]): Unit = {
+        var ls = b0
+        var pend = plan(plan.length - 3)
+        var k = plan.length - 6
+        while (k >= 0) {
+          val lit = plan(k); val clen = plan(k + 1); val d = plan(k + 2)
+          addCmd(ls, pend, clen, d)
+          ls += pend + clen
+          pend = lit
+          k -= 3
+        }
+        if (pend > 0 || nCmds == 0) addCmd(ls, pend, 0, 0)
+      }
+      /** Re-walk one position from its recorded pass-1 tip at full
+        * depth, overwriting its cached candidate tiers. */
+      def deepenAt(p: Int): Unit = {
+        if (p > lastHashPos) return
+        val i = p - b0
+        val maxLen = math.min(MaxCopy, end - p)
+        if (maxLen < MinMatch) return
+        val ci4 = i << 2
+        var cand = zTip(i)
+        var depth = ZopfliDeepDepth
+        var bestL = 0
+        var nc = 0
+        while (cand >= 0 && depth > 0 && bestL < maxLen) {
+          if (cand < p) {
+            if (p - cand > maxBackward) depth = 0
+            else if (hist(cand + bestL) == hist(p + bestL)) {
+              val ml = matchLen(cand, p, maxLen)
+              if (ml >= MinMatch && ml > bestL) {
+                bestL = ml
+                val slot = if (nc < 4) { nc += 1; nc - 1 } else 3
+                zCandD(ci4 + slot) = p - cand
+                zCandL(ci4 + slot) = ml
+              }
+            }
+          }
+          cand -= chain(cand)
+          depth -= 1
+        }
+        var z = nc
+        while (z < 4) { zCandL(ci4 + z) = 0; z += 1 }
+      }
+      /** Deepen every copy-command start position of a plan. */
+      def deepenPlan(plan: Array[Int]): Unit = {
+        var ls = b0
+        var pend = plan(plan.length - 3)
+        var k = plan.length - 6
+        while (k >= 0) {
+          val lit = plan(k); val clen = plan(k + 1)
+          deepenAt(ls + pend)
+          ls += pend + clen
+          pend = lit
+          k -= 3
+        }
+      }
+      val ringSnap = distRing.clone()
+      val ringIdxSnap = distRingIdx
+      def resetParseState(): Unit = {
+        java.util.Arrays.fill(litFreq, 0L)
+        java.util.Arrays.fill(cmdFreq, 0L)
+        java.util.Arrays.fill(distFreq, 0L)
+        nCmds = 0
+        System.arraycopy(ringSnap, 0, distRing, 0, 4)
+        distRingIdx = ringIdxSnap
+      }
+      sweep(insertPass = true)
+      resetParseState()
+      var plan = buildPlan()
+      replay(plan)
+      // refine: deepen the current plan's command starts, re-sweep from
+      // the cache (cheap — no chain walks), re-price. Command positions
+      // drift between iterations, so q11 runs the loop thrice; the
+      // sweep-and-deepen cost is ~15% of a deep-everywhere pass.
+      var it = 0
+      val iters = if (quality >= 11) 3 else 1
+      while (it < iters) {
+        costsFromFreqs()
+        deepenPlan(plan)
+        sweep(insertPass = false)
+        resetParseState()
+        plan = buildPlan()
+        replay(plan)
+        it += 1
       }
     }
-    if (end - litStart > 0 || nCmds == 0)
-      addCmd(litStart, end - litStart, 0, 0) // trailing literals
+    if (quality >= 11) zopfliParse()
+    else {
+      var misses = 0
+      while (pos <= lastHashPos) {
+        val m = searchAndInsert(pos)
+        val bestLen = (m >>> 32).toInt
+        if (bestLen >= MinMatch) {
+          misses = 0
+          val bestPos = (m & 0xffffffffL).toInt
+          addCmd(litStart, pos - litStart, bestLen, pos - bestPos)
+          lastDist = pos - bestPos
+          if (insertAllPositions) {
+            // inside long matches a strided insert keeps the chains useful
+            // (the rep-match path finds continuations anyway) at a fraction
+            // of the hashing cost; very long matches stride harder
+            val stride = if (bestLen > 2048) 16 else if (bestLen > 256) 4 else 1
+            val stop = math.min(pos + bestLen, lastHashPos + 1)
+            var i = maxInserted + 1
+            while (i < stop) { insertHash(i); i += stride }
+            if (stop - 1 > maxInserted) maxInserted = stop - 1
+          }
+          pos += bestLen
+          litStart = pos
+        } else {
+          misses += 1
+          pos += 1 + (misses >> skipShift)
+        }
+      }
+      if (end - litStart > 0 || nCmds == 0)
+        addCmd(litStart, end - litStart, 0, 0) // trailing literals
+    }
     if (litFreq.forall(_ == 0)) litFreq(0) = 1 // all-copy block: dummy literal tree
     if (distFreq.forall(_ == 0)) distFreq(0) = 1 // literal-only block
+    // ---- literal context split (q >= 10) ----
+    // histogram literals by the UTF8 context of the previous two OUTPUT
+    // bytes — hist(lp-1)/hist(lp-2), which is exactly the decoder's
+    // p1/p2 (hist holds prior blocks and any preloaded dictionary)
+    var cmap: Array[Int] = null
+    var treeHists: Array[Array[Long]] = null
+    if (contextModeling) {
+      val ctxFreq = Array.fill(64)(new Array[Long](256))
+      var cc = 0
+      while (cc < nCmds) {
+        val o = cc * CmdStride
+        val ls = cmdBuf(o); val ll = cmdBuf(o + 1)
+        var i = 0
+        while (i < ll) {
+          val lp = ls + i
+          val pb1 = if (lp >= 1) hist(lp - 1) & 0xff else 0
+          val pb2 = if (lp >= 2) hist(lp - 2) & 0xff else 0
+          ctxFreq(utf8Ctx(pb1, pb2))(hist(lp) & 0xff) += 1
+          i += 1
+        }
+        cc += 1
+      }
+      clusterContexts(ctxFreq) match {
+        case null => ()
+        case (cm, th) => cmap = cm; treeHists = th
+      }
+    }
     // ---- header ----
     bits.writeBits(0, 1) // ISLAST
     val mlenMinus1 = len - 1
@@ -465,13 +942,28 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     bits.writeBits(0, 1) // ISUNCOMPRESSED
     bits.writeBits(0, 1); bits.writeBits(0, 1); bits.writeBits(0, 1) // NBLTYPES
     bits.writeBits(0, 2); bits.writeBits(0, 4) // NPOSTFIX, NDIRECT
-    bits.writeBits(0, 2) // context mode
-    bits.writeBits(0, 1); bits.writeBits(0, 1) // NTREESL, NTREESD
-    val (litLen, litCode) = writePrefixCode(litFreq, 8)
+    bits.writeBits(if (cmap != null) 2L else 0L, 2) // context mode (UTF8 when split)
+    if (cmap == null) bits.writeBits(0, 1) // NTREESL = 1
+    else {
+      writeVarCount(treeHists.length)
+      writeContextMap(cmap, treeHists.length)
+    }
+    bits.writeBits(0, 1) // NTREESD
+    val nLitTrees = if (cmap == null) 1 else treeHists.length
+    val litLens = new Array[Array[Int]](nLitTrees)
+    val litRevs = new Array[Array[Int]](nLitTrees)
+    var lt = 0
+    while (lt < nLitTrees) {
+      val (l, cd) = writePrefixCode(if (cmap == null) litFreq else treeHists(lt), 8)
+      litLens(lt) = l
+      litRevs(lt) = Array.tabulate(256)(b => Huffman.reverseBits(cd(b), l(b)))
+      lt += 1
+    }
     val (cmdLenA, cmdCodeA) = writePrefixCode(cmdFreq, 10)
     val (distLenA, distCodeA) = writePrefixCode(distFreq, 6)
     // ---- body ---- (codes pre-reversed: one writeBits call per symbol)
-    val litRev = Array.tabulate(256)(b => Huffman.reverseBits(litCode(b), litLen(b)))
+    val litLen = litLens(0)
+    val litRev = litRevs(0)
     val cmdRev = Array.tabulate(cmdCodeA.length)(s => Huffman.reverseBits(cmdCodeA(s), cmdLenA(s)))
     val distRev = Array.tabulate(distCodeA.length)(s => Huffman.reverseBits(distCodeA(s), distLenA(s)))
     var ci = 0
@@ -486,10 +978,22 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       bits.writeBits((math.max(cCopyLen, CopyBase(0)) - CopyBase(ccode)).toLong,
         CopyExtra(ccode))
       var i = 0
-      while (i < cLitLen) {
-        val b = hist(cLitStart + i) & 0xff
-        bits.writeBits(litRev(b).toLong, litLen(b))
-        i += 1
+      if (cmap == null) {
+        while (i < cLitLen) {
+          val b = hist(cLitStart + i) & 0xff
+          bits.writeBits(litRev(b).toLong, litLen(b))
+          i += 1
+        }
+      } else {
+        while (i < cLitLen) {
+          val lp = cLitStart + i
+          val b = hist(lp) & 0xff
+          val pb1 = if (lp >= 1) hist(lp - 1) & 0xff else 0
+          val pb2 = if (lp >= 2) hist(lp - 2) & 0xff else 0
+          val tr = cmap(utf8Ctx(pb1, pb2))
+          bits.writeBits(litRevs(tr)(b).toLong, litLens(tr)(b))
+          i += 1
+        }
       }
       // distance emitted only for explicit-zone copy commands (implicit
       // zone reuses the ring; the trailing literal-only command never
