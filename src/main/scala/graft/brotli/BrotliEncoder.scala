@@ -675,7 +675,6 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         var p = b0
         var lastRepD0 = 0
         var lastRepLen = 0
-        var lastRepClipped = false
         // after a long chain match, positions interior to it skip their
         // walks (libbrotli's zopfli does the same past
         // ZOPFLI_LENGTH_MAX): the boundary edges from the match's start
@@ -695,18 +694,19 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
             val d0 = zArrDist(i)
             var repLen = 0
             if (d0 > 0 && d0 <= maxBackward && p - d0 >= 0) {
-              // incremental: at the same arrival distance one step later
-              // the rep match is exactly one byte shorter — rescanning
-              // it at every interior position of a long repeat was
-              // O(L²) per repeat region
+              // incremental: one step later at the same arrival
+              // distance, the first lastRepLen-1 bytes are matching by
+              // construction — extend from there instead of rescanning
+              // (a full rescan at every interior position of a long or
+              // MaxCopy-clipped repeat was O(L²) per repeat region)
               repLen =
-                if (d0 == lastRepD0 && lastRepLen > 0 && !lastRepClipped)
-                  lastRepLen - 1
-                else matchLen(p - d0, p, maxLen)
+                if (d0 == lastRepD0 && lastRepLen > 0) {
+                  val base = math.min(lastRepLen - 1, maxLen)
+                  base + matchLen(p - d0 + base, p + base, maxLen - base)
+                } else matchLen(p - d0, p, maxLen)
               lastRepD0 = d0; lastRepLen = repLen
-              lastRepClipped = repLen == maxLen
               if (repLen >= MinMatch) relaxBoundaries(i, repLen, d0, rep = true)
-            } else { lastRepD0 = 0; lastRepLen = 0; lastRepClipped = false }
+            } else { lastRepD0 = 0; lastRepLen = 0 }
             if (p <= lastHashPos) {
               val ci4 = i << 2
               if (insertPass) {

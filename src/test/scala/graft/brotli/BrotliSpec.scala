@@ -379,4 +379,25 @@ class BrotliSpec extends AnyFunSuite {
     assert(decomp.getRemaining == trailer.length,
       s"expected ${trailer.length} unconsumed bytes, got ${decomp.getRemaining}")
   }
+
+  test("q11 zopfli parse round-trips adversarial shapes and beats greedy q10") {
+    val rnd = new scala.util.Random(7)
+    // template-heavy text: the corpus shape the DP's rep modeling targets
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val text = (0 until 4000).map { i =>
+      s"record ${i % 97} status=${words(i % words.length)} " +
+        s"payload ${words(rnd.nextInt(words.length))} end"
+    }.mkString("\n").getBytes
+    val zeros = new Array[Byte](3 << 20) // MaxCopy-clipped rep runs
+    val periodic = Array.tabulate[Byte](2 << 20)(i => (i % 1023).toByte)
+    val random = { val a = new Array[Byte](1 << 20); rnd.nextBytes(a); a } // no matches
+    for (payload <- Seq(text, zeros, periodic, random)) {
+      val enc = Brotli.compress(payload, 11)
+      assert(java.util.Arrays.equals(Brotli.decompress(enc), payload),
+        s"q11 round-trip failed for ${payload.length}-byte payload")
+    }
+    val q10 = Brotli.compress(text, 10).length
+    val q11 = Brotli.compress(text, 11).length
+    assert(q11 <= q10, s"max-ratio rung regressed: q11 $q11 vs q10 $q10")
+  }
 }
