@@ -431,28 +431,32 @@ object Dedup {
     * two vertex ids): returns (v, lbl) with lbl = min vertex id of v's
     * component. Runs min-label propagation until no label changes.
     *
-    * Each round's labels are `localCheckpoint`ed: the checkpoint cuts
-    * the lineage so (a) round k+1's plan doesn't re-execute rounds 1..k,
+    * Each round's labels are checkpointed: the checkpoint cuts the
+    * lineage so (a) round k+1's plan doesn't re-execute rounds 1..k,
     * and (b) the input's lineage (for d06, the whole d02 pipeline) is
     * executed exactly once and released — no persist handle outlives the
-    * call. On a real cluster swap `localCheckpoint` for a reliable
-    * `checkpoint` dir so executor loss can't drop a round. */
+    * call. When the session has a RELIABLE checkpoint dir configured
+    * (`SparkContext.setCheckpointDir`, the cluster deployment), rounds
+    * checkpoint there so executor loss can't drop one; local mode falls
+    * back to `localCheckpoint` (executor-memory blocks, no HDFS
+    * round-trip). */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     val p = pairs.toDF("pa", "pb")
-    val edges = p.union(p.select($"pb", $"pa")).toDF("src", "dst")
-      .localCheckpoint()
-    var labels = edges.select($"src".as("v")).distinct()
-      .withColumn("lbl", $"v").localCheckpoint()
+    val edges = cut(p.union(p.select($"pb", $"pa")).toDF("src", "dst"))
+    var labels = cut(edges.select($"src".as("v")).distinct()
+      .withColumn("lbl", $"v"))
     var changed = 1L
     var round = 0
     while (changed > 0 && round < MaxLabelRounds) {
       val nb = edges.join(labels.withColumnRenamed("v", "nv"), $"dst" === $"nv")
         .groupBy($"src").agg(min($"lbl").as("nlbl"))
-      val next = labels.join(nb, $"v" === $"src")
-        .select($"v", least($"lbl", $"nlbl").as("lbl"), $"lbl".as("prev"))
-        .localCheckpoint()
+      val next = cut(labels.join(nb, $"v" === $"src")
+        .select($"v", least($"lbl", $"nlbl").as("lbl"), $"lbl".as("prev")))
       changed = next.filter($"lbl" < $"prev").count() // labels only decrease
       labels = next.select($"v", $"lbl")
       round += 1
