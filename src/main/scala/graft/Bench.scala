@@ -238,11 +238,13 @@ object Bench {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
     // steady-state: warm the uncompressed AND the LZ/entropy paths (q1
-    // only exercises raw meta-blocks), then report the median of 3
-    // measured runs (same noise rationale as the query loop)
+    // only exercises raw meta-blocks), then report the median of 5
+    // measured runs — single-JVM codec timings swung ±25% across bench
+    // invocations at median-of-3 (same noise rationale as the query
+    // loop; each extra decode run costs ~70 ms)
     def median3[A](f: => (A, Double)): (A, Double) = {
-      val runs = (1 to 3).map(_ => f)
-      (runs.head._1, runs.map(_._2).sorted.apply(1))
+      val runs = (1 to 5).map(_ => f)
+      (runs.head._1, runs.map(_._2).sorted.apply(2))
     }
     Brotli.decompress(Brotli.compress(data, 1))
     Brotli.decompress(Brotli.compress(data, 6))

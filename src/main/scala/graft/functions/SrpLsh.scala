@@ -110,6 +110,14 @@ case class SrpBuckets(child: Expression) extends UnaryExpression {
   * collide in ANY table. Recall at cos θ is 1-(1-p^k)^L with p = 1-θ/π —
   * at cos 0.9 (θ≈25.8°), 8 tables × 8 bits gives ~0.94, vs ~0.08 for a
   * single 16-bit table.
+  *
+  * Scaling note: expected bucket occupancy is N/2^BitsPerTable, so
+  * per-query candidate cost grows linearly with the corpus at fixed
+  * bits (the r8 sf1 datapoint: s02 ran ~5× for 10× data). BitsPerTable
+  * is THE dial — grow it with log₂(N) to hold occupancy (and recall,
+  * via matching Tables growth) constant; any change must update the
+  * oracle's `srpKeysSql` plane expansion in lockstep, which is why the
+  * bench-SF value stays fixed here.
   */
 object SrpLsh {
   val Tables = 8
