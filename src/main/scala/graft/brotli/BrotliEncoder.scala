@@ -279,6 +279,8 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     * problem (fully-inserted chains point past p). */
   private lazy val zTip = new Array[Int](blockSize + 1)
   private val MaxLitTrees = 12
+  /** Distance trees are cheaper (64-symbol alphabet) than literal ones. */
+  private val DistTreeCostBits = 150.0
   /** ~bits one extra literal tree costs (code description); merges stop
     * when the entropy growth of the best merge exceeds this. */
   private val TreeCostBits = 240.0
@@ -320,16 +322,17 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     b / math.log(2.0)
   }
 
-  /** Greedy agglomerative clustering of the 64 per-context histograms:
+  /** Greedy agglomerative clustering of per-context histograms:
     * repeatedly merge the pair whose combined entropy grows least, while
-    * more than [[MaxLitTrees]] clusters remain OR the growth is cheaper
-    * than a tree header. Returns (context → tree id over 64 entries,
+    * more than `maxTrees` clusters remain OR the growth is cheaper than
+    * a tree header (`treeCostBits`). Returns (context → tree id,
     * per-tree histograms), or null when a single tree suffices. */
-  private def clusterContexts(ctxFreq: Array[Array[Long]]): (Array[Int], Array[Array[Long]]) = {
+  private def clusterContexts(ctxFreq: Array[Array[Long]], maxTrees: Int,
+      treeCostBits: Double): (Array[Int], Array[Array[Long]]) = {
     val hists = scala.collection.mutable.ArrayBuffer[Array[Long]]()
     val members = scala.collection.mutable.ArrayBuffer[List[Int]]()
     var c = 0
-    while (c < 64) {
+    while (c < ctxFreq.length) {
       if (ctxFreq(c).exists(_ != 0L)) {
         hists += ctxFreq(c); members += List(c)
       }
@@ -351,18 +354,18 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         }
         i += 1
       }
-      if (best <= TreeCostBits || hists.length > MaxLitTrees) {
+      if (best <= treeCostBits || hists.length > maxTrees) {
         val hb = hists(bj)
         val ha = hists(bi)
         var k = 0
-        while (k < 256) { ha(k) += hb(k); k += 1 }
+        while (k < ha.length) { ha(k) += hb(k); k += 1 }
         ent(bi) = entropyBits(ha)
         members(bi) = members(bi) ++ members(bj)
         hists.remove(bj); ent.remove(bj); members.remove(bj)
       } else continueMerging = false
     }
     if (hists.length <= 1) return null
-    val cmap = new Array[Int](64)
+    val cmap = new Array[Int](ctxFreq.length)
     var t = 0
     while (t < hists.length) {
       members(t).foreach(ctx => cmap(ctx) = t)
@@ -657,14 +660,19 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       }
       // relax every copy-code boundary ≤ len (cost is flat within a
       // code, so only the longest length per code matters); bounded to
-      // the top 6 codes
+      // the top 6 codes. Rep edges go down to 2-byte copies (spec-legal,
+      // and in the implicit zone a len-2 rep costs one command symbol —
+      // cheaper than two literals — letting paths bridge small gaps
+      // without breaking the distance chain); explicit edges stop at
+      // MinMatch, where a fresh distance stops paying.
       def relaxBoundaries(i: Int, len: Int, dist: Int, rep: Boolean): Unit = {
+        val minLen = if (rep) 2 else MinMatch
         val cTop = copyCodeFor(len)
-        val cMin = math.max(copyCodeFor(MinMatch), cTop - 5)
+        val cMin = math.max(copyCodeFor(minLen), cTop - 5)
         var c = cTop
         while (c >= cMin) {
           val l = if (c == cTop) len else math.min(len, CopyBase(c + 1) - 1)
-          if (l >= MinMatch) relaxAt(i, l, dist, rep)
+          if (l >= minLen) relaxAt(i, l, dist, rep)
           c -= 1
         }
       }
@@ -705,7 +713,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
                   base + matchLen(p - d0 + base, p + base, maxLen - base)
                 } else matchLen(p - d0, p, maxLen)
               lastRepD0 = d0; lastRepLen = repLen
-              if (repLen >= MinMatch) relaxBoundaries(i, repLen, d0, rep = true)
+              if (repLen >= 2) relaxBoundaries(i, repLen, d0, rep = true)
             } else { lastRepD0 = 0; lastRepLen = 0 }
             if (p <= lastHashPos) {
               val ci4 = i << 2
@@ -927,9 +935,29 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         }
         cc += 1
       }
-      clusterContexts(ctxFreq) match {
+      clusterContexts(ctxFreq, MaxLitTrees, TreeCostBits) match {
         case null => ()
         case (cm, th) => cmap = cm; treeHists = th
+      }
+    }
+    // ---- distance context split (q >= 10) ----
+    // distances histogram by the decoder's copy-length context
+    // min(clen-2, 3): short copies skew to ring/near codes, long copies
+    // to far explicit ones, so per-context trees code both tighter
+    var dmap: Array[Int] = null
+    var distTreeHists: Array[Array[Long]] = null
+    if (contextModeling) {
+      val dctxFreq = Array.fill(4)(new Array[Long](distFreq.length))
+      var cc = 0
+      while (cc < nCmds) {
+        val o = cc * CmdStride
+        val dc = cmdBuf(o + 6)
+        if (dc >= 0) dctxFreq(math.min(cmdBuf(o + 2) - 2, 3))(dc) += 1
+        cc += 1
+      }
+      clusterContexts(dctxFreq, 4, DistTreeCostBits) match {
+        case null => ()
+        case (m, th) => dmap = m; distTreeHists = th
       }
     }
     // ---- header ----
@@ -948,7 +976,11 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       writeVarCount(treeHists.length)
       writeContextMap(cmap, treeHists.length)
     }
-    bits.writeBits(0, 1) // NTREESD
+    if (dmap == null) bits.writeBits(0, 1) // NTREESD = 1
+    else {
+      writeVarCount(distTreeHists.length)
+      writeContextMap(dmap, distTreeHists.length)
+    }
     val nLitTrees = if (cmap == null) 1 else treeHists.length
     val litLens = new Array[Array[Int]](nLitTrees)
     val litRevs = new Array[Array[Int]](nLitTrees)
@@ -960,12 +992,21 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       lt += 1
     }
     val (cmdLenA, cmdCodeA) = writePrefixCode(cmdFreq, 10)
-    val (distLenA, distCodeA) = writePrefixCode(distFreq, 6)
+    val nDistTrees = if (dmap == null) 1 else distTreeHists.length
+    val distLens = new Array[Array[Int]](nDistTrees)
+    val distRevs = new Array[Array[Int]](nDistTrees)
+    var dt = 0
+    while (dt < nDistTrees) {
+      val (l, cd) = writePrefixCode(
+        if (dmap == null) distFreq else distTreeHists(dt), 6)
+      distLens(dt) = l
+      distRevs(dt) = Array.tabulate(cd.length)(x => Huffman.reverseBits(cd(x), l(x)))
+      dt += 1
+    }
     // ---- body ---- (codes pre-reversed: one writeBits call per symbol)
     val litLen = litLens(0)
     val litRev = litRevs(0)
     val cmdRev = Array.tabulate(cmdCodeA.length)(s => Huffman.reverseBits(cmdCodeA(s), cmdLenA(s)))
-    val distRev = Array.tabulate(distCodeA.length)(s => Huffman.reverseBits(distCodeA(s), distLenA(s)))
     var ci = 0
     while (ci < nCmds) {
       val o = ci * CmdStride
@@ -999,7 +1040,8 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       // zone reuses the ring; the trailing literal-only command never
       // reaches its copy part)
       if (cCopyLen > 0 && dc >= 0) {
-        bits.writeBits(distRev(dc).toLong, distLenA(dc))
+        val dtr = if (dmap == null) 0 else dmap(math.min(cCopyLen - 2, 3))
+        bits.writeBits(distRevs(dtr)(dc).toLong, distLens(dtr)(dc))
         bits.writeBits((packed & 0xffffff).toLong, packed >>> 24)
       }
       ci += 1
