@@ -103,9 +103,46 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         if (lengths(s) > 0) space -= 32768 >> lengths(s)
         s += 1
       }
-      // code-length code over the emitted sequence (no 16/17 repeats)
+      // RLE the emitted length sequence with the §3.5 repeat codes:
+      // zero runs → 17 (3-10 zeros, 3 extra bits), nonzero repeats → 16
+      // (3-6 copies of the previous nonzero length, 2 extra bits). Big
+      // alphabets (704 command symbols) are mostly zero runs, so this
+      // shrinks every tree description. Same-code repeats are never
+      // emitted back-to-back — a chained repeat RESCALES
+      // (((total-2) << ebits) + 3 + extra, §3.5) rather than adds, so
+      // long runs interleave one literal symbol as a chain breaker.
+      val tokens = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)] // (sym, extra, ebits)
+      var idx = 0
+      while (idx < emitted.length) {
+        val v = emitted(idx)
+        var run = 1
+        while (idx + run < emitted.length && emitted(idx + run) == v) run += 1
+        if (v == 0) {
+          var left = run
+          while (left > 0) {
+            if (left >= 3) {
+              val k = math.min(10, left)
+              tokens += ((17, k - 3, 3))
+              left -= k
+              if (left > 0) { tokens += ((0, 0, 0)); left -= 1 } // break chain
+            } else { tokens += ((0, 0, 0)); left -= 1 }
+          }
+        } else {
+          tokens += ((v, 0, 0)) // sets the decoder's prevNonZero
+          var left = run - 1
+          while (left > 0) {
+            if (left >= 3) {
+              val k = math.min(6, left)
+              tokens += ((16, k - 3, 2))
+              left -= k
+              if (left > 0) { tokens += ((v, 0, 0)); left -= 1 } // break chain
+            } else { tokens += ((v, 0, 0)); left -= 1 }
+          }
+        }
+        idx += run
+      }
       val clcFreq = new Array[Long](18)
-      emitted.foreach(v => clcFreq(v) += 1)
+      tokens.foreach(t => clcFreq(t._1) += 1)
       val clcLen = Huffman.buildLengths(clcFreq, 5)
       val clcCodes = Huffman.canonicalCodes(clcLen)
       bits.writeBits(0, 2) // complex form, HSKIP = 0
@@ -123,8 +160,10 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       // a code-length code with a single used symbol decodes as a 0-bit
       // code on the read side — mirror that by emitting nothing.
       val clcSingle = clcLen.count(_ > 0) == 1
-      if (!clcSingle)
-        emitted.foreach(v => bits.writeCodeBits(clcCodes(v), clcLen(v)))
+      if (!clcSingle) tokens.foreach { case (sym, extra, ebits) =>
+        bits.writeCodeBits(clcCodes(sym), clcLen(sym))
+        if (ebits > 0) bits.writeBits(extra.toLong, ebits)
+      }
       (lengths, codes)
     }
   }
