@@ -28,7 +28,10 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
   require(lgwin >= 10 && lgwin <= 24, s"lgwin $lgwin out of range 10..24")
 
   /** Input staged per meta-block. Uncompressed meta-blocks allow MLEN up
-    * to 2^24; entropy-coded blocks use 1 MiB so histograms adapt. */
+    * to 2^24; entropy-coded blocks use 1 MiB so histograms adapt.
+    * (4 MiB blocks at q >= 10 were measured in r8 and rejected: the
+    * saved tree headers exactly cancel the lost per-MiB histogram
+    * adaptation, at 4× the DP memory.) */
   val blockSize: Int = if (quality == 0) 1 << 16 else 1 << 20
 
   private val staging = new Array[Byte](blockSize)
