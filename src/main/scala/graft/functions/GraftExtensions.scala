@@ -74,6 +74,9 @@ object GraftExtensions {
     ("srp_buckets",
       "_FUNC_(v) - packed signed-random-projection LSH bucket keys",
       e => SrpBuckets(e.head)),
+    ("srp_buckets_scaled",
+      "_FUNC_(v) - SRP-LSH bucket keys at the at-scale (ScaledBits) config",
+      e => SrpBuckets(e.head, SrpLsh.ScaledBits)),
     ("minhash_sig",
       "_FUNC_(text) - 128-permutation MinHash signature over word 3-gram shingles",
       e => MinHashSig(e.head)),

@@ -31,7 +31,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * match, so the bit-identical claim holds for any length, not just
   * exactly-Dim vectors. Elements must be non-null.
   */
-case class SrpBuckets(child: Expression) extends UnaryExpression {
+case class SrpBuckets(child: Expression,
+    bits: Int = SrpLsh.BitsPerTable) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -45,14 +46,14 @@ case class SrpBuckets(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), SrpLsh.Dim)
-    val planes = SrpLsh.flatPlanes
+    val planes = SrpLsh.flatPlanesFor(bits)
     val out = new Array[Long](SrpLsh.Tables)
     var t = 0
     while (t < SrpLsh.Tables) {
       var bucket = 0L
       var j = 0
-      while (j < SrpLsh.BitsPerTable) {
-        val base = (t * SrpLsh.BitsPerTable + j) * SrpLsh.Dim
+      while (j < bits) {
+        val base = (t * bits + j) * SrpLsh.Dim
         var dot = 0.0
         var i = 0
         while (i < n) {
@@ -62,7 +63,7 @@ case class SrpBuckets(child: Expression) extends UnaryExpression {
         if (dot >= 0.0) bucket |= (1L << j)
         j += 1
       }
-      out(t) = (t.toLong << SrpLsh.BitsPerTable) | bucket
+      out(t) = (t.toLong << bits) | bucket
       t += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)
@@ -70,7 +71,7 @@ case class SrpBuckets(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val planes = ctx.addReferenceObj("srpPlanes", SrpLsh.flatPlanes, "double[]")
+      val planes = ctx.addReferenceObj("srpPlanes", SrpLsh.flatPlanesFor(bits), "double[]")
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")
       val t = ctx.freshName("t")
@@ -84,15 +85,15 @@ case class SrpBuckets(child: Expression) extends UnaryExpression {
          |final long[] $out = new long[${SrpLsh.Tables}];
          |for (int $t = 0; $t < ${SrpLsh.Tables}; $t++) {
          |  long $bucket = 0L;
-         |  for (int $j = 0; $j < ${SrpLsh.BitsPerTable}; $j++) {
-         |    final int $base = ($t * ${SrpLsh.BitsPerTable} + $j) * ${SrpLsh.Dim};
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    final int $base = ($t * $bits + $j) * ${SrpLsh.Dim};
          |    double $dot = 0.0;
          |    for (int $i = 0; $i < $n; $i++) {
          |      $dot += (double) $a.getFloat($i) * $planes[$base + $i];
          |    }
          |    if ($dot >= 0.0) $bucket |= (1L << $j);
          |  }
-         |  $out[$t] = ((long) $t << ${SrpLsh.BitsPerTable}) | $bucket;
+         |  $out[$t] = ((long) $t << $bits) | $bucket;
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
          |  .fromPrimitiveArray($out);
@@ -115,21 +116,34 @@ case class SrpBuckets(child: Expression) extends UnaryExpression {
   * per-query candidate cost grows linearly with the corpus at fixed
   * bits (the r8 sf1 datapoint: s02 ran ~5× for 10× data). BitsPerTable
   * is THE dial — grow it with log₂(N) to hold occupancy (and recall,
-  * via matching Tables growth) constant; any change must update the
-  * oracle's `srpKeysSql` plane expansion in lockstep, which is why the
-  * bench-SF value stays fixed here.
+  * via matching Tables growth) constant. The dial is exercised:
+  * `s10_ann_lsh_scaled` runs the [[ScaledBits]] configuration,
+  * hash-verified against its own `srpKeysSql(bits)` plane expansion;
+  * the default stays fixed so the shipped d05/s02/s04/s05 oracles keep
+  * their exact plane literals.
   */
 object SrpLsh {
   val Tables = 8
   val BitsPerTable = 8
+  /** The at-scale index configuration (s10): +3 bucket bits = 8× lower
+    * expected occupancy — the dial a bigger corpus turns. */
+  val ScaledBits = 11
   val Dim = 64
 
-  val planes: IndexedSeq[Array[Double]] = {
-    val rnd = new scala.util.Random(7)
-    IndexedSeq.fill(Tables * BitsPerTable)(Array.fill(Dim)(rnd.nextGaussian()))
-  }
+  /** Seed-7 gaussian hyperplanes for a given bits-per-table config
+    * (bits=8 reproduces the original plane sequence exactly — the
+    * shipped oracles depend on those literals). */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, IndexedSeq[Array[Double]]]()
+  def planesFor(bits: Int): IndexedSeq[Array[Double]] =
+    planeCache.computeIfAbsent(bits, { b =>
+      val rnd = new scala.util.Random(7)
+      IndexedSeq.fill(Tables * b)(Array.fill(Dim)(rnd.nextGaussian()))
+    })
+  private[functions] def flatPlanesFor(bits: Int): Array[Double] =
+    planesFor(bits).flatten.toArray
 
-  private[functions] val flatPlanes: Array[Double] = planes.flatten.toArray
+  val planes: IndexedSeq[Array[Double]] = planesFor(BitsPerTable)
 
   /** Idempotently register the SQL-callable kernel on the session (a
     * guard, not create-or-replace, so repeated query construction leaves
@@ -142,5 +156,11 @@ object SrpLsh {
   def buckets(spark: SparkSession, emb: Column): Column = {
     register(spark)
     call_function("srp_buckets", emb)
+  }
+
+  /** The [[ScaledBits]] configuration (s10's at-scale index). */
+  def bucketsScaled(spark: SparkSession, emb: Column): Column = {
+    GraftExtensions.register(spark, "srp_buckets_scaled")
+    call_function("srp_buckets_scaled", emb)
   }
 }

@@ -354,14 +354,16 @@ object Dedup {
   // is the shuffle key; the verify join touches only same-bucket pairs.
   // ---------------------------------------------------------------------
   /** SQL arms computing (vec_id, embedding, t, b) — one UNION arm per SRP
-    * table, bucket assembled from the literal hyperplanes. Shared by the
-    * d05 and s02 oracles. Joining on (t, b) is equivalent to the Spark
-    * side's packed `(t << BitsPerTable) | b` long key. */
-  private[ops] def srpKeysSql(source: String): String =
+    * table, bucket assembled from the literal hyperplanes of the given
+    * bits-per-table configuration. Shared by the d05/s02 oracles
+    * (default bits) and s10's at-scale variant. Joining on (t, b) is
+    * equivalent to the Spark side's packed `(t << bits) | b` long key. */
+  private[ops] def srpKeysSql(source: String,
+      bits: Int = SrpLsh.BitsPerTable): String =
     (0 until SrpLsh.Tables).map { t =>
-      val bucket = (0 until SrpLsh.BitsPerTable).map { j =>
+      val bucket = (0 until bits).map { j =>
         val ws = PortableSql.weightedSumSql("embedding",
-          SrpLsh.planes(t * SrpLsh.BitsPerTable + j))
+          SrpLsh.planesFor(bits)(t * bits + j))
         s"(CASE WHEN ($ws) >= 0.0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
       s"SELECT vec_id, embedding, $t AS t, $bucket AS b FROM $source"

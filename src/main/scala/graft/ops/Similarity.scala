@@ -69,6 +69,33 @@ object Similarity {
     top5(scored)
   }
 
+  /** s10: s02's SRP-LSH ANN with the AT-SCALE index configuration — the
+    * occupancy dial documented on [[SrpLsh]] actually turned. Expected
+    * bucket occupancy is N/2^bits, so per-query candidate cost grows
+    * with the corpus at fixed bits (the r8 sf1 datapoint measured s02
+    * at ~5-11× for 10× data); `ScaledBits` adds 3 bucket bits (2048 vs
+    * 256 buckets per table), cutting occupancy — and per-query cost —
+    * 8×. That is the knob a 10-100× corpus turns to hold query cost
+    * constant, traded against recall (fewer bit-agreements collide),
+    * which s06's audit quantifies for the default config. Same pipeline
+    * shape otherwise; hash-verified against the same oracle recipe with
+    * the ScaledBits plane expansion. */
+  def s10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding",
+        explode(SrpLsh.bucketsScaled(spark, $"embedding")).as("key"))
+    val q = queriesSubset(spark, dir)
+      .select($"q_id", $"q_emb",
+        explode(SrpLsh.bucketsScaled(spark, $"q_emb")).as("key"))
+    val scored = emb.join(broadcast(q), Seq("key"))
+      .filter($"vec_id" =!= $"q_id")
+      .dropDuplicates("q_id", "vec_id")
+      .select($"q_id", $"vec_id",
+        VectorOps.cosineSim(spark, $"embedding", $"q_emb").as("cosine"))
+    top5(scored)
+  }
+
   // ---------------------------------------------------------------------
   // s03: IVF (inverted-file) ANN with a deterministic DataFrame-native
   // Lloyd's coarse quantizer — no MLlib, so the whole op is portable and
@@ -305,6 +332,15 @@ object Similarity {
   private def s02Sql: String = rankedSql(
     s"""WITH keys AS (
        |  ${Dedup.srpKeysSql("embeddings")}),
+       |qk AS (SELECT * FROM keys WHERE vec_id % 47 = 0),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, k.vec_id AS vec_id,
+       |    k.embedding AS emb, q.embedding AS q_emb
+       |  FROM keys k JOIN qk q ON k.t = q.t AND k.b = q.b AND k.vec_id <> q.vec_id)""".stripMargin)
+
+  private def s10Sql: String = rankedSql(
+    s"""WITH keys AS (
+       |  ${Dedup.srpKeysSql("embeddings", SrpLsh.ScaledBits)}),
        |qk AS (SELECT * FROM keys WHERE vec_id % 47 = 0),
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS q_id, k.vec_id AS vec_id,
@@ -771,7 +807,8 @@ object Similarity {
     "s06_ann_recall" -> (s06 _),
     "s07_ann_pq_adc" -> (s07 _),
     "s08_semdedup" -> (s08 _),
-    "s09_ann_ivfpq" -> (s09 _))
+    "s09_ann_ivfpq" -> (s09 _),
+    "s10_ann_lsh_scaled" -> (s10 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "s01_ann_bruteforce" -> s01Sql,
@@ -782,5 +819,6 @@ object Similarity {
     "s06_ann_recall" -> s06Sql,
     "s07_ann_pq_adc" -> s07Sql,
     "s08_semdedup" -> s08Sql,
-    "s09_ann_ivfpq" -> s09Sql)
+    "s09_ann_ivfpq" -> s09Sql,
+    "s10_ann_lsh_scaled" -> s10Sql)
 }
