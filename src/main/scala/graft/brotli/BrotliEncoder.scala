@@ -448,30 +448,30 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     distRing(distRingIdx & 3) = d; distRingIdx = (distRingIdx + 1) & 3
   }
 
-  /** Pick the cheapest distance code for `dist` given the current ring:
-    * (dcode, extraBits, extraVal, pushesRing). Prefers ring codes (0
-    * extra bits) over the §4 offset formula. */
-  private def ringDistanceCodeFor(dist: Int): (Int, Int, Int, Boolean) = {
-    if (dist == ringLast(0)) return (0, 0, 0, false)
+  /** Ring-relative distance code (0-15) for `dist` if one applies:
+    * (dcode, pushesRing); dcode = -1 when the distance must be coded
+    * explicitly (the §4 offset formula, parameterized per block at
+    * emission — see the NPOSTFIX/NDIRECT selection in emitLzBlock). */
+  private def ringDistanceCodeFor(dist: Int): (Int, Boolean) = {
+    if (dist == ringLast(0)) return (0, false)
     var k = 1
     while (k < 4) {
-      if (dist == ringLast(k)) return (k, 0, 0, true)
+      if (dist == ringLast(k)) return (k, true)
       k += 1
     }
     var j = 0
     while (j < 6) {
       if (dist == ringLast(0) + Tables7932.ShortCodeDelta(j) && dist > 0)
-        return (4 + j, 0, 0, true)
+        return (4 + j, true)
       j += 1
     }
     j = 0
     while (j < 6) {
       if (dist == ringLast(1) + Tables7932.ShortCodeDelta(j) && dist > 0)
-        return (10 + j, 0, 0, true)
+        return (10 + j, true)
       j += 1
     }
-    val (dc, db, dv) = distanceCodeFor(dist)
-    (dc, db, dv, true)
+    (-1, true)
   }
 
   private def copyCodeFor(len: Int): Int = {
@@ -480,18 +480,21 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     c
   }
 
-  /** Inverse of the §4 distance formula for NPOSTFIX=0, NDIRECT=0:
-    * returns (dcode, extraBits, extraVal). */
-  private def distanceCodeFor(dist: Int): (Int, Int, Int) = {
-    var d = 0
-    while (d < 48) {
-      val nb = 1 + d / 2
-      val start = ((2 + (d & 1)) << nb) - 3
-      if (dist >= start && dist < start + (1 << nb))
-        return (16 + d, nb, dist - start)
-      d += 1
-    }
-    throw new IllegalArgumentException(s"distance $dist out of range")
+  /** Inverse of the §4 distance formula under (npostfix, ndirect —
+    * the SHIFTED value): returns (dcode, extraBits, extraVal). Closed
+    * form, verified against the decoder's forward formula. */
+  private def distanceCodeFor(dist: Int, npostfix: Int,
+      ndirect: Int): (Int, Int, Int) = {
+    if (dist <= ndirect) return (15 + dist, 0, 0) // direct codes
+    val pmask = (1 << npostfix) - 1
+    val big = dist - ndirect - 1
+    val lcode = big & pmask
+    val x = (big >> npostfix) + 4
+    val nb = 30 - Integer.numberOfLeadingZeros(x)
+    val h = (x >>> nb) - 2
+    val extra = x - ((2 + h) << nb)
+    val d = ((nb - 1) << (npostfix + 1)) | (h << npostfix) | lcode
+    (16 + ndirect + d, nb, extra)
   }
 
   /** Slide the history window so a `len`-byte block fits. Chain links
@@ -552,11 +555,13 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       cmdFreq(cmdSym) += 1
       var i = 0
       while (i < cLitLen) { litFreq(hist(cLitStart + i) & 0xff) += 1; i += 1 }
-      var dc = -1; var db = 0; var dv = 0
+      // dc: ring code 0-15, -1 = no distance (implicit zone / trailing
+      // literals), -2 = explicit — the raw distance parks in o+7 until
+      // the block's NPOSTFIX/NDIRECT are chosen post-parse
+      var dc = -1; var raw = 0
       if (cCopyLen > 0 && !implicitOk) {
-        val (dc0, db0, dv0, pushes) = ringDistanceCodeFor(cDist)
-        dc = dc0; db = db0; dv = dv0
-        distFreq(dc) += 1
+        val (rc, pushes) = ringDistanceCodeFor(cDist)
+        if (rc >= 0) dc = rc else { dc = -2; raw = cDist }
         if (pushes) ringPush(cDist)
       }
       if (nCmds * CmdStride == cmdBuf.length)
@@ -564,7 +569,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       val o = nCmds * CmdStride
       cmdBuf(o) = cLitStart; cmdBuf(o + 1) = cLitLen; cmdBuf(o + 2) = cCopyLen
       cmdBuf(o + 3) = icode; cmdBuf(o + 4) = ccode; cmdBuf(o + 5) = cmdSym
-      cmdBuf(o + 6) = dc; cmdBuf(o + 7) = (db << 24) | dv
+      cmdBuf(o + 6) = dc; cmdBuf(o + 7) = raw
       nCmds += 1
     }
     var pos = b0
@@ -668,7 +673,20 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
           var i = 0
           while (i < out.length) { out(i) = if (ls(i) > 0) ls(i) else 17.0; i += 1 }
         }
-        fill(litFreq, litCostT); fill(cmdFreq, cmdCostT); fill(distFreq, distCostT)
+        fill(litFreq, litCostT); fill(cmdFreq, cmdCostT)
+        // distance syms resolve per block post-parse (NPOSTFIX/NDIRECT
+        // selection), so price them here from the replayed commands
+        // under the (0,0) cost model the DP edges use
+        val df = new Array[Long](distCostT.length)
+        var c2 = 0
+        while (c2 < nCmds) {
+          val o = c2 * CmdStride
+          val dc = cmdBuf(o + 6)
+          if (dc >= 0) df(dc) += 1
+          else if (dc == -2) df(distSymAndBits(cmdBuf(o + 7)) & 0xffff) += 1
+          c2 += 1
+        }
+        fill(df, distCostT)
       }
       // closed-form §4 distance code (NPOSTFIX=0, NDIRECT=0):
       // (symbol | extraBits << 16) for an explicit distance
@@ -953,8 +971,94 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       if (end - litStart > 0 || nCmds == 0)
         addCmd(litStart, end - litStart, 0, 0) // trailing literals
     }
+    // ---- distance parameterization (§4): choose NPOSTFIX/NDIRECT ----
+    // Distance EXTRA bits are raw (never entropy-coded), and at q11
+    // they measured ~60% of the stream (r8 bit accounting): NPOSTFIX
+    // folds each explicit distance's low bits into the SYMBOL (where
+    // Huffman compresses them) and NDIRECT gives the smallest distances
+    // dedicated extra-free codes. Evaluate the full 4×16 grid against
+    // this block's actual distances (symbol entropy + raw extra bits)
+    // and keep the winner — ring codes (0-15) are parameter-independent
+    // but share the tree, so they join the entropy term. The fast tiers
+    // (q < 5) keep (0,0) — the grid costs ~a match-search's worth of
+    // work per block.
+    var npostfix = 0
+    var ndirect = 0
+    locally {
+      var nExp = 0
+      var c0 = 0
+      while (c0 < nCmds) {
+        if (cmdBuf(c0 * CmdStride + 6) == -2) nExp += 1
+        c0 += 1
+      }
+      if (quality >= 5 && nExp > 0) {
+        val exp = new Array[Int](nExp)
+        val ringCnt = new Array[Long](16)
+        var k = 0
+        c0 = 0
+        while (c0 < nCmds) {
+          val o = c0 * CmdStride
+          val dc = cmdBuf(o + 6)
+          if (dc == -2) { exp(k) = cmdBuf(o + 7); k += 1 }
+          else if (dc >= 0) ringCnt(dc) += 1
+          c0 += 1
+        }
+        def gridCost(pf: Int, nd: Int): Double = {
+          val hist = new Array[Long](numDistanceCodes(pf, nd))
+          System.arraycopy(ringCnt, 0, hist, 0, 16)
+          var extraBits = 0L
+          var i = 0
+          while (i < nExp) {
+            val (sym, nb, _) = distanceCodeFor(exp(i), pf, nd)
+            hist(sym) += 1
+            extraBits += nb
+            i += 1
+          }
+          // + a tree-description proxy (~1 bit per 8 alphabet slots
+          // after RLE) — the bigger alphabets must pay their header
+          entropyBits(hist) + extraBits + hist.length / 8.0
+        }
+        // (0,0) is the incumbent: a challenger must beat it by a real
+        // relative margin — sub-0.2% predicted wins are entropy-estimate
+        // noise that materializes as losses (measured on the docs corpus)
+        val incumbent = gridCost(0, 0)
+        var bestBits = incumbent - math.max(200.0, incumbent * 0.002)
+        var pf = 0
+        while (pf <= 3) {
+          var ndc = 0
+          while (ndc <= 15) {
+            val nd = ndc << pf
+            if (pf != 0 || nd != 0) {
+              val total = gridCost(pf, nd)
+              if (total < bestBits) { bestBits = total; npostfix = pf; ndirect = nd }
+            }
+
+            ndc += 1
+          }
+          pf += 1
+        }
+      }
+    }
+    // finalize every explicit distance under the chosen parameters and
+    // build the distance histogram
+    val distFreq2 = new Array[Long](numDistanceCodes(npostfix, ndirect))
+    locally {
+      var c0 = 0
+      while (c0 < nCmds) {
+        val o = c0 * CmdStride
+        val dc = cmdBuf(o + 6)
+        if (dc >= 0) distFreq2(dc) += 1
+        else if (dc == -2) {
+          val (sym, nb, dv) = distanceCodeFor(cmdBuf(o + 7), npostfix, ndirect)
+          cmdBuf(o + 6) = sym
+          cmdBuf(o + 7) = (nb << 24) | dv
+          distFreq2(sym) += 1
+        }
+        c0 += 1
+      }
+    }
     if (litFreq.forall(_ == 0)) litFreq(0) = 1 // all-copy block: dummy literal tree
-    if (distFreq.forall(_ == 0)) distFreq(0) = 1 // literal-only block
+    if (distFreq2.forall(_ == 0)) distFreq2(0) = 1 // literal-only block
     // ---- literal context split (q >= 10) ----
     // histogram literals by the UTF8 context of the previous two OUTPUT
     // bytes — hist(lp-1)/hist(lp-2), which is exactly the decoder's
@@ -989,7 +1093,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     var dmap: Array[Int] = null
     var distTreeHists: Array[Array[Long]] = null
     if (contextModeling) {
-      val dctxFreq = Array.fill(4)(new Array[Long](distFreq.length))
+      val dctxFreq = Array.fill(4)(new Array[Long](distFreq2.length))
       var cc = 0
       while (cc < nCmds) {
         val o = cc * CmdStride
@@ -1011,7 +1115,8 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     bits.writeBits(mlenMinus1.toLong, nibbles * 4)
     bits.writeBits(0, 1) // ISUNCOMPRESSED
     bits.writeBits(0, 1); bits.writeBits(0, 1); bits.writeBits(0, 1) // NBLTYPES
-    bits.writeBits(0, 2); bits.writeBits(0, 4) // NPOSTFIX, NDIRECT
+    bits.writeBits(npostfix, 2) // NPOSTFIX
+    bits.writeBits(ndirect >> npostfix, 4) // NDIRECT (shifted field)
     bits.writeBits(if (cmap != null) 2L else 0L, 2) // context mode (UTF8 when split)
     if (cmap == null) bits.writeBits(0, 1) // NTREESL = 1
     else {
@@ -1040,7 +1145,8 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     var dt = 0
     while (dt < nDistTrees) {
       val (l, cd) = writePrefixCode(
-        if (dmap == null) distFreq else distTreeHists(dt), 6)
+        if (dmap == null) distFreq2 else distTreeHists(dt),
+        32 - Integer.numberOfLeadingZeros(distFreq2.length - 1))
       distLens(dt) = l
       distRevs(dt) = Array.tabulate(cd.length)(x => Huffman.reverseBits(cd(x), l(x)))
       dt += 1
