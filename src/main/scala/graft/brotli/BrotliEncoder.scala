@@ -497,6 +497,93 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     (16 + ndirect + d, nb, extra)
   }
 
+
+  /** Choose (npostfix, ndirect) for a parsed block — see the selection
+    * comment in emitLzBlock. Returns the packed pair. */
+  private def selectDistanceParams(cmdBuf: Array[Int], nCmds: Int,
+      CmdStride: Int): Int = {
+    var nExp = 0
+    var c0 = 0
+    while (c0 < nCmds) {
+      if (cmdBuf(c0 * CmdStride + 6) == -2) nExp += 1
+      c0 += 1
+    }
+    if (nExp == 0) return 0
+    val exp = new Array[Int](nExp)
+    val ringCnt = new Array[Long](16)
+    var k = 0
+    c0 = 0
+    while (c0 < nCmds) {
+      val o = c0 * CmdStride
+      val dc = cmdBuf(o + 6)
+      if (dc == -2) { exp(k) = cmdBuf(o + 7); k += 1 }
+      else if (dc >= 0) ringCnt(dc) += 1
+      c0 += 1
+    }
+    // the grid only needs the RELATIVE ordering of combos, so it decides
+    // on a stride-sample of the explicit distances; ring counts scale by
+    // the same stride so the mixture stays honest
+    val stride = math.max(1, nExp / 4096)
+    def gridCost(pf: Int, nd: Int): Double = {
+      val hist = new Array[Long](numDistanceCodes(pf, nd))
+      var r = 0
+      while (r < 16) { hist(r) = ringCnt(r) / stride; r += 1 }
+      var extraBits = 0L
+      var i = 0
+      while (i < nExp) {
+        val (sym, nb, _) = distanceCodeFor(exp(i), pf, nd)
+        hist(sym) += 1
+        extraBits += nb
+        i += stride
+      }
+      // + a tree-description proxy (~1 bit per 8 alphabet slots after
+      // RLE) — the bigger alphabets must pay their header
+      entropyBits(hist) + extraBits + hist.length / 8.0
+    }
+    // (0,0) is the incumbent: a challenger must beat it by a real
+    // relative margin — sub-0.2% predicted wins are entropy-estimate
+    // noise that materializes as losses (measured on the docs corpus)
+    val incumbent = gridCost(0, 0)
+    var bestBits = incumbent - math.max(200.0, incumbent * 0.002)
+    var npostfix = 0
+    var ndirect = 0
+    var pf = 0
+    while (pf <= 3) {
+      var ndc = 0
+      while (ndc <= 15) {
+        val nd = ndc << pf
+        if (pf != 0 || nd != 0) {
+          val total = gridCost(pf, nd)
+          if (total < bestBits) { bestBits = total; npostfix = pf; ndirect = nd }
+        }
+        ndc += 1
+      }
+      pf += 1
+    }
+    (npostfix << 16) | ndirect
+  }
+
+  /** Rewrite every explicit (-2) distance under the chosen parameters
+    * and return the distance histogram. */
+  private def finalizeDistances(cmdBuf: Array[Int], nCmds: Int,
+      CmdStride: Int, npostfix: Int, ndirect: Int): Array[Long] = {
+    val distFreq2 = new Array[Long](numDistanceCodes(npostfix, ndirect))
+    var c0 = 0
+    while (c0 < nCmds) {
+      val o = c0 * CmdStride
+      val dc = cmdBuf(o + 6)
+      if (dc >= 0) distFreq2(dc) += 1
+      else if (dc == -2) {
+        val (sym, nb, dv) = distanceCodeFor(cmdBuf(o + 7), npostfix, ndirect)
+        cmdBuf(o + 6) = sym
+        cmdBuf(o + 7) = (nb << 24) | dv
+        distFreq2(sym) += 1
+      }
+      c0 += 1
+    }
+    distFreq2
+  }
+
   /** Slide the history window so a `len`-byte block fits. Chain links
     * are stored as deltas (i - prev), which are shift-invariant, so the
     * slide is two arraycopies plus a small hash-table rebase — no O(win)
@@ -976,87 +1063,16 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     // they measured ~60% of the stream (r8 bit accounting): NPOSTFIX
     // folds each explicit distance's low bits into the SYMBOL (where
     // Huffman compresses them) and NDIRECT gives the smallest distances
-    // dedicated extra-free codes. Evaluate the full 4×16 grid against
-    // this block's actual distances (symbol entropy + raw extra bits)
-    // and keep the winner — ring codes (0-15) are parameter-independent
-    // but share the tree, so they join the entropy term. The fast tiers
-    // (q < 5) keep (0,0) — the grid costs ~a match-search's worth of
-    // work per block.
-    var npostfix = 0
-    var ndirect = 0
-    locally {
-      var nExp = 0
-      var c0 = 0
-      while (c0 < nCmds) {
-        if (cmdBuf(c0 * CmdStride + 6) == -2) nExp += 1
-        c0 += 1
-      }
-      if (quality >= 5 && nExp > 0) {
-        val exp = new Array[Int](nExp)
-        val ringCnt = new Array[Long](16)
-        var k = 0
-        c0 = 0
-        while (c0 < nCmds) {
-          val o = c0 * CmdStride
-          val dc = cmdBuf(o + 6)
-          if (dc == -2) { exp(k) = cmdBuf(o + 7); k += 1 }
-          else if (dc >= 0) ringCnt(dc) += 1
-          c0 += 1
-        }
-        def gridCost(pf: Int, nd: Int): Double = {
-          val hist = new Array[Long](numDistanceCodes(pf, nd))
-          System.arraycopy(ringCnt, 0, hist, 0, 16)
-          var extraBits = 0L
-          var i = 0
-          while (i < nExp) {
-            val (sym, nb, _) = distanceCodeFor(exp(i), pf, nd)
-            hist(sym) += 1
-            extraBits += nb
-            i += 1
-          }
-          // + a tree-description proxy (~1 bit per 8 alphabet slots
-          // after RLE) — the bigger alphabets must pay their header
-          entropyBits(hist) + extraBits + hist.length / 8.0
-        }
-        // (0,0) is the incumbent: a challenger must beat it by a real
-        // relative margin — sub-0.2% predicted wins are entropy-estimate
-        // noise that materializes as losses (measured on the docs corpus)
-        val incumbent = gridCost(0, 0)
-        var bestBits = incumbent - math.max(200.0, incumbent * 0.002)
-        var pf = 0
-        while (pf <= 3) {
-          var ndc = 0
-          while (ndc <= 15) {
-            val nd = ndc << pf
-            if (pf != 0 || nd != 0) {
-              val total = gridCost(pf, nd)
-              if (total < bestBits) { bestBits = total; npostfix = pf; ndirect = nd }
-            }
-
-            ndc += 1
-          }
-          pf += 1
-        }
-      }
-    }
-    // finalize every explicit distance under the chosen parameters and
-    // build the distance histogram
-    val distFreq2 = new Array[Long](numDistanceCodes(npostfix, ndirect))
-    locally {
-      var c0 = 0
-      while (c0 < nCmds) {
-        val o = c0 * CmdStride
-        val dc = cmdBuf(o + 6)
-        if (dc >= 0) distFreq2(dc) += 1
-        else if (dc == -2) {
-          val (sym, nb, dv) = distanceCodeFor(cmdBuf(o + 7), npostfix, ndirect)
-          cmdBuf(o + 6) = sym
-          cmdBuf(o + 7) = (nb << 24) | dv
-          distFreq2(sym) += 1
-        }
-        c0 += 1
-      }
-    }
+    // dedicated extra-free codes. selectDistanceParams evaluates the
+    // full 4×16 grid on a sample of this block's actual distances and
+    // keeps (0,0) unless a challenger wins by a real margin. The fast
+    // tiers (q < 5) keep (0,0).
+    val packedParams =
+      if (quality >= 5) selectDistanceParams(cmdBuf, nCmds, CmdStride) else 0
+    val npostfix = packedParams >>> 16
+    val ndirect = packedParams & 0xffff
+    val distFreq2 =
+      finalizeDistances(cmdBuf, nCmds, CmdStride, npostfix, ndirect)
     if (litFreq.forall(_ == 0)) litFreq(0) = 1 // all-copy block: dummy literal tree
     if (distFreq2.forall(_ == 0)) distFreq2(0) = 1 // literal-only block
     // ---- literal context split (q >= 10) ----
