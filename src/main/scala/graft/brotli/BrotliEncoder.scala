@@ -302,8 +302,41 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
   /** Shallow per-position walk depth; command-start positions from the
     * pass-1 plan get re-walked at [[ZopfliDeepDepth]] from their
     * recorded tips (deep-everywhere was ~15× slower for ~4% ratio). */
-  private val ZopfliDepth = 512
-  private val ZopfliDeepDepth = 512
+  private val ZopfliDepth =
+    Integer.getInteger("graft.zopfli.depth", 512).intValue()
+  private val ZopfliDeepDepth =
+    Integer.getInteger("graft.zopfli.deepDepth", 512).intValue()
+  private val ZopfliIters =
+    Integer.getInteger("graft.zopfli.iters", 3).intValue()
+  private val ZopfliScanBudget =
+    Integer.getInteger("graft.zopfli.scans", 24).intValue()
+  /** Depth of the hash-5 walk in the zopfli pass. The deep walk runs on
+    * the hash-8 chain (below), which is selective enough on text that
+    * ZopfliDepth exhausts most chains; the 5-byte chain — where every
+    * " the " shares a bucket — only needs a short walk to surface the
+    * 4-7-byte matches an 8-byte hash can't see. */
+  private val Zopfli5Depth =
+    Integer.getInteger("graft.zopfli.depth5", 48).intValue()
+  /** Stop a zopfli walk once a match this long is found (zlib's
+    * nice_length shape). Disabled by default: truncating bestL also
+    * truncates walkCooldown (which skips the match interior), and the
+    * extra walks cost more than the stop saves (measured +25%). */
+  private val ZopfliNice =
+    Integer.getInteger("graft.zopfli.nice", Int.MaxValue).intValue()
+  /** Second chain keyed on a FULL 8-byte hash, maintained only by the
+    * zopfli pass (q >= 10): the 5-byte chain's depth budget drowns in
+    * frequent 5-grams (" the ") before reaching the long-match
+    * candidates that matter at q11; 8-gram buckets make the deep walk
+    * ~free. Tail positions hash zero-padded bytes (hist has a +8 pad) —
+    * only a heuristic, every candidate is verified by matchLen. */
+  private lazy val hash8Table = {
+    val a = new Array[Int](1 << HashBits)
+    java.util.Arrays.fill(a, -1)
+    a
+  }
+  private lazy val chain8 = new Array[Int](2 * winSize + blockSize)
+  private def hash8At(i: Int): Int =
+    ((histLongs.getLong(i) * 0x9E3779B97F4A7C15L) >>> (64 - HashBits)).toInt
   private val CmdOverheadBits = 4.0
   private lazy val zCost = new Array[Double](blockSize + 1)
   private lazy val zFromLen = new Array[Int](blockSize + 1)
@@ -320,6 +353,8 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     * positions can be re-walked deeper later without the future-tip
     * problem (fully-inserted chains point past p). */
   private lazy val zTip = new Array[Int](blockSize + 1)
+  /** hash-8 chain tip per position (same contract as [[zTip]]). */
+  private lazy val zTip8 = new Array[Int](blockSize + 1)
   private val MaxLitTrees = 12
   /** Distance trees are cheaper (64-symbol alphabet) than literal ones. */
   private val DistTreeCostBits = 150.0
@@ -602,6 +637,15 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       hashTable(i) = if (p >= 0) p else -1
       i += 1
     }
+    if (quality >= 11) { // the zopfli tier's second chain slides too
+      System.arraycopy(chain8, shift, chain8, 0, winSize)
+      var j = 0
+      while (j < hash8Table.length) {
+        val p = hash8Table(j) - shift
+        hash8Table(j) = if (p >= 0) p else -1
+        j += 1
+      }
+    }
     histTail = winSize
   }
 
@@ -867,38 +911,58 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
               if (insertPass) {
                 // walk + record candidates while the chain tips are
                 // temporally correct (ascending-length, closest-first,
-                // so each kept tier has the smallest available distance)
+                // so each kept tier has the smallest available distance).
+                // Two chains: the 8-byte hash walks deep (selective
+                // buckets — long matches surface in a few steps) and the
+                // 5-byte hash walks shallow for the 4-7-byte matches.
                 val h = hashAt(p)
+                val h8 = hash8At(p)
                 var cand = hashTable(h)
+                var cand8 = hash8Table(h8)
                 zTip(i) = cand
+                zTip8(i) = cand8
                 if (p > maxInserted) {
-                  chain(p) = p - cand; hashTable(h) = p; maxInserted = p
+                  chain(p) = p - cand; hashTable(h) = p
+                  chain8(p) = p - cand8; hash8Table(h8) = p
+                  maxInserted = p
                 }
                 // inside a long repeat the rep edge already beats any
                 // chain candidate by distance cost — skip the walk (and
                 // its own long matchLen scans) there; likewise inside a
                 // long chain match (walkCooldown)
-                var depth =
-                  if (repLen >= 64) 0
-                  else if (walkCooldown > 0 && (p & 7) != 0) 0
-                  else ZopfliDepth
+                val skipWalk = repLen >= 64 ||
+                  (walkCooldown > 0 && (p & 7) != 0)
                 var bestL = 0
                 var nc = 0
-                while (cand >= 0 && depth > 0 && bestL < maxLen) {
-                  if (cand < p) {
-                    if (p - cand > maxBackward) depth = 0
-                    else if (hist(cand + bestL) == hist(p + bestL)) {
-                      val ml = matchLen(cand, p, maxLen)
-                      if (ml >= MinMatch && ml > bestL) {
-                        bestL = ml
-                        val slot = if (nc < 4) { nc += 1; nc - 1 } else 3
-                        zCandD(ci4 + slot) = p - cand
-                        zCandL(ci4 + slot) = ml
+                var scans = ZopfliScanBudget
+                def walk(start: Int, links: Array[Int], depth0: Int): Unit = {
+                  var c = start
+                  var depth = depth0
+                  while (c >= 0 && depth > 0 && bestL < maxLen && bestL < ZopfliNice && scans > 0) {
+                    if (c < p) {
+                      if (p - c > maxBackward) depth = 0
+                      else if (
+                        if (bestL >= 7)
+                          histLongs.getLong(c + bestL - 7) ==
+                            histLongs.getLong(p + bestL - 7)
+                        else hist(c + bestL) == hist(p + bestL)) {
+                        val ml = matchLen(c, p, maxLen)
+                        scans -= 1
+                        if (ml >= MinMatch && ml > bestL) {
+                          bestL = ml
+                          val slot = if (nc < 4) { nc += 1; nc - 1 } else 3
+                          zCandD(ci4 + slot) = p - c
+                          zCandL(ci4 + slot) = ml
+                        }
                       }
                     }
+                    c -= links(c)
+                    depth -= 1
                   }
-                  cand -= chain(cand)
-                  depth -= 1
+                }
+                if (!skipWalk) {
+                  walk(cand8, chain8, ZopfliDepth)
+                  walk(cand, chain, Zopfli5Depth)
                 }
                 var z = nc
                 while (z < 4) { zCandL(ci4 + z) = 0; z += 1 }
@@ -961,26 +1025,34 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         val maxLen = math.min(MaxCopy, end - p)
         if (maxLen < MinMatch) return
         val ci4 = i << 2
-        var cand = zTip(i)
-        var depth = ZopfliDeepDepth
         var bestL = 0
         var nc = 0
-        while (cand >= 0 && depth > 0 && bestL < maxLen) {
-          if (cand < p) {
-            if (p - cand > maxBackward) depth = 0
-            else if (hist(cand + bestL) == hist(p + bestL)) {
-              val ml = matchLen(cand, p, maxLen)
-              if (ml >= MinMatch && ml > bestL) {
-                bestL = ml
-                val slot = if (nc < 4) { nc += 1; nc - 1 } else 3
-                zCandD(ci4 + slot) = p - cand
-                zCandL(ci4 + slot) = ml
+        def walk(start: Int, links: Array[Int], depth0: Int): Unit = {
+          var c = start
+          var depth = depth0
+          while (c >= 0 && depth > 0 && bestL < maxLen && bestL < ZopfliNice) {
+            if (c < p) {
+              if (p - c > maxBackward) depth = 0
+              else if (
+                if (bestL >= 7)
+                  histLongs.getLong(c + bestL - 7) ==
+                    histLongs.getLong(p + bestL - 7)
+                else hist(c + bestL) == hist(p + bestL)) {
+                val ml = matchLen(c, p, maxLen)
+                if (ml >= MinMatch && ml > bestL) {
+                  bestL = ml
+                  val slot = if (nc < 4) { nc += 1; nc - 1 } else 3
+                  zCandD(ci4 + slot) = p - c
+                  zCandL(ci4 + slot) = ml
+                }
               }
             }
+            c -= links(c)
+            depth -= 1
           }
-          cand -= chain(cand)
-          depth -= 1
         }
+        walk(zTip8(i), chain8, ZopfliDeepDepth)
+        walk(zTip(i), chain, ZopfliDeepDepth)
         var z = nc
         while (z < 4) { zCandL(ci4 + z) = 0; z += 1 }
       }
@@ -1007,7 +1079,15 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         System.arraycopy(ringSnap, 0, distRing, 0, 4)
         distRingIdx = ringIdxSnap
       }
-      sweep(insertPass = true)
+      val zDbg = java.lang.Boolean.getBoolean("graft.zopfli.debug")
+      def phase[A](tag: String)(f: => A): A =
+        if (!zDbg) f else {
+          val t0 = System.nanoTime()
+          val a = f
+          System.err.println(f"[zopfli] $tag ${(System.nanoTime() - t0) / 1e9}%.3fs")
+          a
+        }
+      phase("pass1-sweep")(sweep(insertPass = true))
       resetParseState()
       var plan = buildPlan()
       replay(plan)
@@ -1016,11 +1096,11 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       // drift between iterations, so q11 runs the loop thrice; the
       // sweep-and-deepen cost is ~15% of a deep-everywhere pass.
       var it = 0
-      val iters = if (quality >= 11) 3 else 1
+      val iters = if (quality >= 11) ZopfliIters else 1
       while (it < iters) {
         costsFromFreqs()
-        deepenPlan(plan)
-        sweep(insertPass = false)
+        phase(s"deepen-$it")(deepenPlan(plan))
+        phase(s"sweep-$it")(sweep(insertPass = false))
         resetParseState()
         plan = buildPlan()
         replay(plan)
@@ -1065,10 +1145,13 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     // Huffman compresses them) and NDIRECT gives the smallest distances
     // dedicated extra-free codes. selectDistanceParams evaluates the
     // full 4×16 grid on a sample of this block's actual distances and
-    // keeps (0,0) unless a challenger wins by a real margin. The fast
-    // tiers (q < 5) keep (0,0).
+    // keeps (0,0) unless a challenger wins by a real margin. Gated at
+    // q >= 7: the grid sweep costs a distance-histogram pass per block
+    // (~20% encode throughput at q5/q6, measured r8) and the challenger
+    // practically never beats (0,0) on those tiers' parses — only the
+    // denser q >= 7 parses produce distance mixtures where it pays.
     val packedParams =
-      if (quality >= 5) selectDistanceParams(cmdBuf, nCmds, CmdStride) else 0
+      if (quality >= 7) selectDistanceParams(cmdBuf, nCmds, CmdStride) else 0
     val npostfix = packedParams >>> 16
     val ndirect = packedParams & 0xffff
     val distFreq2 =

@@ -2,7 +2,10 @@
 """Local mimic of the driver's correctness gate: run each oracle SQL in
 DuckDB over the sf parquet tables and compare against Verify's parquet
 dumps (columns sorted by name, values hashed row-wise). Usage:
-  python3 tools/check.py <sfDir> <verifyOutDir>
+  python3 tools/check.py <sfDir> <verifyOutDir> [--shared[=LIMIT]]
+--shared runs every query on ONE connection (the driver's harness
+shape, where working memory accumulates) with an optional DuckDB
+memory_limit (default 2GB) — the stress mode that caught the r8 OOMs.
 """
 import sys, json, glob, os
 import duckdb
@@ -21,16 +24,24 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    def fresh_con():
-        # one connection per query: DuckDB working memory accumulates
-        # across heavy queries on a shared connection and can OOM late
-        # queries that run fine standalone
+    shared_limit = None
+    for a in sys.argv[3:]:
+        if a.startswith("--shared"):
+            shared_limit = a.split("=", 1)[1] if "=" in a else "2GB"
+    def make_con():
         con = duckdb.connect()
+        if shared_limit:
+            con.execute(f"SET memory_limit='{shared_limit}'")
         for t in TABLES:
             p = f"{sf_dir}/{t}.parquet"
             if os.path.exists(p):
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
         return con
+    # default: one connection per query (DuckDB working memory accumulates
+    # across heavy queries on a shared connection and can OOM late queries
+    # that run fine standalone); --shared: one capped connection for all,
+    # the driver-harness stress shape
+    shared_con = make_con() if shared_limit else None
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
@@ -38,10 +49,11 @@ def main():
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            con = fresh_con()
+            con = shared_con or make_con()
             got = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
             exp = norm(con.execute(sql).df())
-            con.close()
+            if not shared_con:
+                con.close()
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}"); n_fail += 1; continue
         ok_schema = list(got.columns) == list(exp.columns)
