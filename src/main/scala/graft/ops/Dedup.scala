@@ -391,7 +391,7 @@ object Dedup {
     val na = PortableSql.dotSql("ea", "ea", 64)
     val nb = PortableSql.dotSql("eb", "eb", 64)
     val cos = PortableSql.cosineFromPartsSql("dot", "na", "nb")
-    s"""WITH keys AS (
+    s"""WITH keys AS MATERIALIZED (
        |  ${srpKeysSql("embeddings")}),
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,

@@ -201,7 +201,7 @@ object Similarity {
          |      ORDER BY ${sqDistSql("v.qv", "c.m", dim)} ASC, c.cluster ASC) AS pr
          |  FROM qe v CROSS JOIN $cents c) WHERE pr = 1)""".stripMargin
     rankedSql(
-      s"""WITH qe AS (SELECT vec_id, embedding, ${ivfQuantSql("embedding")} AS qv FROM embeddings),
+      s"""WITH qe AS MATERIALIZED (SELECT vec_id, embedding, ${ivfQuantSql("embedding")} AS qv FROM embeddings),
          |c0 AS (SELECT vec_id AS cluster, qv AS m
          |  FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id LIMIT $IvfNList)),
          |${assignCte("a1", "c0")},
@@ -273,7 +273,7 @@ object Similarity {
     val na = PortableSql.dotSql("emb", "emb", 64)
     val nb = PortableSql.dotSql("q_emb", "q_emb", 64)
     val cos = PortableSql.cosineFromPartsSql("dot", "na", "nb")
-    s"""WITH keys AS (
+    s"""WITH keys AS MATERIALIZED (
        |  ${Dedup.srpKeysSql("embeddings")}),
        |qk AS (SELECT * FROM keys WHERE vec_id % 47 = 0),
        |cand0 AS (
@@ -330,7 +330,7 @@ object Similarity {
       |  FROM embeddings CROSS JOIN q WHERE vec_id <> q_id)""".stripMargin)
 
   private def s02Sql: String = rankedSql(
-    s"""WITH keys AS (
+    s"""WITH keys AS MATERIALIZED (
        |  ${Dedup.srpKeysSql("embeddings")}),
        |qk AS (SELECT * FROM keys WHERE vec_id % 47 = 0),
        |cand AS (
@@ -339,7 +339,7 @@ object Similarity {
        |  FROM keys k JOIN qk q ON k.t = q.t AND k.b = q.b AND k.vec_id <> q.vec_id)""".stripMargin)
 
   private def s10Sql: String = rankedSql(
-    s"""WITH keys AS (
+    s"""WITH keys AS MATERIALIZED (
        |  ${Dedup.srpKeysSql("embeddings", SrpLsh.ScaledBits)}),
        |qk AS (SELECT * FROM keys WHERE vec_id % 47 = 0),
        |cand AS (
@@ -374,7 +374,7 @@ object Similarity {
   }
 
   private def s05Sql: String = rankedSql(
-    s"""WITH keys AS (
+    s"""WITH keys AS MATERIALIZED (
        |  ${Dedup.srpKeysSql("embeddings")}),
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS q_id, y.vec_id AS vec_id,
@@ -466,13 +466,13 @@ object Similarity {
 
   private def s07Sql: String = {
     val d16 = sqDistSql("v.sv", "c.cent", PqSub)
-    s"""WITH qe AS (
+    s"""WITH qe AS MATERIALIZED (
        |  SELECT vec_id, ${ivfQuantSql("embedding")} AS qv FROM embeddings),
        |sp AS (SELECT unnest(range(0, $PqM)) AS s),
        |seeds AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, qv
        |  FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id LIMIT $PqK)),
-       |cb AS (
+       |cb AS MATERIALIZED (
        |  SELECT sp.s, seeds.code,
        |    qv[1 + sp.s * $PqSub : (sp.s + 1) * $PqSub] AS cent
        |  FROM seeds CROSS JOIN sp),
@@ -577,7 +577,7 @@ object Similarity {
   private def s09Sql: String = {
     val d64 = sqDistSql("v.qv", "c.m", 64)
     val d16 = sqDistSql("v.sv", "c.cent", PqSub)
-    s"""WITH qe AS (
+    s"""WITH qe AS MATERIALIZED (
        |  SELECT vec_id, ${ivfQuantSql("embedding")} AS qv FROM embeddings),
        |c0 AS (SELECT vec_id AS cluster, qv AS m
        |  FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id LIMIT $IvfNList)),
@@ -590,7 +590,7 @@ object Similarity {
        |seeds AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, qv
        |  FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id LIMIT $PqK)),
-       |cb AS (
+       |cb AS MATERIALIZED (
        |  SELECT sp.s, seeds.code,
        |    qv[1 + sp.s * $PqSub : (sp.s + 1) * $PqSub] AS cent
        |  FROM seeds CROSS JOIN sp),
@@ -755,13 +755,25 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** Oracle-memory discipline (the r8 driver OOMs, root-caused with
+    * tools/leakprofile.py): DuckDB 1.0 inlines a CTE per reference, and
+    * when the duplicated subplan contains a WINDOW over joined list
+    * columns its memory reservation never fully releases (~130 MB lost
+    * per run of the r8 form — enough that every heavy oracle after s08
+    * died on the driver's shared connection). Two rules, applied to
+    * every heavy oracle: (1) multi-referenced CTEs with windowed
+    * subplans are `AS MATERIALIZED` (evaluate once, read many); (2)
+    * multi-referenced CTEs stay NARROW — ids and cluster keys, never
+    * the 64-double arrays; `embedding` joins back in at the `pairs`
+    * stage by vec_id. Verified: 12 back-to-back runs inside one 300 MB
+    * connection, zero OOM (the r8 form died on run 2). */
   private def s08Sql: String = {
     val dot = PortableSql.dotSql("ea", "eb", 64)
     val na = PortableSql.dotSql("ea", "ea", 64)
     val nb = PortableSql.dotSql("eb", "eb", 64)
     val cos = PortableSql.cosineFromPartsSql("dot", "na", "nb")
-    s"""WITH qe AS (
-       |  SELECT vec_id, embedding, ${ivfQuantSql("embedding")} AS qv FROM embeddings),
+    s"""WITH qe AS MATERIALIZED (
+       |  SELECT vec_id, ${ivfQuantSql("embedding")} AS qv FROM embeddings),
        |prm AS (SELECT GREATEST(1, CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE)
        |    / $SemDedupTargetCluster)) AS BIGINT)) * $SemDedupTargetCluster
        |  AS sstride FROM qe),
@@ -774,19 +786,22 @@ object Similarity {
        |    row_number() OVER (PARTITION BY c.cluster
        |      ORDER BY ${sqDistSql("c.m", "s.sm", 64)} ASC, s.super ASC) AS pr
        |  FROM ch c CROSS JOIN sup s) WHERE pr = 1),
-       |vsup AS (SELECT vec_id, embedding, qv, super FROM (
-       |  SELECT v.vec_id, v.embedding, v.qv, s.super,
+       |vsup AS (SELECT vec_id, super FROM (
+       |  SELECT v.vec_id, s.super,
        |    row_number() OVER (PARTITION BY v.vec_id
        |      ORDER BY ${sqDistSql("v.qv", "s.sm", 64)} ASC, s.super ASC) AS pr
        |  FROM qe v CROSS JOIN sup s) WHERE pr = 1),
-       |asg AS (SELECT vec_id, embedding, cluster FROM (
-       |  SELECT v.vec_id, v.embedding, c.cluster,
-       |    row_number() OVER (PARTITION BY v.vec_id
-       |      ORDER BY ${sqDistSql("v.qv", "c.m", 64)} ASC, c.cluster ASC) AS pr
-       |  FROM vsup v JOIN chsup c ON v.super = c.super) WHERE pr = 1),
+       |asg AS MATERIALIZED (SELECT vec_id, cluster FROM (
+       |  SELECT q.vec_id, c.cluster,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqDistSql("q.qv", "c.m", 64)} ASC, c.cluster ASC) AS pr
+       |  FROM vsup v JOIN qe q ON q.vec_id = v.vec_id
+       |  JOIN chsup c ON v.super = c.super) WHERE pr = 1),
        |pairs AS (
-       |  SELECT y.vec_id AS vec_id, x.embedding AS ea, y.embedding AS eb
-       |  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+       |  SELECT y.vec_id AS vec_id, ex.embedding AS ea, ey.embedding AS eb
+       |  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |  JOIN embeddings ex ON ex.vec_id = x.vec_id
+       |  JOIN embeddings ey ON ey.vec_id = y.vec_id),
        |parts AS (SELECT vec_id, $dot AS dot, $na AS na, $nb AS nb FROM pairs),
        |dups AS (
        |  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dup_lower

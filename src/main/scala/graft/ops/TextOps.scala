@@ -919,7 +919,7 @@ object TextOps {
   }
 
   private val t15Sql =
-    s"""WITH tok AS (
+    s"""WITH tok AS MATERIALIZED (
        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
        |  FROM documents),
        |uni AS (
@@ -1172,7 +1172,7 @@ object TextOps {
   }
 
   private val t19Sql =
-    """WITH tok AS (
+    """WITH tok AS MATERIALIZED (
       |  SELECT source, t AS tok, CAST(COUNT(*) AS BIGINT) AS cnt
       |  FROM (SELECT source,
       |          unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
@@ -1248,15 +1248,15 @@ object TextOps {
   }
 
   private val t20Sql =
-    """WITH base AS (
+    """WITH base AS MATERIALIZED (
       |  SELECT doc_id,
       |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
       |  FROM documents),
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT doc_id, i AS pos, toks[i] AS a, toks[i + 1] AS b
       |  FROM base, unnest(range(1, len(toks))) AS t(i)
       |  WHERE len(toks) >= 2),
-      |cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM pairs GROUP BY a, b),
+      |cab AS MATERIALIZED (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM pairs GROUP BY a, b),
       |ca AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY a),
       |probs AS (
       |  SELECT doc_id, pos, CAST(c_ab AS DOUBLE) / c_a AS p
