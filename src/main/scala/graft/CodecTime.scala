@@ -9,6 +9,13 @@ import graft.brotli.Brotli
   */
 object CodecTime {
   def main(args: Array[String]): Unit = {
+    if (args.length >= 3 && args(0) == "enc") { // enc <in> <out> [q]
+      val data = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(1)))
+      val q = if (args.length > 3) args(3).toInt else 11
+      java.nio.file.Files.write(java.nio.file.Paths.get(args(2)),
+        Brotli.compress(data, q))
+      return
+    }
     val payload = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(0)))
     val qs = args(1).split(",").map(_.toInt)
     val reps = if (args.length > 2) args(2).toInt else 3

@@ -210,6 +210,17 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
   // positions rebase. Slides cost O(winSize) once per winSize+ bytes.
   private val winSize = 1 << math.min(lgwin, 22)
   private val maxBackward = (1 << math.min(lgwin, 22)) - 16
+  /** Absolute stream offset of hist index 0 — slides advance it, so
+    * `histShift + p` is a position's offset in the decompressed stream
+    * (counting any preloaded prefix dictionary, which the decoder also
+    * counts into totalOut). The §8 static-dictionary reference bound is
+    * position-dependent: a distance is a dictionary reference iff it
+    * exceeds min(streamPos, declared window) — the DECODER's declared
+    * window, not the encoder's internal 22-bit cap. */
+  private var histShift = 0L
+  private val declaredMaxBackward = (1L << lgwin) - 16
+  private def dictBoundAt(p: Int): Long =
+    math.min(histShift + p, declaredMaxBackward)
   /** +8 tail pad so hash loads near the end can use a single getLong. */
   private lazy val hist = new Array[Byte](2 * winSize + blockSize + 8)
   private lazy val chain = new Array[Int](2 * winSize + blockSize)
@@ -355,12 +366,20 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
   private lazy val zTip = new Array[Int](blockSize + 1)
   /** hash-8 chain tip per position (same contract as [[zTip]]). */
   private lazy val zTip8 = new Array[Int](blockSize + 1)
-  private val MaxLitTrees = 12
+  /** Cached §8 static-dictionary matches per position, the two longest
+    * identity-transform words starting there, packed (len << 16 | idx);
+    * 0 = none. Filled in pass 1, relaxed in every sweep. */
+  private lazy val zDict1 = new Array[Int](blockSize + 1)
+  private lazy val zDict2 = new Array[Int](blockSize + 1)
+  private val MaxLitTrees =
+    Integer.getInteger("graft.cm.maxLitTrees", 12).intValue()
   /** Distance trees are cheaper (64-symbol alphabet) than literal ones. */
-  private val DistTreeCostBits = 150.0
+  private val DistTreeCostBits =
+    Integer.getInteger("graft.cm.distTreeCost", 150).intValue().toDouble
   /** ~bits one extra literal tree costs (code description); merges stop
     * when the entropy growth of the best merge exceeds this. */
-  private val TreeCostBits = 240.0
+  private val TreeCostBits =
+    Integer.getInteger("graft.cm.treeCost", 240).intValue().toDouble
 
   private def utf8Ctx(p1: Int, p2: Int): Int =
     SpecData.ContextLut((2 << 9) + p1) | SpecData.ContextLut((2 << 9) + 256 + p2)
@@ -646,6 +665,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         j += 1
       }
     }
+    histShift += shift
     histTail = winSize
   }
 
@@ -674,9 +694,14 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     def addCmd(cLitStart: Int, cLitLen: Int, cCopyLen: Int, cDist: Int): Unit = {
       val icode = insertCodeFor(cLitLen)
       val ccode = if (cCopyLen > 0) copyCodeFor(cCopyLen) else 0
+      // §8 static-dictionary reference: distance exceeds the decoder's
+      // position-dependent backward bound. Always explicit (the ring
+      // compares could collide numerically early in the stream) and
+      // never pushes the ring — mirroring the decoder exactly.
+      val isDict = cCopyLen > 0 && cDist > dictBoundAt(cLitStart + cLitLen)
       // same-distance matches use the implicit distance-0 command zone
       // (cmd < 128): no distance symbol or extra bits in the stream
-      val implicitOk = cCopyLen > 0 && cDist == ringLast(0) &&
+      val implicitOk = !isDict && cCopyLen > 0 && cDist == ringLast(0) &&
         icode <= 7 && ccode <= 15
       val cmdSym =
         if (implicitOk) {
@@ -690,7 +715,8 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       // literals), -2 = explicit — the raw distance parks in o+7 until
       // the block's NPOSTFIX/NDIRECT are chosen post-parse
       var dc = -1; var raw = 0
-      if (cCopyLen > 0 && !implicitOk) {
+      if (isDict) { dc = -2; raw = cDist }
+      else if (cCopyLen > 0 && !implicitOk) {
         val (rc, pushes) = ringDistanceCodeFor(cDist)
         if (rc >= 0) dc = rc else { dc = -2; raw = cDist }
         if (pushes) ringPush(cDist)
@@ -867,6 +893,28 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
           c -= 1
         }
       }
+      /** §8 dictionary edge: copy the whole identity-transformed word
+        * (words cannot be cut at code boundaries), distance built per
+        * the decoder's address formula at this position. The ring is
+        * untouched by dictionary references, so the arrival distance
+        * carries through from i. */
+      def relaxDict(i: Int, packed: Int): Unit = {
+        val len = packed >>> 16
+        val idx = packed & 0xffff
+        val dist = (dictBoundAt(b0 + i) + 1 +
+          ((DictIndex.identityId.toLong <<
+            SpecData.Dictionary.sizeBits(len)) | idx)).toInt
+        val j = i + len
+        val ccode = copyCodeFor(len)
+        val sb = distSymAndBits(dist)
+        val c = zCost(i) + CopyExtra(ccode) + CmdOverheadBits +
+          cmdCostT(packCommandExplicit(0, ccode)) +
+          distCostT(sb & 0xffff) + (sb >>> 16)
+        if (c < zCost(j)) {
+          zCost(j) = c; zFromLen(j) = len; zFromDist(j) = dist
+          zArrDist(j) = zArrDist(i)
+        }
+      }
       def sweep(insertPass: Boolean): Unit = {
         java.util.Arrays.fill(zCost, 0, n + 1, Double.MaxValue)
         zCost(0) = 0.0
@@ -890,6 +938,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
           }
           val maxLen = math.min(MaxCopy, end - p)
           if (maxLen >= MinMatch) {
+            var walkBest = 0 // longest window candidate found at p
             val d0 = zArrDist(i)
             var repLen = 0
             if (d0 > 0 && d0 <= maxBackward && p - d0 >= 0) {
@@ -966,6 +1015,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
                 }
                 var z = nc
                 while (z < 4) { zCandL(ci4 + z) = 0; z += 1 }
+                walkBest = bestL
                 if (bestL >= 32) walkCooldown = bestL - 1
                 else if (walkCooldown > 0) walkCooldown -= 1
               }
@@ -985,6 +1035,37 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
               // explicit candidates relax at full length only: cutting
               // them at code boundaries fragments the parse (each cut
               // pays a distance), while rep cuts stay distance-free
+            }
+            // §8 static-dictionary probes: one rolling FNV over the next
+            // ≤24 bytes, a table probe per length, cache the two longest
+            // identity-transform hits. Same skips as the chain walks
+            // (inside a long repeat nothing ≤24 bytes can win).
+            if (insertPass) {
+              zDict1(i) = 0; zDict2(i) = 0
+              // probe only where the window matcher came up short: a
+              // window copy ≥16 at LZ distance always beats a ≤24-byte
+              // word at a ~4M distance (measured: probing everywhere
+              // cost +12% q11 time for no ratio change)
+              if (walkBest < 16 && repLen < 16 &&
+                  !(walkCooldown > 0 && (p & 7) != 0)) {
+                val lim = math.min(DictIndex.MaxLen, maxLen)
+                var h = 0xcbf29ce484222325L
+                var l = 0
+                while (l < lim) {
+                  h = (h ^ (hist(p + l) & 0xff)) * 0x100000001b3L
+                  l += 1
+                  if (l >= DictIndex.MinLen) {
+                    val idx = DictIndex.lookup(l, h, hist, p)
+                    if (idx >= 0) {
+                      zDict2(i) = zDict1(i); zDict1(i) = (l << 16) | idx
+                    }
+                  }
+                }
+              }
+            }
+            if (zDict1(i) != 0) {
+              relaxDict(i, zDict1(i))
+              if (zDict2(i) != 0) relaxDict(i, zDict2(i))
             }
           }
           p += 1
@@ -1087,6 +1168,10 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
           System.err.println(f"[zopfli] $tag ${(System.nanoTime() - t0) / 1e9}%.3fs")
           a
         }
+      // clear the dictionary cache (pass 1 skips tail positions whose
+      // maxLen < MinMatch, which would otherwise read a stale entry)
+      java.util.Arrays.fill(zDict1, 0, n + 1, 0)
+      java.util.Arrays.fill(zDict2, 0, n + 1, 0)
       phase("pass1-sweep")(sweep(insertPass = true))
       resetParseState()
       var plan = buildPlan()
@@ -1150,8 +1235,11 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     // (~20% encode throughput at q5/q6, measured r8) and the challenger
     // practically never beats (0,0) on those tiers' parses — only the
     // denser q >= 7 parses produce distance mixtures where it pays.
+    val forcedParams = Integer.getInteger("graft.dist.force", -1).intValue()
     val packedParams =
-      if (quality >= 7) selectDistanceParams(cmdBuf, nCmds, CmdStride) else 0
+      if (forcedParams >= 0) forcedParams
+      else if (quality >= 7) selectDistanceParams(cmdBuf, nCmds, CmdStride)
+      else 0
     val npostfix = packedParams >>> 16
     val ndirect = packedParams & 0xffff
     val distFreq2 =
@@ -1206,6 +1294,8 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       }
     }
     // ---- header ----
+    val eDbg = java.lang.Boolean.getBoolean("graft.emit.debug")
+    val bitsAtHeader = bits.bitsWritten
     bits.writeBits(0, 1) // ISLAST
     val mlenMinus1 = len - 1
     val nibbles = if (mlenMinus1 < (1 << 16)) 4
@@ -1251,6 +1341,9 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       dt += 1
     }
     // ---- body ---- (codes pre-reversed: one writeBits call per symbol)
+    val bitsAtBody = bits.bitsWritten
+    var accCmd = 0L; var accInsX = 0L; var accCopyX = 0L
+    var accLit = 0L; var accDistSym = 0L; var accDistX = 0L
     val litLen = litLens(0)
     val litRev = litRevs(0)
     val cmdRev = Array.tabulate(cmdCodeA.length)(s => Huffman.reverseBits(cmdCodeA(s), cmdLenA(s)))
@@ -1265,6 +1358,10 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       bits.writeBits((cLitLen - InsertBase(icode)).toLong, InsertExtra(icode))
       bits.writeBits((math.max(cCopyLen, CopyBase(0)) - CopyBase(ccode)).toLong,
         CopyExtra(ccode))
+      if (eDbg) {
+        accCmd += cmdLenA(cmdSym)
+        accInsX += InsertExtra(icode); accCopyX += CopyExtra(ccode)
+      }
       var i = 0
       if (cmap == null) {
         while (i < cLitLen) {
@@ -1272,6 +1369,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
           bits.writeBits(litRev(b).toLong, litLen(b))
           i += 1
         }
+        if (eDbg) { var k = 0; while (k < cLitLen) { accLit += litLen(hist(cLitStart + k) & 0xff); k += 1 } }
       } else {
         while (i < cLitLen) {
           val lp = cLitStart + i
@@ -1280,6 +1378,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
           val pb2 = if (lp >= 2) hist(lp - 2) & 0xff else 0
           val tr = cmap(utf8Ctx(pb1, pb2))
           bits.writeBits(litRevs(tr)(b).toLong, litLens(tr)(b))
+          if (eDbg) accLit += litLens(tr)(b)
           i += 1
         }
       }
@@ -1290,8 +1389,18 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         val dtr = if (dmap == null) 0 else dmap(math.min(cCopyLen - 2, 3))
         bits.writeBits(distRevs(dtr)(dc).toLong, distLens(dtr)(dc))
         bits.writeBits((packed & 0xffffff).toLong, packed >>> 24)
+        if (eDbg) { accDistSym += distLens(dtr)(dc); accDistX += (packed >>> 24) }
       }
       ci += 1
+    }
+    if (eDbg) {
+      val hdr = bitsAtBody - bitsAtHeader
+      val body = bits.bitsWritten - bitsAtBody
+      System.err.println(
+        f"[emit] len=$len%d nCmds=$nCmds%d hdr+trees=${hdr / 8}%dB body=${body / 8}%dB " +
+        f"(cmd=${accCmd / 8}%dB insX=${accInsX / 8}%dB copyX=${accCopyX / 8}%dB " +
+        f"lit=${accLit / 8}%dB distSym=${accDistSym / 8}%dB distX=${accDistX / 8}%dB) " +
+        f"nLitTrees=$nLitTrees%d nDistTrees=$nDistTrees%d npostfix=$npostfix%d ndirect=$ndirect%d")
     }
     bits.drainTo(sink)
   }

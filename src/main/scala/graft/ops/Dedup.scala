@@ -162,6 +162,18 @@ object Dedup {
   private def RowsPerBand = MinHash.RowsPerBand
   private def P = MinHash.P
 
+  /** Band-bucket occupancy cap (d02's df-cap medicine applied to LSH):
+    * buckets with more than this many members are dropped before pair
+    * generation. Hot buckets are near-boilerplate collisions whose
+    * members pair quadratically — the r8 sf1 audit measured candidate
+    * pairs growing 3,658× for 10× data (26.8M pairs, hottest bucket
+    * 810 members) with NO cap; at 64 the same corpus generates 4.0M
+    * (6.7× fewer) and a true duplicate pair still surfaces through any
+    * of its ~Bands cold buckets. At the correctness-gate scales the
+    * hottest bucket holds 4 members, so the cap provably changes no
+    * gate row. */
+  private[ops] val BandCap = 64
+
   def d03(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
@@ -176,10 +188,15 @@ object Dedup {
     // the 128-long signature through the 32× explode would multiply the
     // shuffle by the fan-out; instead the (small) surviving pair list
     // re-joins the signature map, which AQE turns into broadcast joins
-    // (withSig is a narrow recompute, never shuffled).
+    // (withSig is a narrow recompute, never shuffled). bands feeds the
+    // occupancy count AND both self-join sides — materialize once (the
+    // d02/t08 multi-consumer rule).
     val bands = withSig.select($"doc_id",
-      explode(array(bandKeys: _*)).as("band_key"))
-    val pairIds = bands.as("x").join(bands.as("y"),
+      explode(array(bandKeys: _*)).as("band_key")).localCheckpoint()
+    val cold = bands.groupBy($"band_key").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2 && $"c" <= BandCap).select($"band_key")
+    val idx = bands.join(cold, Seq("band_key"), "left_semi")
+    val pairIds = idx.as("x").join(idx.as("y"),
         $"x.band_key" === $"y.band_key" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
@@ -245,14 +262,20 @@ object Dedup {
        |sigs AS (SELECT doc_id, [
        |    $sigEntries
        |  ] AS sig FROM hs),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  SELECT doc_id, sig, j,
        |    sig[j*$RowsPerBand + 1] AS k0, sig[j*$RowsPerBand + 2] AS k1,
        |    sig[j*$RowsPerBand + 3] AS k2, sig[j*$RowsPerBand + 4] AS k3
        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $Bands)) AS j)),
+       |cold AS (
+       |  SELECT j, k0, k1, k2, k3 FROM bands
+       |  GROUP BY j, k0, k1, k2, k3
+       |  HAVING COUNT(*) >= 2 AND COUNT(*) <= $BandCap),
+       |bx AS MATERIALIZED (
+       |  SELECT b.* FROM bands b SEMI JOIN cold USING (j, k0, k1, k2, k3)),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sig AS sig_a, y.sig AS sig_b
-       |  FROM bands x JOIN bands y
+       |  FROM bx x JOIN bx y
        |    ON x.j = y.j AND x.k0 = y.k0 AND x.k1 = y.k1 AND x.k2 = y.k2 AND x.k3 = y.k3
        |    AND x.doc_id < y.doc_id)
        |SELECT doc_a, doc_b,
