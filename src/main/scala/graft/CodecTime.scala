@@ -9,6 +9,13 @@ import graft.brotli.Brotli
   */
 object CodecTime {
   def main(args: Array[String]): Unit = {
+    if (args.length >= 2 && args(0) == "dec") { // dec <in.bro> — stats mode
+      val enc = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(1)))
+      val dec = Brotli.decompress(enc)
+      graft.brotli.DecoderStats.report(args(1))
+      println(s"decoded ${dec.length} bytes from ${enc.length}")
+      return
+    }
     if (args.length >= 3 && args(0) == "enc") { // enc <in> <out> [q]
       val data = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(1)))
       val q = if (args.length > 3) args(3).toInt else 11

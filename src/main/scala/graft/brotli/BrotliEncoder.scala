@@ -492,6 +492,168 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     bits.writeBits(0, 1) // no inverse MTF
   }
 
+  /** Largest block-length code whose base fits `len` (§6 table; extras
+    * are contiguous so the greatest base ≤ len always covers it). */
+  private def blockLenCode(len: Int): Int = {
+    var c = BlockLengthBase.length - 1
+    while (c > 0 && BlockLengthBase(c) > len) c -= 1
+    c
+  }
+
+  /** BLOCK SPLITTING (§6, q >= 10): segment a symbol stream into up to
+    * `maxTypes` block types so each type gets its own prefix code —
+    * positional adaptation that a single per-meta-block tree cannot
+    * express (measured on the bench text: native q11 uses 6 command and
+    * 8 distance block types and beats our single-tree stream by ~4%).
+    *
+    * Deterministic k-means over fixed-size chunk histograms: seeds are
+    * evenly spaced chunks, cost is the Huffman code length of a chunk
+    * under a type's code (17 bits for absent symbols — the same price
+    * the zopfli DP uses), 3 assignment rounds, ties to the lower type.
+    * Adopted only when the split total (including per-tree descriptions
+    * and per-boundary switch costs) beats the single-tree total.
+    *
+    * Returns (blockTypes, blockLens in symbols, per-type histograms),
+    * types renumbered in first-appearance order (the decoder starts in
+    * type 0), or null when splitting doesn't pay. */
+  private def splitBlocks(syms: Array[Int], nSyms: Int, alphabet: Int,
+      chunkSize: Int, maxTypes: Int, treeDescBits: Double):
+      (Array[Int], Array[Int], Array[Array[Long]]) = {
+    if (nSyms < chunkSize * 8) return null
+    val nChunks = (nSyms + chunkSize - 1) / chunkSize
+    val chunkHist = Array.fill(nChunks)(new Array[Long](alphabet))
+    var s = 0
+    while (s < nSyms) { chunkHist(s / chunkSize)(syms(s)) += 1; s += 1 }
+    val global = new Array[Long](alphabet)
+    var c = 0
+    while (c < nChunks) {
+      val h = chunkHist(c)
+      var a = 0
+      while (a < alphabet) { global(a) += h(a); a += 1 }
+      c += 1
+    }
+    def costWith(h: Array[Long], lens: Array[Int]): Long = {
+      var bitsN = 0L
+      var a = 0
+      while (a < alphabet) {
+        if (h(a) > 0) bitsN += h(a) * (if (lens(a) > 0) lens(a) else 17)
+        a += 1
+      }
+      bitsN
+    }
+    val singleBits = costWith(global, Huffman.buildLengths(global, 15))
+    val K0 = math.min(maxTypes, nChunks)
+    var assign = Array.tabulate(nChunks)(c2 => c2 * K0 / nChunks)
+    // alternate type-code fitting (k-means step) with a Viterbi pass
+    // that charges every type flip its real switch cost — independent
+    // per-chunk argmin oscillates on small chunks, paying ~14 bits per
+    // flip for marginal code wins (measured: worse than no split)
+    val SwitchBits = 14.0
+    var iter = 0
+    while (iter < 4) {
+      val th = Array.fill(K0)(new Array[Long](alphabet))
+      var c2 = 0
+      while (c2 < nChunks) {
+        val h = chunkHist(c2); val t = assign(c2)
+        var a = 0
+        while (a < alphabet) { th(t)(a) += h(a); a += 1 }
+        c2 += 1
+      }
+      val lens = th.map(h =>
+        if (h.exists(_ > 0)) Huffman.buildLengths(h, 15) else null)
+      // Viterbi over (chunk, type): emission = chunk coded by type,
+      // transition = SwitchBits on type change
+      val cost = Array.fill(K0)(0.0)
+      val prevCost = Array.fill(K0)(0.0)
+      val back = Array.ofDim[Byte](nChunks, K0)
+      var t0 = 0
+      while (t0 < K0) {
+        prevCost(t0) =
+          if (lens(t0) == null) Double.MaxValue / 4
+          else costWith(chunkHist(0), lens(t0)).toDouble
+        t0 += 1
+      }
+      c2 = 1
+      while (c2 < nChunks) {
+        var bestPrev = 0
+        var t = 1
+        while (t < K0) { if (prevCost(t) < prevCost(bestPrev)) bestPrev = t; t += 1 }
+        t = 0
+        while (t < K0) {
+          if (lens(t) == null) { cost(t) = Double.MaxValue / 4; back(c2)(t) = bestPrev.toByte }
+          else {
+            val stay = prevCost(t)
+            val switch = prevCost(bestPrev) + SwitchBits
+            val (base, from) =
+              if (stay <= switch || bestPrev == t) (stay, t) else (switch, bestPrev)
+            cost(t) = base + costWith(chunkHist(c2), lens(t))
+            back(c2)(t) = from.toByte
+          }
+          t += 1
+        }
+        System.arraycopy(cost, 0, prevCost, 0, K0)
+        c2 += 1
+      }
+      var cur = 0
+      var t1 = 1
+      while (t1 < K0) { if (prevCost(t1) < prevCost(cur)) cur = t1; t1 += 1 }
+      c2 = nChunks - 1
+      while (c2 >= 0) {
+        assign(c2) = cur
+        if (c2 > 0) cur = back(c2)(cur)
+        c2 -= 1
+      }
+      iter += 1
+    }
+    // renumber in first-appearance order (first block must be type 0)
+    val remap = new Array[Int](K0)
+    java.util.Arrays.fill(remap, -1)
+    var next = 0
+    var c3 = 0
+    while (c3 < nChunks) {
+      if (remap(assign(c3)) < 0) { remap(assign(c3)) = next; next += 1 }
+      c3 += 1
+    }
+    val K = next
+    if (K < 2) return null
+    assign = assign.map(remap)
+    val typeHists = Array.fill(K)(new Array[Long](alphabet))
+    val typeLens = new Array[Array[Int]](K)
+    c3 = 0
+    while (c3 < nChunks) {
+      val h = chunkHist(c3)
+      var a = 0
+      while (a < alphabet) { typeHists(assign(c3))(a) += h(a); a += 1 }
+      c3 += 1
+    }
+    var t = 0
+    while (t < K) { typeLens(t) = Huffman.buildLengths(typeHists(t), 15); t += 1 }
+    var splitBits = 0.0
+    c3 = 0
+    while (c3 < nChunks) {
+      splitBits += costWith(chunkHist(c3), typeLens(assign(c3)))
+      c3 += 1
+    }
+    // blocks = runs of same-type chunks (lengths in SYMBOLS)
+    val bt = scala.collection.mutable.ArrayBuffer[Int]()
+    val bl = scala.collection.mutable.ArrayBuffer[Int]()
+    c3 = 0
+    while (c3 < nChunks) {
+      val t2 = assign(c3)
+      var run = 0
+      while (c3 < nChunks && assign(c3) == t2) {
+        run += math.min(chunkSize, nSyms - c3 * chunkSize)
+        c3 += 1
+      }
+      bt += t2; bl += run
+    }
+    // per-boundary: type symbol (~2-4b) + blen code (~4b) + blen extra
+    splitBits += (bt.length - 1) * 14.0 + bt.length * 8.0
+    splitBits += K * treeDescBits + 120.0 // type+len tree descriptions
+    if (splitBits >= singleBits + treeDescBits) return null
+    (bt.toArray, bl.toArray, typeHists)
+  }
+
   // distance ring mirroring the decoder's stream-level state (§4,
   // libbrotli-verified): initial last/2nd/3rd/4th = 4/11/15/16; code 0
   // and implicit-zone distances do not push; everything else does.
@@ -1273,13 +1435,45 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         case (cm, th) => cmap = cm; treeHists = th
       }
     }
+    // ---- block splitting (§6, q >= 10): commands + distances ----
+    // per-position adaptation of the command and distance codes (the
+    // decoder's catI/catD machinery). The distance split supersedes the
+    // copy-length context split below when adopted — type-local trees
+    // capture that correlation and more.
+    val cmdSymsA = new Array[Int](nCmds)
+    locally {
+      var i = 0
+      while (i < nCmds) { cmdSymsA(i) = cmdBuf(i * CmdStride + 5); i += 1 }
+    }
+    val cmdSplit = if (quality >= 10)
+      splitBlocks(cmdSymsA, nCmds, CommandAlphabetSize,
+        Integer.getInteger("graft.split.cmdChunk", 100).intValue(),
+        Integer.getInteger("graft.split.maxTypes", 8).intValue(), 600.0)
+    else null
+    val distSymsA = new Array[Int](nCmds)
+    var nDistSyms = 0
+    locally {
+      var i = 0
+      while (i < nCmds) {
+        val o = i * CmdStride
+        if (cmdBuf(o + 2) > 0 && cmdBuf(o + 6) >= 0) {
+          distSymsA(nDistSyms) = cmdBuf(o + 6); nDistSyms += 1
+        }
+        i += 1
+      }
+    }
+    val distSplit = if (quality >= 10)
+      splitBlocks(distSymsA, nDistSyms, distFreq2.length,
+        Integer.getInteger("graft.split.distChunk", 100).intValue(),
+        Integer.getInteger("graft.split.maxTypes", 8).intValue(), 250.0)
+    else null
     // ---- distance context split (q >= 10) ----
     // distances histogram by the decoder's copy-length context
     // min(clen-2, 3): short copies skew to ring/near codes, long copies
     // to far explicit ones, so per-context trees code both tighter
     var dmap: Array[Int] = null
     var distTreeHists: Array[Array[Long]] = null
-    if (contextModeling) {
+    if (contextModeling && distSplit == null) {
       val dctxFreq = Array.fill(4)(new Array[Long](distFreq2.length))
       var cc = 0
       while (cc < nCmds) {
@@ -1296,6 +1490,54 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     // ---- header ----
     val eDbg = java.lang.Boolean.getBoolean("graft.emit.debug")
     val bitsAtHeader = bits.bitsWritten
+    /** Body-side switch emitter for one split category: writes the
+      * block-switch (direct type symbol + block length) whenever the
+      * current block is exhausted, mirroring the decoder's
+      * switchIfNeeded/len-- contract exactly. */
+    class CatSwitcher(bt: Array[Int], bl: Array[Int],
+        tLens: Array[Int], tCodes: Array[Int],
+        lLens: Array[Int], lCodes: Array[Int]) {
+      private var idx = 0
+      private var remaining = bl(0)
+      /** Current type for the next symbol; emits a switch first if due. */
+      def next(): Int = {
+        if (remaining == 0) {
+          idx += 1
+          val ts = bt(idx) + 2
+          bits.writeCodeBits(tCodes(ts), tLens(ts))
+          val lc = blockLenCode(bl(idx))
+          bits.writeCodeBits(lCodes(lc), lLens(lc))
+          bits.writeBits((bl(idx) - BlockLengthBase(lc)).toLong,
+            BlockLengthExtra(lc))
+          remaining = bl(idx)
+        }
+        remaining -= 1
+        bt(idx)
+      }
+    }
+    /** §9.2 block-category header: NBLTYPES, type tree (direct symbols
+      * only), block-length tree, first block length. Returns the body
+      * switcher, or null for a single-type category. */
+    def writeBlockCategory(
+        split: (Array[Int], Array[Int], Array[Array[Long]])): CatSwitcher =
+      if (split == null) { bits.writeBits(0, 1); null }
+      else {
+        val (bt, bl, th) = split
+        writeVarCount(th.length)
+        val tf = new Array[Long](th.length + 2)
+        var i = 1
+        while (i < bt.length) { tf(bt(i) + 2) += 1; i += 1 }
+        val (tLens, tCodes) = writePrefixCode(tf,
+          32 - Integer.numberOfLeadingZeros(th.length + 2 - 1))
+        val lf = new Array[Long](BlockLengthBase.length)
+        bl.foreach(l => lf(blockLenCode(l)) += 1)
+        val (lLens, lCodes) = writePrefixCode(lf, 5)
+        val c0 = blockLenCode(bl(0))
+        bits.writeCodeBits(lCodes(c0), lLens(c0))
+        bits.writeBits((bl(0) - BlockLengthBase(c0)).toLong,
+          BlockLengthExtra(c0))
+        new CatSwitcher(bt, bl, tLens, tCodes, lLens, lCodes)
+      }
     bits.writeBits(0, 1) // ISLAST
     val mlenMinus1 = len - 1
     val nibbles = if (mlenMinus1 < (1 << 16)) 4
@@ -1303,7 +1545,9 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     bits.writeBits(nibbles - 4, 2)
     bits.writeBits(mlenMinus1.toLong, nibbles * 4)
     bits.writeBits(0, 1) // ISUNCOMPRESSED
-    bits.writeBits(0, 1); bits.writeBits(0, 1); bits.writeBits(0, 1) // NBLTYPES
+    bits.writeBits(0, 1) // NBLTYPES_L = 1
+    val catI = writeBlockCategory(cmdSplit)
+    val catD = writeBlockCategory(distSplit)
     bits.writeBits(npostfix, 2) // NPOSTFIX
     bits.writeBits(ndirect >> npostfix, 4) // NDIRECT (shifted field)
     bits.writeBits(if (cmap != null) 2L else 0L, 2) // context mode (UTF8 when split)
@@ -1312,7 +1556,13 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       writeVarCount(treeHists.length)
       writeContextMap(cmap, treeHists.length)
     }
-    if (dmap == null) bits.writeBits(0, 1) // NTREESD = 1
+    if (distSplit != null) {
+      // one tree per distance block type: cmap over (type × 4 contexts)
+      // maps every context of a type to that type's tree
+      val k = distSplit._3.length
+      writeVarCount(k)
+      writeContextMap(Array.tabulate(k << 2)(i => i >> 2), k)
+    } else if (dmap == null) bits.writeBits(0, 1) // NTREESD = 1
     else {
       writeVarCount(distTreeHists.length)
       writeContextMap(dmap, distTreeHists.length)
@@ -1327,14 +1577,28 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       litRevs(lt) = Array.tabulate(256)(b => Huffman.reverseBits(cd(b), l(b)))
       lt += 1
     }
-    val (cmdLenA, cmdCodeA) = writePrefixCode(cmdFreq, 10)
-    val nDistTrees = if (dmap == null) 1 else distTreeHists.length
+    // command trees: one per command block type (single tree otherwise)
+    val nCmdTrees = if (cmdSplit == null) 1 else cmdSplit._3.length
+    val cmdLensT = new Array[Array[Int]](nCmdTrees)
+    val cmdRevsT = new Array[Array[Int]](nCmdTrees)
+    var ct0 = 0
+    while (ct0 < nCmdTrees) {
+      val (l, cd) = writePrefixCode(
+        if (cmdSplit == null) cmdFreq else cmdSplit._3(ct0), 10)
+      cmdLensT(ct0) = l
+      cmdRevsT(ct0) = Array.tabulate(cd.length)(s => Huffman.reverseBits(cd(s), l(s)))
+      ct0 += 1
+    }
+    val nDistTrees =
+      if (distSplit != null) distSplit._3.length
+      else if (dmap == null) 1 else distTreeHists.length
     val distLens = new Array[Array[Int]](nDistTrees)
     val distRevs = new Array[Array[Int]](nDistTrees)
     var dt = 0
     while (dt < nDistTrees) {
       val (l, cd) = writePrefixCode(
-        if (dmap == null) distFreq2 else distTreeHists(dt),
+        if (distSplit != null) distSplit._3(dt)
+        else if (dmap == null) distFreq2 else distTreeHists(dt),
         32 - Integer.numberOfLeadingZeros(distFreq2.length - 1))
       distLens(dt) = l
       distRevs(dt) = Array.tabulate(cd.length)(x => Huffman.reverseBits(cd(x), l(x)))
@@ -1346,7 +1610,6 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     var accLit = 0L; var accDistSym = 0L; var accDistX = 0L
     val litLen = litLens(0)
     val litRev = litRevs(0)
-    val cmdRev = Array.tabulate(cmdCodeA.length)(s => Huffman.reverseBits(cmdCodeA(s), cmdLenA(s)))
     var ci = 0
     while (ci < nCmds) {
       val o = ci * CmdStride
@@ -1354,12 +1617,13 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       val cCopyLen = cmdBuf(o + 2); val icode = cmdBuf(o + 3)
       val ccode = cmdBuf(o + 4); val cmdSym = cmdBuf(o + 5)
       val dc = cmdBuf(o + 6); val packed = cmdBuf(o + 7)
-      bits.writeBits(cmdRev(cmdSym).toLong, cmdLenA(cmdSym))
+      val cTy = if (catI == null) 0 else catI.next()
+      bits.writeBits(cmdRevsT(cTy)(cmdSym).toLong, cmdLensT(cTy)(cmdSym))
       bits.writeBits((cLitLen - InsertBase(icode)).toLong, InsertExtra(icode))
       bits.writeBits((math.max(cCopyLen, CopyBase(0)) - CopyBase(ccode)).toLong,
         CopyExtra(ccode))
       if (eDbg) {
-        accCmd += cmdLenA(cmdSym)
+        accCmd += cmdLensT(cTy)(cmdSym)
         accInsX += InsertExtra(icode); accCopyX += CopyExtra(ccode)
       }
       var i = 0
@@ -1386,7 +1650,9 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       // zone reuses the ring; the trailing literal-only command never
       // reaches its copy part)
       if (cCopyLen > 0 && dc >= 0) {
-        val dtr = if (dmap == null) 0 else dmap(math.min(cCopyLen - 2, 3))
+        val dtr =
+          if (catD != null) catD.next()
+          else if (dmap == null) 0 else dmap(math.min(cCopyLen - 2, 3))
         bits.writeBits(distRevs(dtr)(dc).toLong, distLens(dtr)(dc))
         bits.writeBits((packed & 0xffffff).toLong, packed >>> 24)
         if (eDbg) { accDistSym += distLens(dtr)(dc); accDistX += (packed >>> 24) }
@@ -1396,11 +1662,66 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     if (eDbg) {
       val hdr = bitsAtBody - bitsAtHeader
       val body = bits.bitsWritten - bitsAtBody
+      // opportunity analysis: simulate the ring over the command stream
+      // and count explicit distances that were 1 ring push away from a
+      // short code (what a cache-aware DP could have converted)
+      var nImplicit = 0; var nRing = 0; var nExplicit = 0; var nNearRing = 0
+      val simRing = Array(16, 15, 11, 4); var simIdx = 0
+      def simLast(k: Int): Int = simRing((simIdx - 1 - k) & 3)
+      def simPush(d: Int): Unit = {
+        simRing(simIdx & 3) = d; simIdx = (simIdx + 1) & 3
+      }
+      val pmask2 = (1 << npostfix) - 1
+      var c2 = 0
+      while (c2 < nCmds) {
+        val o2 = c2 * CmdStride
+        val dc2 = cmdBuf(o2 + 6)
+        if (cmdBuf(o2 + 2) > 0) {
+          if (dc2 == -1) nImplicit += 1 // dist == last, no push
+          else if (dc2 >= 0 && dc2 <= 15) {
+            nRing += 1
+            val d =
+              if (dc2 == 0) simLast(0)
+              else if (dc2 < 4) simLast(dc2)
+              else if (dc2 < 10) simLast(0) + ShortCodeDelta(dc2 - 4)
+              else simLast(1) + ShortCodeDelta(dc2 - 10)
+            if (dc2 != 0) simPush(d)
+          } else {
+            // reconstruct the raw distance from (symbol, extra)
+            val sym = dc2; val packed2 = cmdBuf(o2 + 7)
+            val dv = packed2 & 0xffffff
+            val dd = sym - 16 - ndirect
+            val dist =
+              if (sym < 16 + ndirect) sym - 15
+              else {
+                val nb = 1 + (dd >> (npostfix + 1))
+                val hcode = dd >> npostfix
+                val lcode = dd & pmask2
+                val offset = ((2 + (hcode & 1)) << nb) - 4
+                ((offset + dv) << npostfix) + lcode + ndirect + 1
+              }
+            nExplicit += 1
+            var near = false
+            var k2 = 0
+            while (k2 < 4 && !near) { near = dist == simLast(k2); k2 += 1 }
+            var j2 = 0
+            while (j2 < 6 && !near) {
+              near = dist == simLast(0) + ShortCodeDelta(j2) ||
+                dist == simLast(1) + ShortCodeDelta(j2)
+              j2 += 1
+            }
+            if (near) nNearRing += 1
+            simPush(dist)
+          }
+        }
+        c2 += 1
+      }
       System.err.println(
         f"[emit] len=$len%d nCmds=$nCmds%d hdr+trees=${hdr / 8}%dB body=${body / 8}%dB " +
         f"(cmd=${accCmd / 8}%dB insX=${accInsX / 8}%dB copyX=${accCopyX / 8}%dB " +
         f"lit=${accLit / 8}%dB distSym=${accDistSym / 8}%dB distX=${accDistX / 8}%dB) " +
-        f"nLitTrees=$nLitTrees%d nDistTrees=$nDistTrees%d npostfix=$npostfix%d ndirect=$ndirect%d")
+        f"implicit=$nImplicit%d ring=$nRing%d explicit=$nExplicit%d nearRing=$nNearRing%d " +
+        f"nLitTrees=$nLitTrees%d nCmdTrees=$nCmdTrees%d nDistTrees=$nDistTrees%d npostfix=$npostfix%d ndirect=$ndirect%d")
     }
     bits.drainTo(sink)
   }
