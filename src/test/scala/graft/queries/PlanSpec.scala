@@ -200,6 +200,15 @@ class PlanSpec extends SparkSpec {
       s"LSH banding must join on band keys, not enumerate pairs:\n$plan")
   }
 
+  test("d03 hot band buckets are occupancy-capped before pair generation") {
+    // the r9 sf1 audit: uncapped, candidate pairs grew 3,658× for 10×
+    // data through near-boilerplate buckets — the semi join against the
+    // ≤BandCap bucket list is what bounds the self-join at scale
+    val plan = executed(graft.ops.Dedup.d03(spark, sf))
+    assert(plan.contains("LeftSemi"),
+      s"band index must be occupancy-filtered before the self-join:\n$plan")
+  }
+
   test("d08 edit-distance dedup pairs within blocks (no all-pairs join)") {
     val plan = executed(graft.ops.Dedup.d08(spark, sf))
     assert(!plan.contains("CartesianProduct") &&
