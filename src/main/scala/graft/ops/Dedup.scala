@@ -177,9 +177,14 @@ object Dedup {
   def d03(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
+    // the signature map feeds the banding pass AND both pair-verify
+    // joins — materialize the kernel's output once (the d02/t08
+    // multi-consumer rule; previously a "narrow recompute" that ran the
+    // 128-permutation kernel three times per query)
     val withSig = docs
       .select($"doc_id", MinHash.sigCol(spark, lower($"text")).as("sig"))
       .filter($"sig".isNotNull) // <3-token docs have no shingles
+      .localCheckpoint()
     val bandKeys = (0 until Bands).map { j =>
       struct(lit(j).as("j") +: (0 until RowsPerBand).map(r =>
         element_at($"sig", j * RowsPerBand + r + 1).as(s"k$r")): _*)
@@ -187,10 +192,9 @@ object Dedup {
     // the banding self-join exchanges only (doc_id, band_key) — carrying
     // the 128-long signature through the 32× explode would multiply the
     // shuffle by the fan-out; instead the (small) surviving pair list
-    // re-joins the signature map, which AQE turns into broadcast joins
-    // (withSig is a narrow recompute, never shuffled). bands feeds the
-    // occupancy count AND both self-join sides — materialize once (the
-    // d02/t08 multi-consumer rule).
+    // re-joins the signature map, which AQE turns into broadcast joins.
+    // bands feeds the occupancy count AND both self-join sides —
+    // materialized once as well.
     val bands = withSig.select($"doc_id",
       explode(array(bandKeys: _*)).as("band_key")).localCheckpoint()
     val cold = bands.groupBy($"band_key").agg(count(lit(1)).as("c"))

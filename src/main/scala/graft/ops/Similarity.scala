@@ -362,9 +362,12 @@ object Similarity {
   // ---------------------------------------------------------------------
   def s05(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // bucketed index feeds both self-join sides — materialize the SRP
+    // kernel's output once (the d03 multi-consumer rule)
     val emb = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", $"embedding",
         explode(SrpLsh.buckets(spark, $"embedding")).as("key"))
+      .localCheckpoint()
     val scored = emb.as("x").join(emb.as("y"),
         $"x.key" === $"y.key" && $"x.vec_id" =!= $"y.vec_id")
       .select($"x.vec_id".as("q_id"), $"y.vec_id".as("vec_id"),
@@ -735,6 +738,10 @@ object Similarity {
         $"best.qv".as("qv"), $"best.super".as("super"))
     // level 2: vector -> nearest child within its super (shuffle join on
     // the super id; ~√nlist children per super)
+    // materialize the assignment once: it feeds BOTH self-join sides and
+    // the final verdict join, and Spark would otherwise replan the whole
+    // two-level quantizer (crossJoin + two argmin aggregates) per
+    // consumer (the d02/t08/d03 multi-consumer rule)
     val asg = vSup.join(chSup, Seq("super"))
       .withColumn("dist", sqDist($"qv", $"m"))
       .groupBy($"vec_id")
@@ -742,6 +749,7 @@ object Similarity {
         struct($"dist", $"cluster")).as("best"))
       .select($"vec_id", $"best.embedding".as("embedding"),
         $"best.cluster".as("cluster"))
+      .localCheckpoint()
     val dups = asg.as("x").join(asg.as("y"),
         $"x.cluster" === $"y.cluster" && $"x.vec_id" < $"y.vec_id")
       .select($"y.vec_id".as("vec_id"),
