@@ -40,7 +40,7 @@ object CodecTime {
       require(java.util.Arrays.equals(Brotli.decompress(enc), payload),
         s"roundtrip mismatch at q=$q")
       val t = runs.map(_._1).sorted.apply(reps / 2)
-      println(f"[codectime] q=$q%-2d ${mb / t}%8.3f MB/s  ratio=${payload.length.toDouble / enc.length}%.4f  t=$t%.3fs")
+      println(f"[codectime] q=$q%-2d ${mb / t}%8.3f MB/s  ratio=${payload.length.toDouble / enc.length}%.4f  t=$t%.3fs  runs=${runs.map(r => f"${r._1}%.3f").mkString(",")}")
     }
   }
 }

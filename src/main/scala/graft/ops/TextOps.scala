@@ -399,9 +399,12 @@ object TextOps {
 
   private[graft] def t08On(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
+    // fps feeds the df count AND the index join — materialize the
+    // winnowing kernel's output once (the d02/d03 multi-consumer rule)
     val fps = docs.select($"doc_id",
       explode(graft.functions.TextKernels.winnowFpSampleCol(
         spark, lower($"text"), OvMod, OvMinKeep)).as("fp"))
+      .localCheckpoint()
     // sampled mins are distinct within a doc, so count(*) = document df
     val rare = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
       .filter($"df" >= 2 && $"df" <= OvDfCap).select($"fp")
@@ -1082,11 +1085,13 @@ object TextOps {
 
   def t18(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // fps feeds the df count AND the index join (the d02/d03 rule)
     val fps = Tables.load(spark, dir, "documents")
       .filter(length($"text") >= 8)
       .select($"doc_id",
         explode(graft.functions.TextKernels.winnowFpSampleCol(
           spark, lower($"text"), 1, 0)).as("m"))
+      .localCheckpoint()
     val rare = fps.groupBy($"m").agg(count(lit(1)).as("df"))
       .filter($"df" <= DcDfCap).select($"m")
     // one materialization feeds the size, benchmark, and corpus sides
@@ -1152,9 +1157,13 @@ object TextOps {
   // ---------------------------------------------------------------------
   def t19(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the (source, token) aggregate feeds the rollup AND the head-term
+    // ranking — materialize the vocabulary-bounded frame once instead of
+    // re-exploding the corpus per consumer (the d02/d03 rule)
     val tok = Tables.load(spark, dir, "documents")
       .select($"source", explode(tokens(lower($"text"))).as("tok"))
       .groupBy($"source", $"tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val w = Window.partitionBy($"source").orderBy($"cnt".desc, $"tok".asc)
     val top = tok.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
       .select($"source", $"tok".as("top_token"), $"cnt".as("top_cnt"))
@@ -1221,12 +1230,16 @@ object TextOps {
     import spark.implicits._
     val base = Tables.load(spark, dir, "documents")
       .select($"doc_id", tokens(lower($"text")).as("toks"))
+    // pairs feeds the model counts AND the scoring join; cab feeds the
+    // prefix mass AND the probability join (the d02/d03 rule)
     val pairs = base.filter(size($"toks") >= 2)
       .select($"doc_id", explode(transform(sequence(lit(1), size($"toks") - 1),
         i => struct(i.as("pos"), element_at($"toks", i).as("a"),
           element_at($"toks", i + 1).as("b")))).as("p"))
       .select($"doc_id", $"p.pos".as("pos"), $"p.a".as("a"), $"p.b".as("b"))
+      .localCheckpoint()
     val cab = pairs.groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint()
     val ca = cab.groupBy($"a").agg(sum($"c_ab").as("c_a"))
     val probs = pairs.join(cab, Seq("a", "b")).join(ca, Seq("a"))
       .select($"doc_id", $"pos", ($"c_ab".cast(DoubleType) / $"c_a").as("p"))
@@ -1239,7 +1252,8 @@ object TextOps {
         min($"p").as("min_cond_p"))
       .select($"doc_id", $"n_bigrams",
         ($"sum_p" / $"n_bigrams").as("avg_cond_p"), $"min_cond_p")
-    base.select($"doc_id").join(scored, Seq("doc_id"), "left")
+    Tables.load(spark, dir, "documents").select($"doc_id")
+      .join(scored, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
         coalesce($"avg_cond_p", lit(0.0)).as("avg_cond_p"),
