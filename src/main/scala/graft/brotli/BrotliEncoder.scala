@@ -31,8 +31,13 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     * to 2^24; entropy-coded blocks use 1 MiB so histograms adapt.
     * (4 MiB blocks at q >= 10 were measured in r8 and rejected: the
     * saved tree headers exactly cancel the lost per-MiB histogram
-    * adaptation, at 4× the DP memory.) */
-  val blockSize: Int = if (quality == 0) 1 << 16 else 1 << 20
+    * adaptation, at 4× the DP memory. Re-evaluated in r9 once §6 block
+    * splitting existed to do the adapting INSIDE a meta-block.) */
+  val blockSize: Int = {
+    val dbg = Integer.getInteger("graft.blockBits", -1).intValue()
+    if (dbg > 0) 1 << dbg
+    else if (quality == 0) 1 << 16 else 1 << 20
+  }
 
   private val staging = new Array[Byte](blockSize)
   private var staged = 0
