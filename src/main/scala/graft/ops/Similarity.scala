@@ -530,8 +530,12 @@ object Similarity {
   // ---------------------------------------------------------------------
   def s09(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // quantized corpus feeds the centroid seed, the coarse assignment,
+    // the query subset, and the codebook collect — materialize the
+    // scan+quantize once (the d02/d03 multi-consumer rule)
     val qe = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", ivfQuant($"embedding").as("qv"))
+      .localCheckpoint()
     val cents = qe.orderBy($"vec_id").limit(IvfNList)
       .select($"vec_id".as("cluster"), $"qv".as("m"))
     // coarse assignment (hash-agg argmin); no embedding payload — the
