@@ -356,6 +356,11 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
   private val CmdOverheadBits = 4.0
   private lazy val zCost = new Array[Double](blockSize + 1)
   private lazy val zFromLen = new Array[Int](blockSize + 1)
+  /** Emitted copy length of the arrival edge — equals zFromLen except
+    * for suffix-transformed §8 references, where the command's copy
+    * length selects the WORD list but the output advances by word +
+    * suffix. */
+  private lazy val zFromCLen = new Array[Int](blockSize + 1)
   private lazy val zFromDist = new Array[Int](blockSize + 1)
   private lazy val zArrDist = new Array[Int](blockSize + 1)
   /** Per-position candidate cache (up to 4 (dist, len) pairs), filled
@@ -1039,7 +1044,8 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
             distCostT(sb & 0xffff) + (sb >>> 16)
         }
         if (c < zCost(j)) {
-          zCost(j) = c; zFromLen(j) = len; zFromDist(j) = dist; zArrDist(j) = dist
+          zCost(j) = c; zFromLen(j) = len; zFromCLen(j) = len
+          zFromDist(j) = dist; zArrDist(j) = dist
         }
       }
       // relax every copy-code boundary ≤ len (cost is flat within a
@@ -1060,26 +1066,56 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
           c -= 1
         }
       }
-      /** §8 dictionary edge: copy the whole identity-transformed word
-        * (words cannot be cut at code boundaries), distance built per
-        * the decoder's address formula at this position. The ring is
-        * untouched by dictionary references, so the arrival distance
+      /** §8 dictionary edge: the command's copy length selects the
+        * WORD-length list (words cannot be cut at code boundaries) and
+        * the output advances by the TRANSFORMED length; distance built
+        * per the decoder's address formula at this position. The ring
+        * is untouched by dictionary references, so the arrival distance
         * carries through from i. */
-      def relaxDict(i: Int, packed: Int): Unit = {
-        val len = packed >>> 16
-        val idx = packed & 0xffff
+      def relaxDictT(i: Int, wordLen: Int, idx: Int, tid: Int,
+          outLen: Int): Unit = {
         val dist = (dictBoundAt(b0 + i) + 1 +
-          ((DictIndex.identityId.toLong <<
-            SpecData.Dictionary.sizeBits(len)) | idx)).toInt
-        val j = i + len
-        val ccode = copyCodeFor(len)
+          ((tid.toLong << SpecData.Dictionary.sizeBits(wordLen)) | idx)).toInt
+        val j = i + outLen
+        val ccode = copyCodeFor(wordLen)
         val sb = distSymAndBits(dist)
         val c = zCost(i) + CopyExtra(ccode) + CmdOverheadBits +
           cmdCostT(packCommandExplicit(0, ccode)) +
           distCostT(sb & 0xffff) + (sb >>> 16)
         if (c < zCost(j)) {
-          zCost(j) = c; zFromLen(j) = len; zFromDist(j) = dist
+          zCost(j) = c; zFromLen(j) = outLen; zFromCLen(j) = wordLen
+          zFromDist(j) = dist
           zArrDist(j) = zArrDist(i)
+        }
+      }
+      /** Relax a cached identity word plus every affix transform whose
+        * prefix precedes and suffix follows the word in the input
+        * (' w ', 'w, ', ' the w of ', …) — each extends coverage at the
+        * cost of a couple of address bits. Prefix edges depart from
+        * i - |prefix|, whose cost is already final in a forward sweep. */
+      def relaxDict(i: Int, packed: Int): Unit = {
+        val wl = packed >>> 16
+        val idx = packed & 0xffff
+        relaxDictT(i, wl, idx, DictIndex.identityId, wl)
+        val p = b0 + i
+        val afx = DictIndex.affixTransforms
+        var t = 0
+        while (t < afx.length) {
+          val pre = afx(t)._2
+          val suf = afx(t)._3
+          val pl = pre.length
+          val ol = pl + wl + suf.length
+          if (i - pl >= 0 && i + wl + suf.length <= n) {
+            var k = 0
+            while (k < pl && hist(p - pl + k) == pre(k)) k += 1
+            if (k == pl) {
+              k = 0
+              while (k < suf.length && hist(p + wl + k) == suf(k)) k += 1
+              if (k == suf.length)
+                relaxDictT(i - pl, wl, idx, afx(t)._1, ol)
+            }
+          }
+          t += 1
         }
       }
       def sweep(insertPass: Boolean): Unit = {
@@ -1100,7 +1136,8 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
           // literal edge (keeps every node reachable by induction)
           val lc = zCost(i) + litCostT(hist(p) & 0xff)
           if (lc < zCost(i + 1)) {
-            zCost(i + 1) = lc; zFromLen(i + 1) = 0; zFromDist(i + 1) = 0
+            zCost(i + 1) = lc; zFromLen(i + 1) = 0; zFromCLen(i + 1) = 0
+            zFromDist(i + 1) = 0
             zArrDist(i + 1) = zArrDist(i)
           }
           val maxLen = math.min(MaxCopy, end - p)
@@ -1238,8 +1275,10 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
           p += 1
         }
       }
-      /** Traceback into flat (litAfter, copyLen, dist) triples, reverse
-        * order; the final triple's litAfter is the block-leading run. */
+      /** Traceback into flat (litAfter, advance, copyLen, dist) quads,
+        * reverse order; the final quad's litAfter is the block-leading
+        * run. advance == copyLen except for suffix-transformed §8
+        * references. */
       def buildPlan(): Array[Int] = {
         val buf = new scala.collection.mutable.ArrayBuffer[Int]()
         var i = n
@@ -1247,21 +1286,25 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         while (i > 0) {
           val fl = zFromLen(i)
           if (fl == 0) { lit += 1; i -= 1 }
-          else { buf += lit; buf += fl; buf += zFromDist(i); i -= fl; lit = 0 }
+          else {
+            buf += lit; buf += fl; buf += zFromCLen(i); buf += zFromDist(i)
+            i -= fl; lit = 0
+          }
         }
-        buf += lit; buf += 0; buf += 0
+        buf += lit; buf += 0; buf += 0; buf += 0
         buf.toArray
       }
       def replay(plan: Array[Int]): Unit = {
         var ls = b0
-        var pend = plan(plan.length - 3)
-        var k = plan.length - 6
+        var pend = plan(plan.length - 4)
+        var k = plan.length - 8
         while (k >= 0) {
-          val lit = plan(k); val clen = plan(k + 1); val d = plan(k + 2)
+          val lit = plan(k); val adv = plan(k + 1)
+          val clen = plan(k + 2); val d = plan(k + 3)
           addCmd(ls, pend, clen, d)
-          ls += pend + clen
+          ls += pend + adv
           pend = lit
-          k -= 3
+          k -= 4
         }
         if (pend > 0 || nCmds == 0) addCmd(ls, pend, 0, 0)
       }
@@ -1307,14 +1350,14 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       /** Deepen every copy-command start position of a plan. */
       def deepenPlan(plan: Array[Int]): Unit = {
         var ls = b0
-        var pend = plan(plan.length - 3)
-        var k = plan.length - 6
+        var pend = plan(plan.length - 4)
+        var k = plan.length - 8
         while (k >= 0) {
-          val lit = plan(k); val clen = plan(k + 1)
+          val lit = plan(k); val adv = plan(k + 1)
           deepenAt(ls + pend)
-          ls += pend + clen
+          ls += pend + adv
           pend = lit
-          k -= 3
+          k -= 4
         }
       }
       val ringSnap = distRing.clone()

@@ -29,6 +29,12 @@ private[brotli] object DictIndex {
       .getOrElse(sys.error("static dictionary has no identity transform"))
   }
 
+  /** Affix identity transforms (prefix + unchanged word + suffix), the
+    * encoder-matchable set beyond plain identity — 'w ', ' w ', ', w ',
+    * 'w. ', ' the w of ', … (47 of the 121). */
+  val affixTransforms: Array[(Int, Array[Byte], Array[Byte])] =
+    SpecData.Transforms.identityAffixes
+
   // per length: pow2 open-addressed parallel arrays; idx slot 0 = empty,
   // stored value = word index + 1
   private val capMask = new Array[Int](MaxLen + 1)

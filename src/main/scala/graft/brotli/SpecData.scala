@@ -107,6 +107,27 @@ object SpecData {
       System.arraycopy(s, 0, out, p.length + w.length, s.length)
       out
     }
+
+    /** (transform id, prefix, suffix) for every transform whose output
+      * embeds the UNCHANGED word — the encoder-matchable set beyond
+      * plain identity (47 of the 121: ' w ', 'w ', ', w ', 'w. ', …).
+      * Probed through [[apply]] with a lowercase word (ferment
+      * transforms change it and drop out; omit-N transforms shrink it),
+      * so no assumption about table ordering is baked in. */
+    lazy val identityAffixes: Array[(Int, Array[Byte], Array[Byte])] = {
+      val probe = "abcdef".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      (0 until count).flatMap { t =>
+        val out = apply(t, probe)
+        val hit = (0 to out.length - probe.length).find(k =>
+          java.util.Arrays.equals(out, k, k + probe.length, probe, 0, probe.length))
+        hit match {
+          case Some(k) if out.length > probe.length =>
+            Some((t, java.util.Arrays.copyOfRange(out, 0, k),
+              java.util.Arrays.copyOfRange(out, k + probe.length, out.length)))
+          case _ => None
+        }
+      }.toArray
+    }
   }
 
   /** Literal context lookup tables (§7.1): 4 modes × (256-entry p1 LUT ++
