@@ -1094,11 +1094,14 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         * cost of a couple of address bits. Prefix edges depart from
         * i - |prefix|, whose cost is already final in a forward sweep. */
       def relaxDict(i: Int, packed: Int): Unit = {
-        val wl = packed >>> 16
+        val ferment = (packed & 0x40000000) != 0
+        val wl = (packed >>> 16) & 0x3fff
         val idx = packed & 0xffff
-        relaxDictT(i, wl, idx, DictIndex.identityId, wl)
+        if (!ferment) relaxDictT(i, wl, idx, DictIndex.identityId, wl)
         val p = b0 + i
-        val afx = DictIndex.affixTransforms
+        val afx =
+          if (ferment) DictIndex.fermentTransforms
+          else DictIndex.affixTransforms
         var t = 0
         while (t < afx.length) {
           val pre = afx(t)._2
@@ -1253,15 +1256,30 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
               if (walkBest < 16 && repLen < 16 &&
                   !(walkCooldown > 0 && (p & 7) != 0)) {
                 val lim = math.min(DictIndex.MaxLen, maxLen)
+                val b0c = hist(p) & 0xff
+                // capitalized first byte: probe the case-folded form too
+                // (ferment-first transforms — "The" reaches "the")
+                val folded = b0c >= 'A' && b0c <= 'Z'
                 var h = 0xcbf29ce484222325L
+                var h2 = if (folded)
+                  (0xcbf29ce484222325L ^ (b0c | 32)) * 0x100000001b3L else 0L
                 var l = 0
                 while (l < lim) {
-                  h = (h ^ (hist(p + l) & 0xff)) * 0x100000001b3L
+                  val b = hist(p + l) & 0xff
+                  h = (h ^ b) * 0x100000001b3L
+                  if (folded && l > 0) h2 = (h2 ^ b) * 0x100000001b3L
                   l += 1
                   if (l >= DictIndex.MinLen) {
                     val idx = DictIndex.lookup(l, h, hist, p)
                     if (idx >= 0) {
                       zDict2(i) = zDict1(i); zDict1(i) = (l << 16) | idx
+                    }
+                    if (folded) {
+                      val fi = DictIndex.lookupFolded(l, h2, hist, p)
+                      if (fi >= 0) {
+                        zDict2(i) = zDict1(i)
+                        zDict1(i) = 0x40000000 | (l << 16) | fi
+                      }
                     }
                   }
                 }

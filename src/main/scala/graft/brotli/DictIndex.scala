@@ -35,6 +35,34 @@ private[brotli] object DictIndex {
   val affixTransforms: Array[(Int, Array[Byte], Array[Byte])] =
     SpecData.Transforms.identityAffixes
 
+  /** Ferment-first affix transforms — the word with its first letter
+    * uppercased, optionally affixed ('W', 'W ', ' W ', …). */
+  val fermentTransforms: Array[(Int, Array[Byte], Array[Byte])] =
+    SpecData.Transforms.fermentFirstAffixes
+
+  /** Word index whose bytes equal buf[p, p+len) EXCEPT the first byte,
+    * which matches case-folded (buf holds the uppercase form); `h` must
+    * be [[hash]] of the folded range. */
+  def lookupFolded(len: Int, h: Long, buf: Array[Byte], p: Int): Int = {
+    val mask = capMask(len)
+    val hs = slotHash(len)
+    val ix = slotIdx(len)
+    val data = Dictionary.data
+    val base = Dictionary.offsets(len)
+    var s = (h.toInt & mask)
+    while (ix(s) != 0) {
+      if (hs(s) == h) {
+        val off = base + (ix(s) - 1) * len
+        if (data(off) == (buf(p) ^ 32).toByte &&
+            java.util.Arrays.equals(data, off + 1, off + len,
+              buf, p + 1, p + len))
+          return ix(s) - 1
+      }
+      s = (s + 1) & mask
+    }
+    -1
+  }
+
   // per length: pow2 open-addressed parallel arrays; idx slot 0 = empty,
   // stored value = word index + 1
   private val capMask = new Array[Int](MaxLen + 1)

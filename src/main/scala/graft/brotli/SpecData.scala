@@ -128,6 +128,26 @@ object SpecData {
         }
       }.toArray
     }
+
+    /** (transform id, prefix, suffix) for every transform whose output
+      * embeds the word with its FIRST letter uppercased (ferment-first)
+      * — how sentence-initial capitalized words reach the all-lowercase
+      * dictionary ("The" = ferment_first("the")). Probed like
+      * [[identityAffixes]]. */
+    lazy val fermentFirstAffixes: Array[(Int, Array[Byte], Array[Byte])] = {
+      val probe = "abcdef".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val fp = probe.clone()
+      fp(0) = (fp(0) ^ 32).toByte // "Abcdef"
+      (0 until count).flatMap { t =>
+        val out = apply(t, probe)
+        val hit = (0 to out.length - fp.length).find(k =>
+          java.util.Arrays.equals(out, k, k + fp.length, fp, 0, fp.length))
+        hit.map { k =>
+          (t, java.util.Arrays.copyOfRange(out, 0, k),
+            java.util.Arrays.copyOfRange(out, k + fp.length, out.length))
+        }
+      }.toArray
+    }
   }
 
   /** Literal context lookup tables (§7.1): 4 modes × (256-entry p1 LUT ++
