@@ -989,13 +989,28 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         var p = b0
         while (p < end) { bf(hist(p) & 0xff) += 1; p += 1 }
         val bl = Huffman.buildLengths(bf, 15)
+        val lb = java.lang.Double.parseDouble(
+          System.getProperty("graft.zopfli.litBias1", "1.3"))
         var i = 0
-        while (i < 256) { litCostT(i) = if (bl(i) > 0) bl(i) else 17.0; i += 1 }
+        while (i < 256) {
+          litCostT(i) = (if (bl(i) > 0) bl(i) else 17.0) * lb; i += 1
+        }
         i = 0
         while (i < cmdCostT.length) { cmdCostT(i) = if (i < 128) 7.0 else 10.0; i += 1 }
         i = 0
         while (i < distCostT.length) { distCostT(i) = 7.0; i += 1 }
       }
+      // literals are UNDERPRICED by the naive cost model: each literal
+      // also lengthens its command's insert run (icode growth + extra
+      // bits) and spreads the literal histogram, neither of which the
+      // per-byte Huffman length captures. The bias is an empirically
+      // calibrated correction (swept on both the synthetic bench text
+      // and natural English; optimum ~1.6 refine / ~1.3 pass-1, worth
+      // +1.4% q11 ratio) that steers the DP toward copy-richer parses —
+      // the shape native's q11 parse has (its streams carry ~7× fewer
+      // literal bytes).
+      val litBias =
+        java.lang.Double.parseDouble(System.getProperty("graft.zopfli.litBias", "1.6"))
       def costsFromFreqs(): Unit = {
         def fill(freqs: Array[Long], out: Array[Double]): Unit = {
           val ls = Huffman.buildLengths(freqs, 15)
@@ -1003,6 +1018,10 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
           while (i < out.length) { out(i) = if (ls(i) > 0) ls(i) else 17.0; i += 1 }
         }
         fill(litFreq, litCostT); fill(cmdFreq, cmdCostT)
+        if (litBias != 1.0) {
+          var i = 0
+          while (i < litCostT.length) { litCostT(i) *= litBias; i += 1 }
+        }
         // distance syms resolve per block post-parse (NPOSTFIX/NDIRECT
         // selection), so price them here from the replayed commands
         // under the (0,0) cost model the DP edges use
