@@ -49,6 +49,30 @@ class DictEncodeSpec extends AnyFunSuite {
       s"q11 ${enc11.length}B should beat q6 ${enc6.length}B by >20% via §8 refs")
   }
 
+  test("affix + ferment transforms compress capitalized prose units") {
+    // distinct dictionary words as sentence-ish units: "Word. Next. …"
+    // — identity alone covers only the lowercase core, so beating q6 by
+    // a wide margin requires the ferment-first ('W') and suffix ('. ')
+    // transform matching to fire
+    val rnd = new scala.util.Random(17)
+    val sb = new StringBuilder
+    for (_ <- 0 until 1500) {
+      val len = 6 + rnd.nextInt(10)
+      val w = new String(Dictionary.word(len, rnd.nextInt(1 << Dictionary.sizeBits(len))),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      if (w.forall(c => c >= 'a' && c <= 'z')) {
+        sb.append(w.substring(0, 1).toUpperCase).append(w.substring(1)).append(". ")
+      }
+    }
+    val data = sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assume(data.length > 1000)
+    val enc11 = Brotli.compress(data, 11)
+    val enc6 = Brotli.compress(data, 6)
+    assert(java.util.Arrays.equals(Brotli.decompress(enc11), data))
+    assert(enc11.length < enc6.length * 0.8,
+      s"q11 ${enc11.length}B should beat q6 ${enc6.length}B via transform refs")
+  }
+
   test("native libbrotli decodes our dictionary-referencing streams") {
     val cli = new java.io.File("tools/brotli_cli")
     assume(cli.canExecute)
