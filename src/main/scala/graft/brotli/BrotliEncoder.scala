@@ -1849,6 +1849,11 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
 
   def finished: Boolean = streamFinished
 
+  /** Pooled-reuse state witnesses for graft.brotli specs. */
+  private[brotli] def histShiftForTest: Long = histShift
+  private[brotli] def hash8DirtyForTest: Boolean =
+    quality >= 11 && hash8Table.exists(_ >= 0)
+
   /** Full reset for pooled reuse (real, unlike BroDecompressor.java:130). */
   def reset(): Unit = {
     staged = 0
@@ -1859,6 +1864,16 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     if (quality >= 1) { // sliding-window LZ state
       java.util.Arrays.fill(hashTable, -1)
       histTail = 0
+      // a prior stream that slid the window leaves histShift > 0; the §8
+      // dictionary bound is min(streamPos, window) per the DECODER's
+      // position count, which restarts at 0 — a stale shift would let a
+      // reused q>=10 encoder address the dictionary past the new
+      // stream's reachable bound (corrupt output). The q11 second chain
+      // must empty for the same reuse contract: stale candidates are
+      // harmless (the walk guards c < p) but steer the parse, and a
+      // pooled encoder must emit byte-identical streams to a fresh one.
+      histShift = 0L
+      if (quality >= 11) java.util.Arrays.fill(hash8Table, -1)
     }
     val drain = new ByteArrayOutputStream()
     bits.finishTo(drain) // discard any partial state

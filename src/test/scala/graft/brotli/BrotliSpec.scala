@@ -207,6 +207,45 @@ class BrotliSpec extends AnyFunSuite {
     assert(comp.getBytesRead == b.length.toLong) // counters re-armed too
   }
 
+  test("reset() rebases the dictionary bound and empties the q11 chain") {
+    // two reuse leaks a pooled encoder could carry into its next stream:
+    // (1) histShift — advanced by every window slide; the §8 dictionary
+    //     bound is min(streamPos, window) counted by the DECODER, which
+    //     restarts at 0, so a stale shift mis-addresses dictionary
+    //     references in a reused q>=10 encoder (corrupt stream);
+    // (2) the q11 8-byte hash chain — stale candidates are walk-guarded
+    //     but steer the parse, so a pooled encoder would emit a
+    //     different (if valid) stream than a fresh one.
+    val rnd = new Random(7)
+    val slide = new Array[Byte](12 << 20) // > hist capacity -> must slide
+    rnd.nextBytes(slide)
+    for (i <- slide.indices) slide(i) = ((slide(i) & 0x7f) % 20 + 'a').toByte
+    val enc1 = new BrotliEncoder(1)
+    val sink = new ByteArrayOutputStream()
+    enc1.write(slide, 0, slide.length, sink)
+    enc1.finish(sink)
+    assert(enc1.histShiftForTest > 0L) // the slide actually happened
+    enc1.reset()
+    assert(enc1.histShiftForTest == 0L)
+    // q11: dictionary-rich text; a reused encoder must emit the exact
+    // bytes a fresh one does
+    val words = Array("the", "of", "information", "public", "different")
+    val sb = new StringBuilder
+    val wr = new Random(11)
+    while (sb.length < 60000) { sb.append(words(wr.nextInt(words.length))).append(' ') }
+    val text = sb.toString.getBytes
+    val enc11 = new BrotliEncoder(11)
+    val s1 = new ByteArrayOutputStream()
+    enc11.write(text, 0, text.length, s1); enc11.finish(s1)
+    assert(enc11.hash8DirtyForTest)
+    enc11.reset()
+    assert(!enc11.hash8DirtyForTest)
+    val s2 = new ByteArrayOutputStream()
+    enc11.write(text, 0, text.length, s2); enc11.finish(s2)
+    assert(java.util.Arrays.equals(s2.toByteArray, s1.toByteArray))
+    assert(java.util.Arrays.equals(Brotli.decompress(s2.toByteArray), text))
+  }
+
   test("compressor reports real byte counters (reference bug fixed)") {
     val codec = new BrotliCodec
     codec.setConf(new org.apache.hadoop.conf.Configuration(false))
