@@ -297,11 +297,20 @@ object Bench {
     // SemDeDup): the ×10 ratio vs their sf0.1 ops median is direct
     // evidence their candidate generation scales sub-quadratically
     val sf1Names = headline ++ Seq("s05_knn_join", "s08_semdedup")
+    // median-of-3, same methodology as the sf0.1 loop these ratios divide
+    // by: a single shot here puts the corpus' first touch (file listing,
+    // page-cache misses, fresh codegen for the changed stats) inside the
+    // measured number — r8/r9 single-shot runs showed q03 at 21 s cold
+    // vs 1.2 s settled, a 17× phantom in x_vs_sf. The first run doubles
+    // as that warm-up, exactly like the ops loop.
     val entries = sf1Names.filter(all.contains).map { name =>
       try {
-        val t1 = System.nanoTime()
-        all(name)(spark, outRoot).write.format("noop").mode("overwrite").save()
-        val t = (System.nanoTime() - t1) / 1e9
+        val times = (1 to 3).map { _ =>
+          val t1 = System.nanoTime()
+          all(name)(spark, outRoot).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t1) / 1e9
+        }
+        val t = times.sorted.apply(1)
         val ratio = base.get(name).filter(_ > 0).map(t / _).getOrElse(-1.0)
         f""""$name":{"sec":$t%.3f,"x_vs_sf":$ratio%.2f}"""
       } catch { case e: Throwable =>

@@ -1882,13 +1882,43 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
 
 /** One-shot helpers (tests / simple callers). */
 object Brotli {
+  // Pooled encoders, one queue per quality (the Hadoop path gets this
+  // from CodecPool; the one-shot helper would otherwise pay a fresh
+  // ~47 MB hist+chain allocation per call — measured as G1
+  // humongous-allocation churn dominating run-to-run variance at q6).
+  // SoftReferences so the pool never pins memory under pressure; reuse
+  // is byte-identical to a fresh encoder (reset() contract, spec'd in
+  // BrotliSpec "reset() rebases the dictionary bound...").
+  private val encPool =
+    new java.util.concurrent.ConcurrentHashMap[Int,
+      java.util.concurrent.ConcurrentLinkedQueue[
+        java.lang.ref.SoftReference[BrotliEncoder]]]()
+
+  private def borrowEncoder(quality: Int): BrotliEncoder = {
+    val q = encPool.computeIfAbsent(quality, _ =>
+      new java.util.concurrent.ConcurrentLinkedQueue())
+    var ref = q.poll()
+    while (ref != null) {
+      val enc = ref.get()
+      if (enc != null) return enc
+      ref = q.poll()
+    }
+    new BrotliEncoder(quality)
+  }
+
+  private def returnEncoder(quality: Int, enc: BrotliEncoder): Unit = {
+    enc.reset()
+    encPool.get(quality).offer(new java.lang.ref.SoftReference(enc))
+  }
+
   def compress(data: Array[Byte], quality: Int = 6,
       dictionary: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
-    val enc = new BrotliEncoder(quality)
+    val enc = borrowEncoder(quality)
     if (dictionary.nonEmpty) enc.setDictionary(dictionary, 0, dictionary.length)
     val out = new ByteArrayOutputStream()
     enc.write(data, 0, data.length, out)
     enc.finish(out)
+    returnEncoder(quality, enc)
     out.toByteArray
   }
 
