@@ -312,47 +312,99 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
   // MTF — tree indices are the symbols).
   // -------------------------------------------------------------------
   private val contextModeling = quality >= 10
-  /** Zopfli DP (quality >= 10): chain-walk depth per position and the
-    * per-block DP state (cost-to-reach, arrival edge, arrival distance),
-    * sized blockSize+1 and reused across blocks. */
-  /** Shallow per-position walk depth; command-start positions from the
-    * pass-1 plan get re-walked at [[ZopfliDeepDepth]] from their
-    * recorded tips (deep-everywhere was ~15× slower for ~4% ratio). */
-  private val ZopfliDepth =
-    Integer.getInteger("graft.zopfli.depth", 512).intValue()
-  private val ZopfliDeepDepth =
-    Integer.getInteger("graft.zopfli.deepDepth", 512).intValue()
+  /** Zopfli DP (quality >= 10): refine-loop count; the per-block DP
+    * state (cost-to-reach, arrival edge, arrival distance) is
+    * declared below, sized blockSize+1 and reused across blocks. */
   private val ZopfliIters =
     Integer.getInteger("graft.zopfli.iters", 3).intValue()
-  private val ZopfliScanBudget =
-    Integer.getInteger("graft.zopfli.scans", 24).intValue()
-  /** Depth of the hash-5 walk in the zopfli pass. The deep walk runs on
-    * the hash-8 chain (below), which is selective enough on text that
-    * ZopfliDepth exhausts most chains; the 5-byte chain — where every
-    * " the " shares a bucket — only needs a short walk to surface the
-    * 4-7-byte matches an 8-byte hash can't see. */
-  private val Zopfli5Depth =
-    Integer.getInteger("graft.zopfli.depth5", 48).intValue()
-  /** Stop a zopfli walk once a match this long is found (zlib's
-    * nice_length shape). Disabled by default: truncating bestL also
-    * truncates walkCooldown (which skips the match interior), and the
-    * extra walks cost more than the stop saves (measured +25%). */
-  private val ZopfliNice =
-    Integer.getInteger("graft.zopfli.nice", Int.MaxValue).intValue()
-  /** Second chain keyed on a FULL 8-byte hash, maintained only by the
-    * zopfli pass (q >= 10): the 5-byte chain's depth budget drowns in
-    * frequent 5-grams (" the ") before reaching the long-match
-    * candidates that matter at q11; 8-gram buckets make the deep walk
-    * ~free. Tail positions hash zero-padded bytes (hist has a +8 pad) —
-    * only a heuristic, every candidate is verified by matchLen. */
-  private lazy val hash8Table = {
-    val a = new Array[Int](1 << HashBits)
+  /** Binary-tree match finder for the zopfli pass (the published
+    * H10/BT shape libbrotli uses at q10+ and zstd uses in btopt):
+    * positions sharing a 4-byte hash bucket form a binary SEARCH tree
+    * ordered lexicographically by suffix, most recent position at the
+    * root. ONE descent both inserts the current position and visits its
+    * lexicographic neighbors — where the longest matches live — so
+    * ~[[BtMaxComps]] comparisons replace r8's two chain walks
+    * (512-deep 8-byte + 48-deep 5-byte), and each comparison resumes
+    * from the subtree boundary's agreement length instead of byte 0.
+    * Replaced the chains in r9: same candidate-cache interface,
+    * measured ~4× less match-search work per block at equal ratio. */
+  private val BtMaxComps =
+    Integer.getInteger("graft.zopfli.btDepth", 64).intValue()
+  /** Suffix-agreement horizon: suffixes equal this far are
+    * indistinguishable to the tree — the newer position adopts the
+    * older's subtrees and replaces it (which is also what terminates
+    * descents in ~1 node inside long repeats). */
+  private val BtCompLenMax = 128
+  private val BtBucketBits = 17
+  private lazy val btBuckets = {
+    val a = new Array[Int](1 << BtBucketBits)
     java.util.Arrays.fill(a, -1)
     a
   }
-  private lazy val chain8 = new Array[Int](2 * winSize + blockSize)
-  private def hash8At(i: Int): Int =
-    ((histLongs.getLong(i) * 0x9E3779B97F4A7C15L) >>> (64 - HashBits)).toInt
+  /** btForest(2p) / btForest(2p+1) = roots of position p's left/right
+    * subtrees (suffixes greater / smaller-or-equal at the divergence
+    * byte). Cells are always written before they become reachable from
+    * a bucket, so the array needs no initialization. */
+  private lazy val btForest = new Array[Int](2 * (2 * winSize + blockSize))
+  private def btHash(i: Int): Int = {
+    val v = histLongs.getLong(i).toInt // 4 bytes — the tree refines the rest
+    (v * 0x9E3779B1) >>> (32 - BtBucketBits)
+  }
+
+  /** One tree descent at `p`: inserts p when ≥[[BtCompLenMax]] bytes
+    * remain (shorter horizons search without modifying the tree — the
+    * H10 rule, keeping under-compared nodes out of the order) and
+    * records ascending-length candidates into the zCand slots at `ci4`.
+    * Returns (slotsUsed << 16) | bestLen. */
+  private def btStoreAndFind(p: Int, maxLen: Int, ci4: Int): Int = {
+    val reroot = maxLen >= BtCompLenMax
+    val stopLen = math.min(maxLen, BtCompLenMax)
+    val key = btHash(p)
+    var prev = btBuckets(key)
+    if (reroot) btBuckets(key) = p
+    var nodeL = 2 * p
+    var nodeR = 2 * p + 1
+    var lenL = 0
+    var lenR = 0
+    var best = 0
+    var nc = 0
+    var depth = BtMaxComps
+    while (true) {
+      if (prev < 0 || p - prev > maxBackward || depth <= 0) {
+        if (reroot) { btForest(nodeL) = -1; btForest(nodeR) = -1 }
+        return (nc << 16) | best
+      }
+      depth -= 1
+      val cur = math.min(lenL, lenR) // agreement guaranteed this far
+      val len = cur + matchLen(prev + cur, p + cur, maxLen - cur)
+      if (len > best && len >= 4) { // MinMatch
+        best = len
+        val slot = if (nc < 4) { nc += 1; nc - 1 } else 3
+        zCandD(ci4 + slot) = p - prev
+        zCandL(ci4 + slot) = len
+      }
+      if (len >= stopLen) {
+        // suffixes equal to the horizon: p replaces prev in the order
+        if (reroot) {
+          btForest(nodeL) = btForest(2 * prev)
+          btForest(nodeR) = btForest(2 * prev + 1)
+        }
+        return (nc << 16) | best
+      }
+      if ((hist(p + len) & 0xff) > (hist(prev + len) & 0xff)) {
+        lenL = len
+        if (reroot) btForest(nodeL) = prev
+        nodeL = 2 * prev + 1
+        prev = btForest(nodeL)
+      } else {
+        lenR = len
+        if (reroot) btForest(nodeR) = prev
+        nodeR = 2 * prev
+        prev = btForest(nodeR)
+      }
+    }
+    0 // unreachable
+  }
   private val CmdOverheadBits = 4.0
   private lazy val zCost = new Array[Double](blockSize + 1)
   private lazy val zFromLen = new Array[Int](blockSize + 1)
@@ -370,12 +422,6 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     * skipping future candidates and find nothing. */
   private lazy val zCandD = new Array[Int](4 * (blockSize + 1))
   private lazy val zCandL = new Array[Int](4 * (blockSize + 1))
-  /** Chain tip (pre-insert) per position, recorded in pass 1 so selected
-    * positions can be re-walked deeper later without the future-tip
-    * problem (fully-inserted chains point past p). */
-  private lazy val zTip = new Array[Int](blockSize + 1)
-  /** hash-8 chain tip per position (same contract as [[zTip]]). */
-  private lazy val zTip8 = new Array[Int](blockSize + 1)
   /** Cached §8 static-dictionary matches per position, the two longest
     * identity-transform words starting there, packed (len << 16 | idx);
     * 0 = none. Filled in pass 1, relaxed in every sweep. */
@@ -828,12 +874,18 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       hashTable(i) = if (p >= 0) p else -1
       i += 1
     }
-    if (quality >= 11) { // the zopfli tier's second chain slides too
-      System.arraycopy(chain8, shift, chain8, 0, winSize)
+    if (quality >= 11) { // the zopfli tier's suffix tree slides too
+      System.arraycopy(btForest, 2 * shift, btForest, 0, 2 * winSize)
       var j = 0
-      while (j < hash8Table.length) {
-        val p = hash8Table(j) - shift
-        hash8Table(j) = if (p >= 0) p else -1
+      while (j < 2 * winSize) {
+        val v = btForest(j) - shift
+        btForest(j) = if (v >= 0) v else -1
+        j += 1
+      }
+      j = 0
+      while (j < btBuckets.length) {
+        val b = btBuckets(j) - shift
+        btBuckets(j) = if (b >= 0) b else -1
         j += 1
       }
     }
@@ -1147,12 +1199,6 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         var p = b0
         var lastRepD0 = 0
         var lastRepLen = 0
-        // after a long chain match, positions interior to it skip their
-        // walks (libbrotli's zopfli does the same past
-        // ZOPFLI_LENGTH_MAX): the boundary edges from the match's start
-        // already cover them, and walking every interior position is
-        // what made the DP ~10x slower than the q11 greedy
-        var walkCooldown = 0
         while (p < end) {
           val i = p - b0
           // literal edge (keeps every node reachable by induction)
@@ -1184,66 +1230,16 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
             if (p <= lastHashPos) {
               val ci4 = i << 2
               if (insertPass) {
-                // walk + record candidates while the chain tips are
-                // temporally correct (ascending-length, closest-first,
-                // so each kept tier has the smallest available distance).
-                // Two chains: the 8-byte hash walks deep (selective
-                // buckets — long matches surface in a few steps) and the
-                // 5-byte hash walks shallow for the 4-7-byte matches.
-                val h = hashAt(p)
-                val h8 = hash8At(p)
-                var cand = hashTable(h)
-                var cand8 = hash8Table(h8)
-                zTip(i) = cand
-                zTip8(i) = cand8
-                if (p > maxInserted) {
-                  chain(p) = p - cand; hashTable(h) = p
-                  chain8(p) = p - cand8; hash8Table(h8) = p
-                  maxInserted = p
-                }
-                // inside a long repeat the rep edge already beats any
-                // chain candidate by distance cost — skip the walk (and
-                // its own long matchLen scans) there; likewise inside a
-                // long chain match (walkCooldown)
-                val skipWalk = repLen >= 64 ||
-                  (walkCooldown > 0 && (p & 7) != 0)
-                var bestL = 0
-                var nc = 0
-                var scans = ZopfliScanBudget
-                def walk(start: Int, links: Array[Int], depth0: Int): Unit = {
-                  var c = start
-                  var depth = depth0
-                  while (c >= 0 && depth > 0 && bestL < maxLen && bestL < ZopfliNice && scans > 0) {
-                    if (c < p) {
-                      if (p - c > maxBackward) depth = 0
-                      else if (
-                        if (bestL >= 7)
-                          histLongs.getLong(c + bestL - 7) ==
-                            histLongs.getLong(p + bestL - 7)
-                        else hist(c + bestL) == hist(p + bestL)) {
-                        val ml = matchLen(c, p, maxLen)
-                        scans -= 1
-                        if (ml >= MinMatch && ml > bestL) {
-                          bestL = ml
-                          val slot = if (nc < 4) { nc += 1; nc - 1 } else 3
-                          zCandD(ci4 + slot) = p - c
-                          zCandL(ci4 + slot) = ml
-                        }
-                      }
-                    }
-                    c -= links(c)
-                    depth -= 1
-                  }
-                }
-                if (!skipWalk) {
-                  walk(cand8, chain8, ZopfliDepth)
-                  walk(cand, chain, Zopfli5Depth)
-                }
+                // one BT descent: inserts p into the suffix tree and
+                // fills the candidate cache (descents inside long
+                // repeats cost ~1 node — the agreement horizon
+                // terminates them immediately; seeding the recorder
+                // with repLen was measured ratio-neutral and slower)
+                val r = btStoreAndFind(p, maxLen, ci4)
+                val nc = r >>> 16
+                walkBest = r & 0xffff
                 var z = nc
                 while (z < 4) { zCandL(ci4 + z) = 0; z += 1 }
-                walkBest = bestL
-                if (bestL >= 32) walkCooldown = bestL - 1
-                else if (walkCooldown > 0) walkCooldown -= 1
               }
               // relax from the cached candidates (identical in both passes)
               var k = 0
@@ -1272,8 +1268,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
               // window copy ≥16 at LZ distance always beats a ≤24-byte
               // word at a ~4M distance (measured: probing everywhere
               // cost +12% q11 time for no ratio change)
-              if (walkBest < 16 && repLen < 16 &&
-                  !(walkCooldown > 0 && (p & 7) != 0)) {
+              if (walkBest < 16 && repLen < 16) {
                 val lim = math.min(DictIndex.MaxLen, maxLen)
                 val b0c = hist(p) & 0xff
                 // capitalized first byte: probe the case-folded form too
@@ -1345,58 +1340,6 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         }
         if (pend > 0 || nCmds == 0) addCmd(ls, pend, 0, 0)
       }
-      /** Re-walk one position from its recorded pass-1 tip at full
-        * depth, overwriting its cached candidate tiers. */
-      def deepenAt(p: Int): Unit = {
-        if (p > lastHashPos) return
-        val i = p - b0
-        val maxLen = math.min(MaxCopy, end - p)
-        if (maxLen < MinMatch) return
-        val ci4 = i << 2
-        var bestL = 0
-        var nc = 0
-        def walk(start: Int, links: Array[Int], depth0: Int): Unit = {
-          var c = start
-          var depth = depth0
-          while (c >= 0 && depth > 0 && bestL < maxLen && bestL < ZopfliNice) {
-            if (c < p) {
-              if (p - c > maxBackward) depth = 0
-              else if (
-                if (bestL >= 7)
-                  histLongs.getLong(c + bestL - 7) ==
-                    histLongs.getLong(p + bestL - 7)
-                else hist(c + bestL) == hist(p + bestL)) {
-                val ml = matchLen(c, p, maxLen)
-                if (ml >= MinMatch && ml > bestL) {
-                  bestL = ml
-                  val slot = if (nc < 4) { nc += 1; nc - 1 } else 3
-                  zCandD(ci4 + slot) = p - c
-                  zCandL(ci4 + slot) = ml
-                }
-              }
-            }
-            c -= links(c)
-            depth -= 1
-          }
-        }
-        walk(zTip8(i), chain8, ZopfliDeepDepth)
-        walk(zTip(i), chain, ZopfliDeepDepth)
-        var z = nc
-        while (z < 4) { zCandL(ci4 + z) = 0; z += 1 }
-      }
-      /** Deepen every copy-command start position of a plan. */
-      def deepenPlan(plan: Array[Int]): Unit = {
-        var ls = b0
-        var pend = plan(plan.length - 4)
-        var k = plan.length - 8
-        while (k >= 0) {
-          val lit = plan(k); val adv = plan(k + 1)
-          deepenAt(ls + pend)
-          ls += pend + adv
-          pend = lit
-          k -= 4
-        }
-      }
       val ringSnap = distRing.clone()
       val ringIdxSnap = distRingIdx
       def resetParseState(): Unit = {
@@ -1423,15 +1366,14 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       resetParseState()
       var plan = buildPlan()
       replay(plan)
-      // refine: deepen the current plan's command starts, re-sweep from
-      // the cache (cheap — no chain walks), re-price. Command positions
-      // drift between iterations, so q11 runs the loop thrice; the
-      // sweep-and-deepen cost is ~15% of a deep-everywhere pass.
+      // refine: re-sweep from the candidate cache (cheap — no tree
+      // descents) under costs priced from the current plan's actual
+      // histograms. Command positions drift between iterations, so q11
+      // runs the loop thrice.
       var it = 0
       val iters = if (quality >= 11) ZopfliIters else 1
       while (it < iters) {
         costsFromFreqs()
-        phase(s"deepen-$it")(deepenPlan(plan))
         phase(s"sweep-$it")(sweep(insertPass = false))
         resetParseState()
         plan = buildPlan()
@@ -1851,8 +1793,8 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
 
   /** Pooled-reuse state witnesses for graft.brotli specs. */
   private[brotli] def histShiftForTest: Long = histShift
-  private[brotli] def hash8DirtyForTest: Boolean =
-    quality >= 11 && hash8Table.exists(_ >= 0)
+  private[brotli] def treeDirtyForTest: Boolean =
+    quality >= 11 && btBuckets.exists(_ >= 0)
 
   /** Full reset for pooled reuse (real, unlike BroDecompressor.java:130). */
   def reset(): Unit = {
@@ -1869,11 +1811,12 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       // position count, which restarts at 0 — a stale shift would let a
       // reused q>=10 encoder address the dictionary past the new
       // stream's reachable bound (corrupt output). The q11 second chain
-      // must empty for the same reuse contract: stale candidates are
-      // harmless (the walk guards c < p) but steer the parse, and a
-      // pooled encoder must emit byte-identical streams to a fresh one.
+      // must empty for the same reuse contract: a pooled encoder must
+      // emit byte-identical streams to a fresh one. (The forest needs no
+      // clearing — its cells are unreachable until a bucket re-links
+      // them, and every insert writes its child slots first.)
       histShift = 0L
-      if (quality >= 11) java.util.Arrays.fill(hash8Table, -1)
+      if (quality >= 11) java.util.Arrays.fill(btBuckets, -1)
     }
     val drain = new ByteArrayOutputStream()
     bits.finishTo(drain) // discard any partial state

@@ -207,15 +207,15 @@ class BrotliSpec extends AnyFunSuite {
     assert(comp.getBytesRead == b.length.toLong) // counters re-armed too
   }
 
-  test("reset() rebases the dictionary bound and empties the q11 chain") {
+  test("reset() rebases the dictionary bound and empties the q11 tree") {
     // two reuse leaks a pooled encoder could carry into its next stream:
     // (1) histShift — advanced by every window slide; the §8 dictionary
     //     bound is min(streamPos, window) counted by the DECODER, which
     //     restarts at 0, so a stale shift mis-addresses dictionary
     //     references in a reused q>=10 encoder (corrupt stream);
-    // (2) the q11 8-byte hash chain — stale candidates are walk-guarded
-    //     but steer the parse, so a pooled encoder would emit a
-    //     different (if valid) stream than a fresh one.
+    // (2) the q11 suffix-tree buckets — stale roots would steer the
+    //     parse, so a pooled encoder would emit a different (if valid)
+    //     stream than a fresh one.
     val rnd = new Random(7)
     val slide = new Array[Byte](12 << 20) // > hist capacity -> must slide
     rnd.nextBytes(slide)
@@ -237,9 +237,9 @@ class BrotliSpec extends AnyFunSuite {
     val enc11 = new BrotliEncoder(11)
     val s1 = new ByteArrayOutputStream()
     enc11.write(text, 0, text.length, s1); enc11.finish(s1)
-    assert(enc11.hash8DirtyForTest)
+    assert(enc11.treeDirtyForTest)
     enc11.reset()
-    assert(!enc11.hash8DirtyForTest)
+    assert(!enc11.treeDirtyForTest)
     val s2 = new ByteArrayOutputStream()
     enc11.write(text, 0, text.length, s2); enc11.finish(s2)
     assert(java.util.Arrays.equals(s2.toByteArray, s1.toByteArray))
