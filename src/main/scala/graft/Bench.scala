@@ -149,7 +149,7 @@ object Bench {
     w.close()
     val javaBin = new java.io.File(
       new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
-    val pb = new ProcessBuilder(javaBin, "-Xmx32g", "-cp", cp,
+    val pb = new ProcessBuilder(javaBin, "-Xmx64g", "-cp", cp,
       "--add-opens=java.base/java.nio=ALL-UNNAMED",
       "--add-opens=java.base/java.lang=ALL-UNNAMED",
       "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED",
@@ -384,6 +384,7 @@ object Bench {
     val (encQ6, tE6) = median3(time(Brotli.compress(data, 6)))
     val (encQ11, tE11) = time(Brotli.compress(rp, 11))
     require(java.util.Arrays.equals(Brotli.decompress(encQ11), rp))
+    System.gc() // q11's zopfli garbage shouldn't land inside decode runs
     val (_, tD) = median3(time(Brotli.decompress(encQ6)))
     // ratio grid: every quality on the identical un-repeated payload
     val rQ1 = ratioOf(Brotli.compress(rp, 1))

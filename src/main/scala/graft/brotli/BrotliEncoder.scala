@@ -1865,9 +1865,19 @@ object Brotli {
     out.toByteArray
   }
 
+  // Pooled decoders, same rationale and contract as the encoder pool
+  // (the decoder's window + tables are ~5 MB per instance; reset() is
+  // the per-frame reuse path BroFramedInputStream already exercises).
+  private val decPool =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      java.lang.ref.SoftReference[BrotliDecoder]]()
+
   def decompress(data: Array[Byte],
       dictionary: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
-    val dec = new BrotliDecoder()
+    var dec: BrotliDecoder = null
+    var ref = decPool.poll()
+    while (ref != null && dec == null) { dec = ref.get(); if (dec == null) ref = decPool.poll() }
+    if (dec == null) dec = new BrotliDecoder()
     if (dictionary.nonEmpty) dec.setDictionary(dictionary, 0, dictionary.length)
     dec.addInput(data, 0, data.length)
     dec.endOfInput()
@@ -1876,6 +1886,8 @@ object Brotli {
     var n = dec.decode(buf, 0, buf.length)
     while (n > 0) { out.write(buf, 0, n); n = dec.decode(buf, 0, buf.length) }
     require(dec.isFinished, "truncated brotli stream")
+    dec.reset()
+    decPool.offer(new java.lang.ref.SoftReference(dec))
     out.toByteArray
   }
 }
