@@ -317,6 +317,18 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     * declared below, sized blockSize+1 and reused across blocks. */
   private val ZopfliIters =
     Integer.getInteger("graft.zopfli.iters", 3).intValue()
+  /** Max-ratio dial (default off): relax explicit candidates at their
+    * copy-code boundaries too, not just full length — the DP then cuts
+    * copies to align successor matches, converting literal runs into
+    * copies the way native's q11 parse does. Measured +0.7% ratio
+    * (6.141 → 6.186, 99.0% of native) for ~35% encode throughput
+    * (0.51 → 0.33 MB/s): OFF keeps q11 speed-dominant over native
+    * (faster at 98.3% of its ratio); 2 = cut in every sweep,
+    * 1 = refine sweeps only (middle ground). */
+  private val ZopfliCutExplicit =
+    Integer.getInteger("graft.zopfli.cutExplicit", 0).intValue()
+  private val ZopfliCutSpan =
+    Integer.getInteger("graft.zopfli.cutSpan", 1).intValue()
   /** Binary-tree match finder for the zopfli pass (the published
     * H10/BT shape libbrotli uses at q10+ and zstd uses in btopt):
     * positions sharing a 4-byte hash bucket form a binary SEARCH tree
@@ -1129,7 +1141,8 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       def relaxBoundaries(i: Int, len: Int, dist: Int, rep: Boolean): Unit = {
         val minLen = if (rep) 2 else MinMatch
         val cTop = copyCodeFor(len)
-        val cMin = math.max(copyCodeFor(minLen), cTop - 5)
+        val span = if (rep) 5 else ZopfliCutSpan
+        val cMin = math.max(copyCodeFor(minLen), cTop - span)
         var c = cTop
         while (c >= cMin) {
           val l = if (c == cTop) len else math.min(len, CopyBase(c + 1) - 1)
@@ -1249,14 +1262,18 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
                 val l = zCandL(ci4 + k)
                 if (l > 0) {
                   val d = zCandD(ci4 + k)
-                  relaxAt(i, l, d, rep = false)
+                  if (ZopfliCutExplicit == 2 ||
+                      (ZopfliCutExplicit == 1 && !insertPass))
+                    relaxBoundaries(i, l, d, rep = false)
+                  else relaxAt(i, l, d, rep = false)
                   if (l > bl) { bl = l; bd = d }
                 }
                 k += 1
               }
-              // explicit candidates relax at full length only: cutting
-              // them at code boundaries fragments the parse (each cut
-              // pays a distance), while rep cuts stay distance-free
+              // explicit candidates relax at full length by default:
+              // cutting them at code boundaries buys +0.7% ratio for
+              // ~35% throughput (the ZopfliCutExplicit dial above);
+              // rep cuts stay distance-free and always relax
             }
             // §8 static-dictionary probes: one rolling FNV over the next
             // ≤24 bytes, a table probe per length, cache the two longest

@@ -246,6 +246,32 @@ class BrotliSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(Brotli.decompress(s2.toByteArray), text))
   }
 
+  test("max-ratio dial (cutExplicit) emits valid streams that beat default ratio") {
+    // the dial relaxes explicit candidates at copy-code boundaries —
+    // a different parse, same format; the stream must round-trip and
+    // on compressible text come out no larger than the default parse
+    val words = Array("information", "the", "of", "public", "because",
+      "different", "management")
+    val wr = new Random(5)
+    val sb = new StringBuilder
+    while (sb.length < 120000) { sb.append(words(wr.nextInt(words.length))).append(' ') }
+    val text = sb.toString.getBytes
+    def encodeWith(dial: String): Array[Byte] = {
+      System.setProperty("graft.zopfli.cutExplicit", dial)
+      try {
+        val enc = new BrotliEncoder(11) // props read at construction
+        val out = new ByteArrayOutputStream()
+        enc.write(text, 0, text.length, out); enc.finish(out)
+        out.toByteArray
+      } finally System.clearProperty("graft.zopfli.cutExplicit")
+    }
+    val dflt = encodeWith("0")
+    val cut = encodeWith("2")
+    assert(java.util.Arrays.equals(Brotli.decompress(cut), text))
+    assert(cut.length <= dflt.length,
+      s"dial should not lose ratio: cut=${cut.length} default=${dflt.length}")
+  }
+
   test("compressor reports real byte counters (reference bug fixed)") {
     val codec = new BrotliCodec
     codec.setConf(new org.apache.hadoop.conf.Configuration(false))
