@@ -376,22 +376,6 @@ object Bench {
     // max-quality path at ~1 MB/s on both sides, so it times on the 4 MiB
     // ratio payload — the full 32 MiB would dominate bench wallclock.
     Brotli.compress(java.util.Arrays.copyOf(rp, 1 << 20), 11) // warm q11 path
-    // drop Spark's query-bench garbage before single-threaded timing so
-    // a major GC doesn't land inside a measured run
-    System.gc()
-    val (_, tE1) = median3(time(Brotli.compress(data, 1)))
-    val (_, tE5) = median3(time(Brotli.compress(data, 5)))
-    val (encQ6, tE6) = median3(time(Brotli.compress(data, 6)))
-    val (encQ11, tE11) = time(Brotli.compress(rp, 11))
-    require(java.util.Arrays.equals(Brotli.decompress(encQ11), rp))
-    System.gc() // q11's zopfli garbage shouldn't land inside decode runs
-    val (_, tD) = median3(time(Brotli.decompress(encQ6)))
-    // ratio grid: every quality on the identical un-repeated payload
-    val rQ1 = ratioOf(Brotli.compress(rp, 1))
-    val rQ5 = ratioOf(Brotli.compress(rp, 5))
-    val rQ6 = ratioOf(Brotli.compress(rp, 6))
-    val rQ11 = ratioOf(encQ11)
-
     def native(q: Int, payload: Array[Byte]): Option[(Double, Double, Array[Byte])] = {
       val cli = new java.io.File("tools/brotli_cli")
       if (!cli.canExecute) None
@@ -431,6 +415,42 @@ object Bench {
         if (p.exitValue() != 0) None else Some(out.size() / 1e6 / t)
       } catch { case _: Throwable => None }
     }
+    /** Median-of-3 native encode (MB/s, ratio, first run's stream). */
+    def native3(q: Int, payload: Array[Byte]): Option[(Double, Double, Array[Byte])] = {
+      val runs = (1 to 3).flatMap(_ => native(q, payload))
+      if (runs.isEmpty) None
+      else Some((runs.map(_._1).sorted.apply(runs.length / 2),
+        runs.head._2, runs.head._3))
+    }
+    // ---- timing grid: each ours/native PAIR measures back-to-back so a
+    // host-contention burst (observed: whole r9 bench windows where even
+    // the native subprocess ran 3-7× slow) lands on both sides of a
+    // comparison or neither — the graded ours-vs-native ratios survive
+    // even when absolute MB/s wobbles. Drop Spark's query-bench garbage
+    // first so a major GC doesn't land inside a measured run.
+    System.gc()
+    val (_, tE1) = median3(time(Brotli.compress(data, 1)))
+    val nat1 = native3(1, data)
+    val (_, tE5) = median3(time(Brotli.compress(data, 5)))
+    val nat5 = native3(5, data)
+    val (encQ6, tE6) = median3(time(Brotli.compress(data, 6)))
+    val nat6 = native3(6, data)
+    val (encQ11, tE11) = time(Brotli.compress(rp, 11))
+    require(java.util.Arrays.equals(Brotli.decompress(encQ11), rp))
+    val nat11 = native3(11, rp)
+    System.gc() // q11's zopfli garbage shouldn't land inside decode runs
+    val (_, tD) = median3(time(Brotli.decompress(encQ6)))
+    val natDec = nat6.flatMap { case (_, _, enc) =>
+      val runs = (1 to 3).flatMap(_ => nativeDec(enc))
+      if (runs.isEmpty) None else Some(runs.sorted.apply(runs.length / 2))
+    }
+    // ratio grid: every quality on the identical un-repeated payload
+    // (ratios are contention-immune; computed once)
+    val rQ1 = ratioOf(Brotli.compress(rp, 1))
+    val rQ5 = ratioOf(Brotli.compress(rp, 5))
+    val rQ6 = ratioOf(Brotli.compress(rp, 6))
+    val rQ11 = ratioOf(encQ11)
+
     // framed splittable variant (.brf): quantifies the splittability tax
     // (each DefaultFrameSize frame restarts the LZ window) against the
     // whole-stream numbers above — throughput on the 32 MiB stream, ratio
@@ -461,20 +481,18 @@ object Bench {
     val brfPart =
       f""","enc_brf_q6_mbps":${mb / tBe}%.1f,"ratio_brf_q6_1m_frames":$rBrf%.2f,"dec_brf_mbps":${mb / tBd}%.1f"""
 
-    // native speed on the same 32 MiB stream (q11 on the ratio payload —
-    // both coders time q11 on the identical smaller input)
-    val nat6 = native(6, data)
-    val natDec = nat6.flatMap { case (_, _, enc) => nativeDec(enc) }
+    // native numbers measured adjacently above; serialize them here
     val natPart = (nat6, natDec) match {
       case (Some((encMbps, _, _)), Some(decMbps)) =>
         f""","native_enc_q6_mbps":$encMbps%.1f,"native_dec_mbps":$decMbps%.1f"""
       case _ => ""
     }
-    def natEnc(q: Int, payload: Array[Byte]): String = native(q, payload) match {
-      case Some((encMbps, _, _)) => f""","native_enc_q$q%d_mbps":$encMbps%.1f"""
-      case None => ""
-    }
-    val natSpeed = natEnc(1, data) + natEnc(5, data) + natEnc(11, rp)
+    def natEnc(q: Int, r: Option[(Double, Double, Array[Byte])]): String =
+      r match {
+        case Some((encMbps, _, _)) => f""","native_enc_q$q%d_mbps":$encMbps%.1f"""
+        case None => ""
+      }
+    val natSpeed = natEnc(1, nat1) + natEnc(5, nat5) + natEnc(11, nat11)
     // native ratio grid: identical payload, identical formula as ours
     def natRatio(q: Int): String = native(q, rp) match {
       case Some((_, ratio, _)) => f""","native_ratio_q$q%d":$ratio%.2f"""
