@@ -415,7 +415,10 @@ object Bench {
         if (p.exitValue() != 0) None else Some(out.size() / 1e6 / t)
       } catch { case _: Throwable => None }
     }
-    /** Median-of-3 native encode (MB/s, ratio, first run's stream). */
+    /** Median-of-3 native encode (MB/s, ratio, first run's stream). If a
+      * run fails and two survive, the UPPER middle is taken — the faster
+      * native sample, i.e. the conservative choice against our own
+      * relative-standing claims. */
     def native3(q: Int, payload: Array[Byte]): Option[(Double, Double, Array[Byte])] = {
       val runs = (1 to 3).flatMap(_ => native(q, payload))
       if (runs.isEmpty) None
@@ -435,7 +438,10 @@ object Bench {
     val nat5 = native3(5, data)
     val (encQ6, tE6) = median3(time(Brotli.compress(data, 6)))
     val nat6 = native3(6, data)
-    val (encQ11, tE11) = time(Brotli.compress(rp, 11))
+    val (encQ11, tE11) = { // median-of-3 like its adjacent native pair
+      val runs = (1 to 3).map(_ => time(Brotli.compress(rp, 11)))
+      (runs.head._1, runs.map(_._2).sorted.apply(1))
+    }
     require(java.util.Arrays.equals(Brotli.decompress(encQ11), rp))
     val nat11 = native3(11, rp)
     System.gc() // q11's zopfli garbage shouldn't land inside decode runs
@@ -494,11 +500,14 @@ object Bench {
       }
     val natSpeed = natEnc(1, nat1) + natEnc(5, nat5) + natEnc(11, nat11)
     // native ratio grid: identical payload, identical formula as ours
+    // (q11's ratio comes from the nat11 runs already in hand — a fresh
+    // native q11 encode of the ratio payload costs several seconds)
     def natRatio(q: Int): String = native(q, rp) match {
       case Some((_, ratio, _)) => f""","native_ratio_q$q%d":$ratio%.2f"""
       case None => ""
     }
-    val natRatios = natRatio(1) + natRatio(5) + natRatio(6) + natRatio(11)
+    val natRatios = natRatio(1) + natRatio(5) + natRatio(6) +
+      nat11.map { case (_, r, _) => f""","native_ratio_q11":$r%.2f""" }.getOrElse("")
     f"""{"input_mb":$mb%.1f,"ratio_input_mb":${rp.length / 1e6}%.1f,"enc_q1_mbps":${mb / tE1}%.1f,"ratio_q1":$rQ1%.2f,"enc_q5_mbps":${mb / tE5}%.1f,"ratio_q5":$rQ5%.2f,"enc_q6_mbps":${mb / tE6}%.1f,"ratio_q6":$rQ6%.2f,"enc_q11_mbps":${rp.length / 1e6 / tE11}%.1f,"ratio_q11":$rQ11%.2f,"dec_mbps":${mb / tD}%.1f$brfPart$natPart$natSpeed$natRatios}"""
   }
 }

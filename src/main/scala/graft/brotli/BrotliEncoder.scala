@@ -293,11 +293,20 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     val n = math.min(len, maxBackward) // beyond-window prefix is unreachable
     System.arraycopy(b, off + len - n, hist, 0, n)
     histTail = n
-    // hash every dictionary position whose full hash window fits inside
-    // the dictionary (boundary-spanning positions are simply not indexed)
+    // index every dictionary position whose full hash window fits inside
+    // the dictionary (boundary-spanning positions are simply not
+    // indexed) — into the structure the active parse actually reads:
+    // the zopfli tier (q >= 11) searches ONLY the suffix tree, so
+    // dictionary positions must enter it via insert-only descents or
+    // the preload would be silently unreachable at the max-ratio tier
     var i = 0
     val last = n - hashSpan
-    while (i <= last) { insertHash(i); i += 1 }
+    if (quality >= 11)
+      while (i <= last) {
+        btStoreAndFind(i, math.min(16383, n - i), -1); i += 1
+      }
+    else
+      while (i <= last) { insertHash(i); i += 1 }
   }
 
   // -------------------------------------------------------------------
@@ -353,10 +362,12 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     java.util.Arrays.fill(a, -1)
     a
   }
-  /** btForest(2p) / btForest(2p+1) = roots of position p's left/right
-    * subtrees (suffixes greater / smaller-or-equal at the divergence
-    * byte). Cells are always written before they become reachable from
-    * a bucket, so the array needs no initialization. */
+  /** btForest(2p) / btForest(2p+1) = roots of position p's two
+    * subtrees: 2p holds suffixes SMALLER than p's at the divergence
+    * byte, 2p+1 suffixes greater-or-equal (the descent writes the
+    * smaller side through nodeL, initialized to 2p). Cells are always
+    * written before they become reachable from a bucket, so the array
+    * needs no initialization. */
   private lazy val btForest = new Array[Int](2 * (2 * winSize + blockSize))
   private def btHash(i: Int): Int = {
     val v = histLongs.getLong(i).toInt // 4 bytes — the tree refines the rest
@@ -366,10 +377,14 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
   /** One tree descent at `p`: inserts p when ≥[[BtCompLenMax]] bytes
     * remain (shorter horizons search without modifying the tree — the
     * H10 rule, keeping under-compared nodes out of the order) and
-    * records ascending-length candidates into the zCand slots at `ci4`.
+    * records ascending-length candidates into the zCand slots at `ci4`
+    * (pass ci4 < 0 to insert/search without recording — the dictionary
+    * preload path, which also FORCES insertion: a preloaded dictionary
+    * shorter than the horizon would otherwise never enter the tree at
+    * all; its comparisons simply bottom out at the dictionary end).
     * Returns (slotsUsed << 16) | bestLen. */
   private def btStoreAndFind(p: Int, maxLen: Int, ci4: Int): Int = {
-    val reroot = maxLen >= BtCompLenMax
+    val reroot = maxLen >= BtCompLenMax || ci4 < 0
     val stopLen = math.min(maxLen, BtCompLenMax)
     val key = btHash(p)
     var prev = btBuckets(key)
@@ -391,9 +406,11 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       val len = cur + matchLen(prev + cur, p + cur, maxLen - cur)
       if (len > best && len >= 4) { // MinMatch
         best = len
-        val slot = if (nc < 4) { nc += 1; nc - 1 } else 3
-        zCandD(ci4 + slot) = p - prev
-        zCandL(ci4 + slot) = len
+        if (ci4 >= 0) {
+          val slot = if (nc < 4) { nc += 1; nc - 1 } else 3
+          zCandD(ci4 + slot) = p - prev
+          zCandL(ci4 + slot) = len
+        }
       }
       if (len >= stopLen) {
         // suffixes equal to the horizon: p replaces prev in the order
@@ -879,14 +896,16 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     if (histTail + len <= hist.length - 8) return
     val shift = histTail - winSize
     System.arraycopy(hist, shift, hist, 0, winSize)
-    System.arraycopy(chain, shift, chain, 0, winSize)
-    var i = 0
-    while (i < hashTable.length) {
-      val p = hashTable(i) - shift
-      hashTable(i) = if (p >= 0) p else -1
-      i += 1
+    if (quality < 11) { // the chains feed only the greedy tiers' parse
+      System.arraycopy(chain, shift, chain, 0, winSize)
+      var i = 0
+      while (i < hashTable.length) {
+        val p = hashTable(i) - shift
+        hashTable(i) = if (p >= 0) p else -1
+        i += 1
+      }
     }
-    if (quality >= 11) { // the zopfli tier's suffix tree slides too
+    if (quality >= 11) { // the zopfli tier reads only the suffix tree
       System.arraycopy(btForest, 2 * shift, btForest, 0, 2 * winSize)
       var j = 0
       while (j < 2 * winSize) {
@@ -1821,7 +1840,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     System.arraycopy(Tables7932.InitialDistanceRing, 0, distRing, 0, 4)
     distRingIdx = 0
     if (quality >= 1) { // sliding-window LZ state
-      java.util.Arrays.fill(hashTable, -1)
+      if (quality < 11) java.util.Arrays.fill(hashTable, -1)
       histTail = 0
       // a prior stream that slid the window leaves histShift > 0; the §8
       // dictionary bound is min(streamPos, window) per the DECODER's

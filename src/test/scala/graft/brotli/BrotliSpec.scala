@@ -290,9 +290,15 @@ class BrotliSpec extends AnyFunSuite {
     // stream for backward references.
     val dictionary = ("shared boilerplate header: company confidential " +
       "do not distribute without permission ").getBytes
+    // single occurrence: self-repetition would let the no-dictionary
+    // encoder catch up via window matches and reduce the dictionary's
+    // edge to coin-flip jitter (q11 measured 97-vs-96 B on a 3× payload)
     val payload = ("company confidential do not distribute without " +
-      "permission — quarterly numbers follow. " * 3).getBytes
-    for (q <- Seq(4, 6, 9)) {
+      "permission — quarterly numbers follow. ").getBytes
+    // q11 included: the zopfli tier searches only the suffix tree, so
+    // the preload must enter THAT index (a r9 review caught it entering
+    // only the greedy tiers' chains — silently unreachable at q11)
+    for (q <- Seq(4, 6, 9, 11)) {
       val withDict = Brotli.compress(payload, q, dictionary)
       val without = Brotli.compress(payload, q)
       assert(java.util.Arrays.equals(
@@ -301,12 +307,14 @@ class BrotliSpec extends AnyFunSuite {
       assert(withDict.length <= without.length,
         s"q$q: dictionary made output larger (${withDict.length} > ${without.length})")
     }
-    // the dictionary actually participates: a q6 stream referencing it
+    // the dictionary actually participates: a stream referencing it
     // must not decode to the same bytes without it
-    val enc = Brotli.compress(payload, 6, dictionary)
-    val wrong = try Some(Brotli.decompress(enc)) catch { case _: Exception => None }
-    assert(!wrong.exists(java.util.Arrays.equals(_, payload)),
-      "stream decoded identically without its dictionary — dictionary unused")
+    for (q <- Seq(6, 11)) {
+      val enc = Brotli.compress(payload, q, dictionary)
+      val wrong = try Some(Brotli.decompress(enc)) catch { case _: Exception => None }
+      assert(!wrong.exists(java.util.Arrays.equals(_, payload)),
+        s"q$q stream decoded identically without its dictionary — dictionary unused")
+    }
   }
 
   test("dictionary round-trip grid: sizes × qualities × overlap levels") {
