@@ -242,7 +242,12 @@ class BroFramedInputStream(in: InputStream, adjStart: Long, endArg: Long)
     extends SplitCompressionInputStream(in, adjStart, endArg) {
   import BroFramed._
 
+  // frame/payload buffers are REUSED across frames (grown on demand,
+  // frameLen carries the logical length): a fresh 4 MiB output + ~1 MiB
+  // payload allocation per frame was ~40 MB of churn per 32 MiB stream
   private var frame: Array[Byte] = null
+  private var frameLen = 0
+  private var payloadBuf: Array[Byte] = Array.emptyByteArray
   private var fpos = 0
   /** Compressed offset of the next unread frame header. */
   private var nextFrameOffset: Long = adjStart
@@ -267,9 +272,9 @@ class BroFramedInputStream(in: InputStream, adjStart: Long, endArg: Long)
 
   override def read(b: Array[Byte], off: Int, len: Int): Int = {
     if (len == 0) return 0
-    while (frame == null || fpos >= frame.length) if (!advance()) return -1
+    while (frame == null || fpos >= frameLen) if (!advance()) return -1
     // never cross a frame boundary in one call (see class doc)
-    val n = math.min(len, frame.length - fpos)
+    val n = math.min(len, frameLen - fpos)
     System.arraycopy(frame, fpos, b, off, n)
     fpos += n
     n
@@ -285,12 +290,14 @@ class BroFramedInputStream(in: InputStream, adjStart: Long, endArg: Long)
       throw new IOException(s"corrupt .brf frame header at offset $nextFrameOffset")
     val uncompLen = readInt(hdr, 4)
     val compLen = readInt(hdr, 8)
-    val payload = new Array[Byte](compLen)
-    readFully(payload, 0, compLen)
+    if (payloadBuf.length < compLen) payloadBuf = new Array[Byte](compLen)
+    readFully(payloadBuf, 0, compLen)
     dec.reset()
-    dec.addInput(payload, 0, compLen)
+    dec.addInput(payloadBuf, 0, compLen)
     dec.endOfInput()
-    val out = new Array[Byte](uncompLen)
+    if (frame == null || frame.length < uncompLen)
+      frame = new Array[Byte](uncompLen)
+    val out = frame
     var got = 0
     var k = dec.decode(out, got, uncompLen - got)
     while (k > 0) { got += k; k = dec.decode(out, got, uncompLen - got) }
@@ -308,7 +315,7 @@ class BroFramedInputStream(in: InputStream, adjStart: Long, endArg: Long)
     // advertise: this frame's bytes are served against its start offset
     reportedPos = nextFrameOffset + 1
     nextFrameOffset += HeaderLen + compLen
-    frame = out
+    frameLen = uncompLen
     fpos = 0
     if (uncompLen == 0) advance() else true
   }
@@ -327,7 +334,7 @@ class BroFramedInputStream(in: InputStream, adjStart: Long, endArg: Long)
     // full return to the constructor state: a pooled/reused stream that
     // keeps the old nextFrameOffset/reportedPos would report stale
     // positions to a split reader's pos-vs-end check after reset
-    frame = null; fpos = 0; eof = false
+    frame = null; frameLen = 0; fpos = 0; eof = false
     nextFrameOffset = adjStart; reportedPos = adjStart
   }
 }
