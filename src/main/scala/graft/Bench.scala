@@ -415,40 +415,55 @@ object Bench {
         if (p.exitValue() != 0) None else Some(out.size() / 1e6 / t)
       } catch { case _: Throwable => None }
     }
-    /** Median-of-3 native encode (MB/s, ratio, first run's stream). If a
-      * run fails and two survive, the UPPER middle is taken — the faster
-      * native sample, i.e. the conservative choice against our own
-      * relative-standing claims. */
-    def native3(q: Int, payload: Array[Byte]): Option[(Double, Double, Array[Byte])] = {
-      val runs = (1 to 3).flatMap(_ => native(q, payload))
-      if (runs.isEmpty) None
-      else Some((runs.map(_._1).sorted.apply(runs.length / 2),
-        runs.head._2, runs.head._3))
-    }
-    // ---- timing grid: each ours/native PAIR measures back-to-back so a
-    // host-contention burst (observed: whole r9 bench windows where even
-    // the native subprocess ran 3-7× slow) lands on both sides of a
-    // comparison or neither — the graded ours-vs-native ratios survive
-    // even when absolute MB/s wobbles. Drop Spark's query-bench garbage
-    // first so a major GC doesn't land inside a measured run.
+    // ---- timing grid: ours/native interleave at RUN granularity (see
+    // pairedEnc) so a host-contention burst lands on both medians or
+    // neither — the graded ours-vs-native ratios survive even when
+    // absolute MB/s wobbles. On an even number of surviving native
+    // runs the UPPER middle is taken: the faster native sample, the
+    // conservative choice against our own relative-standing claims.
+    // Drop Spark's query-bench garbage first so a major GC doesn't
+    // land inside a measured run.
     System.gc()
-    val (_, tE1) = median3(time(Brotli.compress(data, 1)))
-    val nat1 = native3(1, data)
-    val (_, tE5) = median3(time(Brotli.compress(data, 5)))
-    val nat5 = native3(5, data)
-    val (encQ6, tE6) = median3(time(Brotli.compress(data, 6)))
-    val nat6 = native3(6, data)
-    val (encQ11, tE11) = { // median-of-3 like its adjacent native pair
-      val runs = (1 to 3).map(_ => time(Brotli.compress(rp, 11)))
-      (runs.head._1, runs.map(_._2).sorted.apply(1))
+    // run-level interleave: ours-run then native-run, alternating, so a
+    // contention burst (r9 observed windows where one side of a
+    // back-to-back pair measured 2x slow while the other was clean)
+    // lands on both medians or neither
+    def pairedEnc(q: Int, payload: Array[Byte], rounds: Int)
+        : (Array[Byte], Double, Option[(Double, Double, Array[Byte])]) = {
+      var enc: Array[Byte] = null
+      val ours = new scala.collection.mutable.ArrayBuffer[Double]()
+      val nats = new scala.collection.mutable.ArrayBuffer[(Double, Double, Array[Byte])]()
+      var i = 0
+      while (i < rounds) {
+        val (e, t) = time(Brotli.compress(payload, q))
+        enc = e; ours += t
+        native(q, payload).foreach(nats += _)
+        i += 1
+      }
+      val tMed = ours.sorted.apply(ours.length / 2)
+      val nat =
+        if (nats.isEmpty) None
+        else Some((nats.map(_._1).sorted.apply(nats.length / 2),
+          nats.head._2, nats.head._3))
+      (enc, tMed, nat)
     }
+    val (_, tE1, nat1) = pairedEnc(1, data, 3)
+    val (_, tE5, nat5) = pairedEnc(5, data, 3)
+    val (encQ6, tE6, nat6) = pairedEnc(6, data, 3)
+    val (encQ11, tE11, nat11) = pairedEnc(11, rp, 3)
     require(java.util.Arrays.equals(Brotli.decompress(encQ11), rp))
-    val nat11 = native3(11, rp)
     System.gc() // q11's zopfli garbage shouldn't land inside decode runs
-    val (_, tD) = median3(time(Brotli.decompress(encQ6)))
-    val natDec = nat6.flatMap { case (_, _, enc) =>
-      val runs = (1 to 3).flatMap(_ => nativeDec(enc))
-      if (runs.isEmpty) None else Some(runs.sorted.apply(runs.length / 2))
+    val (tD, natDec) = {
+      val ours = new scala.collection.mutable.ArrayBuffer[Double]()
+      val nats = new scala.collection.mutable.ArrayBuffer[Double]()
+      var i = 0
+      while (i < 3) {
+        ours += time(Brotli.decompress(encQ6))._2
+        nat6.foreach { case (_, _, enc) => nativeDec(enc).foreach(nats += _) }
+        i += 1
+      }
+      (ours.sorted.apply(ours.length / 2),
+        if (nats.isEmpty) None else Some(nats.sorted.apply(nats.length / 2)))
     }
     // ratio grid: every quality on the identical un-repeated payload
     // (ratios are contention-immune; computed once)
