@@ -1471,32 +1471,104 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       finalizeDistances(cmdBuf, nCmds, CmdStride, npostfix, ndirect)
     if (litFreq.forall(_ == 0)) litFreq(0) = 1 // all-copy block: dummy literal tree
     if (distFreq2.forall(_ == 0)) distFreq2(0) = 1 // literal-only block
-    // ---- literal context split (q >= 10) ----
-    // histogram literals by the UTF8 context of the previous two OUTPUT
-    // bytes — hist(lp-1)/hist(lp-2), which is exactly the decoder's
-    // p1/p2 (hist holds prior blocks and any preloaded dictionary)
+    // ---- literal block split + context split (q >= 10) ----
+    // §6 temporal literal block types (NBLTYPESL) COMPOSE with the UTF-8
+    // context map: the decoder picks the literal tree by
+    // cmap(btypeL * 64 + ctx), so the split multiplies the context rows
+    // and clusterContexts prices the whole (type × context) product.
+    // Contexts histogram by the previous two OUTPUT bytes —
+    // hist(lp-1)/hist(lp-2), exactly the decoder's p1/p2 (hist holds
+    // prior blocks and any preloaded dictionary).
+    var litSplit: (Array[Int], Array[Int], Array[Array[Long]]) = null
     var cmap: Array[Int] = null
     var treeHists: Array[Array[Long]] = null
     if (contextModeling) {
-      val ctxFreq = Array.fill(64)(new Array[Long](256))
-      var cc = 0
-      while (cc < nCmds) {
-        val o = cc * CmdStride
-        val ls = cmdBuf(o); val ll = cmdBuf(o + 1)
-        var i = 0
-        while (i < ll) {
-          val lp = ls + i
-          val pb1 = if (lp >= 1) hist(lp - 1) & 0xff else 0
-          val pb2 = if (lp >= 2) hist(lp - 2) & 0xff else 0
-          ctxFreq(utf8Ctx(pb1, pb2))(hist(lp) & 0xff) += 1
-          i += 1
+      /** Context rows under a given typing: one row per (type, ctx). */
+      def typedCtxRows(split: (Array[Int], Array[Int], Array[Array[Long]]))
+          : Array[Array[Long]] = {
+        val nbl = if (split == null) 1 else split._3.length
+        val rows = Array.fill(nbl * 64)(new Array[Long](256))
+        var runIdx = 0
+        var runLeft = if (split == null) Int.MaxValue else split._2(0)
+        var curTy = if (split == null) 0 else split._1(0)
+        var cc = 0
+        while (cc < nCmds) {
+          val o = cc * CmdStride
+          val ls = cmdBuf(o); val ll = cmdBuf(o + 1)
+          var i = 0
+          while (i < ll) {
+            if (runLeft == 0) {
+              runIdx += 1
+              curTy = split._1(runIdx); runLeft = split._2(runIdx)
+            }
+            val lp = ls + i
+            val pb1 = if (lp >= 1) hist(lp - 1) & 0xff else 0
+            val pb2 = if (lp >= 2) hist(lp - 2) & 0xff else 0
+            rows((curTy << 6) + utf8Ctx(pb1, pb2))(hist(lp) & 0xff) += 1
+            runLeft -= 1
+            i += 1
+          }
+          cc += 1
         }
-        cc += 1
+        rows
       }
-      clusterContexts(ctxFreq, MaxLitTrees, TreeCostBits) match {
-        case null => ()
-        case (cm, th) => cmap = cm; treeHists = th
+      def treesBits(ths: Array[Array[Long]]): Double =
+        ths.map(entropyBits).sum + ths.length * TreeCostBits
+      // baseline: context clustering with NO temporal split
+      val rows1 = typedCtxRows(null)
+      val cl1 = clusterContexts(rows1, MaxLitTrees, TreeCostBits)
+      val cost1 =
+        if (cl1 == null) treesBits(Array(litFreq)) else treesBits(cl1._2)
+      // candidate: temporal split composed with context clustering.
+      // splitBlocks' own adoption test compares against ONE tree, but
+      // the real alternative here is the context-clustered trees — so
+      // both emissions are priced on the same scale and the split is
+      // kept only when it beats context modeling alone (measured: a
+      // split the chunk model liked lost 32 B once context trees
+      // already separated the same byte classes).
+      val nLits = {
+        var t = 0; var i = 0
+        while (i < nCmds) { t += cmdBuf(i * CmdStride + 1); i += 1 }
+        t
       }
+      if (nLits > 0) {
+        val litSyms = new Array[Int](nLits)
+        var w = 0
+        var cc0 = 0
+        while (cc0 < nCmds) {
+          val o = cc0 * CmdStride
+          val ls = cmdBuf(o); val ll = cmdBuf(o + 1)
+          var i = 0
+          while (i < ll) { litSyms(w) = hist(ls + i) & 0xff; w += 1; i += 1 }
+          cc0 += 1
+        }
+        val ls = splitBlocks(litSyms, nLits, 256,
+          Integer.getInteger("graft.split.litChunk", 256).intValue(),
+          Integer.getInteger("graft.split.maxTypes", 8).intValue(),
+          TreeCostBits)
+        if (ls != null) {
+          val rowsN = typedCtxRows(ls)
+          val cl2 = clusterContexts(rowsN, MaxLitTrees, TreeCostBits)
+          val nBlocks = ls._1.length
+          val switchBits = (nBlocks - 1) * 14.0 + nBlocks * 8.0 + 120.0
+          val cost2 = switchBits +
+            (if (cl2 == null) treesBits(ls._3) else treesBits(cl2._2))
+          // the entropy model underestimates real switch + serialized
+          // tree-description costs (measured: a modeled win emitted
+          // 32 B LARGER) — demand a margin before paying them
+          val margin = Integer.getInteger("graft.split.litMargin", 1500)
+            .intValue().toDouble
+          if (cost2 + margin < cost1) {
+            litSplit = ls
+            if (cl2 == null) {
+              // one tree per type, contexts collapsed (distSplit's shape)
+              cmap = Array.tabulate(ls._3.length << 6)(i => i >> 6)
+              treeHists = ls._3
+            } else { cmap = cl2._1; treeHists = cl2._2 }
+          }
+        }
+      }
+      if (litSplit == null && cl1 != null) { cmap = cl1._1; treeHists = cl1._2 }
     }
     // ---- block splitting (§6, q >= 10): commands + distances ----
     // per-position adaptation of the command and distance codes (the
@@ -1608,12 +1680,26 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     bits.writeBits(nibbles - 4, 2)
     bits.writeBits(mlenMinus1.toLong, nibbles * 4)
     bits.writeBits(0, 1) // ISUNCOMPRESSED
-    bits.writeBits(0, 1) // NBLTYPES_L = 1
+    // invariant the literal emission relies on: a literal split always
+    // comes with a (possibly synthetic per-type) context map, so the
+    // cmap == null fast path never has to drive the switcher
+    require(litSplit == null || cmap != null)
+    val catL = writeBlockCategory(litSplit)
     val catI = writeBlockCategory(cmdSplit)
     val catD = writeBlockCategory(distSplit)
     bits.writeBits(npostfix, 2) // NPOSTFIX
     bits.writeBits(ndirect >> npostfix, 4) // NDIRECT (shifted field)
-    bits.writeBits(if (cmap != null) 2L else 0L, 2) // context mode (UTF8 when split)
+    // one 2-bit context mode per literal block type (UTF8 when a
+    // context map exists; the per-type synthetic cmap ignores ctx, so
+    // the mode value is immaterial there — UTF8 keeps one code path)
+    locally {
+      val nbl = if (litSplit == null) 1 else litSplit._3.length
+      var mi = 0
+      while (mi < nbl) {
+        bits.writeBits(if (cmap != null) 2L else 0L, 2)
+        mi += 1
+      }
+    }
     if (cmap == null) bits.writeBits(0, 1) // NTREESL = 1
     else {
       writeVarCount(treeHists.length)
@@ -1703,7 +1789,8 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
           val b = hist(lp) & 0xff
           val pb1 = if (lp >= 1) hist(lp - 1) & 0xff else 0
           val pb2 = if (lp >= 2) hist(lp - 2) & 0xff else 0
-          val tr = cmap(utf8Ctx(pb1, pb2))
+          val lTy = if (catL == null) 0 else catL.next()
+          val tr = cmap((lTy << 6) + utf8Ctx(pb1, pb2))
           bits.writeBits(litRevs(tr)(b).toLong, litLens(tr)(b))
           if (eDbg) accLit += litLens(tr)(b)
           i += 1

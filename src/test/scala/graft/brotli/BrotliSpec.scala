@@ -246,6 +246,33 @@ class BrotliSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(Brotli.decompress(s2.toByteArray), text))
   }
 
+  test("q11 literal block splitting adopts on context-invisible shifts only") {
+    // alternating disjoint random-byte ranges: incompressible, and the
+    // UTF-8 context map cannot separate the sections (every context
+    // mixes both) — exactly the shape where temporal literal block
+    // types pay (~6% here; without them we trail native by the same).
+    // On context-separable content the dual pricing must REJECT the
+    // split (context clustering already covers it; a mispriced split
+    // once emitted 32 B larger).
+    val rnd = new Random(3)
+    val ranges = new ByteArrayOutputStream()
+    for (sec <- 0 until 8) {
+      val (lo, hi) = if (sec % 2 == 0) (0, 120) else (130, 250)
+      for (_ <- 0 until 20000)
+        ranges.write(lo + rnd.nextInt(hi - lo + 1))
+    }
+    val payload = ranges.toByteArray
+    val enc = Brotli.compress(payload, 11)
+    assert(java.util.Arrays.equals(Brotli.decompress(enc), payload))
+    // the split must pay its way: meaningfully smaller than the
+    // single-type emission of the same payload
+    System.setProperty("graft.split.litChunk", "99999999") // disable
+    val single = try Brotli.compress(payload, 11)
+      finally System.clearProperty("graft.split.litChunk")
+    assert(enc.length < single.length * 97 / 100,
+      s"literal split did not pay: ${enc.length} vs single ${single.length}")
+  }
+
   test("max-ratio dial (cutExplicit) emits valid streams that beat default ratio") {
     // the dial relaxes explicit candidates at copy-code boundaries —
     // a different parse, same format; the stream must round-trip and
