@@ -447,9 +447,12 @@ object Bench {
           nats.head._2, nats.head._3))
       (enc, tMed, nat)
     }
-    val (_, tE1, nat1) = pairedEnc(1, data, 3)
-    val (_, tE5, nat5) = pairedEnc(5, data, 3)
-    val (encQ6, tE6, nat6) = pairedEnc(6, data, 3)
+    // 5 rounds on the fast tiers (~0.3 s/round — contention bursts of a
+    // few seconds can still cover 2 of 3 samples on one side); 3 on q11
+    // where each round costs ~5 s
+    val (_, tE1, nat1) = pairedEnc(1, data, 5)
+    val (_, tE5, nat5) = pairedEnc(5, data, 5)
+    val (encQ6, tE6, nat6) = pairedEnc(6, data, 5)
     val (encQ11, tE11, nat11) = pairedEnc(11, rp, 3)
     require(java.util.Arrays.equals(Brotli.decompress(encQ11), rp))
     System.gc() // q11's zopfli garbage shouldn't land inside decode runs
@@ -457,7 +460,7 @@ object Bench {
       val ours = new scala.collection.mutable.ArrayBuffer[Double]()
       val nats = new scala.collection.mutable.ArrayBuffer[Double]()
       var i = 0
-      while (i < 3) {
+      while (i < 5) {
         ours += time(Brotli.decompress(encQ6))._2
         nat6.foreach { case (_, _, enc) => nativeDec(enc).foreach(nats += _) }
         i += 1
