@@ -18,13 +18,21 @@ import java.io.ByteArrayOutputStream
   *          enough mass; q11 additionally swaps the greedy parse for
   *          the iterated zopfli-style shortest-path parse — the
   *          cost-no-object rung, like libbrotli's own q11.
+  *   - q12: graft extension past libbrotli's ladder (streams stay
+  *          RFC 7932-standard — any decoder reads them): q11 plus
+  *          copy-boundary relaxation in the zopfli DP (cutExplicit=2),
+  *          converting literal runs into boundary-aligned copies the
+  *          way native's q11 parse shapes its stream. Measured on the
+  *          bench corpus: 99.0% of native's q11 ratio (vs q11's 98.3%)
+  *          for ~35% lower encode throughput — q11 for speed parity
+  *          with native, q12 for maximum ratio.
   *
   * Mirrors the reference's block-granular encode semantics
   * (BroCompressor.java:117-148: stage until a block is full, then emit)
   * without its JNI copies (SURVEY.md §3.1 cost model).
   */
 final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
-  require(quality >= 0 && quality <= 11, s"quality $quality out of range 0..11")
+  require(quality >= 0 && quality <= 12, s"quality $quality out of range 0..12")
   require(lgwin >= 10 && lgwin <= 24, s"lgwin $lgwin out of range 10..24")
 
   /** Input staged per meta-block. Uncompressed meta-blocks allow MLEN up
@@ -326,16 +334,19 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     * declared below, sized blockSize+1 and reused across blocks. */
   private val ZopfliIters =
     Integer.getInteger("graft.zopfli.iters", 3).intValue()
-  /** Max-ratio dial (default off): relax explicit candidates at their
-    * copy-code boundaries too, not just full length — the DP then cuts
-    * copies to align successor matches, converting literal runs into
-    * copies the way native's q11 parse does. Measured +0.7% ratio
-    * (6.141 → 6.186, 99.0% of native) for ~35% encode throughput
-    * (0.51 → 0.33 MB/s): OFF keeps q11 speed-dominant over native
-    * (faster at 98.3% of its ratio); 2 = cut in every sweep,
-    * 1 = refine sweeps only (middle ground). */
-  private val ZopfliCutExplicit =
-    Integer.getInteger("graft.zopfli.cutExplicit", 0).intValue()
+  /** Max-ratio dial: relax explicit candidates at their copy-code
+    * boundaries too, not just full length — the DP then cuts copies to
+    * align successor matches, converting literal runs into copies the
+    * way native's q11 parse does. Measured +0.7% ratio (6.141 → 6.186,
+    * 99.0% of native) for ~35% encode throughput (0.51 → 0.33 MB/s).
+    * Surfaced as the q12 rung (cut in every sweep); q11 keeps it off
+    * and stays speed-dominant over native (faster at 98.3% of its
+    * ratio). The system property overrides for experiments:
+    * 2 = every sweep, 1 = refine sweeps only (middle ground). */
+  private val ZopfliCutExplicit = {
+    val sys = Integer.getInteger("graft.zopfli.cutExplicit", -1).intValue()
+    if (sys >= 0) sys else if (quality >= 12) 2 else 0
+  }
   private val ZopfliCutSpan =
     Integer.getInteger("graft.zopfli.cutSpan", 1).intValue()
   /** Binary-tree match finder for the zopfli pass (the published
@@ -413,10 +424,25 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         }
       }
       if (len >= stopLen) {
-        // suffixes equal to the horizon: p replaces prev in the order
         if (reroot) {
-          btForest(nodeL) = btForest(2 * prev)
-          btForest(nodeR) = btForest(2 * prev + 1)
+          if (stopLen >= BtCompLenMax) {
+            // suffixes equal to the full horizon: p replaces prev
+            btForest(nodeL) = btForest(2 * prev)
+            btForest(nodeR) = btForest(2 * prev + 1)
+          } else {
+            // TRUNCATED comparison (dictionary-preload positions within
+            // BtCompLenMax of the dictionary end): prev's suffix may
+            // diverge from p's beyond the bytes that exist yet, so
+            // adopting prev's subtrees could mis-order them under p.
+            // Keep prev's subtree intact on p's >= side instead: p's
+            // remaining data is a strict prefix of prev's agreement
+            // span, and end-of-data orders below any byte, so p < prev
+            // is the only ordering claim we can make — one conservative
+            // claim instead of inheriting a whole possibly-wrong order
+            // (ratio-only either way; candidates are matchLen-verified).
+            btForest(nodeL) = -1
+            btForest(nodeR) = prev
+          }
         }
         return (nc << 16) | best
       }
@@ -1972,9 +1998,18 @@ object Brotli {
     new BrotliEncoder(quality)
   }
 
+  /** More concurrent borrows than this are a burst, not steady state —
+    * excess returns are dropped for immediate collection, because
+    * SoftReferences alone only clear near heap exhaustion and a q11
+    * encoder pins ~100 MB (12 MB hist + BT forest + DP arrays): an
+    * unbounded queue could retain hundreds of MB for the JVM lifetime
+    * after one burst. */
+  private val PoolCap = 2 * Runtime.getRuntime.availableProcessors()
+
   private def returnEncoder(quality: Int, enc: BrotliEncoder): Unit = {
     enc.reset()
-    encPool.get(quality).offer(new java.lang.ref.SoftReference(enc))
+    val q = encPool.get(quality)
+    if (q.size() < PoolCap) q.offer(new java.lang.ref.SoftReference(enc))
   }
 
   def compress(data: Array[Byte], quality: Int = 6,
@@ -2010,7 +2045,8 @@ object Brotli {
     while (n > 0) { out.write(buf, 0, n); n = dec.decode(buf, 0, buf.length) }
     require(dec.isFinished, "truncated brotli stream")
     dec.reset()
-    decPool.offer(new java.lang.ref.SoftReference(dec))
+    if (decPool.size() < PoolCap)
+      decPool.offer(new java.lang.ref.SoftReference(dec))
     out.toByteArray
   }
 }

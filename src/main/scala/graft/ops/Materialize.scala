@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage cut for corpus-scale intermediates that are consumed more
+  * than once (LSH signature/band frames, shingle indexes, quantized
+  * corpora): materializes the frame once and severs the plan so
+  * downstream consumers read the materialized blocks instead of
+  * re-executing the producing pipeline per consumer.
+  *
+  * Two durability modes, selected by whether the session has a reliable
+  * checkpoint directory configured (`SparkContext.setCheckpointDir` —
+  * the standard cluster deployment knob; nothing graft-specific):
+  *
+  *  - RELIABLE (`df.checkpoint()`): blocks go to the checkpoint
+  *    filesystem (HDFS/object store). An executor loss re-reads them;
+  *    a multi-hour 100 TB dedup run survives. This is the mode a real
+  *    cluster job should run in.
+  *  - LOCAL (`df.localCheckpoint()`): blocks pin in executor storage —
+  *    no distributed-FS round-trip, right for local mode and tests,
+  *    but an executor loss drops blocks whose lineage no longer exists
+  *    and fails the job.
+  *
+  * Both modes produce identical results (spec'd in MaterializeSpec);
+  * only failure-recovery durability differs.
+  */
+object Materialize {
+
+  /** Materialize `df`, reliably iff the session has a checkpoint dir. */
+  def apply(df: DataFrame): DataFrame =
+    apply(df, df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+
+  /** Materialize `df` with the durability mode chosen explicitly. */
+  def apply(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint() else df.localCheckpoint()
+
+  /** [[Materialize]] as a chainable method, so call sites read like the
+    * `.localCheckpoint()` they replace. */
+  implicit class MaterializeOps(private val df: DataFrame) extends AnyVal {
+    def materialize: DataFrame = Materialize(df)
+  }
+}

@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.ops.Materialize.MaterializeOps
 
 /** Text-analysis operators over the `documents` table: token counting,
   * quality scoring, fingerprinting, language ID. All are single-pass
@@ -404,14 +405,14 @@ object TextOps {
     val fps = docs.select($"doc_id",
       explode(graft.functions.TextKernels.winnowFpSampleCol(
         spark, lower($"text"), OvMod, OvMinKeep)).as("fp"))
-      .localCheckpoint()
+      .materialize
     // sampled mins are distinct within a doc, so count(*) = document df
     val rare = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
       .filter($"df" >= 2 && $"df" <= OvDfCap).select($"fp")
     // materialize once: idx feeds BOTH self-join sides, and Spark would
     // otherwise replan the kernel+explode+df-cap subtree per side (the
     // d02/d07 fix)
-    val idx = fps.join(rare, Seq("fp"), "left_semi").localCheckpoint()
+    val idx = fps.join(rare, Seq("fp"), "left_semi").materialize
     idx.as("a").join(idx.as("b"),
         $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
@@ -1091,12 +1092,12 @@ object TextOps {
       .select($"doc_id",
         explode(graft.functions.TextKernels.winnowFpSampleCol(
           spark, lower($"text"), 1, 0)).as("m"))
-      .localCheckpoint()
+      .materialize
     val rare = fps.groupBy($"m").agg(count(lit(1)).as("df"))
       .filter($"df" <= DcDfCap).select($"m")
     // one materialization feeds the size, benchmark, and corpus sides
     // (the d02/t08 multi-consumer rule)
-    val idx = fps.join(rare, Seq("m"), "left_semi").localCheckpoint()
+    val idx = fps.join(rare, Seq("m"), "left_semi").materialize
     val sz = idx.groupBy($"doc_id").agg(count(lit(1)).as("n_fp"))
     val bench = idx.filter($"doc_id" % 11 === 0)
       .select($"doc_id".as("bench_id"), $"m")
@@ -1163,7 +1164,7 @@ object TextOps {
     val tok = Tables.load(spark, dir, "documents")
       .select($"source", explode(tokens(lower($"text"))).as("tok"))
       .groupBy($"source", $"tok").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .materialize
     val w = Window.partitionBy($"source").orderBy($"cnt".desc, $"tok".asc)
     val top = tok.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
       .select($"source", $"tok".as("top_token"), $"cnt".as("top_cnt"))
@@ -1237,9 +1238,9 @@ object TextOps {
         i => struct(i.as("pos"), element_at($"toks", i).as("a"),
           element_at($"toks", i + 1).as("b")))).as("p"))
       .select($"doc_id", $"p.pos".as("pos"), $"p.a".as("a"), $"p.b".as("b"))
-      .localCheckpoint()
+      .materialize
     val cab = pairs.groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
-      .localCheckpoint()
+      .materialize
     val ca = cab.groupBy($"a").agg(sum($"c_ab").as("c_a"))
     val probs = pairs.join(cab, Seq("a", "b")).join(ca, Seq("a"))
       .select($"doc_id", $"pos", ($"c_ab".cast(DoubleType) / $"c_a").as("p"))

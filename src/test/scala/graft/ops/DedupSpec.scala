@@ -157,4 +157,34 @@ class DedupSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getLong(2) == 1L,
       s"expected the single alpha/alphb pair at distance 1: ${out.mkString(", ")}")
   }
+
+  test("d09 finds the planted cross-document token span, exactly") {
+    import spark.implicits._
+    val n = Dedup.SubstrN // 50
+    // a 60-token run shared verbatim by docs 1 and 2, nowhere else
+    val shared = (0 until 60).map(i => s"shared$i").mkString(" ")
+    def filler(seed: String, k: Int) =
+      (0 until k).map(i => s"$seed$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${filler("a", 30)} $shared ${filler("b", 25)}"),
+      (2L, s"${filler("c", 10)} $shared ${filler("d", 40)}"),
+      (3L, filler("e", 120))).toDF("doc_id", "text")
+    val out = Dedup.d09On(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 60-token run -> 60-n+1 = 11 flagged window starts, one merged span
+    // per doc, starting right after the per-doc filler prefix
+    assert(out.toSeq == Seq(
+      (1L, 31L, 90L, 11L),
+      (2L, 11L, 70L, 11L)), out.mkString(", "))
+  }
+
+  test("d09 stays linear: no all-pairs operator anywhere in the plan") {
+    val df = Dedup.d09(spark, sf)
+    df.write.format("noop").mode("overwrite").save() // finalize AQE plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs operator in d09 plan:\n$plan")
+    assert(df.collect().nonEmpty, "sf0.001 corpus has known duplicate spans")
+  }
 }
