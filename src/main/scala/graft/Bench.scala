@@ -659,6 +659,12 @@ object Bench {
     val rQ5 = ratioOf(Brotli.compress(rp, 5))
     val rQ6 = ratioOf(Brotli.compress(rp, 6))
     val rQ11 = ratioOf(encQ11)
+    // q12 (max-ratio rung, r10): one encode for the ratio grid — the
+    // 99%-of-native claim stays a measured per-round number, not a
+    // README assertion. Round-trip checked like q11's.
+    val encQ12 = Brotli.compress(rp, 12)
+    require(java.util.Arrays.equals(Brotli.decompress(encQ12), rp))
+    val rQ12 = ratioOf(encQ12)
 
     // framed splittable variant (.brf): quantifies the splittability tax
     // (each DefaultFrameSize frame restarts the LZ window) against the
@@ -711,6 +717,6 @@ object Bench {
     }
     val natRatios = natRatio(1) + natRatio(5) + natRatio(6) +
       nat11.map { case (_, r, _) => f""","native_ratio_q11":$r%.2f""" }.getOrElse("")
-    f"""{"input_mb":$mb%.1f,"ratio_input_mb":${rp.length / 1e6}%.1f,"enc_q1_mbps":${mb / tE1}%.1f,"ratio_q1":$rQ1%.2f,"enc_q5_mbps":${mb / tE5}%.1f,"ratio_q5":$rQ5%.2f,"enc_q6_mbps":${mb / tE6}%.1f,"ratio_q6":$rQ6%.2f,"enc_q11_mbps":${rp.length / 1e6 / tE11}%.1f,"ratio_q11":$rQ11%.2f,"dec_mbps":${mb / tD}%.1f$brfPart$natPart$natSpeed$natRatios}"""
+    f"""{"input_mb":$mb%.1f,"ratio_input_mb":${rp.length / 1e6}%.1f,"enc_q1_mbps":${mb / tE1}%.1f,"ratio_q1":$rQ1%.2f,"enc_q5_mbps":${mb / tE5}%.1f,"ratio_q5":$rQ5%.2f,"enc_q6_mbps":${mb / tE6}%.1f,"ratio_q6":$rQ6%.2f,"enc_q11_mbps":${rp.length / 1e6 / tE11}%.1f,"ratio_q11":$rQ11%.2f,"ratio_q12":$rQ12%.2f,"dec_mbps":${mb / tD}%.1f$brfPart$natPart$natSpeed$natRatios}"""
   }
 }

@@ -98,8 +98,8 @@ object Dedup {
     // recompute of the kernel+explode+df-cap subtree (no exchange reuse
     // across differing aggregates — verified on the physical plan, where
     // the Generate appeared 4×). The checkpoint also cuts the lineage so
-    // d06's loop never re-derives it. On a real cluster swap for a
-    // reliable `checkpoint` dir (same note as connectedComponents).
+    // d06's loop never re-derives it. Durability follows [[Materialize]]:
+    // reliable checkpoint FS when the session configures one.
     val shc = cappedShingleIndex(docs).materialize
     val sizes = shc.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = shc.as("a").join(shc.as("b"),
