@@ -61,7 +61,23 @@ object Bench {
     // queries exactly this way). Two fresh placements make a
     // double-slow draw unlikely; children run BEFORE the parent opens
     // its own SparkSession so they have the machine to themselves.
-    val childRuns = (1 to 2).flatMap(_ => querySpawn(sfDir))
+    val firstRuns = (1 to 2).flatMap(_ => querySpawn(sfDir))
+    // adaptive third opinion (same rule as the codec block): a >15%
+    // spread between the two children's headline totals means at least
+    // one sampled the host's slow window — spend one more spawn on a
+    // third independent draw before accepting per-query minima.
+    val childRuns = firstRuns match {
+      case Seq(a, b) =>
+        def tot(m: Map[String, Double]): Double =
+          headline.flatMap(m.get).filter(_ >= 0).sum
+        val (ta, tb) = (tot(a), tot(b))
+        if (math.max(ta, tb) > 0 &&
+            math.abs(ta - tb) / math.max(ta, tb) > 0.15) {
+          System.err.println(f"[bench] query children disagree ($ta%.2f vs $tb%.2f s); spawning a third")
+          firstRuns ++ querySpawn(sfDir)
+        } else firstRuns
+      case other => other
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -470,10 +486,25 @@ object Bench {
       val pf = java.io.File.createTempFile("bench_codec_", ".bin")
       try {
         java.nio.file.Files.write(pf.toPath, base)
-        val runs = (1 to 2).flatMap(_ => codecSpawn(pf.getPath))
+        val first = (1 to 2).flatMap(_ => codecSpawn(pf.getPath))
+        // adaptive third opinion: when the two children disagree >20% on
+        // the default-quality encode, at least one drew the host's slow
+        // mode (ratios are deterministic, so only placement explains a
+        // spread that size) — a third fresh placement usually escapes.
+        // Both r10 bench runs measured ours-q6 ~0.8× native while the
+        // SAME child's native subprocesses (fresh per run) held, which
+        // is the parked-child signature.
+        def encQ6(j: String): Option[Double] =
+          "\"enc_q6_mbps\":(-?[0-9.]+)".r.findFirstMatchIn(j)
+            .map(_.group(1).toDouble)
+        val runs = first.flatMap(encQ6) match {
+          case Seq(a, b) if math.abs(a - b) / math.max(a, b) > 0.2 =>
+            System.err.println(f"[bench] codec children disagree ($a%.1f vs $b%.1f MB/s); spawning a third")
+            first ++ codecSpawn(pf.getPath)
+          case _ => first
+        }
         if (runs.isEmpty) codecCore(base)
-        else if (runs.length == 1) runs.head
-        else mergeCodecJson(runs(0), runs(1))
+        else runs.reduce(mergeCodecJson)
       } finally pf.delete()
     } catch {
       case e: Throwable =>
