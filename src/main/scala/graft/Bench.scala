@@ -539,7 +539,7 @@ object Bench {
   /** Per-metric best of two codec child JSONs: throughput keys take the
     * max (each child's least-interfered placement), everything else the
     * first child's value (ratios and sizes are deterministic). */
-  private def mergeCodecJson(a: String, b: String): String = {
+  private[graft] def mergeCodecJson(a: String, b: String): String = {
     val kv = "\"([a-z0-9_]+)\":(-?[0-9.]+)".r
     val bm = kv.findAllMatchIn(b).map(m => m.group(1) -> m.group(2).toDouble).toMap
     kv.replaceAllIn(a, m => {
@@ -690,10 +690,11 @@ object Bench {
     val rQ5 = ratioOf(Brotli.compress(rp, 5))
     val rQ6 = ratioOf(Brotli.compress(rp, 6))
     val rQ11 = ratioOf(encQ11)
-    // q12 (max-ratio rung, r10): one encode for the ratio grid — the
-    // 99%-of-native claim stays a measured per-round number, not a
-    // README assertion. Round-trip checked like q11's.
-    val encQ12 = Brotli.compress(rp, 12)
+    // q12 (max-ratio rung, r10): one timed encode for the ratio grid —
+    // both halves of the q11-vs-q12 trade (99% of native ratio, ~35%
+    // lower speed) stay measured per-round numbers, not README
+    // assertions. One sample: informational, and the rung is ~4s/run.
+    val (encQ12, tE12) = time(Brotli.compress(rp, 12))
     require(java.util.Arrays.equals(Brotli.decompress(encQ12), rp))
     val rQ12 = ratioOf(encQ12)
 
@@ -748,6 +749,6 @@ object Bench {
     }
     val natRatios = natRatio(1) + natRatio(5) + natRatio(6) +
       nat11.map { case (_, r, _) => f""","native_ratio_q11":$r%.2f""" }.getOrElse("")
-    f"""{"input_mb":$mb%.1f,"ratio_input_mb":${rp.length / 1e6}%.1f,"enc_q1_mbps":${mb / tE1}%.1f,"ratio_q1":$rQ1%.2f,"enc_q5_mbps":${mb / tE5}%.1f,"ratio_q5":$rQ5%.2f,"enc_q6_mbps":${mb / tE6}%.1f,"ratio_q6":$rQ6%.2f,"enc_q11_mbps":${rp.length / 1e6 / tE11}%.1f,"ratio_q11":$rQ11%.2f,"ratio_q12":$rQ12%.2f,"dec_mbps":${mb / tD}%.1f$brfPart$natPart$natSpeed$natRatios}"""
+    f"""{"input_mb":$mb%.1f,"ratio_input_mb":${rp.length / 1e6}%.1f,"enc_q1_mbps":${mb / tE1}%.1f,"ratio_q1":$rQ1%.2f,"enc_q5_mbps":${mb / tE5}%.1f,"ratio_q5":$rQ5%.2f,"enc_q6_mbps":${mb / tE6}%.1f,"ratio_q6":$rQ6%.2f,"enc_q11_mbps":${rp.length / 1e6 / tE11}%.1f,"ratio_q11":$rQ11%.2f,"enc_q12_mbps":${rp.length / 1e6 / tE12}%.1f,"ratio_q12":$rQ12%.2f,"dec_mbps":${mb / tD}%.1f$brfPart$natPart$natSpeed$natRatios}"""
   }
 }
