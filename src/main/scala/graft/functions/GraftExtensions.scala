@@ -105,5 +105,9 @@ object GraftExtensions {
       "_FUNC_(text, mod, minKeep) - mod-sampled winnowing fingerprint set",
       e => WinnowFpSample(e.head,
         intLit("winnow_fp_sample", "mod", e(1)),
-        intLit("winnow_fp_sample", "minKeep", e(2)))))
+        intLit("winnow_fp_sample", "minKeep", e(2)))),
+    ("substr_window_keys",
+      "_FUNC_(text, n) - rolling n-token window keys (exact-substring dedup)",
+      e => SubstrWindowKeys(e.head,
+        intLit("substr_window_keys", "n", e(1)))))
 }

@@ -175,6 +175,41 @@ case class WinnowFpSample(child: Expression, mod: Int, minKeep: Int)
     copy(child = newChild)
 }
 
+/** d09's window-key kernel: one 8-byte key per n-token window of a
+  * text, via a BUZHASH-style rolling combine over per-token FNV-1a
+  * hashes — O(tokens) per document instead of the O(tokens × n)
+  * slice-hash it replaced (n = 50, so 50× less hash work on the
+  * corpus-wide map stage, the heaviest part of substring dedup at
+  * 100 TB). Key contract: equal n-grams always get equal keys (the
+  * combine is a pure function of the token sequence); unequal n-grams
+  * collide only at hash probability, and d09's exact-string verify
+  * pass drops any such false candidate — so the WEAKER-than-slice-hash
+  * mixing is free, correctness-wise. Token split matches the oracle's
+  * `string_split(text, ' ')`: single-space separators, EMPTY tokens
+  * kept. Empty array when the text has fewer than n tokens. */
+case class SubstrWindowKeys(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"substr_window_keys expects STRING, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "substr_window_keys"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.substrWindowKeys(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.substrWindowKeys($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Compiled text kernels + SQL-function registration. Static forwarders
   * make these callable from generated Java code. */
 object TextKernels {
@@ -340,12 +375,55 @@ object TextKernels {
   private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
 
+  /** The [[SubstrWindowKeys]] kernel. Window key for 0-based start i:
+    *   K(i) = XOR over k in [0, n) of rotl(h(tok[i+k]), (n-1-k) mod 64)
+    * with h = FNV-1a 64 over the token's UTF-8 bytes. Rolled forward in
+    * O(1): K(i+1) = rotl(K(i), 1) ^ rotl(h(tok[i]), n mod 64) ^
+    * h(tok[i+n]). Per-token hashes are computed once (O(tokens) total),
+    * never per window. */
+  def substrWindowKeys(s: UTF8String,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = s.toString.split(" ", -1) // keep empties: oracle parity
+    val nt = toks.length
+    val m = nt - n + 1
+    if (m <= 0)
+      return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val h = new Array[Long](nt)
+    var i = 0
+    while (i < nt) {
+      val b = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var x = 0xcbf29ce484222325L
+      var k = 0
+      while (k < b.length) { x = (x ^ (b(k) & 0xffL)) * 0x100000001b3L; k += 1 }
+      // finalize: plain FNV leaves low bits weakly mixed for short keys
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL; x ^= x >>> 33
+      h(i) = x
+      i += 1
+    }
+    val out = new Array[Long](m)
+    var key = 0L
+    var k = 0
+    while (k < n) {
+      key ^= java.lang.Long.rotateLeft(h(k), (n - 1 - k) & 63); k += 1
+    }
+    out(0) = key
+    i = 1
+    while (i < m) {
+      key = java.lang.Long.rotateLeft(key, 1) ^
+        java.lang.Long.rotateLeft(h(i - 1), n & 63) ^ h(i + n - 1)
+      out(i) = key
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Idempotently register the SQL-callable kernels on the session (a
     * guard, not create-or-replace, so repeated query construction leaves
     * the registry untouched and warning-free). */
   def register(spark: SparkSession): Unit =
     GraftExtensions.register(spark,
-      "repetition_stats", "shingle_set", "winnow_fp", "winnow_fp_sample")
+      "repetition_stats", "shingle_set", "winnow_fp", "winnow_fp_sample",
+      "substr_window_keys")
 
   /** `ARRAY<STRING>` of distinct word-3-gram shingles of a (lowercased)
     * text column (registers on first use). */
@@ -379,5 +457,14 @@ object TextKernels {
     call_function("winnow_fp_sample", text,
       org.apache.spark.sql.functions.lit(mod),
       org.apache.spark.sql.functions.lit(minKeep))
+  }
+
+  /** `ARRAY<BIGINT>` of rolling n-token window keys of a text column —
+    * d09's candidate-generation kernel (registers on first use); empty
+    * array for texts with fewer than n tokens. */
+  def substrWindowKeysCol(spark: SparkSession, text: Column, n: Int): Column = {
+    register(spark)
+    call_function("substr_window_keys", text,
+      org.apache.spark.sql.functions.lit(n))
   }
 }

@@ -749,15 +749,19 @@ object Dedup {
     val n = SubstrN
     val toks = documents
       .select($"doc_id", split($"text", " ").as("t"))
-      .filter(size($"t") >= n) // also guards sequence() below (stop >= 1)
-    // (doc_id, pos, h): pos is 1-based like the oracle's generate_series;
-    // hashing the slice of token hashes costs O(n) longs per window —
-    // constant-factor, no string re-materialization
-    val windows = toks
-      .select($"doc_id", transform($"t", tok => xxhash64(tok)).as("th"))
-      .select($"doc_id", posexplode(transform(
-        sequence(lit(1), size($"th") - (n - 1)),
-        i => xxhash64(slice($"th", i, lit(n))))))
+      .filter(size($"t") >= n)
+    // (doc_id, pos, h): pos is 1-based like the oracle's generate_series.
+    // Window keys come from the codegen'd rolling-hash kernel
+    // ([[graft.functions.TextKernels.substrWindowKeys]]): O(tokens) per
+    // document vs the O(tokens × n) slice-hash it replaced — at n = 50
+    // that is 50× less hash work on the one corpus-wide map stage. A
+    // weaker-mixing key is safe here because equal grams always collide
+    // and unequal-gram collisions are dropped by the exact-string
+    // verify below.
+    val windows = documents
+      .select($"doc_id", posexplode(
+        graft.functions.TextKernels.substrWindowKeysCol(
+          documents.sparkSession, $"text", n)))
       .select($"doc_id", ($"pos" + 1).cast(LongType).as("pos"), $"col".as("h"))
     val dupH = windows.groupBy($"h")
       .agg(countDistinct($"doc_id").as("nd")).filter($"nd" > 1).select($"h")

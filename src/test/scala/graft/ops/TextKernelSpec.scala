@@ -194,4 +194,45 @@ class TextKernelSpec extends SparkSpec {
     assert(out(5L) == ((4, 0.5, 0.5)))
     assert(out(6L) == ((4, 0.0, 0.25)))
   }
+
+  test("substr_window_keys: rolling recurrence == direct formula, all edge ns") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def fnv(tok: String): Long = {
+      var x = 0xcbf29ce484222325L
+      tok.getBytes("UTF-8").foreach(b => x = (x ^ (b & 0xffL)) * 0x100000001b3L)
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL; x ^= x >>> 33
+      x
+    }
+    def direct(toks: Array[String], n: Int): Array[Long] =
+      (0 to toks.length - n).map { i =>
+        (0 until n).map(k =>
+          java.lang.Long.rotateLeft(fnv(toks(i + k)), (n - 1 - k) & 63))
+          .reduce(_ ^ _)
+      }.toArray
+    val rnd = new scala.util.Random(7)
+    // n = 64/65 exercise the mod-64 rotation edges of the recurrence
+    for (n <- Seq(1, 2, 50, 63, 64, 65); trial <- 1 to 3) {
+      val toks = Array.fill(n + rnd.nextInt(40))(s"w${rnd.nextInt(9)}")
+      val got = TextKernels
+        .substrWindowKeys(UTF8String.fromString(toks.mkString(" ")), n)
+        .toLongArray()
+      assert(got.sameElements(direct(toks, n)), s"n=$n trial=$trial")
+    }
+  }
+
+  test("substr_window_keys: equal grams collide, short texts yield empty") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val gram = (0 until 50).map(i => s"g$i")
+    val toks = Seq("a1", "a2") ++ gram ++ Seq("b1") ++ gram ++ Seq("b2", "b3")
+    val keys = TextKernels
+      .substrWindowKeys(UTF8String.fromString(toks.mkString(" ")), 50)
+      .toLongArray()
+    assert(keys(2) == keys(2 + 50 + 1), "identical 50-grams must share a key")
+    assert(keys(0) != keys(1), "shifted distinct grams should differ")
+    assert(TextKernels.substrWindowKeys(
+      UTF8String.fromString("only three tokens"), 50).numElements() == 0)
+    // empty tokens are kept (oracle string_split parity): "a  b" has 3 tokens
+    assert(TextKernels.substrWindowKeys(
+      UTF8String.fromString("a  b"), 3).numElements() == 1)
+  }
 }
