@@ -24,8 +24,9 @@ import java.io.ByteArrayOutputStream
   *          converting literal runs into boundary-aligned copies the
   *          way native's q11 parse shapes its stream. Measured on the
   *          bench corpus: 99.0% of native's q11 ratio (vs q11's 98.3%)
-  *          for ~35% lower encode throughput — q11 for speed parity
-  *          with native, q12 for maximum ratio.
+  *          for ~20% lower encode throughput (r10: 0.51 vs 0.64 MB/s —
+  *          the BT finder made cuts cheaper than r9's 35% figure) —
+  *          q11 for speed parity with native, q12 for maximum ratio.
   *
   * Mirrors the reference's block-granular encode semantics
   * (BroCompressor.java:117-148: stage until a block is full, then emit)
@@ -338,7 +339,8 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     * boundaries too, not just full length — the DP then cuts copies to
     * align successor matches, converting literal runs into copies the
     * way native's q11 parse does. Measured +0.7% ratio (6.141 → 6.186,
-    * 99.0% of native) for ~35% encode throughput (0.51 → 0.33 MB/s).
+    * 99.0% of native) for ~20% encode throughput (0.64 → 0.51 MB/s,
+    * re-measured r10 with the BT finder; the r9 figure was 35%).
     * Surfaced as the q12 rung (cut in every sweep); q11 keeps it off
     * and stays speed-dominant over native (faster at 98.3% of its
     * ratio). The system property overrides for experiments:
@@ -347,6 +349,13 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     val sys = Integer.getInteger("graft.zopfli.cutExplicit", -1).intValue()
     if (sys >= 0) sys else if (quality >= 12) 2 else 0
   }
+  /** Copy-code boundaries below the top code that an explicit cut may
+    * land on. Swept r10 at cutExplicit=2 on the bench ratio payload:
+    * span 2 measured ratio 6.174 (WORSE — extra options mislead the
+    * histogram-priced refine), span 3/6 measured 6.1862 (+0.01% over
+    * span 1's 6.1855) at 20-40% lower speed; deeper refine sweeps
+    * (iters 4/6) were flat-to-worse. Span 1 / iters 3 is the q12
+    * point. */
   private val ZopfliCutSpan =
     Integer.getInteger("graft.zopfli.cutSpan", 1).intValue()
   /** Binary-tree match finder for the zopfli pass (the published
@@ -1317,7 +1326,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
               }
               // explicit candidates relax at full length by default:
               // cutting them at code boundaries buys +0.7% ratio for
-              // ~35% throughput (the ZopfliCutExplicit dial above);
+              // ~20% throughput (the ZopfliCutExplicit dial above);
               // rep cuts stay distance-free and always relax
             }
             // §8 static-dictionary probes: one rolling FNV over the next
