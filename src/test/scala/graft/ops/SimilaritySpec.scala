@@ -78,6 +78,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s11 scaled kNN join: no all-pairs operator; recall tracks the dial's trade") {
+    val df = Similarity.s11(spark, sf)
+    df.write.format("noop").mode("overwrite").save() // finalize AQE plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs operator in s11 plan:\n$plan")
+    // the dial cuts occupancy 8x, so the scaled index must answer with
+    // FEWER OR EQUAL candidates surviving to the top-5 than stock s05
+    // (recall trade), while still answering for a non-trivial share of
+    // vectors — an empty result would mean the scaled buckets stopped
+    // colliding at all
+    val stock = Similarity.s05(spark, sf).count()
+    val scaled = df.count()
+    assert(scaled > 0, "scaled index answers nothing")
+    assert(scaled <= stock,
+      s"scaled occupancy cannot yield MORE candidates: $scaled > $stock")
+  }
+
   test("s08 semdedup: verdict covers the corpus and cluster minima survive") {
     import spark.implicits._
     val out = Similarity.s08(spark, sf)
