@@ -23,9 +23,9 @@ import java.io.ByteArrayOutputStream
   *          copy-boundary relaxation in the zopfli DP (cutExplicit=2),
   *          converting literal runs into boundary-aligned copies the
   *          way native's q11 parse shapes its stream. Measured on the
-  *          bench corpus: 99.0% of native's q11 ratio (vs q11's 98.3%)
-  *          for ~20% lower encode throughput (r10: 0.51 vs 0.64 MB/s —
-  *          the BT finder made cuts cheaper than r9's 35% figure) —
+  *          bench corpus: 99.7% of native's q11 ratio (6.232 vs
+  *          6.25; q11 = 98.5%) for ~30% lower encode throughput
+  *          (0.44 vs 0.63 MB/s, r10 with insert-run-aware pricing) —
   *          q11 for speed parity with native, q12 for maximum ratio.
   *
   * Mirrors the reference's block-granular encode semantics
@@ -338,24 +338,25 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
   /** Max-ratio dial: relax explicit candidates at their copy-code
     * boundaries too, not just full length — the DP then cuts copies to
     * align successor matches, converting literal runs into copies the
-    * way native's q11 parse does. Measured +0.7% ratio (6.141 → 6.186,
-    * 99.0% of native) for ~20% encode throughput (0.64 → 0.51 MB/s,
-    * re-measured r10 with the BT finder; the r9 figure was 35%).
-    * Surfaced as the q12 rung (cut in every sweep); q11 keeps it off
-    * and stays speed-dominant over native (faster at 98.3% of its
-    * ratio). The system property overrides for experiments:
+    * way native's q11 parse does. With insert-run-aware pricing
+    * (both r10): +1.2% ratio (6.156 → 6.232, 99.7% of native) for
+    * ~30% encode throughput (0.63 → 0.44 MB/s) — the faithful pricing
+    * is what made the cuts pay; under the r9 icode=0 model the dial
+    * only reached 6.186. Surfaced as the q12 rung (cut in every
+    * sweep); q11 keeps it off and stays speed-dominant over native
+    * (faster at 98.5% of its ratio). The system property overrides for experiments:
     * 2 = every sweep, 1 = refine sweeps only (middle ground). */
   private val ZopfliCutExplicit = {
     val sys = Integer.getInteger("graft.zopfli.cutExplicit", -1).intValue()
     if (sys >= 0) sys else if (quality >= 12) 2 else 0
   }
   /** Copy-code boundaries below the top code that an explicit cut may
-    * land on. Swept r10 at cutExplicit=2 on the bench ratio payload:
-    * span 2 measured ratio 6.174 (WORSE — extra options mislead the
-    * histogram-priced refine), span 3/6 measured 6.1862 (+0.01% over
-    * span 1's 6.1855) at 20-40% lower speed; deeper refine sweeps
-    * (iters 4/6) were flat-to-worse. Span 1 / iters 3 is the q12
-    * point. */
+    * land on. Swept r10 at cutExplicit=2: with insert-run pricing,
+    * span 2 measured 6.2349 (+0.04% over span 1's 6.2322) at −10%
+    * speed and span 3 was flat at −30% — span 1 keeps q12 above
+    * 0.4 MB/s; deeper refine sweeps (iters 4/6) were flat-to-worse.
+    * (Under the old icode=0 pricing, span 2 was ratio-NEGATIVE —
+    * mispriced cut options misled the histogram refine.) */
   private val ZopfliCutSpan =
     Integer.getInteger("graft.zopfli.cutSpan", 1).intValue()
   /** Binary-tree match finder for the zopfli pass (the published
@@ -479,6 +480,21 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
   private lazy val zFromCLen = new Array[Int](blockSize + 1)
   private lazy val zFromDist = new Array[Int](blockSize + 1)
   private lazy val zArrDist = new Array[Int](blockSize + 1)
+  /** Literals on the best path since its last copy — lets the DP price
+    * a copy edge's command symbol by its TRUE (icode, ccode) cell plus
+    * the insert extra bits, instead of the icode=0 column the r9 model
+    * used (whose systematic literal underpricing the calibrated litBias
+    * approximated). Native's zopfli carries exactly this per-node state
+    * (ZopfliNode's insert length). Adopted as default in r10 on
+    * measurement — bench ratio payload: q11 6.141 → 6.156 at equal
+    * speed; q12 6.186 → 6.232 (99.0% → 99.7% of native's 6.25) at
+    * ~0.46 MB/s; natural English: q11 11.747 → 11.778, q12 11.781 →
+    * 11.811. The faithful joint pricing is what unlocked the q12 cut
+    * economics — with the icode=0 column, boundary cuts were priced as
+    * if the insert run they avoid were free. */
+  private lazy val zInsRun = new Array[Int](blockSize + 1)
+  private val ZopfliInsPricing =
+    Integer.getInteger("graft.zopfli.insPricing", 1).intValue() == 1
   /** Per-position candidate cache (up to 4 (dist, len) pairs), filled
     * during the insert pass while the chain tips are temporally correct
     * — pass 2's tips point at positions AFTER p (the whole block is
@@ -1118,17 +1134,18 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         i = 0
         while (i < distCostT.length) { distCostT(i) = 7.0; i += 1 }
       }
-      // literals are UNDERPRICED by the naive cost model: each literal
-      // also lengthens its command's insert run (icode growth + extra
-      // bits) and spreads the literal histogram, neither of which the
-      // per-byte Huffman length captures. The bias is an empirically
-      // calibrated correction (swept on both the synthetic bench text
-      // and natural English; optimum ~1.6 refine / ~1.3 pass-1, worth
-      // +1.4% q11 ratio) that steers the DP toward copy-richer parses —
-      // the shape native's q11 parse has (its streams carry ~7× fewer
-      // literal bytes).
+      // literals are UNDERPRICED by the per-byte Huffman cost: each
+      // literal also lengthens its command's insert run and spreads the
+      // literal histogram. With insPricing (default since r10) the
+      // icode/extra-bits half of that coupling is priced exactly, so
+      // the residual bias is smaller (swept r10: optimum 1.5, flat
+      // 1.3-1.6 within 0.02%); without it the bias also stands in for
+      // the unpriced icode growth (r9 optimum 1.6, worth +1.4% q11
+      // ratio). Both steer the DP toward the copy-richer parse shape
+      // native's q11 streams exhibit.
       val litBias =
-        java.lang.Double.parseDouble(System.getProperty("graft.zopfli.litBias", "1.6"))
+        java.lang.Double.parseDouble(System.getProperty("graft.zopfli.litBias",
+          if (ZopfliInsPricing) "1.5" else "1.6"))
       def costsFromFreqs(): Unit = {
         def fill(freqs: Array[Long], out: Array[Double]): Unit = {
           val ls = Huffman.buildLengths(freqs, 15)
@@ -1170,19 +1187,26 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         // "free" rep copies that each really cost a command symbol,
         // insert coupling, and histogram spread
         var c = zCost(i) + CopyExtra(ccode) + CmdOverheadBits
+        // insPricing: price the command by its true (icode, ccode) cell
+        // + insert extra bits, from the best path's literal run at i
+        val ic = if (ZopfliInsPricing) insertCodeFor(zInsRun(i)) else 0
+        if (ic > 0) c += InsertExtra(ic)
         if (rep) {
           // emission lands in the implicit zone (ccode ≤ 15) or pays an
           // explicit command + ring dcode 0 — both distance-bit-free
-          if (ccode <= 15) c += cmdCostT(64 * (if (ccode < 8) 0 else 1) + (ccode & 7))
-          else c += cmdCostT(packCommandExplicit(0, ccode)) + distCostT(0)
+          if (ccode <= 15 && ic <= 7)
+            c += cmdCostT(64 * (if (ccode < 8) 0 else 1) +
+              ((ic & 7) << 3) + (ccode & 7))
+          else c += cmdCostT(packCommandExplicit(ic, ccode)) + distCostT(0)
         } else {
           val sb = distSymAndBits(dist)
-          c += cmdCostT(packCommandExplicit(0, ccode)) +
+          c += cmdCostT(packCommandExplicit(ic, ccode)) +
             distCostT(sb & 0xffff) + (sb >>> 16)
         }
         if (c < zCost(j)) {
           zCost(j) = c; zFromLen(j) = len; zFromCLen(j) = len
           zFromDist(j) = dist; zArrDist(j) = dist
+          if (ZopfliInsPricing) zInsRun(j) = 0
         }
       }
       // relax every copy-code boundary ≤ len (cost is flat within a
@@ -1217,13 +1241,16 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         val j = i + outLen
         val ccode = copyCodeFor(wordLen)
         val sb = distSymAndBits(dist)
+        val ic = if (ZopfliInsPricing) insertCodeFor(zInsRun(i)) else 0
         val c = zCost(i) + CopyExtra(ccode) + CmdOverheadBits +
-          cmdCostT(packCommandExplicit(0, ccode)) +
+          (if (ic > 0) InsertExtra(ic) else 0.0) +
+          cmdCostT(packCommandExplicit(ic, ccode)) +
           distCostT(sb & 0xffff) + (sb >>> 16)
         if (c < zCost(j)) {
           zCost(j) = c; zFromLen(j) = outLen; zFromCLen(j) = wordLen
           zFromDist(j) = dist
           zArrDist(j) = zArrDist(i)
+          if (ZopfliInsPricing) zInsRun(j) = 0
         }
       }
       /** Relax a cached identity word plus every affix transform whose
@@ -1263,6 +1290,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
         java.util.Arrays.fill(zCost, 0, n + 1, Double.MaxValue)
         zCost(0) = 0.0
         zArrDist(0) = ringLast(0)
+        if (ZopfliInsPricing) zInsRun(0) = 0
         var p = b0
         var lastRepD0 = 0
         var lastRepLen = 0
@@ -1274,6 +1302,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
             zCost(i + 1) = lc; zFromLen(i + 1) = 0; zFromCLen(i + 1) = 0
             zFromDist(i + 1) = 0
             zArrDist(i + 1) = zArrDist(i)
+            if (ZopfliInsPricing) zInsRun(i + 1) = zInsRun(i) + 1
           }
           val maxLen = math.min(MaxCopy, end - p)
           if (maxLen >= MinMatch) {
