@@ -428,7 +428,8 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       if (len > best && len >= 4) { // MinMatch
         best = len
         if (ci4 >= 0) {
-          val slot = if (nc < 4) { nc += 1; nc - 1 } else 3
+          val slot =
+            if (nc < ZCandSlots) { nc += 1; nc - 1 } else ZCandSlots - 1
           zCandD(ci4 + slot) = p - prev
           zCandL(ci4 + slot) = len
         }
@@ -495,13 +496,26 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
   private lazy val zInsRun = new Array[Int](blockSize + 1)
   private val ZopfliInsPricing =
     Integer.getInteger("graft.zopfli.insPricing", 1).intValue() == 1
-  /** Per-position candidate cache (up to 4 (dist, len) pairs), filled
-    * during the insert pass while the chain tips are temporally correct
-    * — pass 2's tips point at positions AFTER p (the whole block is
-    * inserted), so a fresh walk there would burn its depth budget
-    * skipping future candidates and find nothing. */
-  private lazy val zCandD = new Array[Int](4 * (blockSize + 1))
-  private lazy val zCandL = new Array[Int](4 * (blockSize + 1))
+  /** Per-position candidate cache (up to ZCandSlots (dist, len) pairs),
+    * filled during the insert pass while the chain tips are temporally
+    * correct — pass 2's tips point at positions AFTER p (the whole block
+    * is inserted), so a fresh walk there would burn its depth budget
+    * skipping future candidates and find nothing. The BT descent visits
+    * nodes nearest-first and records ascending lengths, so the slots
+    * hold the (distance, length) Pareto frontier at p; 4 slots evicted
+    * mid-frontier points (slot 3 churned by each longer match), forcing
+    * the DP to cut long copies from the FARTHEST candidate — measured
+    * +0.33 avg log2(dist) vs native's streams on the bench payload. 8
+    * slots close that: q11 6.156 -> 6.194 (99.1% of native's 6.25),
+    * q12 6.234 -> 6.262 (100.2% -- past native) at ~6% encode cost;
+    * 16 slots changed nothing (frontier fits in 8). A 4-deep
+    * distance-ring DP state (libbrotli's dist_cache shape) was also
+    * built and measured: +0.03% at 4 slots, nothing at 8 -- the wider
+    * frontier subsumes it; not kept. */
+  private val ZCandSlots =
+    Integer.getInteger("graft.zopfli.candSlots", 8).intValue()
+  private lazy val zCandD = new Array[Int](ZCandSlots * (blockSize + 1))
+  private lazy val zCandL = new Array[Int](ZCandSlots * (blockSize + 1))
   /** Cached §8 static-dictionary matches per position, the two longest
     * identity-transform words starting there, packed (len << 16 | idx);
     * 0 = none. Filled in pass 1, relaxed in every sweep. */
@@ -1324,7 +1338,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
               if (repLen >= 2) relaxBoundaries(i, repLen, d0, rep = true)
             } else { lastRepD0 = 0; lastRepLen = 0 }
             if (p <= lastHashPos) {
-              val ci4 = i << 2
+              val ci4 = i * ZCandSlots
               if (insertPass) {
                 // one BT descent: inserts p into the suffix tree and
                 // fills the candidate cache (descents inside long
@@ -1335,13 +1349,13 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
                 val nc = r >>> 16
                 walkBest = r & 0xffff
                 var z = nc
-                while (z < 4) { zCandL(ci4 + z) = 0; z += 1 }
+                while (z < ZCandSlots) { zCandL(ci4 + z) = 0; z += 1 }
               }
               // relax from the cached candidates (identical in both passes)
               var k = 0
               var bl = 0
               var bd = 0
-              while (k < 4) {
+              while (k < ZCandSlots) {
                 val l = zCandL(ci4 + k)
                 if (l > 0) {
                   val d = zCandD(ci4 + k)

@@ -319,6 +319,35 @@ class BrotliSpec extends AnyFunSuite {
       s"max-ratio rung must not lose to q11: q12=${q12.length} q11=${q11Plain.length}")
   }
 
+  test("candidate-frontier width: 8 slots round-trip and do not lose to 4") {
+    // the per-position candidate cache holds the BT walk's (dist, len)
+    // Pareto frontier; 4 slots evict mid-frontier points (the r10
+    // distance-gap root cause), 8 (default) keeps them — on repetitive
+    // text with many distinct match lengths the wide frontier must
+    // round-trip and come out no larger than the narrow one
+    val words = Array("information", "the", "of", "public", "because",
+      "different", "management", "consider", "table")
+    val wr = new Random(11)
+    val sb = new StringBuilder
+    while (sb.length < 150000) { sb.append(words(wr.nextInt(words.length))).append(' ') }
+    val text = sb.toString.getBytes
+    def encodeWith(slots: String): Array[Byte] = {
+      System.setProperty("graft.zopfli.candSlots", slots)
+      try {
+        val enc = new BrotliEncoder(11) // props read at construction
+        val out = new ByteArrayOutputStream()
+        enc.write(text, 0, text.length, out); enc.finish(out)
+        out.toByteArray
+      } finally System.clearProperty("graft.zopfli.candSlots")
+    }
+    val narrow = encodeWith("4")
+    val wide = encodeWith("8")
+    assert(java.util.Arrays.equals(Brotli.decompress(wide), text))
+    assert(java.util.Arrays.equals(Brotli.decompress(narrow), text))
+    assert(wide.length <= narrow.length,
+      s"wide frontier should not lose ratio: 8-slot=${wide.length} 4-slot=${narrow.length}")
+  }
+
   test("compressor reports real byte counters (reference bug fixed)") {
     val codec = new BrotliCodec
     codec.setConf(new org.apache.hadoop.conf.Configuration(false))
