@@ -231,6 +231,7 @@ object Bench {
     // pipe buffer (r9 advice)
     pb.redirectErrorStream(true)
     val p = pb.start()
+    watchdog(p, 30)
     val r = new java.io.BufferedReader(
       new java.io.InputStreamReader(p.getInputStream))
     var json: Option[String] = None
@@ -264,6 +265,22 @@ object Bench {
     (javaBin, System.getProperty("java.class.path"))
   }
 
+  /** Kill `p` if it outlives `minutes`: a wedged child (scheduler hang,
+    * runaway query) must DEGRADE the bench — destroy closes its stdout,
+    * the reader sees EOF and the caller falls back — never hang the
+    * whole round on a blocking waitFor. The bound is generous on
+    * purpose; it breaks deadlock, it does not time-box a slow host. */
+  private def watchdog(p: Process, minutes: Int): Unit = {
+    val t = new Thread(() => {
+      if (!p.waitFor(minutes.toLong, java.util.concurrent.TimeUnit.MINUTES)) {
+        System.err.println(s"[bench] child exceeded ${minutes}m — killing")
+        p.destroyForcibly(); ()
+      }
+    })
+    t.setDaemon(true)
+    t.start()
+  }
+
   /** Run the sf1 block in a child JVM and return its JSON. The child
     * re-executes this class with `--sf1` and reads the sf0.1 medians
     * from a temp file; its result comes back over stdout on a marked
@@ -286,6 +303,7 @@ object Bench {
       "graft.Bench", "--sf1", sfDir)
     pb.redirectErrorStream(false)
     val p = pb.start()
+    watchdog(p, 60)
     val outLines = new java.io.BufferedReader(
       new java.io.InputStreamReader(p.getInputStream))
     val errDrain = new Thread(() => {
@@ -523,6 +541,7 @@ object Bench {
     // the child against our stdout read (r9 advice)
     pb.redirectErrorStream(true)
     val p = pb.start()
+    watchdog(p, 30)
     val r = new java.io.BufferedReader(
       new java.io.InputStreamReader(p.getInputStream))
     var json: Option[String] = None
@@ -538,11 +557,15 @@ object Bench {
 
   /** Per-metric best of two codec child JSONs: throughput keys take the
     * max (each child's least-interfered placement), everything else the
-    * first child's value (ratios and sizes are deterministic). */
+    * first child's value (ratios and sizes are deterministic). Keys only
+    * the OTHER child reports are appended, not dropped — the native_*
+    * block is optional per child (a failed native run yields None), so
+    * an accumulator from a native-less child must not erase the
+    * baseline the next child measured. */
   private[graft] def mergeCodecJson(a: String, b: String): String = {
     val kv = "\"([a-z0-9_]+)\":(-?[0-9.]+)".r
     val bm = kv.findAllMatchIn(b).map(m => m.group(1) -> m.group(2).toDouble).toMap
-    kv.replaceAllIn(a, m => {
+    val merged = kv.replaceAllIn(a, m => {
       val k = m.group(1)
       if (k.endsWith("_mbps")) {
         val out = math.max(m.group(2).toDouble, bm.getOrElse(k, Double.MinValue))
@@ -555,6 +578,15 @@ object Bench {
             java.lang.Double.valueOf(out)))
       } else java.util.regex.Matcher.quoteReplacement(m.matched)
     })
+    val aKeys = kv.findAllMatchIn(a).map(_.group(1)).toSet
+    val extra = kv.findAllMatchIn(b)
+      .filter(m => !aKeys.contains(m.group(1))).map(_.matched).mkString(",")
+    if (extra.isEmpty) merged
+    else {
+      val cut = merged.lastIndexOf('}')
+      if (cut < 0) merged
+      else merged.substring(0, cut) + "," + extra + merged.substring(cut)
+    }
   }
 
   /** The measurement body, Spark-free (child JVMs call it directly). */

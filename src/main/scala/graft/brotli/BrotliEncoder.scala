@@ -23,10 +23,11 @@ import java.io.ByteArrayOutputStream
   *          copy-boundary relaxation in the zopfli DP (cutExplicit=2),
   *          converting literal runs into boundary-aligned copies the
   *          way native's q11 parse shapes its stream. Measured on the
-  *          bench corpus: 99.7% of native's q11 ratio (6.232 vs
-  *          6.25; q11 = 98.5%) for ~30% lower encode throughput
-  *          (0.44 vs 0.63 MB/s, r10 with insert-run-aware pricing) —
-  *          q11 for speed parity with native, q12 for maximum ratio.
+  *          bench corpus: 100.2% of native's q11 ratio (6.262 vs
+  *          6.25; q11 = 99.1% at 6.194) for ~35% lower encode
+  *          throughput (0.37 vs 0.58 MB/s, r10 with insert-run-aware
+  *          pricing + 8-slot candidate frontier) — q11 for speed
+  *          parity with native, q12 for maximum ratio.
   *
   * Mirrors the reference's block-granular encode semantics
   * (BroCompressor.java:117-148: stage until a block is full, then emit)
@@ -339,8 +340,8 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     * boundaries too, not just full length — the DP then cuts copies to
     * align successor matches, converting literal runs into copies the
     * way native's q11 parse does. With insert-run-aware pricing
-    * (both r10): +1.2% ratio (6.156 → 6.232, 99.7% of native) for
-    * ~30% encode throughput (0.63 → 0.44 MB/s) — the faithful pricing
+    * (both r10): +1.1% ratio (6.194 → 6.262, past native's 6.25) for
+    * ~35% encode throughput (0.58 → 0.37 MB/s) — the faithful pricing
     * is what made the cuts pay; under the r9 icode=0 model the dial
     * only reached 6.186. Surfaced as the q12 rung (cut in every
     * sweep); q11 keeps it off and stays speed-dominant over native
@@ -441,18 +442,22 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
             btForest(nodeL) = btForest(2 * prev)
             btForest(nodeR) = btForest(2 * prev + 1)
           } else {
-            // TRUNCATED comparison (dictionary-preload positions within
-            // BtCompLenMax of the dictionary end): prev's suffix may
-            // diverge from p's beyond the bytes that exist yet, so
-            // adopting prev's subtrees could mis-order them under p.
-            // Keep prev's subtree intact on p's >= side instead: p's
-            // remaining data is a strict prefix of prev's agreement
-            // span, and end-of-data orders below any byte, so p < prev
-            // is the only ordering claim we can make — one conservative
-            // claim instead of inheriting a whole possibly-wrong order
-            // (ratio-only either way; candidates are matchLen-verified).
+            // TRUNCATED terminal (dictionary-preload positions whose
+            // horizon ends at the dictionary end): p and prev agree on
+            // every byte that exists NOW, but a dictionary suffix later
+            // EXTENDS with the first stream bytes, so no p-vs-prev
+            // ordering claim made here is durable — and a mis-ordered
+            // tree breaks the descent's min(lenL, lenR) agreement
+            // invariant, which candidates' first `cur` bytes are never
+            // re-verified against (NOT ratio-only: an unverified prefix
+            // can reach the DP as a false match). The rewires made on
+            // the way down were all divergence-based (durable); only
+            // this terminal placement is not, so drop prev's remaining
+            // subtree instead of adopting it — the loss is bounded to
+            // hash-colliding positions that agree to the data end
+            // (rare; small ratio cost, never correctness).
             btForest(nodeL) = -1
-            btForest(nodeR) = prev
+            btForest(nodeR) = -1
           }
         }
         return (nc << 16) | best
@@ -1195,11 +1200,12 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
       def relaxAt(i: Int, len: Int, dist: Int, rep: Boolean): Unit = {
         val j = i + len
         val ccode = copyCodeFor(len)
-        // CmdOverheadBits counters fragmentation: the model prices
-        // commands by their icode=0 column, so without a fixed per-
-        // command term the DP happily splits one long copy into several
-        // "free" rep copies that each really cost a command symbol,
-        // insert coupling, and histogram spread
+        // CmdOverheadBits counters fragmentation: even with insert-run
+        // pricing (the true (icode, ccode) cell below) the histogram
+        // cost model sees marginal command symbols as near-free once
+        // frequent, so without a fixed per-command term the DP splits
+        // one long copy into several rep copies that each really cost
+        // histogram spread and later-pass price drift
         var c = zCost(i) + CopyExtra(ccode) + CmdOverheadBits
         // insPricing: price the command by its true (icode, ccode) cell
         // + insert extra bits, from the best path's literal run at i
@@ -1368,8 +1374,8 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
                 k += 1
               }
               // explicit candidates relax at full length by default:
-              // cutting them at code boundaries buys +0.7% ratio for
-              // ~20% throughput (the ZopfliCutExplicit dial above);
+              // cutting them at code boundaries buys ~+1% ratio for
+              // ~35% throughput (the ZopfliCutExplicit dial above);
               // rep cuts stay distance-free and always relax
             }
             // §8 static-dictionary probes: one rolling FNV over the next

@@ -130,15 +130,36 @@ object SrpLsh {
   val ScaledBits = 11
   val Dim = 64
 
-  /** Seed-7 gaussian hyperplanes for a given bits-per-table config
-    * (bits=8 reproduces the original plane sequence exactly — the
-    * shipped oracles depend on those literals). */
+  /** Seed-7 gaussian hyperplanes for a given bits-per-table config.
+    * bits <= [[BitsPerTable]] reproduces the original plane sequence
+    * exactly (the shipped d05/s02/s04/s05 oracles embed those
+    * literals); bits above it REFINE the stock config — table t's first
+    * BitsPerTable planes are the stock planes verbatim and only the
+    * extra bits come from a continuation of the same seed-7 stream. A
+    * scaled-bits collision therefore IMPLIES the stock collision in the
+    * same table, so every scaled candidate set is a subset of the stock
+    * one — the s11-vs-s05 recall bound is structural, not an accident
+    * of the current corpus. */
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[Int, IndexedSeq[Array[Double]]]()
   def planesFor(bits: Int): IndexedSeq[Array[Double]] =
     planeCache.computeIfAbsent(bits, { b =>
       val rnd = new scala.util.Random(7)
-      IndexedSeq.fill(Tables * b)(Array.fill(Dim)(rnd.nextGaussian()))
+      val nBase = math.min(b, BitsPerTable)
+      val base =
+        IndexedSeq.fill(Tables * nBase)(Array.fill(Dim)(rnd.nextGaussian()))
+      if (b <= BitsPerTable) base
+      else {
+        val nExtra = b - BitsPerTable
+        val extra =
+          IndexedSeq.fill(Tables * nExtra)(Array.fill(Dim)(rnd.nextGaussian()))
+        IndexedSeq.tabulate(Tables * b) { i =>
+          val t = i / b
+          val j = i % b
+          if (j < BitsPerTable) base(t * BitsPerTable + j)
+          else extra(t * nExtra + (j - BitsPerTable))
+        }
+      }
     })
   private[functions] def flatPlanesFor(bits: Int): Array[Double] =
     planesFor(bits).flatten.toArray

@@ -191,6 +191,8 @@ case class SubstrWindowKeys(child: Expression, n: Int)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if n < 1 => TypeCheckResult.TypeCheckFailure(
+      s"substr_window_keys window size must be >= 1, got $n")
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"substr_window_keys expects STRING, got ${other.catalogString}")
@@ -383,6 +385,10 @@ object TextKernels {
     * never per window. */
   def substrWindowKeys(s: UTF8String,
       n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    // analysis rejects n < 1 (checkInputDataTypes); re-guard here since
+    // this static is also the codegen target and a public entry point —
+    // n <= 0 would otherwise read h(negative) in the roll loop
+    require(n >= 1, s"window size must be >= 1, got $n")
     val toks = s.toString.split(" ", -1) // keep empties: oracle parity
     val nt = toks.length
     val m = nt - n + 1

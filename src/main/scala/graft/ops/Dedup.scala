@@ -758,11 +758,18 @@ object Dedup {
     // weaker-mixing key is safe here because equal grams always collide
     // and unequal-gram collisions are dropped by the exact-string
     // verify below.
+    // materialized once — the corpus-wide tokenize + rolling-hash +
+    // posexplode stage feeds BOTH the duplicate-key census and the
+    // semi-join side below; without the cut Spark plans the heaviest
+    // map stage twice (the aggregate side shuffles partial rows, the
+    // join side raw rows, so ReuseExchange cannot merge them) — the
+    // same multi-consumer rule as d02's shc and d03's bands
     val windows = documents
       .select($"doc_id", posexplode(
         graft.functions.TextKernels.substrWindowKeysCol(
           documents.sparkSession, $"text", n)))
       .select($"doc_id", ($"pos" + 1).cast(LongType).as("pos"), $"col".as("h"))
+      .materialize
     val dupH = windows.groupBy($"h")
       .agg(countDistinct($"doc_id").as("nd")).filter($"nd" > 1).select($"h")
     val cand = windows.join(dupH, Seq("h"), "left_semi")

@@ -85,9 +85,12 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"all-pairs operator in s11 plan:\n$plan")
-    // the dial cuts occupancy 8x, so the scaled index must answer with
-    // FEWER OR EQUAL candidates surviving to the top-5 than stock s05
-    // (recall trade), while still answering for a non-trivial share of
+    // the scaled planes REFINE the stock planes (SrpLsh.planesFor:
+    // table t's first BitsPerTable planes are the stock planes, extra
+    // bits subdivide the bucket), so a scaled collision implies the
+    // stock collision and scaled candidates are a SUBSET of stock's —
+    // the <= below is structural, on any corpus, not an accident of
+    // this test data. It must still answer for a non-trivial share of
     // vectors — an empty result would mean the scaled buckets stopped
     // colliding at all
     val stock = Similarity.s05(spark, sf).count()
