@@ -415,6 +415,36 @@ class BrotliSpec extends AnyFunSuite {
     }
   }
 
+  test("q11/q12 dictionary fuzz: repetitive tails that agree to the data end") {
+    // targets the truncated-terminal case of the suffix-tree preload: a
+    // small alphabet forces many tail positions to share hash buckets
+    // AND agree to the dictionary end (the non-durable-ordering
+    // precondition), and the stream then extends those suffixes with
+    // bytes that can contradict any order claimed at preload time. A
+    // mis-ordered tree surfaces here as a round-trip mismatch (an
+    // unverified candidate prefix reaching the DP), not as a crash.
+    val rnd = new Random(77)
+    for (iter <- 0 until 30) {
+      val alpha = 2 + rnd.nextInt(3) // tiny alphabet: maximal repetition
+      def blob(n: Int): Array[Byte] = {
+        val b = new Array[Byte](n)
+        var i = 0
+        while (i < n) { b(i) = ('a' + rnd.nextInt(alpha)).toByte; i += 1 }
+        b
+      }
+      val dict = blob(16 + rnd.nextInt(512))
+      // payload opens with a run that extends the dictionary tail, then
+      // diverges — exercising matches across the dict/stream boundary
+      val payload = blob(200 + rnd.nextInt(2000))
+      for (q <- Seq(11, 12)) {
+        val enc = Brotli.compress(payload, q, dict)
+        assert(java.util.Arrays.equals(Brotli.decompress(enc, dict), payload),
+          s"iter=$iter q=$q alpha=$alpha dict=${dict.length} n=${payload.length}: " +
+            "dictionary round-trip mismatch")
+      }
+    }
+  }
+
   test("hadoop codec layer plumbs the dictionary through both sides") {
     val dictionary = ("the quick brown fox jumps over the lazy dog " * 20).getBytes
     val payload = ("the quick brown fox jumps over the lazy dog — again and " +
