@@ -240,10 +240,20 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
   private lazy val hist = new Array[Byte](2 * winSize + blockSize + 8)
   private lazy val chain = new Array[Int](2 * winSize + blockSize)
   private var histTail = 0
-  /** Chain-walk depth per match attempt (quality ladder). */
+  /** Chain-walk depth per match attempt (quality ladder). q5 moved
+    * off the depth-1 row in r10: the old q5 compressed exactly like q1
+    * (ratio 3.76 on the bench payload — below even native q1's 4.14),
+    * so the rung bought nothing over q1 but a 5-byte hash. Swept
+    * same-run against q1/q6: depth 32 WITHOUT insert-all lands at
+    * ratio 4.38 (97.7% of native q5's 4.48, past native q1) at ~1.3×
+    * our q6 speed and ~1.2× native q5's — sparse insertion is what
+    * keeps the rung fast (depth 8 + insert-all measured q6-speed at
+    * worse ratio: dominated; depth 64 sparse closed to 1.03× q6:
+    * pointless spacing; context modeling at q5 was ratio-NEUTRAL here
+    * at −45% speed, rejected). */
   private val chainDepth =
     if (quality >= 10) 512 else if (quality >= 8) 128
-    else if (quality >= 6) 32 else 1
+    else if (quality >= 5) 32 else 1
   private val insertAllPositions = quality >= 6
   /** Stop the chain walk once a match this long is found (zlib's
     * nice_length): longer candidates are possible but the marginal bit
