@@ -52,4 +52,18 @@ class BenchMergeSpec extends AnyFunSuite {
     assert(m.contains(""""enc_q6_mbps":300.0"""), m)
     assert(m.contains(""""dec_mbps":540.8"""), m)
   }
+
+  test("keys only the other child reports are appended, not dropped") {
+    // the native_* block is optional per child (a failed native run
+    // yields None): an accumulator from a native-less child must not
+    // erase the baseline a later child measured
+    val noNative = """{"input_mb":32.8,"enc_q6_mbps":193.3,"ratio_q6":4.78}"""
+    val m = Bench.mergeCodecJson(noNative, b)
+    assert(m.contains(""""native_enc_q6_mbps":229.5"""), m)
+    assert(m.contains(""""dec_mbps":101.0"""), m)
+    assert(m.startsWith("{") && m.endsWith("}"), m)
+    // appended keys participate in further reduces (max over throughput)
+    val m2 = Bench.mergeCodecJson(m, a)
+    assert(m2.contains(""""native_enc_q6_mbps":244.2"""), m2)
+  }
 }
