@@ -319,6 +319,28 @@ class BrotliSpec extends AnyFunSuite {
       s"max-ratio rung must not lose to q11: q12=${q12.length} q11=${q11Plain.length}")
   }
 
+  test("quality ladder is monotone on compressible text") {
+    // each rung must compress at least as well as the one below it on
+    // ordinary repetitive text — guards rung repositionings (q5 moved
+    // off the depth-1 row in r10) from inverting the ladder
+    val words = Array("information", "the", "of", "public", "because",
+      "different", "management", "quality", "ladder")
+    val wr = new Random(55)
+    val sb = new StringBuilder
+    while (sb.length < 200000) { sb.append(words(wr.nextInt(words.length))).append(' ') }
+    val text = sb.toString.getBytes
+    val sizes = Seq(1, 2, 5, 6, 9, 10, 11, 12).map { q =>
+      val enc = Brotli.compress(text, q)
+      assert(java.util.Arrays.equals(Brotli.decompress(enc), text),
+        s"q$q round-trip")
+      q -> enc.length
+    }
+    sizes.sliding(2).foreach { case Seq((ql, sl), (qh, sh)) =>
+      assert(sh <= sl,
+        s"ladder inversion: q$qh ($sh B) worse than q$ql ($sl B)")
+    }
+  }
+
   test("candidate-frontier width: 8 slots round-trip and do not lose to 4") {
     // the per-position candidate cache holds the BT walk's (dist, len)
     // Pareto frontier; 4 slots evict mid-frontier points (the r10
