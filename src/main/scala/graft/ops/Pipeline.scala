@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.ops.Materialize.MaterializeOps
 
 /** The end-to-end corpus-preparation pipeline, as ONE declarative DAG:
   * quality gate (t09) → exact dedup (d01's fingerprint) → sequence
@@ -14,12 +15,13 @@ import graft.Tables
   * composability claim of the library made concrete: each stage is the
   * registry op's own logic (the gate is t09's output, the fingerprint
   * is d01's expression, the pack unit is t14's constant), chained as
-  * plain DataFrames so Catalyst plans the whole pipeline as one job —
-  * no materialization between stages, partial aggregation everywhere,
-  * and the only shuffles are the gate join (co-keyed on doc_id), the
-  * fingerprint groupBy, and the final per-source rollup: exactly the
-  * three key changes the semantics require. At 100 TB each stage's
-  * scale story is unchanged from its standalone op.
+  * plain DataFrames so Catalyst plans the pipeline end to end —
+  * partial aggregation everywhere, and the only shuffles are the gate
+  * join (co-keyed on doc_id), the fingerprint groupBy, and the final
+  * per-source rollup: exactly the three key changes the semantics
+  * require. The one lineage cut is the post-gate frame, which feeds
+  * two consumers (see below). At 100 TB each stage's scale story is
+  * unchanged from its standalone op.
   */
 object Pipeline {
 
@@ -31,9 +33,14 @@ object Pipeline {
     // stage 1: the t09 gate, joined back on the co-keyed doc_id (the
     // gate frame derives from the same scan; AQE plans a local join)
     val gate = TextOps.t09(spark, dir).select($"doc_id", $"n_tokens", $"keep")
+    // materialized once (the d02/d03/d09 multi-consumer rule): the
+    // gate-join + fingerprint frame feeds BOTH the dedup winners and
+    // the per-source kept census; without the cut the corpus-wide
+    // join + md5 stage is planned and executed twice
     val kept = docs.join(gate, "doc_id").filter($"keep")
       .select($"doc_id", $"source", $"n_tokens",
         md5(lower(trim($"text"))).as("fp"))
+      .materialize
     // stage 2: d01's exact dedup — one winner per fingerprint, stats
     // attributed to the winner's source (min doc_id, d01's keep rule)
     val winners = kept.groupBy($"fp")
