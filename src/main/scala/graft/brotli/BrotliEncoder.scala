@@ -23,11 +23,12 @@ import java.io.ByteArrayOutputStream
   *          copy-boundary relaxation in the zopfli DP (cutExplicit=2),
   *          converting literal runs into boundary-aligned copies the
   *          way native's q11 parse shapes its stream. Measured on the
-  *          bench corpus: 100.2% of native's q11 ratio (6.262 vs
-  *          6.25; q11 = 99.1% at 6.194) for ~35% lower encode
-  *          throughput (0.37 vs 0.58 MB/s, r10 with insert-run-aware
-  *          pricing + 8-slot candidate frontier) — q11 for speed
-  *          parity with native, q12 for maximum ratio.
+  *          bench corpus: 100.2% of native's q11 ratio (6.265 vs
+  *          6.25; q11 = 99.1% at 6.194) for ~30% lower encode
+  *          throughput (0.43 vs 0.58 MB/s, r10 with insert-run-aware
+  *          pricing + 8-slot candidate frontier + refine-sweep cuts)
+  *          — q11 for speed parity with native, q12 for maximum
+  *          ratio.
   *
   * Mirrors the reference's block-granular encode semantics
   * (BroCompressor.java:117-148: stage until a block is full, then emit)
@@ -350,16 +351,21 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     * boundaries too, not just full length — the DP then cuts copies to
     * align successor matches, converting literal runs into copies the
     * way native's q11 parse does. With insert-run-aware pricing
-    * (both r10): +1.1% ratio (6.194 → 6.262, past native's 6.25) for
-    * ~35% encode throughput (0.58 → 0.37 MB/s) — the faithful pricing
+    * (both r10): +1.1% ratio (6.194 → 6.265, past native's 6.25) for
+    * ~30% encode throughput (0.58 → 0.41 MB/s) — the faithful pricing
     * is what made the cuts pay; under the r9 icode=0 model the dial
-    * only reached 6.186. Surfaced as the q12 rung (cut in every
-    * sweep); q11 keeps it off and stays speed-dominant over native
-    * (faster at 98.5% of its ratio). The system property overrides for experiments:
-    * 2 = every sweep, 1 = refine sweeps only (middle ground). */
+    * only reached 6.186. Surfaced as the q12 rung; q11 keeps it off
+    * and stays speed-dominant over native (faster at 99.1% of its
+    * ratio). q12 runs mode 1 — cuts in the REFINE sweeps only — which
+    * measured both better ratio (6.2646 vs 6.2616 bench payload, tie
+    * on natural prose) and ~10% more speed than every-sweep mode 2
+    * once the 8-slot frontier landed: insert-pass cuts feed the first
+    * histogram a parse shape the refine passes then overfit to.
+    * System property overrides for experiments: 2 = every sweep,
+    * 1 = refine sweeps only, 0 = off. */
   private val ZopfliCutExplicit = {
     val sys = Integer.getInteger("graft.zopfli.cutExplicit", -1).intValue()
-    if (sys >= 0) sys else if (quality >= 12) 2 else 0
+    if (sys >= 0) sys else if (quality >= 12) 1 else 0
   }
   /** Copy-code boundaries below the top code that an explicit cut may
     * land on. Swept r10 at cutExplicit=2: with insert-run pricing,

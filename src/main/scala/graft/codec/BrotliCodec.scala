@@ -16,8 +16,8 @@ import graft.brotli.{BrotliDecoder, BrotliEncoder}
   * Config parity with the reference (BroCodec.java:22-30):
   *   - `bro.quality` (default 6; 0-11 standard ladder, 12 = graft's
   *     max-ratio extension — q11's zopfli parse with copy-boundary
-  *     relaxation, ~100% of native q11's ratio (6.262 vs 6.25, r10
-  *     measured) at ~35% lower encode speed; streams stay RFC
+  *     relaxation, ~100% of native q11's ratio (6.265 vs 6.25, r10
+  *     measured) at ~30% lower encode speed; streams stay RFC
   *     7932-standard either way)
   *   - `bro.buffer-size` (default 2 MiB)
   *   - extension `.bro` (BroCodec.java:57-59)

@@ -293,14 +293,16 @@ class BrotliSpec extends AnyFunSuite {
       } finally System.clearProperty("graft.zopfli.cutExplicit")
     }
     val dflt = encodeWith("0")
-    val cut = encodeWith("2")
+    val cut = encodeWith("1")
     assert(java.util.Arrays.equals(Brotli.decompress(cut), text))
     assert(cut.length <= dflt.length,
       s"dial should not lose ratio: cut=${cut.length} default=${dflt.length}")
 
     // the dial's product surface (r9 judge item 4): quality 12 IS the
-    // dial — byte-identical to q11+cutExplicit=2, reachable from
-    // bro.quality like every other rung, still standard RFC 7932
+    // dial — byte-identical to q11+cutExplicit=1 (refine-sweep cuts,
+    // the mode that measured best since the 8-slot frontier),
+    // reachable from bro.quality like every other rung, still
+    // standard RFC 7932
     val q12 = {
       val enc = new BrotliEncoder(12)
       val out = new ByteArrayOutputStream()
@@ -308,7 +310,7 @@ class BrotliSpec extends AnyFunSuite {
       out.toByteArray
     }
     assert(java.util.Arrays.equals(q12, cut),
-      "q12 must be exactly the q11+cutExplicit=2 parse")
+      "q12 must be exactly the q11+cutExplicit=1 parse")
     val q11Plain = {
       val enc = new BrotliEncoder(11)
       val out = new ByteArrayOutputStream()
