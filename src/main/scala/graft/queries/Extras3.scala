@@ -601,6 +601,46 @@ object Extras3 {
       |WHERE rank <= 3
       |ORDER BY l_suppkey, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q65: ORC source/sink round-trip — the second COLUMNAR format beside
+  // parquet (Spark ships the ORC DataSource in spark-sql; many lakes
+  // land ORC next to parquet, and "a user of the reference could switch"
+  // includes their columnar landing zone). Writes a projected `orders`
+  // as zlib ORC, reads it back with a selective filter — ORC scans take
+  // the same DSv2 pushdown path as parquet (predicate + column pruning
+  // reach the stripe reader), so at 100 TB the scan reads only the
+  // o_orderstatus stripes the filter admits — and aggregates. The
+  // oracle computes the identical aggregate from the parquet table:
+  // values survive ORC exactly (long/double/string are lossless), so
+  // the row hash must match.
+  // ---------------------------------------------------------------------
+  def q65(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = graft.Scratch.dir("orders_orc")
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .write.option("compression", "zlib").orc(tmp)
+    spark.read.orc(tmp)
+      .filter($"o_orderstatus" =!= "P")
+      .groupBy($"o_orderstatus")
+      .agg(
+        sum($"o_totalprice".cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_price"),
+        count(lit(1)).as("n_orders"),
+        max($"o_custkey").as("max_custkey"))
+      .orderBy($"o_orderstatus")
+  }
+
+  private val q65Sql =
+    """SELECT o_orderstatus,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n_orders,
+      |  MAX(o_custkey) AS max_custkey
+      |FROM orders
+      |WHERE o_orderstatus <> 'P'
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q53_agg_pushdown" -> (q53 _),
     "q54_gapfill_ffill" -> (q54 _),
@@ -611,7 +651,8 @@ object Extras3 {
     "q61_schema_evolution" -> (q61 _),
     "q62_kmv_cardinality" -> (q62 _),
     "q63_interval_coalesce" -> (q63 _),
-    "q64_native_topk" -> (q64 _))
+    "q64_native_topk" -> (q64 _),
+    "q65_orc_roundtrip" -> (q65 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q53_agg_pushdown" -> q53Sql,
@@ -623,5 +664,6 @@ object Extras3 {
     "q61_schema_evolution" -> q61Sql,
     "q62_kmv_cardinality" -> q62Sql,
     "q63_interval_coalesce" -> q63Sql,
-    "q64_native_topk" -> q64Sql)
+    "q64_native_topk" -> q64Sql,
+    "q65_orc_roundtrip" -> q65Sql)
 }

@@ -309,4 +309,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange rangepartitioning"),
       s"KMV must never globally sort the key sets:\n$plan")
   }
+
+  test("q65 pushes the status filter into the ORC scan") {
+    // the claim that ORC rides the same pushdown path as parquet is a
+    // plan property: the o_orderstatus predicate must reach the ORC
+    // reader, not run as a post-scan Filter over full stripes
+    val plan = Extras3.q65(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("orc") || plan.contains("Orc"),
+      s"no ORC scan in plan:\n$plan")
+    assert(plan.contains("PushedFilters:"), plan)
+    val pushed = plan.substring(plan.indexOf("PushedFilters:"))
+      .linesIterator.next()
+    assert(pushed.contains("o_orderstatus"),
+      s"status filter not pushed to the ORC scan: $pushed")
+  }
 }
