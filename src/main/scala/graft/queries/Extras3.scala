@@ -641,6 +641,48 @@ object Extras3 {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q66: XML source/sink round-trip — Spark 4's built-in XML DataSource
+  // (the spark-xml lineage), the format web-scrape and feed pipelines
+  // land in. Writes customer as row-tagged XML, reads it back with an
+  // explicit schema (inference would re-scan the corpus — never at
+  // 100 TB), and aggregates per market segment; the oracle computes the
+  // identical aggregate from the parquet table, so long/double/string
+  // values must survive the XML text round-trip exactly (doubles use
+  // shortest-round-trip repr, same contract q38 relies on for JSON).
+  // Money stays DECIMAL(18,2) before summation, the repo-wide rule.
+  // ---------------------------------------------------------------------
+  def q66(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = graft.Scratch.dir("customer_xml")
+    Tables.load(spark, dir, "customer")
+      .select($"c_custkey", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+      .write.option("rowTag", "customer").format("xml").save(tmp)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    spark.read.schema(schema).option("rowTag", "customer")
+      .format("xml").load(tmp)
+      .groupBy($"c_mktsegment")
+      .agg(
+        sum($"c_acctbal".cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_acctbal"),
+        count(lit(1)).as("n_customers"),
+        max($"c_custkey").as("max_custkey"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val q66Sql =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+      |  COUNT(*) AS n_customers,
+      |  MAX(c_custkey) AS max_custkey
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q53_agg_pushdown" -> (q53 _),
     "q54_gapfill_ffill" -> (q54 _),
@@ -652,7 +694,8 @@ object Extras3 {
     "q62_kmv_cardinality" -> (q62 _),
     "q63_interval_coalesce" -> (q63 _),
     "q64_native_topk" -> (q64 _),
-    "q65_orc_roundtrip" -> (q65 _))
+    "q65_orc_roundtrip" -> (q65 _),
+    "q66_xml_roundtrip" -> (q66 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q53_agg_pushdown" -> q53Sql,
@@ -665,5 +708,6 @@ object Extras3 {
     "q62_kmv_cardinality" -> q62Sql,
     "q63_interval_coalesce" -> q63Sql,
     "q64_native_topk" -> q64Sql,
-    "q65_orc_roundtrip" -> q65Sql)
+    "q65_orc_roundtrip" -> q65Sql,
+    "q66_xml_roundtrip" -> q66Sql)
 }
