@@ -20,7 +20,8 @@ import java.io.ByteArrayOutputStream
   *          cost-no-object rung, like libbrotli's own q11.
   *   - q12: graft extension past libbrotli's ladder (streams stay
   *          RFC 7932-standard — any decoder reads them): q11 plus
-  *          copy-boundary relaxation in the zopfli DP (cutExplicit=2),
+  *          copy-boundary relaxation in the zopfli DP (cutExplicit
+  *          mode 1, refine-sweep cuts),
   *          converting literal runs into boundary-aligned copies the
   *          way native's q11 parse shapes its stream. Measured on the
   *          bench corpus: 100.2% of native's q11 ratio (6.265 vs
@@ -352,7 +353,7 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     * align successor matches, converting literal runs into copies the
     * way native's q11 parse does. With insert-run-aware pricing
     * (both r10): +1.1% ratio (6.194 → 6.265, past native's 6.25) for
-    * ~30% encode throughput (0.58 → 0.41 MB/s) — the faithful pricing
+    * ~30% encode throughput (0.58 → 0.43 MB/s) — the faithful pricing
     * is what made the cuts pay; under the r9 icode=0 model the dial
     * only reached 6.186. Surfaced as the q12 rung; q11 keeps it off
     * and stays speed-dominant over native (faster at 99.1% of its

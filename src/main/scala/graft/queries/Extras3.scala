@@ -618,14 +618,13 @@ object Extras3 {
     import spark.implicits._
     val tmp = graft.Scratch.dir("orders_orc")
     Tables.load(spark, dir, "orders")
-      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .select($"o_custkey", $"o_orderstatus", $"o_totalprice")
       .write.option("compression", "zlib").orc(tmp)
     spark.read.orc(tmp)
       .filter($"o_orderstatus" =!= "P")
       .groupBy($"o_orderstatus")
       .agg(
-        sum($"o_totalprice".cast(DecimalType(18, 2))).cast(DoubleType)
-          .as("sum_price"),
+        sum($"o_totalprice".cast(D2)).cast(DoubleType).as("sum_price"),
         count(lit(1)).as("n_orders"),
         max($"o_custkey").as("max_custkey"))
       .orderBy($"o_orderstatus")
@@ -656,19 +655,17 @@ object Extras3 {
     import spark.implicits._
     val tmp = graft.Scratch.dir("customer_xml")
     Tables.load(spark, dir, "customer")
-      .select($"c_custkey", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+      .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
       .write.option("rowTag", "customer").format("xml").save(tmp)
     val schema = StructType(Seq(
       StructField("c_custkey", LongType),
-      StructField("c_nationkey", IntegerType),
       StructField("c_acctbal", DoubleType),
       StructField("c_mktsegment", StringType)))
     spark.read.schema(schema).option("rowTag", "customer")
       .format("xml").load(tmp)
       .groupBy($"c_mktsegment")
       .agg(
-        sum($"c_acctbal".cast(DecimalType(18, 2))).cast(DoubleType)
-          .as("sum_acctbal"),
+        sum($"c_acctbal".cast(D2)).cast(DoubleType).as("sum_acctbal"),
         count(lit(1)).as("n_customers"),
         max($"c_custkey").as("max_custkey"))
       .orderBy($"c_mktsegment")

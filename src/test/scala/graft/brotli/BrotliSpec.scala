@@ -297,6 +297,12 @@ class BrotliSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(Brotli.decompress(cut), text))
     assert(cut.length <= dflt.length,
       s"dial should not lose ratio: cut=${cut.length} default=${dflt.length}")
+    // mode 2 (every-sweep cuts) stays a documented override — it must
+    // keep emitting valid streams that don't lose to the no-cut parse
+    val cut2 = encodeWith("2")
+    assert(java.util.Arrays.equals(Brotli.decompress(cut2), text))
+    assert(cut2.length <= dflt.length,
+      s"every-sweep cuts lost ratio: cut2=${cut2.length} default=${dflt.length}")
 
     // the dial's product surface (r9 judge item 4): quality 12 IS the
     // dial — byte-identical to q11+cutExplicit=1 (refine-sweep cuts,
