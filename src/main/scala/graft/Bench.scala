@@ -476,7 +476,13 @@ object Bench {
     // questioned (s05's bucketed kNN self-join, s08's two-level
     // SemDeDup): the ×10 ratio vs their sf0.1 ops median is direct
     // evidence their candidate generation scales sub-quadratically
-    val sf1Names = headline ++ Seq("s05_knn_join", "s11_knn_join_scaled", "s08_semdedup")
+    val sf1Names = headline ++ Seq("s05_knn_join", "s11_knn_join_scaled",
+      "s08_semdedup",
+      // the two heaviest dedup ops: d09 claims cost linear in corpus
+      // tokens (no pair generation) and d06 claims label-propagation
+      // joins bounded by duplicate-pair count — both claims get a
+      // measured x_vs_sf instead of Scaladoc assertions
+      "d09_substring_dedup", "d06_dup_clusters")
     // median-of-3, same methodology as the sf0.1 loop these ratios divide
     // by: a single shot here puts the corpus' first touch (file listing,
     // page-cache misses, fresh codegen for the changed stats) inside the
