@@ -28,9 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     // whole-operator extensions: the native top-k-per-key planner rule
-    // (graft.plans.TopKPerKey); programmatic sessions get the same
-    // strategy via GraftPlans.install
+    // (graft.plans.TopKPerKey) plus the optimizer rewrite that turns
+    // SQL's `row_number() <= k` window filters into it; programmatic
+    // sessions get the same pair via GraftPlans.install
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
   }
 }
 

@@ -174,11 +174,15 @@ case class TopKPerKeyFinalExec(
 
 /** Public API + installation. */
 object GraftPlans {
-  /** Idempotently add [[TopKStrategy]] to the session's planner. */
+  /** Idempotently add [[TopKStrategy]] to the session's planner and
+    * [[TopKWindowRewrite]] to its optimizer — SQL `row_number() <= k`
+    * filters then plan as the native heap operator automatically. */
   def install(spark: SparkSession): Unit = {
     val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
     if (!exp.extraStrategies.contains(TopKStrategy))
       exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
+    if (!exp.extraOptimizations.contains(TopKWindowRewrite))
+      exp.extraOptimizations = exp.extraOptimizations :+ TopKWindowRewrite
   }
 
   /** Top `k` rows per `keyCols` group under `orderSpec`

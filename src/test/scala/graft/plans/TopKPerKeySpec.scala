@@ -12,6 +12,16 @@ class TopKPerKeySpec extends SparkSpec {
 
   test("operator rows are identical to the row_number window") {
     import spark.implicits._
+    // pin the rewrite off so the window side stays the STOCK plan —
+    // topKPerKey's install() puts TopKWindowRewrite in this shared
+    // session, and an auto-rewritten reference would compare the
+    // operator against itself
+    spark.conf.set(TopKWindowRewrite.EnabledKey, "false")
+    try topKvsWindow() finally spark.conf.unset(TopKWindowRewrite.EnabledKey)
+  }
+
+  private def topKvsWindow(): Unit = {
+    import spark.implicits._
     val li = Tables.load(spark, sf, "lineitem")
       .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
         $"l_extendedprice".cast("decimal(18,2)").as("price"))
