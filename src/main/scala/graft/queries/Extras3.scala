@@ -602,6 +602,33 @@ object Extras3 {
       |ORDER BY l_suppkey, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q67: the q64 semantics written the way a PURE-SQL user writes them —
+  // a row_number window under a rank-bound filter through spark.sql —
+  // relying on the TopKWindowRewrite optimizer rule to plan the native
+  // heap operator (TopKWindowRewriteSpec asserts the plan shape; this
+  // row proves the rewritten results hash-match DuckDB's own window).
+  // The window order is total (price, orderkey, linenumber), the same
+  // determinism contract q64 carries.
+  // ---------------------------------------------------------------------
+  def q67(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftPlans.install(spark)
+    Tables.load(spark, dir, "lineitem")
+      .createOrReplaceTempView("q67_lineitem")
+    spark.sql(
+      """SELECT l_suppkey, CAST(rn AS BIGINT) AS rank, l_orderkey,
+        |  l_linenumber, CAST(price AS DOUBLE) AS price
+        |FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)) DESC,
+        |               l_orderkey ASC, l_linenumber ASC) AS rn
+        |  FROM q67_lineitem)
+        |WHERE rn <= 3
+        |ORDER BY l_suppkey, rank""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------------
   // q65: ORC source/sink round-trip — the second COLUMNAR format beside
   // parquet (Spark ships the ORC DataSource in spark-sql; many lakes
   // land ORC next to parquet, and "a user of the reference could switch"
@@ -692,7 +719,8 @@ object Extras3 {
     "q63_interval_coalesce" -> (q63 _),
     "q64_native_topk" -> (q64 _),
     "q65_orc_roundtrip" -> (q65 _),
-    "q66_xml_roundtrip" -> (q66 _))
+    "q66_xml_roundtrip" -> (q66 _),
+    "q67_topk_sql_rewrite" -> (q67 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q53_agg_pushdown" -> q53Sql,
@@ -706,5 +734,6 @@ object Extras3 {
     "q63_interval_coalesce" -> q63Sql,
     "q64_native_topk" -> q64Sql,
     "q65_orc_roundtrip" -> q65Sql,
-    "q66_xml_roundtrip" -> q66Sql)
+    "q66_xml_roundtrip" -> q66Sql,
+    "q67_topk_sql_rewrite" -> q64Sql) // same contract as q64, SQL route
 }
