@@ -110,27 +110,69 @@ private[plans] object TopKHeaps {
 }
 
 /** Map-side phase: keep at most k rows per key per input partition.
-  * Output schema is unchanged — survivors only, no rank yet. */
+  * Output schema is unchanged — survivors only, no rank yet.
+  *
+  * ADAPTIVE, the same way Spark's hash aggregate can skip partial
+  * aggregation: the phase is semantically a filter (any superset of
+  * each key's true top-k is correct — the final phase re-selects), so
+  * when the data shows high key cardinality relative to k (many keys,
+  * few rows per key — e.g. top-3 orders per customer, ~15 rows/key)
+  * heaping costs a hash map of per-key queues per partition and drops
+  * almost nothing. After a probe window, if fewer than 25% of rows
+  * were dropped, the phase emits what it holds and passes the rest of
+  * the partition through untouched. Where rows/key >> k (the ANN
+  * candidate sets this operator was built for) the probe keeps
+  * heaping and the shuffle still shrinks to ~k rows per key. */
 case class TopKPerKeyPartialExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
     child: SparkPlan) extends UnaryExecNode {
+  private val ProbeRows = 4096
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] = {
-    val (lKeys, lOrder, lK, lIn) = (keys, order, k, child.output)
+    val (lKeys, lOrder, lK, lIn, probe) = (keys, order, k, child.output, ProbeRows)
     child.execute().mapPartitions({ iter =>
-      val heaps = TopKHeaps.build(iter, lKeys, lOrder, lK, lIn)
-      val it = heaps.values().iterator()
-      new Iterator[InternalRow] {
-        private var cur: java.util.PriorityQueue[InternalRow] = _
-        override def hasNext: Boolean = {
-          while ((cur == null || cur.isEmpty) && it.hasNext) cur = it.next()
-          cur != null && !cur.isEmpty
-        }
-        override def next(): InternalRow = { hasNext; cur.poll() }
+      val keyProj = UnsafeProjection.create(lKeys, lIn)
+      val ord = RowOrdering.create(lOrder, lIn)
+      val worstFirst = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int =
+          ord.compare(b, a)
       }
+      val heaps =
+        new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]
+      var rows = 0L
+      var held = 0L
+      var bypass = false
+      while (!bypass && iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](lK + 1, worstFirst)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < lK) {
+          heap.add(row.copy()); held += 1
+        } else if (ord.compare(row, heap.peek()) < 0) {
+          heap.poll(); heap.add(row.copy())
+        }
+        rows += 1
+        if (rows == probe && held * 4 > rows * 3) bypass = true
+      }
+      val heldIter = {
+        val it = heaps.values().iterator()
+        new Iterator[InternalRow] {
+          private var cur: java.util.PriorityQueue[InternalRow] = _
+          override def hasNext: Boolean = {
+            while ((cur == null || cur.isEmpty) && it.hasNext) cur = it.next()
+            cur != null && !cur.isEmpty
+          }
+          override def next(): InternalRow = { hasNext; cur.poll() }
+        }
+      }
+      if (bypass) heldIter ++ iter else heldIter
     }, preservesPartitioning = true)
   }
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =

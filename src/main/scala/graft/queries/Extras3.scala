@@ -614,18 +614,39 @@ object Extras3 {
     graft.plans.GraftPlans.install(spark)
     Tables.load(spark, dir, "lineitem")
       .createOrReplaceTempView("q67_lineitem")
-    spark.sql(
-      """SELECT l_suppkey, CAST(rn AS BIGINT) AS rank, l_orderkey,
-        |  l_linenumber, CAST(price AS DOUBLE) AS price
-        |FROM (
-        |  SELECT l_suppkey, l_orderkey, l_linenumber,
-        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
-        |    row_number() OVER (PARTITION BY l_suppkey
-        |      ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)) DESC,
-        |               l_orderkey ASC, l_linenumber ASC) AS rn
-        |  FROM q67_lineitem)
-        |WHERE rn <= 3
-        |ORDER BY l_suppkey, rank""".stripMargin)
+    // the rewrite is opt-in (default off — measured 4-7x slower than
+    // sort+WindowGroupLimit on LOW-rows-per-key shapes; see
+    // TopKWindowRewrite). Scope the conf and materialize inside it
+    // (the q53 pattern: plans read confs lazily, and a later
+    // df.write would re-plan outside the scope). Bounded collect:
+    // 3 rows per supplier — a demonstration row, like q53's one-row
+    // pushdown collect; the production path is the conf or the
+    // explicit topKPerKey API.
+    val key = graft.plans.TopKWindowRewrite.EnabledKey
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val df = spark.sql(
+        """SELECT l_suppkey, CAST(rn AS BIGINT) AS rank, l_orderkey,
+          |  l_linenumber, CAST(price AS DOUBLE) AS price
+          |FROM (
+          |  SELECT l_suppkey, l_orderkey, l_linenumber,
+          |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+          |    row_number() OVER (PARTITION BY l_suppkey
+          |      ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)) DESC,
+          |               l_orderkey ASC, l_linenumber ASC) AS rn
+          |  FROM q67_lineitem)
+          |WHERE rn <= 3
+          |ORDER BY l_suppkey, rank""".stripMargin)
+      require(df.queryExecution.executedPlan.toString.contains("TopKPerKeyFinal"),
+        "q67 must plan through the rewrite it demonstrates")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(df.collect().toIndexedSeq, 1),
+        df.schema)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   // ---------------------------------------------------------------------

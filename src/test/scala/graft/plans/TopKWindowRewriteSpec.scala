@@ -26,7 +26,10 @@ class TopKWindowRewriteSpec extends SparkSpec {
     Tables.load(spark, sf, "lineitem")
       .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
       .createOrReplaceTempView("rw_li")
-    body
+    // the rewrite is OPT-IN (default off — see TopKWindowRewrite's
+    // measured rationale); these tests exercise the enabled path
+    spark.conf.set(TopKWindowRewrite.EnabledKey, "true")
+    try body finally spark.conf.unset(TopKWindowRewrite.EnabledKey)
   }
 
   test("row_number <= k rewrites to the heap operator with identical rows") {
