@@ -73,6 +73,21 @@ class TopKPerKeySpec extends SparkSpec {
     assert(partialFirst, s"partial phase must sit below the final phase:\n$plan")
   }
 
+  /** shuffleRecordsWritten of every exchange in an EXECUTED plan.
+    * AQE wraps materialized stages in QueryStageExec LEAVES (their
+    * inner plan is not a child), so TreeNode.collect never reaches the
+    * exchanges — walk them explicitly. */
+  private def shuffleRecords(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      shuffleRecords(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      shuffleRecords(s.plan)
+    case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+      e.metrics("shuffleRecordsWritten").value +: e.children.flatMap(shuffleRecords)
+    case other => other.children.flatMap(shuffleRecords)
+  }
+
   test("map-side partial bounds the shuffle: at most k rows per key per task") {
     import spark.implicits._
     // 4 input partitions x 1000 rows over 5 keys, k=2: the exchange may
@@ -80,20 +95,38 @@ class TopKPerKeySpec extends SparkSpec {
     val df = spark.range(0, 4000, 1, 4)
       .select(($"id" % 5).as("g"), $"id".as("x"))
     val topk = GraftPlans.topKPerKey(df.toDF(), Seq("g"), Seq(("x", false)), 2)
-    assert(topk.count() == 10)
-    // AQE wraps the final plan; shuffles sit inside query-stage leaves
-    val executed = topk.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case p => p
-    }
-    val metrics = executed.collect {
-      case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec =>
-        s.shuffle.metrics("shuffleRecordsWritten").value
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
-        e.metrics("shuffleRecordsWritten").value
-    }
-    assert(metrics.nonEmpty && metrics.forall(_ <= 40),
+    // collect() (not count()) so the metrics land on THIS dataset's
+    // QueryExecution — count() plans its own aggregate execution and
+    // leaves these exchanges unexecuted (metrics would read 0 and the
+    // <= bound would pass vacuously)
+    assert(topk.collect().length == 10)
+    val metrics = shuffleRecords(topk.queryExecution.executedPlan)
+    assert(metrics.nonEmpty && metrics.exists(_ > 0) &&
+      metrics.forall(_ <= 40),
       s"partial did not bound the shuffle: $metrics rows crossed")
+  }
+
+  test("adaptive partial bypass: low rows-per-key stays correct (and shuffles through)") {
+    import spark.implicits._
+    // 4 partitions x 5k rows over 10k keys (2 rows/key, k=3): each
+    // partition's 4096-row probe sees ~zero drop and the partial phase
+    // must bypass itself — every row crosses the shuffle — while the
+    // final phase still selects and ranks exactly like the window.
+    // (Several input partitions matter: a single-partition child
+    // satisfies ClusteredDistribution trivially and plans no exchange.)
+    val df = spark.range(0, 20000, 1, 4)
+      .select(($"id" % 10000).as("g"), $"id".as("x"))
+    val topk = GraftPlans.topKPerKey(df.toDF(), Seq("g"), Seq(("x", true)), 3)
+    // collect() so the metrics land on this dataset's QueryExecution
+    assert(topk.collect().length == 20000) // k=3 > 2/key: all survive
+    val metrics = shuffleRecords(topk.queryExecution.executedPlan)
+    assert(metrics.exists(_ == 20000),
+      s"expected the bypassed partial to pass all rows through: $metrics")
+    // rank correctness on a bypassed partition: each key's 2 rows in
+    // ascending x order, ranks 1..2
+    val rows = topk.filter($"g" === 7).orderBy($"rank")
+      .collect().map(r => (r.getLong(2), r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 7L), (2L, 10007L)),
+      s"bypassed partial changed results: ${rows.toSeq}")
   }
 }
