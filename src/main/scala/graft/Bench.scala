@@ -38,6 +38,18 @@ object Bench {
     "st06_stream_bro_ingest", "st07_stream_stream_join",
     "st10_stream_dedup")
 
+  /** The x10 scale block's query set — ONE definition shared by the
+    * sf1 child's warm-up loop and sf1Bench's measured loop, so the
+    * warm-vs-warm methodology can't silently drift when entries are
+    * added (r10 review: d09/d06 were measured but not warmed). */
+  private val sf1Names: Seq[String] = headline ++ Seq(
+    "s05_knn_join", "s11_knn_join_scaled", "s08_semdedup",
+    // the two heaviest dedup ops: d09 claims cost linear in corpus
+    // tokens (no pair generation) and d06 claims label-propagation
+    // joins bounded by duplicate-pair count — both claims get a
+    // measured x_vs_sf instead of Scaladoc assertions
+    "d09_substring_dedup", "d06_dup_clusters")
+
   def main(args: Array[String]): Unit = {
     // every number in the JSON lines goes through f"..%.3f" — pin the
     // default locale so a comma-decimal host can't emit invalid JSON
@@ -381,7 +393,7 @@ object Bench {
     // run each sf1 query once at sf0.001 and once at the bench SF so
     // x_vs_sf compares warm-vs-warm, not JIT-vs-warm
     val all = SparkEntry.queries
-    (headline ++ Seq("s05_knn_join", "s11_knn_join_scaled", "s08_semdedup")).filter(all.contains)
+    sf1Names.filter(all.contains)
       .foreach { name =>
         try {
           all(name)(spark, "/root/testdata/sf0.001")
@@ -476,13 +488,6 @@ object Bench {
     // questioned (s05's bucketed kNN self-join, s08's two-level
     // SemDeDup): the ×10 ratio vs their sf0.1 ops median is direct
     // evidence their candidate generation scales sub-quadratically
-    val sf1Names = headline ++ Seq("s05_knn_join", "s11_knn_join_scaled",
-      "s08_semdedup",
-      // the two heaviest dedup ops: d09 claims cost linear in corpus
-      // tokens (no pair generation) and d06 claims label-propagation
-      // joins bounded by duplicate-pair count — both claims get a
-      // measured x_vs_sf instead of Scaladoc assertions
-      "d09_substring_dedup", "d06_dup_clusters")
     // median-of-3, same methodology as the sf0.1 loop these ratios divide
     // by: a single shot here puts the corpus' first touch (file listing,
     // page-cache misses, fresh codegen for the changed stats) inside the

@@ -65,35 +65,53 @@ object TopKStrategy extends SparkStrategy {
 
 private[plans] object TopKHeaps {
   /** Consume a partition into a map of K-bounded heaps (head = worst
-    * row kept, so admission is an O(1) compare + O(log K) sift). */
+    * row kept, so admission is an O(1) compare + O(log K) sift).
+    *
+    * `probeRows` > 0 enables the adaptive bypass (the partial phase):
+    * after that many rows, if more than 75% were held — i.e. the heaps
+    * are dropping almost nothing — consumption STOPS with the iterator
+    * left at its current position and `true` returned; the caller
+    * chains the held rows with the untouched remainder. 0 (the final
+    * phase) always consumes everything.
+    *
+    * Heaps size from a small constant and grow on demand — NEVER from
+    * k: a `rn <= 500000000` "keep effectively everything" bound must
+    * not eagerly allocate a k-sized array per distinct key. */
   def build(
       iter: Iterator[InternalRow],
       keyExprs: Seq[Expression],
       order: Seq[SortOrder],
       k: Int,
-      input: Seq[Attribute]): java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]] = {
+      input: Seq[Attribute],
+      probeRows: Int = 0): (java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]], Boolean) = {
     val keyProj = UnsafeProjection.create(keyExprs, input)
     val ord = RowOrdering.create(order, input)
     val worstFirst = new java.util.Comparator[InternalRow] {
       override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
     }
+    val initialCap = math.min(k, 16) + 1
     val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]
-    while (iter.hasNext) {
+    var rows = 0L
+    var held = 0L
+    var bypass = false
+    while (!bypass && iter.hasNext) {
       val row = iter.next()
       val key = keyProj(row)
       var heap = heaps.get(key)
       if (heap == null) {
-        heap = new java.util.PriorityQueue[InternalRow](k + 1, worstFirst)
+        heap = new java.util.PriorityQueue[InternalRow](initialCap, worstFirst)
         heaps.put(key.copy(), heap)
       }
       if (heap.size < k) {
-        heap.add(row.copy())
+        heap.add(row.copy()); held += 1
       } else if (ord.compare(row, heap.peek()) < 0) {
         heap.poll()
         heap.add(row.copy())
       }
+      rows += 1
+      if (rows == probeRows && held * 4 > rows * 3) bypass = true
     }
-    heaps
+    (heaps, bypass)
   }
 
   /** Drain one heap best-first (ascending under `order`). */
@@ -115,14 +133,15 @@ private[plans] object TopKHeaps {
   * ADAPTIVE, the same way Spark's hash aggregate can skip partial
   * aggregation: the phase is semantically a filter (any superset of
   * each key's true top-k is correct — the final phase re-selects), so
-  * when the data shows high key cardinality relative to k (many keys,
-  * few rows per key — e.g. top-3 orders per customer, ~15 rows/key)
-  * heaping costs a hash map of per-key queues per partition and drops
-  * almost nothing. After a probe window, if fewer than 25% of rows
-  * were dropped, the phase emits what it holds and passes the rest of
-  * the partition through untouched. Where rows/key >> k (the ANN
-  * candidate sets this operator was built for) the probe keeps
-  * heaping and the shuffle still shrinks to ~k rows per key. */
+  * after a probe window, if fewer than 25% of rows were dropped —
+  * rows/key barely above k, near-pure overhead — the phase emits what
+  * it holds and passes the rest of the partition through untouched.
+  * This caps the damage on low-rows-per-key shapes; it does NOT make
+  * them fast (at ~15 rows/key with k=3 the probe drops ~80% and keeps
+  * heaping, and the final phase still pays the per-key-queue cost —
+  * the measured reason the SQL rewrite is opt-in). Where rows/key >>
+  * k (the ANN candidate sets this operator was built for) the probe
+  * keeps heaping and the shuffle shrinks to ~k rows per key. */
 case class TopKPerKeyPartialExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
@@ -134,33 +153,8 @@ case class TopKPerKeyPartialExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val (lKeys, lOrder, lK, lIn, probe) = (keys, order, k, child.output, ProbeRows)
     child.execute().mapPartitions({ iter =>
-      val keyProj = UnsafeProjection.create(lKeys, lIn)
-      val ord = RowOrdering.create(lOrder, lIn)
-      val worstFirst = new java.util.Comparator[InternalRow] {
-        override def compare(a: InternalRow, b: InternalRow): Int =
-          ord.compare(b, a)
-      }
-      val heaps =
-        new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]
-      var rows = 0L
-      var held = 0L
-      var bypass = false
-      while (!bypass && iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](lK + 1, worstFirst)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < lK) {
-          heap.add(row.copy()); held += 1
-        } else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
-        }
-        rows += 1
-        if (rows == probe && held * 4 > rows * 3) bypass = true
-      }
+      val (heaps, bypassed) =
+        TopKHeaps.build(iter, lKeys, lOrder, lK, lIn, probeRows = probe)
       val heldIter = {
         val it = heaps.values().iterator()
         new Iterator[InternalRow] {
@@ -172,7 +166,7 @@ case class TopKPerKeyPartialExec(
           override def next(): InternalRow = { hasNext; cur.poll() }
         }
       }
-      if (bypass) heldIter ++ iter else heldIter
+      if (bypassed) heldIter ++ iter else heldIter
     }, preservesPartitioning = true)
   }
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
@@ -196,7 +190,7 @@ case class TopKPerKeyFinalExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val (lKeys, lOrder, lK, lIn, lOut) = (keys, order, k, child.output, output)
     child.execute().mapPartitions({ iter =>
-      val heaps = TopKHeaps.build(iter, lKeys, lOrder, lK, lIn)
+      val (heaps, _) = TopKHeaps.build(iter, lKeys, lOrder, lK, lIn)
       val proj = UnsafeProjection.create(lOut, lOut)
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)

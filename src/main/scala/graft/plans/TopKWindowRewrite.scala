@@ -49,6 +49,9 @@ object TopKWindowRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * use the explicit topKPerKey API, which is always the heap. */
   val EnabledKey = "spark.graft.topkRewrite"
 
+  /** Rank bounds above this keep the stock window plan (see rewrite()). */
+  val MaxRewriteK = 1 << 20
+
   def apply(plan: LogicalPlan): LogicalPlan =
     if (conf.getConfString(EnabledKey, "false") != "true") plan
     else plan.transformUp {
@@ -74,22 +77,29 @@ object TopKWindowRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val rnAttr = rn.toAttribute
     val (bounds, rest) = splitConjunctivePredicates(cond)
       .partition(_.references.contains(rnAttr))
-    val k = bounds match {
+    // Long arithmetic: `rn < Int.MinValue` must stay an always-false
+    // filter, not wrap to keep-Int.MaxValue-per-key
+    val kL: Long = bounds match {
       case Seq(LessThanOrEqual(a: Attribute, IntegerLiteral(v)))
-        if a.semanticEquals(rnAttr) => v
+        if a.semanticEquals(rnAttr) => v.toLong
       case Seq(GreaterThanOrEqual(IntegerLiteral(v), a: Attribute))
-        if a.semanticEquals(rnAttr) => v
+        if a.semanticEquals(rnAttr) => v.toLong
       case Seq(LessThan(a: Attribute, IntegerLiteral(v)))
-        if a.semanticEquals(rnAttr) => v - 1
+        if a.semanticEquals(rnAttr) => v.toLong - 1
       case Seq(GreaterThan(IntegerLiteral(v), a: Attribute))
-        if a.semanticEquals(rnAttr) => v - 1
+        if a.semanticEquals(rnAttr) => v.toLong - 1
       case Seq(EqualTo(a: Attribute, IntegerLiteral(1)))
-        if a.semanticEquals(rnAttr) => 1
+        if a.semanticEquals(rnAttr) => 1L
       case Seq(EqualTo(IntegerLiteral(1), a: Attribute))
-        if a.semanticEquals(rnAttr) => 1
+        if a.semanticEquals(rnAttr) => 1L
       case _ => return None
     }
-    if (k <= 0) return None // vacuous filter: let Spark fold it
+    if (kL <= 0) return None // vacuous filter: let Spark fold it
+    // a huge rank bound is "keep effectively everything": the heap's
+    // K x keys-per-task memory bound stops being a bound, while the
+    // stock window plan handles it with a spill-safe sort — refuse
+    if (kL > MaxRewriteK) return None
+    val k = kL.toInt
     // Spark 3.5+'s InferWindowGroupLimit may already have planted its
     // row-pruning node; the heap operator subsumes it
     val child = w.child match {

@@ -10,15 +10,24 @@ import graft.{SparkSpec, Tables}
   * results (checked against the stock plan via the conf escape hatch). */
 class TopKWindowRewriteSpec extends SparkSpec {
 
-  private def plan(df: DataFrame): String = {
-    df.write.format("noop").mode("overwrite").save()
+  // plan shape only — executedPlan materializes lazily without running
+  // the query (a noop write here would execute a SEPARATE QueryExecution
+  // and change nothing about this one)
+  private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
-  }
 
   private def stockRows(sql: String): Set[String] = {
+    // restore (not unset!) the previous value: withView pins the conf
+    // to "true" around its body, and unsetting here would silently
+    // disable the rewrite for every later plan() in the same test —
+    // the negative assertions would pass vacuously
+    val prev = spark.conf.getOption(TopKWindowRewrite.EnabledKey)
     spark.conf.set(TopKWindowRewrite.EnabledKey, "false")
     try spark.sql(sql).collect().map(_.toString).toSet
-    finally spark.conf.unset(TopKWindowRewrite.EnabledKey)
+    finally prev match {
+      case Some(v) => spark.conf.set(TopKWindowRewrite.EnabledKey, v)
+      case None => spark.conf.unset(TopKWindowRewrite.EnabledKey)
+    }
   }
 
   private def withView(body: => Unit): Unit = {
