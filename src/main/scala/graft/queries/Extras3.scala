@@ -728,6 +728,48 @@ object Extras3 {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q68: Avro source/sink round-trip over graft's OWN DataSource V2
+  // connector (sources/AvroSource.scala — this environment ships avro
+  // core but not spark-avro, so the connector is first-party). Writes a
+  // projected `orders` as snappy Avro, reads it back with a selective
+  // filter and aggregates; o_orderdate exercises the timestamp-micros
+  // logical type (Spark's native micros encoding, so values round-trip
+  // bit-exactly) and the oracle computes the identical aggregate from
+  // the parquet table. At 100 TB the connector's sync-marker splitting
+  // turns each file into maxPartitionBytes-sized parallel reads and the
+  // pruned ReadSchema skips conversion of unused fields
+  // (AvroSourceSpec asserts both on the physical plan).
+  // ---------------------------------------------------------------------
+  def q68(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = graft.Scratch.dir("orders_avro")
+    Tables.load(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderstatus", $"o_totalprice", $"o_orderdate")
+      .write.format("gavro").option("compression", "snappy")
+      .mode("overwrite").save(tmp)
+    spark.read.format("gavro").load(tmp)
+      .filter($"o_orderstatus" =!= "P")
+      .groupBy($"o_orderstatus")
+      .agg(
+        sum($"o_totalprice".cast(D2)).cast(DoubleType).as("sum_price"),
+        count(lit(1)).as("n_orders"),
+        max($"o_custkey").as("max_custkey"),
+        max($"o_orderdate").as("max_orderdate"))
+      .orderBy($"o_orderstatus")
+  }
+
+  private val q68Sql =
+    """SELECT o_orderstatus,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n_orders,
+      |  MAX(o_custkey) AS max_custkey,
+      |  MAX(o_orderdate) AS max_orderdate
+      |FROM orders
+      |WHERE o_orderstatus <> 'P'
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q53_agg_pushdown" -> (q53 _),
     "q54_gapfill_ffill" -> (q54 _),
@@ -741,7 +783,8 @@ object Extras3 {
     "q64_native_topk" -> (q64 _),
     "q65_orc_roundtrip" -> (q65 _),
     "q66_xml_roundtrip" -> (q66 _),
-    "q67_topk_sql_rewrite" -> (q67 _))
+    "q67_topk_sql_rewrite" -> (q67 _),
+    "q68_avro_roundtrip" -> (q68 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q53_agg_pushdown" -> q53Sql,
@@ -756,5 +799,6 @@ object Extras3 {
     "q64_native_topk" -> q64Sql,
     "q65_orc_roundtrip" -> q65Sql,
     "q66_xml_roundtrip" -> q66Sql,
-    "q67_topk_sql_rewrite" -> q64Sql) // same contract as q64, SQL route
+    "q67_topk_sql_rewrite" -> q64Sql, // same contract as q64, SQL route
+    "q68_avro_roundtrip" -> q68Sql)
 }
