@@ -30,11 +30,15 @@ import org.apache.spark.sql.types.LongType
   *    partial survivors per key, then emits each key's rows in order
   *    with a `rank` column appended (1-based, dense by construction).
   *
-  * The operator never materializes or sorts a full partition — memory is
-  * O(K · |distinct keys per task|), the same bound a hash aggregate
-  * carries (and like a no-spill hash agg it targets bounded key
-  * cardinality per task; the window form remains the spill-safe
-  * fallback). Results are identical to the `row_number` window whenever
+  * The operator never materializes or sorts a full partition on the
+  * happy path — memory is O(K · |distinct keys per task|), the same
+  * bound a hash aggregate carries — and, like a hash aggregate falling
+  * back to sort-based aggregation, each task carries a heap-memory
+  * budget (`spark.graft.topk.heapBudgetBytes`) past which it switches
+  * to spillable sort-based selection, so a hot key-space degrades to
+  * the window plan's profile instead of OOMing (see
+  * [[TopKPerKeyFinalExec]]). Results are identical to the `row_number`
+  * window whenever
   * the ordering is total per key (ties broken by trailing order
   * columns), which is how every registry consumer already orders.
   */
@@ -64,15 +68,36 @@ object TopKStrategy extends SparkStrategy {
 }
 
 private[plans] object TopKHeaps {
+  /** The memory budget one task's heap map may hold before the phase
+    * stops consuming and falls back (partial: pass-through; final:
+    * spillable sort-based selection). Same flavor of bound a hash
+    * aggregate's fallback-to-sort threshold carries. */
+  val BudgetKey = "spark.graft.topk.heapBudgetBytes"
+  val BudgetDefault: Long = 256L * 1024 * 1024
+
+  /** Estimated retained bytes of one held row (payload + heap/map overhead). */
+  def sizeOf(row: InternalRow): Long = row match {
+    case u: UnsafeRow => u.getSizeInBytes.toLong + 32L
+    case other => 64L + 8L * other.numFields
+  }
+
   /** Consume a partition into a map of K-bounded heaps (head = worst
     * row kept, so admission is an O(1) compare + O(log K) sift).
     *
-    * `probeRows` > 0 enables the adaptive bypass (the partial phase):
-    * after that many rows, if more than 75% were held — i.e. the heaps
-    * are dropping almost nothing — consumption STOPS with the iterator
-    * left at its current position and `true` returned; the caller
-    * chains the held rows with the untouched remainder. 0 (the final
-    * phase) always consumes everything.
+    * Returns `(heaps, stoppedEarly)`. `stoppedEarly = true` means the
+    * iterator was LEFT MID-PARTITION and the caller must handle the
+    * remainder; it happens two ways:
+    *  - adaptive bypass (`probeRows` > 0, the partial phase): after
+    *    that many rows, if more than 75% were held — the heaps are
+    *    dropping almost nothing — heaping is pure overhead;
+    *  - memory budget (`budgetBytes`): the held-row estimate crossed
+    *    the budget, the O(K · |keys per task|) bound this operator
+    *    carries is about to stop being "bounded" — the caller switches
+    *    to its spill-safe path instead of OOMing.
+    * Either way the held rows plus the untouched remainder are a
+    * correctness-preserving superset of every key's true top-k (each
+    * dropped row lost to k better rows of its own key, so it can't be
+    * in any top-k that includes them).
     *
     * Heaps size from a small constant and grow on demand — NEVER from
     * k: a `rn <= 500000000` "keep effectively everything" bound must
@@ -83,7 +108,8 @@ private[plans] object TopKHeaps {
       order: Seq[SortOrder],
       k: Int,
       input: Seq[Attribute],
-      probeRows: Int = 0): (java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]], Boolean) = {
+      probeRows: Int = 0,
+      budgetBytes: Long = Long.MaxValue): (java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]], Boolean) = {
     val keyProj = UnsafeProjection.create(keyExprs, input)
     val ord = RowOrdering.create(order, input)
     val worstFirst = new java.util.Comparator[InternalRow] {
@@ -93,25 +119,31 @@ private[plans] object TopKHeaps {
     val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]
     var rows = 0L
     var held = 0L
-    var bypass = false
-    while (!bypass && iter.hasNext) {
+    var heldBytes = 0L
+    var stop = false
+    while (!stop && iter.hasNext) {
       val row = iter.next()
       val key = keyProj(row)
       var heap = heaps.get(key)
       if (heap == null) {
         heap = new java.util.PriorityQueue[InternalRow](initialCap, worstFirst)
-        heaps.put(key.copy(), heap)
+        val kc = key.copy()
+        heaps.put(kc, heap)
+        heldBytes += sizeOf(kc)
       }
       if (heap.size < k) {
-        heap.add(row.copy()); held += 1
+        val c = row.copy()
+        heap.add(c); held += 1; heldBytes += sizeOf(c)
       } else if (ord.compare(row, heap.peek()) < 0) {
-        heap.poll()
-        heap.add(row.copy())
+        heldBytes -= sizeOf(heap.poll())
+        val c = row.copy()
+        heap.add(c); heldBytes += sizeOf(c)
       }
       rows += 1
-      if (rows == probeRows && held * 4 > rows * 3) bypass = true
+      if ((rows == probeRows && held * 4 > rows * 3) || heldBytes > budgetBytes)
+        stop = true
     }
-    (heaps, bypass)
+    (heaps, stop)
   }
 
   /** Drain one heap best-first (ascending under `order`). */
@@ -152,9 +184,12 @@ case class TopKPerKeyPartialExec(
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] = {
     val (lKeys, lOrder, lK, lIn, probe) = (keys, order, k, child.output, ProbeRows)
+    val budget = conf.getConfString(TopKHeaps.BudgetKey,
+      TopKHeaps.BudgetDefault.toString).toLong
     child.execute().mapPartitions({ iter =>
       val (heaps, bypassed) =
-        TopKHeaps.build(iter, lKeys, lOrder, lK, lIn, probeRows = probe)
+        TopKHeaps.build(iter, lKeys, lOrder, lK, lIn, probeRows = probe,
+          budgetBytes = budget)
       val heldIter = {
         val it = heaps.values().iterator()
         new Iterator[InternalRow] {
@@ -175,7 +210,21 @@ case class TopKPerKeyPartialExec(
 
 /** Reduce-side phase: merge partial survivors per key (the required
   * clustered distribution makes each key whole here), emit rows
-  * best-first with the 1-based `rank` appended. */
+  * best-first with the 1-based `rank` appended.
+  *
+  * SPILL SAFETY: the heap map is O(K · |distinct keys per task|) —
+  * bounded for the shapes this operator targets, but a hot key-space
+  * (or a huge K) can blow it up where the stock window plan would just
+  * spill its sort. So heap building carries a byte budget
+  * (`spark.graft.topk.heapBudgetBytes`, default 256 MB/task); when the
+  * estimate crosses it, the task FALLS BACK to sort-based selection:
+  * everything held so far plus the untouched remainder (a
+  * correctness-preserving superset of each key's top-k) goes through
+  * Spark's spillable `UnsafeExternalRowSorter` ordered by (keys,
+  * order), and a streaming group-limit pass emits ranks 1..k per key —
+  * exactly the window plan's memory profile, reached only when it's
+  * needed. `sortFallbackTasks` in the node's SQL metrics counts how
+  * often. */
 case class TopKPerKeyFinalExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
@@ -187,19 +236,74 @@ case class TopKPerKeyFinalExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
   override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "sortFallbackTasks" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "tasks that fell back to spillable sort"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val (lKeys, lOrder, lK, lIn, lOut) = (keys, order, k, child.output, output)
+    val budget = conf.getConfString(TopKHeaps.BudgetKey,
+      TopKHeaps.BudgetDefault.toString).toLong
+    val fallbacks = longMetric("sortFallbackTasks")
     child.execute().mapPartitions({ iter =>
-      val (heaps, _) = TopKHeaps.build(iter, lKeys, lOrder, lK, lIn)
+      val (heaps, stopped) =
+        TopKHeaps.build(iter, lKeys, lOrder, lK, lIn, budgetBytes = budget)
       val proj = UnsafeProjection.create(lOut, lOut)
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)
       import scala.jdk.CollectionConverters._
-      heaps.values().asScala.iterator.flatMap { heap =>
-        val rows = TopKHeaps.drain(heap, lOrder, lIn)
-        rows.iterator.zipWithIndex.map { case (r, i) =>
-          rankRow.update(0, (i + 1).toLong)
-          proj(joined(r, rankRow))
+      if (!stopped) {
+        heaps.values().asScala.iterator.flatMap { heap =>
+          val rows = TopKHeaps.drain(heap, lOrder, lIn)
+          rows.iterator.zipWithIndex.map { case (r, i) =>
+            rankRow.update(0, (i + 1).toLong)
+            proj(joined(r, rankRow))
+          }
+        }
+      } else {
+        fallbacks += 1
+        // budget exceeded mid-partition: spill-safe selection. Feed the
+        // held superset + the remainder into Spark's external sorter
+        // (keys first so each key's rows are adjacent, then the
+        // requested order within the key), then stream out ranks 1..k.
+        val schema = org.apache.spark.sql.types.StructType(
+          lIn.map(a => org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
+        val fullOrder = lKeys.map(SortOrder(_, Ascending)) ++ lOrder
+        val ordering = RowOrdering.create(fullOrder, lIn)
+        val prefixComputer = new org.apache.spark.sql.execution.UnsafeExternalRowSorter.PrefixComputer {
+          private val result =
+            new org.apache.spark.sql.execution.UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(row: InternalRow)
+              : org.apache.spark.sql.execution.UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+            result.isNull = false; result.value = 0L; result // full-compare sort
+          }
+        }
+        val sorter = org.apache.spark.sql.execution.UnsafeExternalRowSorter.create(
+          schema, ordering,
+          org.apache.spark.util.collection.unsafe.sort.PrefixComparators.LONG,
+          prefixComputer,
+          org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes,
+          false)
+        val toUnsafe = UnsafeProjection.create(lIn, lIn)
+        val heldIter = heaps.values().asScala.iterator.flatMap { h =>
+          new Iterator[InternalRow] {
+            override def hasNext: Boolean = !h.isEmpty
+            override def next(): InternalRow = h.poll()
+          }
+        }
+        val sorted = sorter.sort((heldIter ++ iter).map(r => toUnsafe(r)))
+        val keyProj = UnsafeProjection.create(lKeys, lIn)
+        var curKey: UnsafeRow = null
+        var rank = 0L
+        sorted.flatMap { row =>
+          val key = keyProj(row)
+          if (curKey == null || key != curKey) { curKey = key.copy(); rank = 1L }
+          else rank += 1L
+          if (rank <= lK) {
+            rankRow.update(0, rank)
+            Iterator.single(proj(joined(row, rankRow)))
+          } else Iterator.empty
         }
       }
     }, preservesPartitioning = false)

@@ -45,19 +45,25 @@ import org.apache.spark.util.SerializableConfiguration
   *    same trade the stock Avro reader makes).
   *  - **Overwrite via truncate.** The write builder implements
   *    `SupportsTruncate`, so `.mode("overwrite")` plans as
-  *    OverwriteByExpression(true) and the batch write clears the
-  *    directory on the driver before tasks start.
-  *  - **Task-commit hygiene.** Each task writes
-  *    `part-<split>-<task>.avro`; abort deletes the file, so a retried
-  *    task can't leave a half-written duplicate behind (attempt id is
-  *    part of the name — the winner's commit message lists the file).
+  *    OverwriteByExpression(true); the actual sweep is deferred to job
+  *    commit so a failed overwrite never destroys the prior generation.
+  *  - **Two-phase commit hygiene.** Tasks write
+  *    `part-<split>-<task>.avro` into a hidden `.staging-<uuid>`
+  *    directory (readers skip `_`/`.`-prefixed names at every level);
+  *    the driver's job commit renames winners into place, stamps
+  *    `_SUCCESS`, and drops staging. Task abort deletes the task file,
+  *    job abort deletes the staging dir — a dead job leaves no readable
+  *    partial output.
   *
   * Type surface (both directions, nullable via `union(null, T)`):
   * boolean/int/long/float/double/string/binary, date (int/`date`),
-  * timestamp (long/`timestamp-micros` — Spark's own micros encoding, so
-  * values pass through untouched), and arrays of any supported type.
-  * That covers every column in the test corpus and the common lake
-  * schemas; unsupported types fail loudly at planning time.
+  * timestamp (long/`timestamp-micros`), timestamp_ntz
+  * (long/`local-timestamp-micros` — what Spark 4 reads for parquet
+  * `isAdjustedToUTC=0` columns like the corpus' `o_orderdate`; both are
+  * Spark's own micros encoding so values pass through untouched), and
+  * arrays of any supported type. That covers every column in the test
+  * corpus and the common lake schemas; unsupported types fail loudly at
+  * planning time.
   *
   * Usage: `spark.read.format("gavro").load(dir)` /
   * `df.write.format("gavro").option("compression","snappy").save(dir)`
@@ -199,32 +205,56 @@ private[sources] class AvroWriteBuilder(schema: StructType,
 
 private[sources] case class AvroCommit(path: String) extends WriterCommitMessage
 
+/** Two-phase job commit: tasks write into a hidden per-job staging
+  * directory (`.staging-<uuid>` — invisible to `AvroIo.listFiles`); the
+  * driver's `commit` applies truncate, renames the winners into the
+  * final directory, stamps `_SUCCESS`, and removes staging. A job that
+  * dies mid-flight therefore leaves the previous contents readable and
+  * untouched — `abort` just drops the staging dir. */
 private[sources] class AvroBatchWrite(schema: StructType,
     options: CaseInsensitiveStringMap, truncate: Boolean) extends BatchWrite {
   private val dir = AvroIo.paths(options).head
   private val compression = Option(options.get("compression")).getOrElse("snappy")
+  private val stagingName = s".staging-${java.util.UUID.randomUUID()}"
+
+  private def fsAndPaths() = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(dir)
+    (p.getFileSystem(conf), p, new Path(p, stagingName))
+  }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
-    val p = new Path(dir)
-    val fs = p.getFileSystem(conf)
-    if (truncate && fs.exists(p)) {
-      fs.listStatus(p).foreach(st => fs.delete(st.getPath, true))
-    }
-    fs.mkdirs(p)
+    val (fs, _, staging) = fsAndPaths()
+    fs.mkdirs(staging)
     // fail on unsupported schema at PLAN time, on the driver
     AvroIo.toAvro(schema)
-    new AvroWriterFactory(schema, dir, compression, new SerializableConfiguration(conf))
+    new AvroWriterFactory(schema, staging.toString, compression,
+      new SerializableConfiguration(conf))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    val p = new Path(dir, "_SUCCESS")
-    val fs = p.getFileSystem(conf)
-    val out = fs.create(p, true); out.close()
+    val (fs, root, staging) = fsAndPaths()
+    if (truncate) {
+      // truncate is deferred to COMMIT so a failed overwrite job can't
+      // destroy the previous generation; the staging dir survives the sweep
+      fs.listStatus(root)
+        .filterNot(_.getPath.getName == stagingName)
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+    messages.foreach { case AvroCommit(path) =>
+      val src = new Path(path)
+      fs.rename(src, new Path(root, src.getName))
+    }
+    fs.delete(staging, true)
+    val out = fs.create(new Path(root, "_SUCCESS"), true); out.close()
   }
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val (fs, _, staging) = fsAndPaths()
+    fs.delete(staging, true); ()
+  }
 }
 
 private[sources] class AvroWriterFactory(schema: StructType, dir: String,
@@ -288,9 +318,24 @@ private[sources] object AvroIo {
       val fs = path.getFileSystem(conf)
       if (!fs.exists(path)) Nil
       else if (fs.getFileStatus(path).isFile) Seq(fs.getFileStatus(path))
-      else fs.listStatus(path).filter(st =>
-        st.isFile && st.getPath.getName.endsWith(".avro")).toSeq
+      else walk(fs, path)
     }.sortBy(_.getPath.toString)
+
+  /** Recursive listing with the standard Hadoop hygiene rule: names
+    * starting with `_` or `.` (metadata, in-flight staging dirs) are
+    * invisible to readers at every level. */
+  private def walk(fs: org.apache.hadoop.fs.FileSystem, dir: Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(dir).toSeq
+      .filterNot { st =>
+        val n = st.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+      .flatMap { st =>
+        if (st.isDirectory) walk(fs, st.getPath)
+        else if (st.getPath.getName.endsWith(".avro")) Seq(st)
+        else Nil
+      }
 
   /** Avro container (writer) schema → Catalyst. Unions other than
     * `[null, T]` and nested records are out of surface — fail loudly. */
@@ -314,6 +359,7 @@ private[sources] object AvroIo {
       else (IntegerType, false)
     case ASchema.Type.LONG =>
       if (s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMicros]) (TimestampType, false)
+      else if (s.getLogicalType.isInstanceOf[LogicalTypes.LocalTimestampMicros]) (TimestampNTZType, false)
       else (LongType, false)
     case ASchema.Type.FLOAT => (FloatType, false)
     case ASchema.Type.DOUBLE => (DoubleType, false)
@@ -351,6 +397,11 @@ private[sources] object AvroIo {
       // Spark's InternalRow already stores micros-since-epoch longs, so
       // timestamp-micros round-trips without arithmetic
       LogicalTypes.timestampMicros().addToSchema(ASchema.create(ASchema.Type.LONG))
+    case TimestampNTZType =>
+      // parquet isAdjustedToUTC=0 columns (e.g. the corpus' o_orderdate)
+      // surface as NTZ in Spark 4; Avro's local-timestamp-micros is the
+      // matching zone-less logical type — same micros-long passthrough
+      LogicalTypes.localTimestampMicros().addToSchema(ASchema.create(ASchema.Type.LONG))
     case ArrayType(et, containsNull) =>
       val elem = if (containsNull)
         ASchema.createUnion(ASchema.create(ASchema.Type.NULL), avroType(et))
@@ -425,7 +476,7 @@ private[sources] object RowToAvro {
   def accessor(dt: DataType): (InternalRow, Int) => Any = dt match {
     case BooleanType => (r, i) => java.lang.Boolean.valueOf(r.getBoolean(i))
     case IntegerType | DateType => (r, i) => java.lang.Integer.valueOf(r.getInt(i))
-    case LongType | TimestampType => (r, i) => java.lang.Long.valueOf(r.getLong(i))
+    case LongType | TimestampType | TimestampNTZType => (r, i) => java.lang.Long.valueOf(r.getLong(i))
     case FloatType => (r, i) => java.lang.Float.valueOf(r.getFloat(i))
     case DoubleType => (r, i) => java.lang.Double.valueOf(r.getDouble(i))
     case StringType => (r, i) => r.getUTF8String(i).toString
@@ -448,7 +499,7 @@ private[sources] object RowToAvro {
       : (org.apache.spark.sql.catalyst.util.ArrayData, Int) => Any = dt match {
     case BooleanType => (a, j) => java.lang.Boolean.valueOf(a.getBoolean(j))
     case IntegerType | DateType => (a, j) => java.lang.Integer.valueOf(a.getInt(j))
-    case LongType | TimestampType => (a, j) => java.lang.Long.valueOf(a.getLong(j))
+    case LongType | TimestampType | TimestampNTZType => (a, j) => java.lang.Long.valueOf(a.getLong(j))
     case FloatType => (a, j) => java.lang.Float.valueOf(a.getFloat(j))
     case DoubleType => (a, j) => java.lang.Double.valueOf(a.getDouble(j))
     case StringType => (a, j) => a.getUTF8String(j).toString

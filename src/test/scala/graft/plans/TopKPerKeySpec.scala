@@ -106,6 +106,73 @@ class TopKPerKeySpec extends SparkSpec {
       s"partial did not bound the shuffle: $metrics rows crossed")
   }
 
+  /** Find every TopKPerKeyFinalExec in an executed plan, walking AQE
+    * query-stage leaves like [[shuffleRecords]] does. */
+  private def finalExecs(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[TopKPerKeyFinalExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      finalExecs(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      finalExecs(s.plan)
+    case f: TopKPerKeyFinalExec => f +: f.children.flatMap(finalExecs)
+    case other => other.children.flatMap(finalExecs)
+  }
+
+  test("heap budget exceeded: final phase spills to sort-based selection, result-identical") {
+    import spark.implicits._
+    // 40k rows over 8k keys, k=5 — every row is held (5 rows/key), so a
+    // 64 KB budget is crossed early in every task: this is exactly the
+    // hot-key-space shape that would OOM an unbounded heap map at scale.
+    // Hash the key so sort order != generation order exercises the sort.
+    spark.conf.set(TopKWindowRewrite.EnabledKey, "false")
+    spark.conf.set(TopKHeaps.BudgetKey, "65536")
+    try {
+      val df = spark.range(0, 40000, 1, 4)
+        .select(($"id" % 8000).cast("string").as("g"),
+          (hash($"id").cast("long")).as("x"), $"id")
+      val native = GraftPlans.topKPerKey(df.toDF(), Seq("g"),
+        Seq(("x", false), ("id", true)), 5)
+      assert(native.collect().length == 40000)
+      val execs = finalExecs(native.queryExecution.executedPlan)
+      assert(execs.nonEmpty, "no TopKPerKeyFinalExec in the executed plan")
+      val fallbacks = execs.map(_.metrics("sortFallbackTasks").value).sum
+      assert(fallbacks > 0,
+        s"expected the 64 KB budget to force the sort fallback; metric=$fallbacks")
+      // value identity vs the stock window plan, same data
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"x".desc, $"id".asc)
+      val win = df.withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 5)
+        .select(native.columns.map(col).toIndexedSeq: _*)
+      assert(native.except(win).isEmpty && win.except(native).isEmpty,
+        "sort-fallback path disagrees with the window plan")
+    } finally {
+      spark.conf.unset(TopKHeaps.BudgetKey)
+      spark.conf.unset(TopKWindowRewrite.EnabledKey)
+    }
+  }
+
+  test("heap budget exceeded mid-selection: dropped rows stay dropped, ranks exact") {
+    import spark.implicits._
+    // few keys, many rows/key (2000 rows over 4 keys, k=3): the heaps
+    // DROP most rows before a tiny budget stops consumption, proving the
+    // fallback's input (held superset + remainder) still selects the
+    // true top-k with exact ranks.
+    spark.conf.set(TopKHeaps.BudgetKey, "512")
+    try {
+      val df = spark.range(0, 2000, 1, 4)
+        .select(($"id" % 4).as("g"), $"id".as("x"))
+      val got = GraftPlans.topKPerKey(df.toDF(), Seq("g"), Seq(("x", false)), 3)
+        .orderBy($"g", $"rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val want = (0L until 4L).flatMap { g =>
+        val top = (0L until 2000L).filter(_ % 4 == g).sortBy(-_).take(3)
+        top.zipWithIndex.map { case (x, i) => (g, x, i + 1L) }
+      }
+      assert(got.toSeq == want, s"got ${got.toSeq}")
+    } finally spark.conf.unset(TopKHeaps.BudgetKey)
+  }
+
   test("adaptive partial bypass: low rows-per-key stays correct (and shuffles through)") {
     import spark.implicits._
     // 4 partitions x 5k rows over 10k keys (2 rows/key, k=3): each

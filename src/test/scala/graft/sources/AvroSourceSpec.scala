@@ -129,4 +129,63 @@ class AvroSourceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("unsupported"), e.getMessage)
   }
+
+  test("TimestampNTZ round-trips via local-timestamp-micros") {
+    import spark.implicits._
+    val dir = tmp("avro_ntz")
+    val df = spark.range(3).select($"id",
+      to_timestamp_ntz(lit("2024-02-29 23:59:59.123456")).as("ntz"),
+      array(to_timestamp_ntz(lit("1969-12-31 23:59:59.999999"))).as("ntz_arr"))
+    df.write.format("gavro").mode("overwrite").save(dir)
+    val back = spark.read.format("gavro").load(dir)
+    assert(back.schema("ntz").dataType === TimestampNTZType)
+    assert(back.schema("ntz_arr").dataType ===
+      ArrayType(TimestampNTZType, containsNull = true))
+    assert(back.orderBy("id").collect().map(normalize).toSeq ===
+      df.orderBy("id").collect().map(normalize).toSeq)
+  }
+
+  test("corpus orders table (NTZ o_orderdate) round-trips value-exact") {
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"o_orderdate")
+    // the corpus' parquet is isAdjustedToUTC=0 → Spark 4 reads NTZ; this
+    // is exactly the column that crashed the r11 connector at plan time
+    assert(orders.schema("o_orderdate").dataType === TimestampNTZType)
+    val dir = tmp("avro_orders")
+    orders.write.format("gavro").mode("overwrite").save(dir)
+    val back = spark.read.format("gavro").load(dir)
+    assert(back.count() === orders.count())
+    val a = orders.orderBy("o_orderkey").limit(50).collect().map(normalize)
+    val b = back.orderBy("o_orderkey").limit(50).collect().map(normalize)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("a failed overwrite leaves the previous generation readable") {
+    import spark.implicits._
+    val dir = tmp("avro_abort")
+    spark.range(10).write.format("gavro").mode("overwrite").save(dir)
+    val boom = udf((id: Long) =>
+      if (id >= 3) throw new RuntimeException("boom") else id)
+    intercept[Exception] {
+      spark.range(5).select(boom($"id").as("id")).coalesce(1)
+        .write.format("gavro").mode("overwrite").save(dir)
+    }
+    // truncate is deferred to commit and staging is swept on abort:
+    // the old 10 rows survive and no partial/staging files are visible
+    assert(spark.read.format("gavro").load(dir).count() === 10)
+    val left = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!left.exists(_.startsWith(".staging-")), left.mkString(","))
+  }
+
+  test("nested directory layouts read recursively, skipping _/. names") {
+    import spark.implicits._
+    val root = tmp("avro_nested")
+    spark.range(4).write.format("gavro").mode("overwrite").save(s"$root/a")
+    spark.range(6).write.format("gavro").mode("overwrite").save(s"$root/b/c")
+    new java.io.File(s"$root/_hidden").mkdirs()
+    spark.range(99).write.format("gavro").mode("overwrite")
+      .save(s"$root/_hidden/x") // metadata-prefixed: must be invisible
+    assert(spark.read.format("gavro").load(root).count() === 10)
+  }
 }
