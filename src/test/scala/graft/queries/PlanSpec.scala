@@ -43,6 +43,31 @@ class PlanSpec extends SparkSpec {
       s"star join regressed to a shuffle join:\n$plan")
   }
 
+  test("q04 at-scale strategy: big-big joins shuffle, only fixed dims stay hinted") {
+    // The intended 100 TB plan (r11 advice item 5): when the filtered
+    // orders/customer sides outgrow the broadcast threshold — simulated
+    // by turning auto-broadcast off — lineitem⋈orders and ⋈customer must
+    // degrade to shuffle joins while the EXPLICIT hints keep exactly the
+    // fixed-cardinality nation (25) and region (5) broadcast. The r12
+    // diagnosis (tools/Q04Diag, SURVEY §6) showed no crossover happens
+    // at sf1 itself (AQE still broadcasts the filtered orders), so this
+    // conf-forced regime is where the at-scale shape is assertable.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Relational.q04(spark, sf)
+      val plan = executed(df)
+      assert("BroadcastHashJoin".r.findAllIn(plan).size == 2,
+        s"expected exactly the hinted nation+region broadcasts:\n$plan")
+      assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size == 2,
+        s"lineitem-orders and orders-customer must be shuffle joins:\n$plan")
+      val atScale = df.collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      val default = Relational.q04(spark, sf).collect().map(_.toString).sorted.toSeq
+      assert(atScale == default, "at-scale plan changed q04's results")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q21 supplier arm joins without a forced broadcast hint") {
     val plan = executed(Relational.q21(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan) // via threshold at this SF
