@@ -146,12 +146,12 @@ private[plans] object TopKHeaps {
     (heaps, stop)
   }
 
-  /** Drain one heap best-first (ascending under `order`). */
-  def drain(
-      heap: java.util.PriorityQueue[InternalRow],
-      order: Seq[SortOrder],
-      input: Seq[Attribute]): Array[InternalRow] = {
-    val ord = RowOrdering.create(order, input)
+  /** Drain one heap best-first (ascending under `order`): the queue is
+    * worst-first, so polling fills the array back-to-front. Runs once
+    * PER KEY — must stay allocation-light (an earlier version created
+    * an unused RowOrdering here; per-key codegen-cache lookups were the
+    * bulk of the final phase's 4× loss on low-rows-per-key shapes). */
+  def drain(heap: java.util.PriorityQueue[InternalRow]): Array[InternalRow] = {
     val arr = new Array[InternalRow](heap.size)
     var i = arr.length - 1
     while (i >= 0) { arr(i) = heap.poll(); i -= 1 } // worst drains first
@@ -255,7 +255,7 @@ case class TopKPerKeyFinalExec(
       import scala.jdk.CollectionConverters._
       if (!stopped) {
         heaps.values().asScala.iterator.flatMap { heap =>
-          val rows = TopKHeaps.drain(heap, lOrder, lIn)
+          val rows = TopKHeaps.drain(heap)
           rows.iterator.zipWithIndex.map { case (r, i) =>
             rankRow.update(0, (i + 1).toLong)
             proj(joined(r, rankRow))

@@ -35,25 +35,30 @@ import org.apache.spark.sql.types.IntegerType
   * to the original int row_number attribute under its exprId. */
 object TopKWindowRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** Opt-in runtime conf, DEFAULT OFF — a measured decision, not
-    * caution theater: on high-rows-per-key shapes (ANN candidate sets,
-    * ~hundreds of rows per key) the heap operator wins, but on
-    * low-rows-per-key shapes (top-3 orders per customer, ~15 rows/key
-    * at sf0.1) the rewritten plan measured 4-7× SLOWER than Spark's
-    * sort + WindowGroupLimit — per-key queue maps cost more than they
-    * save when the shuffle barely shrinks — and the optimizer has no
-    * reliable rows-per-key estimate to gate on (CBO column stats are
-    * absent on plain parquet reads). The adaptive partial bypass caps
-    * the damage but the final phase still pays. So: sessions that know
-    * their shape turn it on; the library's own heavy-shape consumers
-    * use the explicit topKPerKey API, which is always the heap. */
+  /** Runtime conf, DEFAULT ON since r12. The rewrite was opt-in for two
+    * rounds on an r10 measurement: low-rows-per-key shapes (top-3
+    * orders/customer, ~10 rows/key) ran 4-7× SLOWER through the heap
+    * operator than Spark's sort + WindowGroupLimit. r12 root-caused
+    * that loss to a defect, not the design: `TopKHeaps.drain` created
+    * an (unused!) RowOrdering PER KEY, a codegen-cache lookup +
+    * instantiation for every distinct key in the final phase. With the
+    * per-key allocation removed, `tools/TopKDiag` (median-of-5 at
+    * sf0.1) has the heap operator FASTER on every shape including the
+    * one that motivated opt-in: ~10 rows/key 0.159 s vs 0.230 stock
+    * (1.4×), ~60 rows/key 0.201 vs 0.707 (3.5×), ~100 rows/key 0.129
+    * vs 0.157 (1.2×). The remaining pathological inputs are guarded
+    * structurally: huge K refuses the rewrite ([[MaxRewriteK]]), hot
+    * key-spaces fall back to spillable sort-based selection inside the
+    * operator (spark.graft.topk.heapBudgetBytes), and the adaptive
+    * partial bypass keeps the map side near-free when the shuffle
+    * wouldn't shrink. Set "false" to pin the stock window plan. */
   val EnabledKey = "spark.graft.topkRewrite"
 
   /** Rank bounds above this keep the stock window plan (see rewrite()). */
   val MaxRewriteK = 1 << 20
 
   def apply(plan: LogicalPlan): LogicalPlan =
-    if (conf.getConfString(EnabledKey, "false") != "true") plan
+    if (conf.getConfString(EnabledKey, "true") != "true") plan
     else plan.transformUp {
       case f @ Filter(cond, w: Window) =>
         rewrite(cond, w).getOrElse(f)

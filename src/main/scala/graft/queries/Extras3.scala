@@ -614,14 +614,15 @@ object Extras3 {
     graft.plans.GraftPlans.install(spark)
     Tables.load(spark, dir, "lineitem")
       .createOrReplaceTempView("q67_lineitem")
-    // the rewrite is opt-in (default off — measured 4-7x slower than
-    // sort+WindowGroupLimit on LOW-rows-per-key shapes; see
-    // TopKWindowRewrite). Scope the conf and materialize inside it
+    // the rewrite is DEFAULT ON since r12 (the r10 "4-7x slower"
+    // measurement was a per-key allocation bug in drain, since fixed —
+    // see TopKWindowRewrite). The conf is still pinned "true" here so
+    // this registry row keeps demonstrating the rewrite even if a
+    // session turned it off. Scope the conf and materialize inside it
     // (the q53 pattern: plans read confs lazily, and a later
     // df.write would re-plan outside the scope). Bounded collect:
     // 3 rows per supplier — a demonstration row, like q53's one-row
-    // pushdown collect; the production path is the conf or the
-    // explicit topKPerKey API.
+    // pushdown collect.
     val key = graft.plans.TopKWindowRewrite.EnabledKey
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")

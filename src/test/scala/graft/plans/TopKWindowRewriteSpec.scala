@@ -35,10 +35,40 @@ class TopKWindowRewriteSpec extends SparkSpec {
     Tables.load(spark, sf, "lineitem")
       .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
       .createOrReplaceTempView("rw_li")
-    // the rewrite is OPT-IN (default off — see TopKWindowRewrite's
-    // measured rationale); these tests exercise the enabled path
+    // DEFAULT ON since r12 (see TopKWindowRewrite's measured rationale);
+    // pinned explicitly so these tests stay meaningful under any session
     spark.conf.set(TopKWindowRewrite.EnabledKey, "true")
     try body finally spark.conf.unset(TopKWindowRewrite.EnabledKey)
+  }
+
+  test("the rewrite is DEFAULT ON: an unset conf takes the heap path") {
+    GraftPlans.install(spark)
+    Tables.load(spark, sf, "lineitem")
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+      .createOrReplaceTempView("rw_li_dflt")
+    val prev = spark.conf.getOption(TopKWindowRewrite.EnabledKey)
+    spark.conf.unset(TopKWindowRewrite.EnabledKey)
+    try {
+      val df = spark.sql(
+        """SELECT l_suppkey, rn FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY l_suppkey
+          |    ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn
+          |  FROM rw_li_dflt) WHERE rn <= 3""".stripMargin)
+      assert(plan(df).contains("TopKPerKeyFinal"),
+        s"rewrite must fire with no conf set (default-on):\n${plan(df)}")
+      // and "false" remains the escape hatch to the stock plan
+      spark.conf.set(TopKWindowRewrite.EnabledKey, "false")
+      val off = spark.sql(
+        """SELECT l_suppkey, rn FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY l_suppkey
+          |    ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn
+          |  FROM rw_li_dflt) WHERE rn <= 3""".stripMargin)
+      assert(!plan(off).contains("TopKPerKeyFinal"),
+        "conf=false must pin the stock window plan")
+    } finally prev match {
+      case Some(v) => spark.conf.set(TopKWindowRewrite.EnabledKey, v)
+      case None => spark.conf.unset(TopKWindowRewrite.EnabledKey)
+    }
   }
 
   test("row_number <= k rewrites to the heap operator with identical rows") {
