@@ -102,9 +102,250 @@ object Pipeline {
        |LEFT JOIN dstats d ON i.source = d.source
        |ORDER BY i.source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // p02: INCREMENTAL corpus ingest — the production loop at 100 TB:
+  // the standing corpus is indexed ONCE (between ingests the index
+  // lives materialized / on the checkpoint FS), and each delta batch is
+  // probed against it through the full admission chain:
+  //   benchmark-membership → d07 near-dup probe → t18 decontamination
+  //   → t09 quality gate → t14 sequence packing,
+  // emitting one per-source ingest report. Every stage is the registry
+  // op's own logic, and the corpus-sized work all lives in the index
+  // build — the incremental DAG's cost tracks the DELTA: the probe
+  // join shuffles delta shingles into the index's layout, the
+  // benchmark fp index broadcasts, the gate is a narrow map over delta
+  // rows only (t09On — NOT a rescan of the corpus), and packing
+  // windows over admitted delta rows per source. `P02IndexSpec`
+  // asserts the incremental plan scans the materialized index
+  // (ExistingRDD) and never re-filters the corpus side.
+  // ---------------------------------------------------------------------
+
+  /** The standing indexes a production ingest keeps between deltas:
+    * built from the non-delta corpus once, all frames materialized
+    * (checkpoint-FS-aware via [[Materialize]]). */
+  final case class StandingIndex(
+      hotShingles: DataFrame, // (w) stop-shingles, df > Dedup.DfCap
+      shingleIdx: DataFrame,  // (doc_id, w) df-capped inverted index (d07's idxC)
+      rareFp: DataFrame,      // (m) winnow fps with standing df <= DcDfCap
+      benchFp: DataFrame)     // (bench_id, m) rare fps of held-out docs
+
+  /** Build the standing index from the corpus side (doc_id % 10 != 0;
+    * the held-out benchmark inside it is doc_id % 11 == 0, t18's
+    * convention). The df-cap statistics are computed HERE, from corpus
+    * data — the delta is filtered by index metadata, exactly like d07. */
+  def p02Index(spark: SparkSession, dir: String): StandingIndex = {
+    import spark.implicits._
+    val standing = Tables.load(spark, dir, "documents")
+      .filter($"doc_id" % 10 =!= 0)
+    val sh = standing
+      .select($"doc_id", explode(Dedup.shingles(spark, $"text")).as("w"))
+      .materialize
+    val hot = sh.groupBy($"w").agg(count(lit(1)).as("df"))
+      .filter($"df" > Dedup.DfCap).select($"w").materialize
+    val shingleIdx = sh.join(hot, Seq("w"), "left_anti").materialize
+    val fps = standing.filter(length($"text") >= 8)
+      .select($"doc_id",
+        explode(graft.functions.TextKernels.winnowFpSampleCol(
+          spark, lower($"text"), 1, 0)).as("m"))
+      .materialize
+    val rareFp = fps.groupBy($"m").agg(count(lit(1)).as("df"))
+      .filter($"df" <= TextOps.DcDfCap).select($"m").materialize
+    val benchFp = fps.filter($"doc_id" % 11 === 0)
+      .join(rareFp, Seq("m"), "left_semi")
+      .select($"doc_id".as("bench_id"), $"m").materialize
+    StandingIndex(hot, shingleIdx, rareFp, benchFp)
+  }
+
+  /** One delta ingest against a prebuilt [[StandingIndex]]: per-source
+    * admission report. Stages are sequential-exclusive — a doc is
+    * counted at the FIRST stage that rejects it. */
+  def p02Incremental(spark: SparkSession, dir: String,
+      idx: StandingIndex): DataFrame = {
+    import spark.implicits._
+    val delta = Tables.load(spark, dir, "documents")
+      .filter($"doc_id" % 10 === 0)
+
+    // d07 probe: delta shingles (index-metadata-capped) vs the standing
+    // inverted index; duplicate = any corpus doc at Jaccard >= 0.8
+    val idxN = delta
+      .select($"doc_id", explode(Dedup.shingles(spark, $"text")).as("w"))
+      .join(idx.hotShingles, Seq("w"), "left_anti")
+      .materialize
+    val sizeN = idxN.groupBy($"doc_id".as("new_id")).agg(count(lit(1)).as("nn"))
+    val sizeC = idx.shingleIdx.groupBy($"doc_id".as("corpus_id"))
+      .agg(count(lit(1)).as("nc"))
+    val inter = idxN.as("a").join(idx.shingleIdx.as("b"), $"a.w" === $"b.w")
+      .groupBy($"a.doc_id".as("new_id"), $"b.doc_id".as("corpus_id"))
+      .agg(count(lit(1)).as("c"))
+    val dup = inter.join(sizeN, Seq("new_id")).join(sizeC, Seq("corpus_id"))
+      .filter($"c".cast(DoubleType) / ($"nn" + $"nc" - $"c") >= 0.8)
+      .select($"new_id").distinct()
+
+    // t18 probe: delta winnow fps (rare per index stats) vs the
+    // broadcast benchmark fp index; contaminated = containment >= 0.5
+    val fpN = delta.filter(length($"text") >= 8)
+      .select($"doc_id",
+        explode(graft.functions.TextKernels.winnowFpSampleCol(
+          spark, lower($"text"), 1, 0)).as("m"))
+      .join(idx.rareFp, Seq("m"), "left_semi")
+      .materialize
+    val szN = fpN.groupBy($"doc_id").agg(count(lit(1)).as("n_fp"))
+    val sharedN = fpN.join(broadcast(idx.benchFp), Seq("m"))
+      .groupBy($"doc_id").agg(countDistinct($"m").as("n_shared"))
+    val contam = szN.join(sharedN, Seq("doc_id"))
+      .filter($"n_fp" > 0 &&
+        $"n_shared".cast(DoubleType) / $"n_fp" >= TextOps.DcMinContainment)
+      .select($"doc_id")
+
+    // t09 gate over the DELTA ONLY (t09On: per-row, no corpus rescan)
+    val gate = TextOps.t09On(delta).select($"doc_id", $"n_tokens", $"keep")
+
+    // per-doc verdict, stage-exclusive
+    val verdict = delta.select($"doc_id", $"source")
+      .join(gate, Seq("doc_id"))
+      .join(dup.withColumn("d", lit(true)),
+        $"doc_id" === $"new_id", "left_outer")
+      .join(contam.withColumnRenamed("doc_id", "cid").withColumn("ct", lit(true)),
+        $"doc_id" === $"cid", "left_outer")
+      .select($"doc_id", $"source", $"n_tokens",
+        ($"doc_id" % 11 === 0).as("is_bench"),
+        coalesce($"d", lit(false)).as("is_dup"),
+        coalesce($"ct", lit(false)).as("is_contam"),
+        $"keep")
+      .withColumn("admitted",
+        !$"is_bench" && !$"is_dup" && !$"is_contam" && $"keep")
+
+    // t14 pack over the admitted docs, per source
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val pack = verdict.filter($"admitted")
+      .withColumn("cum", sum($"n_tokens".cast(LongType)).over(w))
+      .groupBy($"source")
+      .agg(sum($"n_tokens".cast(LongType)).as("total_tokens"),
+        ((max($"cum") + lit(PackLen - 1)) / lit(PackLen)).cast(LongType).as("n_seqs"),
+        when(max($"cum") > 0, (max($"cum") - 1) % PackLen + 1)
+          .otherwise(0L).as("last_seq_fill"))
+
+    verdict.groupBy($"source")
+      .agg(count(lit(1)).as("n_delta"),
+        sum(when($"is_bench", 1L).otherwise(0L)).as("n_bench_member"),
+        sum(when(!$"is_bench" && $"is_dup", 1L).otherwise(0L)).as("n_dup"),
+        sum(when(!$"is_bench" && !$"is_dup" && $"is_contam", 1L).otherwise(0L))
+          .as("n_contaminated"),
+        sum(when(!$"is_bench" && !$"is_dup" && !$"is_contam" && !$"keep", 1L)
+          .otherwise(0L)).as("n_quality_drop"),
+        sum(when($"admitted", 1L).otherwise(0L)).as("n_admitted"))
+      .join(pack, Seq("source"), "left_outer")
+      .select($"source", $"n_delta", $"n_bench_member", $"n_dup",
+        $"n_contaminated", $"n_quality_drop", $"n_admitted",
+        coalesce($"total_tokens", lit(0L)).as("total_tokens"),
+        coalesce($"n_seqs", lit(0L)).as("n_seqs"),
+        coalesce($"last_seq_fill", lit(0L)).as("last_seq_fill"))
+      .orderBy($"source")
+  }
+
+  def p02(spark: SparkSession, dir: String): DataFrame =
+    p02Incremental(spark, dir, p02Index(spark, dir))
+
+  private def p02Sql: String = {
+    val shingleList =
+      "list_distinct([L[i] || ' ' || L[i+1] || ' ' || L[i+2] for i in range(1, len(L)-1)])"
+    val tokenized =
+      "SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS L"
+    s"""WITH ${TextOps.t09QualityCtes},
+       |${TextOps.winnowFpCtes},
+       |delta AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 10 = 0),
+       |tokC AS (
+       |  SELECT doc_id, unnest($shingleList) AS w
+       |  FROM ($tokenized FROM documents WHERE doc_id % 10 <> 0)
+       |  WHERE len(L) >= 3),
+       |tokN AS (
+       |  SELECT doc_id, unnest($shingleList) AS w
+       |  FROM ($tokenized FROM delta) WHERE len(L) >= 3),
+       |hot AS (SELECT w FROM tokC GROUP BY w HAVING COUNT(*) > ${Dedup.DfCap}),
+       |idxC AS (SELECT doc_id, w FROM tokC ANTI JOIN hot USING (w)),
+       |idxN AS (SELECT doc_id, w FROM tokN ANTI JOIN hot USING (w)),
+       |sizeC AS (SELECT doc_id AS corpus_id, COUNT(*) AS nc FROM idxC GROUP BY 1),
+       |sizeN AS (SELECT doc_id AS new_id, COUNT(*) AS nn FROM idxN GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS c
+       |  FROM idxN a JOIN idxC b ON a.w = b.w GROUP BY 1, 2),
+       |dup AS (
+       |  SELECT DISTINCT new_id
+       |  FROM inter JOIN sizeN USING (new_id) JOIN sizeC USING (corpus_id)
+       |  WHERE CAST(c AS DOUBLE) / (nn + nc - c) >= 0.8),
+       |standingfp AS (SELECT doc_id, m FROM wf0 WHERE doc_id % 10 <> 0),
+       |rare AS (SELECT m FROM standingfp GROUP BY m
+       |  HAVING COUNT(*) <= ${TextOps.DcDfCap}),
+       |benchfp AS (
+       |  SELECT doc_id AS bench_id, m FROM standingfp SEMI JOIN rare USING (m)
+       |  WHERE doc_id % 11 = 0),
+       |deltafp AS (
+       |  SELECT doc_id, m FROM wf0 SEMI JOIN rare USING (m)
+       |  WHERE doc_id % 10 = 0),
+       |szn AS (SELECT doc_id, COUNT(*) AS n_fp FROM deltafp GROUP BY 1),
+       |sharedn AS (
+       |  SELECT d.doc_id, COUNT(DISTINCT d.m) AS n_shared
+       |  FROM deltafp d JOIN benchfp b ON d.m = b.m GROUP BY 1),
+       |contam AS (
+       |  SELECT doc_id FROM szn JOIN sharedn USING (doc_id)
+       |  WHERE n_fp > 0
+       |    AND CAST(n_shared AS DOUBLE) / n_fp >= ${TextOps.DcMinContainment}),
+       |verdict AS (
+       |  SELECT dl.doc_id, dl.source, f.n_tokens,
+       |    (dl.doc_id % 11 = 0) AS is_bench,
+       |    (dp.new_id IS NOT NULL) AS is_dup,
+       |    (ct.doc_id IS NOT NULL) AS is_contam,
+       |    (${TextOps.t09KeepSql}) AS keep
+       |  FROM delta dl
+       |  JOIN frac f ON dl.doc_id = f.doc_id
+       |  LEFT JOIN dup dp ON dl.doc_id = dp.new_id
+       |  LEFT JOIN contam ct ON dl.doc_id = ct.doc_id),
+       |admitted AS (
+       |  SELECT doc_id, source, n_tokens FROM verdict
+       |  WHERE NOT is_bench AND NOT is_dup AND NOT is_contam AND keep),
+       |cums AS (
+       |  SELECT source, n_tokens,
+       |    SUM(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY source
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM admitted),
+       |pack AS (
+       |  SELECT source,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST((MAX(cum) + ${PackLen - 1}) // $PackLen AS BIGINT) AS n_seqs,
+       |    CAST(CASE WHEN MAX(cum) > 0 THEN (MAX(cum) - 1) % $PackLen + 1
+       |      ELSE 0 END AS BIGINT) AS last_seq_fill
+       |  FROM cums GROUP BY source),
+       |stats AS (
+       |  SELECT source, COUNT(*) AS n_delta,
+       |    CAST(SUM(CASE WHEN is_bench THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_bench_member,
+       |    CAST(SUM(CASE WHEN NOT is_bench AND is_dup THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_dup,
+       |    CAST(SUM(CASE WHEN NOT is_bench AND NOT is_dup AND is_contam
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |    CAST(SUM(CASE WHEN NOT is_bench AND NOT is_dup AND NOT is_contam
+       |      AND NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_drop,
+       |    CAST(SUM(CASE WHEN NOT is_bench AND NOT is_dup AND NOT is_contam
+       |      AND keep THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+       |  FROM verdict GROUP BY source)
+       |SELECT s.source, s.n_delta, s.n_bench_member, s.n_dup,
+       |  s.n_contaminated, s.n_quality_drop, s.n_admitted,
+       |  COALESCE(p.total_tokens, 0) AS total_tokens,
+       |  COALESCE(p.n_seqs, 0) AS n_seqs,
+       |  COALESCE(p.last_seq_fill, 0) AS last_seq_fill
+       |FROM stats s LEFT JOIN pack p USING (source)
+       |ORDER BY s.source""".stripMargin
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
-    "p01_corpus_pipeline" -> (p01 _))
+    "p01_corpus_pipeline" -> (p01 _),
+    "p02_incremental_ingest" -> (p02 _))
 
   val oracle: ListMap[String, String] = ListMap(
-    "p01_corpus_pipeline" -> p01Sql)
+    "p01_corpus_pipeline" -> p01Sql,
+    "p02_incremental_ingest" -> p02Sql)
 }

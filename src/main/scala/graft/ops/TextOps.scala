@@ -424,7 +424,7 @@ object TextOps {
   /** The winnowing fingerprint CTE chain `wd→wg→wh→ww→wf0`, ending in
     * `wf0(doc_id, m)` = each doc's distinct window-min fingerprints —
     * shared by the t08 and t18 oracles. */
-  private def winnowFpCtes: String = {
+  private[ops] def winnowFpCtes: String = {
     val h = PortableSql.h60Sql("substring(t, CAST(i AS INTEGER), 5)")
     s"""wd AS (
        |  SELECT doc_id, lower(text) AS t, length(text) AS n
@@ -466,6 +466,15 @@ object TextOps {
   // ---------------------------------------------------------------------
   def t09(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    t09On(Tables.load(spark, dir, "documents")).orderBy($"doc_id")
+  }
+
+  /** The t09 gate as a per-row transform over any `(doc_id, text, ...)`
+    * frame — lets p02's incremental ingest gate ONLY the delta instead
+    * of re-scanning the whole corpus through `t09(spark, dir)`. */
+  private[ops] def t09On(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val toks = tokens(lower($"text"))
     val stopArr = array(stopwords.map(lit): _*)
     val nTok = size(toks)
@@ -476,7 +485,7 @@ object TextOps {
         length(regexp_replace($"text", "[^a-zA-Z0-9 ]", ""))).cast(DoubleType) /
         length($"text")).otherwise(0.0)
     val st = graft.functions.TextKernels.repetitionStatsCol(spark, lower($"text"))
-    val base = Tables.load(spark, dir, "documents")
+    val base = docs
       .select($"doc_id", nTok.as("n_tokens"),
         when(nTok > 0, nStop / nTok).otherwise(0.0).as("stop_ratio"),
         punctRatio.as("punct_ratio"),
@@ -493,7 +502,6 @@ object TextOps {
           when(lowStop, "low_stopword"),
           when(highPunct, "high_punct"),
           when(repetitive, "repetitive")).as("drop_reasons"))
-      .orderBy($"doc_id")
   }
 
   /** The t09 gate's drop predicate over the `frac` CTE's columns —
@@ -1081,8 +1089,8 @@ object TextOps {
   // corpus fp stream is never shuffled on fp except the one df-count
   // pass; per-doc rollups shuffle on doc_id. Nothing is all-pairs.
   // ---------------------------------------------------------------------
-  private val DcDfCap = 5
-  private val DcMinContainment = 0.5
+  private[ops] val DcDfCap = 5
+  private[ops] val DcMinContainment = 0.5
 
   def t18(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
