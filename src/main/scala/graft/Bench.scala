@@ -36,7 +36,11 @@ object Bench {
     // stateful dedup — each entry times the full micro-batch drain, so
     // a streaming-engine regression is visible round over round
     "st06_stream_bro_ingest", "st07_stream_stream_join",
-    "st10_stream_dedup")
+    "st10_stream_dedup",
+    // r12: the composed incremental-ingest pipeline — index build +
+    // delta probe in one number; its regression baseline guards the
+    // standing-index composition, not any single op
+    "p02_incremental_ingest")
 
   /** The x10 scale block's query set — ONE definition shared by the
     * sf1 child's warm-up loop and sf1Bench's measured loop, so the

@@ -39,10 +39,10 @@ import org.apache.spark.util.SerializableConfiguration
   *    `spark.sql.files.maxPartitionBytes`, so one 10 GB file becomes
   *    ~80 parallel partitions instead of one straggler task.
   *  - **Column pruning.** `SupportsPushDownRequiredColumns` lands the
-  *    pruned schema in the reader, which materializes only the
-  *    requested top-level fields (Avro is row-major so all bytes are
-  *    still decoded — the win is skipping conversion/allocation, the
-  *    same trade the stock Avro reader makes).
+  *    pruned schema in the reader, which passes it to Avro as the
+  *    READER schema: the resolving decoder SKIP-decodes fields absent
+  *    from it (no string/bytes materialization for unused columns),
+  *    so pruning saves decode CPU on wide rows, not just conversion.
   *  - **Overwrite via truncate.** The write builder implements
   *    `SupportsTruncate`, so `.mode("overwrite")` plans as
   *    OverwriteByExpression(true); the actual sweep is deferred to job
@@ -171,10 +171,21 @@ private[sources] class AvroPartitionReader(part: AvroInputPartition,
     required: StructType, conf: Configuration)
     extends PartitionReader[InternalRow] {
   private val in = new FsInput(new Path(part.path), conf)
-  private val reader =
-    new DataFileReader[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+  // open once to learn the writer schema, then re-open with a PRUNED
+  // reader schema: Avro's resolving decoder SKIP-decodes fields absent
+  // from the reader schema, so column pruning saves decode CPU, not
+  // just conversion — the wide-table win the stock formats get from
+  // their reader schemas
+  private val prunedSchema = {
+    val probe = new DataFileReader[GenericRecord](
+      new FsInput(new Path(part.path), conf), new GenericDatumReader[GenericRecord]())
+    val writer = try probe.getSchema finally probe.close()
+    AvroIo.pruneSchema(writer, required)
+  }
+  private val reader = new DataFileReader[GenericRecord](in,
+    new GenericDatumReader[GenericRecord](null, prunedSchema))
   reader.sync(part.start)
-  private val conv = new AvroToRow(reader.getSchema, required)
+  private val conv = new AvroToRow(prunedSchema, required)
   private var record: GenericRecord = _
   private var row: InternalRow = _
 
@@ -336,6 +347,20 @@ private[sources] object AvroIo {
         else if (st.getPath.getName.endsWith(".avro")) Seq(st)
         else Nil
       }
+
+  /** Writer schema pruned to the fields the scan needs (writer order,
+    * matched by name — Avro resolves reader fields by name). Used as
+    * the READER schema so the resolving decoder skip-decodes everything
+    * else; a required field the writer lacks (schema evolution) is
+    * simply absent here and reads as null in [[AvroToRow]]. */
+  def pruneSchema(writer: ASchema, required: StructType): ASchema = {
+    val want = required.fieldNames.toSet
+    val fields = writer.getFields.asScala.toSeq
+      .filter(f => want.contains(f.name))
+      .map(f => new ASchema.Field(f.name, f.schema, f.doc, f.defaultVal))
+    ASchema.createRecord(writer.getName, writer.getDoc, writer.getNamespace,
+      false, java.util.Arrays.asList(fields: _*))
+  }
 
   /** Avro container (writer) schema → Catalyst. Unions other than
     * `[null, T]` and nested records are out of surface — fail loudly. */
