@@ -222,6 +222,59 @@ object EventsStream {
       .orderBy($"purchase_id", $"click_id")
   }
 
+  /** st13's drained frame with p_ts kept — shared by the registry query
+    * and the St13Diag cutoff experiment. */
+  private[graft] def st13Raw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val joined = StreamOps.purchaseClickLeftJoin(
+      eventsSource(spark, dir).filter($"event_type" === "purchase"),
+      eventsSource(spark, dir).filter($"event_type" === "click"))
+    drain(joined, "append")
+      .select($"p_id".as("purchase_id"), $"p_ts", $"c_id".as("click_id"))
+  }
+
+  /** st13: stream-stream LEFT OUTER interval join — the hardest join
+    * emission semantics in Structured Streaming: matched pairs stream
+    * out like st07's inner join, and an unmatched purchase emits its
+    * null-click row only when the watermark PROVES no future click can
+    * match. The proof horizon is the oracle's subtlety: the global
+    * watermark is min over both filtered inputs of (side max event time
+    * − 1 h), so unmatched purchases with `p_ts <` that horizon emit and
+    * later ones stay in state forever (St13Diag measured the cutoff
+    * exactly at both SFs: 195/195 and 1944/1944 null rows). The batch
+    * oracle replicates matched pairs ∪ horizon-cut unmatched rows. */
+  def st13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    st13Raw(spark, dir)
+      .select($"purchase_id", $"click_id")
+      .orderBy($"purchase_id", $"click_id") // Spark asc = NULLS FIRST
+  }
+
+  private val st13Sql =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT event_id AS click_id, user_id, ts FROM events
+      |  WHERE event_type = 'click'),
+      |wmk AS (
+      |  SELECT least((SELECT MAX(ts) FROM p), (SELECT MAX(ts) FROM c))
+      |    - INTERVAL 1 HOUR AS w),
+      |matched AS (
+      |  SELECT p.purchase_id, c.click_id
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |    AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts),
+      |unmatched AS (
+      |  SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id
+      |  FROM p
+      |  ANTI JOIN (SELECT DISTINCT purchase_id FROM matched) m
+      |    USING (purchase_id)
+      |  WHERE p.ts < (SELECT w FROM wmk))
+      |SELECT purchase_id, click_id FROM matched
+      |UNION ALL
+      |SELECT purchase_id, click_id FROM unmatched
+      |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin
+
   private val st07Sql =
     """SELECT p.event_id AS purchase_id, c.event_id AS click_id
       |FROM events p
@@ -427,7 +480,8 @@ object EventsStream {
     "st09_stream_append_sliding" -> (st09 _),
     "st10_stream_dedup" -> (st10 _),
     "st11_stream_upsert" -> (st11 _),
-    "st12_stream_bro_sink" -> (st12 _))
+    "st12_stream_bro_sink" -> (st12 _),
+    "st13_stream_outer_join" -> (st13 _))
 
   private val st02Sql =
     """WITH flagged AS (
@@ -463,5 +517,6 @@ object EventsStream {
     "st09_stream_append_sliding" -> st09Sql,
     "st10_stream_dedup" -> st10Sql,
     "st11_stream_upsert" -> st11Sql,
-    "st12_stream_bro_sink" -> st12Sql)
+    "st12_stream_bro_sink" -> st12Sql,
+    "st13_stream_outer_join" -> st13Sql)
 }

@@ -95,6 +95,30 @@ object StreamOps {
         col("c_ts") < col("p_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — st07's join with the
+    * hardest emission semantics in Structured Streaming: matched pairs
+    * emit like the inner join, and an UNMATCHED purchase emits its
+    * null-click row only once the watermark proves no future click can
+    * match it (state eviction = correctness here, not just memory).
+    * Same dual watermarks + time-range bound; purchases whose
+    * no-match proof the final watermark never reaches stay in state and
+    * never emit — the oracle must replicate that cutoff exactly. */
+  def purchaseClickLeftJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = clicks
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"),
+      "left_outer")
+  }
+
   /** Per-key partial aggregates of one micro-batch — the delta a
     * foreachBatch upsert merges into the standing table. Sums go
     * through a FIXED decimal type so the merged schema (and the exact
