@@ -275,6 +275,74 @@ object EventsStream {
       |SELECT purchase_id, click_id FROM unmatched
       |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin
 
+  /** Input/output rows for the transformWithState op (st14). */
+  case class TypedEv(user_id: Long, event_type: String)
+  case class ModalRow(user_id: Long, n_events: Long, n_types: Long,
+      top_type: String, top_type_n: Long)
+
+  private val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** st14's drained (pre-settle) frame — the raw Update-mode emission
+    * stream, one refreshed profile per (user, batch-they-appear-in).
+    * Shared with the spec, which asserts the run was genuinely
+    * multi-batch (some user emits more than once). */
+  private[graft] def st14Raw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = graft.Scratch.dir("st14_src")
+    graft.Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_type").repartition(4)
+      .write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .as[TypedEv]
+    // transformWithState requires the RocksDB state store provider;
+    // scope the conf to this query and restore afterwards.
+    val prev = spark.conf.getOption(ProviderConf)
+    spark.conf.set(ProviderConf, RocksDbProvider)
+    try drain(StreamOps.modalTypeProfiles(stream).toDF(), "update")
+    finally prev match {
+      case Some(v) => spark.conf.set(ProviderConf, v)
+      case None => spark.conf.unset(ProviderConf)
+    }
+  }
+
+  /** st14: per-user modal event type via `transformWithState` — the
+    * Spark 4 arbitrary-state API (StatefulProcessor, MapState +
+    * ValueState, RocksDB state store), the successor surface to st03's
+    * flatMapGroupsWithState. The source is split across 4 files
+    * streamed one per trigger, so the map state demonstrably
+    * accumulates across micro-batches; each batch re-emits a touched
+    * user's profile with a strictly larger n_events, so the settled
+    * state is the per-user row with max n_events — deterministic, and
+    * oracle-checked against the batch modal-type aggregation. */
+  def st14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    st14Raw(spark, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"n_events".desc)))
+      .filter($"rn" === 1).drop("rn")
+      .orderBy($"user_id")
+  }
+
+  private val st14Sql =
+    """WITH c AS (
+      |  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+      |    COUNT(*) AS n_types FROM c GROUP BY 1),
+      |top AS (
+      |  SELECT user_id, event_type AS top_type, n AS top_type_n,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY n DESC, event_type) AS rn
+      |  FROM c)
+      |SELECT tot.user_id AS user_id, n_events, n_types, top_type, top_type_n
+      |FROM tot JOIN top ON tot.user_id = top.user_id AND rn = 1
+      |ORDER BY tot.user_id""".stripMargin
+
   private val st07Sql =
     """SELECT p.event_id AS purchase_id, c.event_id AS click_id
       |FROM events p
@@ -481,7 +549,8 @@ object EventsStream {
     "st10_stream_dedup" -> (st10 _),
     "st11_stream_upsert" -> (st11 _),
     "st12_stream_bro_sink" -> (st12 _),
-    "st13_stream_outer_join" -> (st13 _))
+    "st13_stream_outer_join" -> (st13 _),
+    "st14_transform_with_state" -> (st14 _))
 
   private val st02Sql =
     """WITH flagged AS (
@@ -518,5 +587,6 @@ object EventsStream {
     "st10_stream_dedup" -> st10Sql,
     "st11_stream_upsert" -> st11Sql,
     "st12_stream_bro_sink" -> st12Sql,
-    "st13_stream_outer_join" -> st13Sql)
+    "st13_stream_outer_join" -> st13Sql,
+    "st14_transform_with_state" -> st14Sql)
 }

@@ -155,6 +155,29 @@ object StreamOps {
   private val MoneyType = org.apache.spark.sql.types.DecimalType(18, 2)
   private val MergeDecimal = org.apache.spark.sql.types.DecimalType(28, 2)
 
+  /** Per-user modal-event-type profiles via `transformWithState` —
+    * Spark 4's arbitrary-state API (StatefulProcessor + typed state
+    * variables over the RocksDB state store; the caller must set
+    * `spark.sql.streaming.stateStore.providerClass` to the RocksDB
+    * provider before starting the query). Contrast with
+    * [[userProfiles]]: flatMapGroupsWithState carries ONE opaque blob
+    * per key, while here the per-type counts live in a
+    * `MapState[String, Long]` whose entries are individually
+    * addressable state-store keys — a batch touching one type reads
+    * and writes one map entry, not the whole profile, which is the
+    * access granularity that scales to wide per-key maps. State per
+    * user is O(distinct types) + one total, independent of event
+    * volume. Update mode: every batch a user appears in re-emits
+    * their refreshed profile with a strictly larger `n_events`. */
+  def modalTypeProfiles(
+      evs: Dataset[EventsStream.TypedEv]): Dataset[EventsStream.ModalRow] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .transformWithState(new ModalTypeProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Custom-state per-user profiles via flatMapGroupsWithState (state:
     * one `UserState` per user, independent of event volume). Defined
     * over the typed Ev/UserAgg rows in [[EventsStream]]. */
@@ -181,5 +204,48 @@ object StreamOps {
             fmt.format(java.time.Instant.ofEpochSecond(s.maxTs / 1000000)),
             s.minVal, s.maxVal))
         })
+  }
+}
+
+/** st14's StatefulProcessor: per-user type counts in MapState, running
+  * total in ValueState. Emits the user's refreshed profile — total,
+  * number of distinct types, and the modal type (count-max, ties broken
+  * alphabetically) found by scanning the map — once per batch the user
+  * appears in. */
+class ModalTypeProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, EventsStream.TypedEv, EventsStream.ModalRow] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TTLConfig,
+    TimeMode, TimerValues, ValueState}
+
+  @transient private var counts: MapState[String, Long] = _
+  @transient private var total: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    counts = getHandle.getMapState[String, Long]("type_counts",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    total = getHandle.getValueState[Long]("total", Encoders.scalaLong,
+      TTLConfig.NONE)
+  }
+
+  override def handleInputRows(user: Long,
+      rows: Iterator[EventsStream.TypedEv],
+      timerValues: TimerValues): Iterator[EventsStream.ModalRow] = {
+    var n = if (total.exists()) total.get() else 0L
+    rows.foreach { e =>
+      val c = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type)
+        else 0L
+      counts.updateValue(e.event_type, c + 1L)
+      n += 1L
+    }
+    total.update(n)
+    var topType: String = null
+    var topN = 0L
+    var nTypes = 0L
+    counts.iterator().foreach { case (t, c) =>
+      nTypes += 1
+      if (c > topN || (c == topN && t < topType)) { topType = t; topN = c }
+    }
+    Iterator.single(EventsStream.ModalRow(user, n, nTypes, topType, topN))
   }
 }
