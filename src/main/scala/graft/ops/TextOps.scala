@@ -1295,6 +1295,63 @@ object TextOps {
       |FROM base b LEFT JOIN scored s ON b.doc_id = s.doc_id
       |ORDER BY b.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t21: DETERMINISTIC train/val/test SPLIT — the holdout assignment a
+  // training pipeline needs to be STABLE: the same document lands in
+  // the same split on every run, on every engine, under any
+  // partitioning, and — critically for incremental corpora — a new
+  // ingest batch never reshuffles previously assigned documents (so
+  // eval-set membership stays fixed and decontamination bookkeeping
+  // (t18) stays valid across refreshes). Spark's rand(seed) fails all
+  // of these (partitioning-dependent), and built-in hash() is
+  // engine-specific; the assignment here is two Lehmer rounds of pure
+  // 64-bit integer arithmetic on the split key
+  //   h1 = (key mod 2147483646 + 1) * 48271  mod 2147483647
+  //   h2 =  h1                      * 69621  mod 2147483647
+  // (both multiplier·modulus products < 2^63, so no overflow in either
+  // engine), bucket = h2 mod 100, cut at 80/90. The split key is
+  // doc_id here; pass any stable BIGINT group key (url/domain id)
+  // instead and correlated near-duplicates co-assign — the
+  // leakage-safe grouped split.
+  //
+  // Scale: a single narrow projection — zero shuffles, zero joins,
+  // whole-stage codegen arithmetic; the assignment of 100 TB costs one
+  // scan of one column.
+  // ---------------------------------------------------------------------
+
+  /** The portable split-bucket expression (0–99) for any non-negative
+    * BIGINT key column — the library API behind t21. */
+  def splitBucket(key: Column): Column = {
+    val h1 = ((key % 2147483646L) + 1L) * 48271L % 2147483647L
+    val h2 = (h1 * 69621L) % 2147483647L
+    h2 % 100L
+  }
+
+  def t21(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents").select($"doc_id")
+      .withColumn("split_bucket", splitBucket($"doc_id"))
+      .withColumn("split",
+        when($"split_bucket" < 80, "train")
+          .when($"split_bucket" < 90, "val")
+          .otherwise("test"))
+      .orderBy($"doc_id")
+  }
+
+  private val t21Sql =
+    """WITH h1 AS (
+      |  SELECT doc_id,
+      |    ((doc_id % 2147483646) + 1) * 48271 % 2147483647 AS a
+      |  FROM documents),
+      |h2 AS (SELECT doc_id, (a * 69621) % 2147483647 % 100 AS split_bucket
+      |  FROM h1)
+      |SELECT doc_id, split_bucket,
+      |  CASE WHEN split_bucket < 80 THEN 'train'
+      |       WHEN split_bucket < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM h2
+      |ORDER BY doc_id""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "t01_token_stats" -> (t01 _),
     "t02_quality_score" -> (t02 _),
@@ -1315,7 +1372,8 @@ object TextOps {
     "t17_boilerplate_strip" -> (t17 _),
     "t18_decontaminate" -> (t18 _),
     "t19_vocab_zipf" -> (t19 _),
-    "t20_bigram_lm" -> (t20 _))
+    "t20_bigram_lm" -> (t20 _),
+    "t21_det_split" -> (t21 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "t01_token_stats" -> t01Sql,
@@ -1337,5 +1395,6 @@ object TextOps {
     "t17_boilerplate_strip" -> t17Sql,
     "t18_decontaminate" -> t18Sql,
     "t19_vocab_zipf" -> t19Sql,
-    "t20_bigram_lm" -> t20Sql)
+    "t20_bigram_lm" -> t20Sql,
+    "t21_det_split" -> t21Sql)
 }
