@@ -341,11 +341,119 @@ object Pipeline {
        |ORDER BY s.source""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // p03: CONTINUOUS corpus ingest — the STREAMING form of the pipeline:
+  // documents arrive in micro-batches (4 files × maxFilesPerTrigger=1
+  // here; a landing zone or Kafka in production) and each batch flows
+  // gate → fingerprint → ledger-merge:
+  //   t09 quality gate (narrow, per row) → d01's md5 fingerprint →
+  //   per-fp batch partials (min doc_id) → foreachBatch MERGE into a
+  //   standing dedup ledger ([[graft.streaming.StreamOps
+  //   .dedupLedgerMerge]]: keep the min-doc_id winner per fp — an
+  //   associative, commutative, IDEMPOTENT combine, so any
+  //   micro-batching converges to the batch dedup truth and a replayed
+  //   batch is a no-op).
+  // The settled ledger's winners then get t21's deterministic split
+  // (content-stable: every copy of a duplicate resolves to one winner,
+  // hence one split — no eval leakage through duplicates) and the
+  // per-(source, split) t14 pack yield. Each ledger version is
+  // materialized to parquet before the next merge — finite plans, and
+  // the version swap is the Delta/Iceberg MERGE commit stand-in.
+  //
+  // Scale: per batch the work is a narrow gate over the DELTA plus a
+  // full-outer join on fp against the ledger — at 100 TB the ledger is
+  // bucketed by fp so the merge co-locates, and the batch side is
+  // delta-sized. Nothing rescans the corpus.
+  // ---------------------------------------------------------------------
+  private[graft] def p03Run(spark: SparkSession, dir: String): (DataFrame, Long) = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+    val src = graft.Scratch.dir("p03_src")
+    Tables.load(spark, dir, "documents").repartition(4).write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val stateRef = new AtomicReference[DataFrame](null)
+    val nBatches = new AtomicLong(0)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        nBatches.incrementAndGet()
+        val gate = TextOps.t09On(batch).select($"doc_id", $"n_tokens", $"keep")
+        val delta = batch.select($"doc_id", $"source", $"text")
+          .join(gate, "doc_id").filter($"keep")
+          .select($"doc_id", $"source", $"n_tokens",
+            md5(lower(trim($"text"))).as("fp"))
+          .groupBy($"fp")
+          .agg(min($"doc_id").as("doc_id"),
+            min_by($"source", $"doc_id").as("source"),
+            min_by($"n_tokens", $"doc_id").as("n_tokens"))
+        val merged = Option(stateRef.get())
+          .map(graft.streaming.StreamOps.dedupLedgerMerge(_, delta))
+          .getOrElse(delta)
+        val version = graft.Scratch.dir("p03_ledger")
+        merged.write.parquet(version)
+        stateRef.set(spark.read.parquet(version))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    (stateRef.get(), nBatches.get())
+  }
+
+  def p03(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (ledger, _) = p03Run(spark, dir)
+    val nSeq = expr(s"(total_tokens + ${PackLen - 1}) div $PackLen")
+    ledger
+      .withColumn("split_bucket", TextOps.splitBucket($"doc_id"))
+      .withColumn("split",
+        when($"split_bucket" < 80, "train")
+          .when($"split_bucket" < 90, "val")
+          .otherwise("test"))
+      .groupBy($"source", $"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens".cast(LongType)).as("total_tokens"))
+      .select($"source", $"split", $"n_docs", $"total_tokens",
+        nSeq.as("n_seqs"))
+      .orderBy($"source", $"split")
+  }
+
+  private def p03Sql: String =
+    s"""WITH ${TextOps.t09QualityCtes},
+       |kept AS (
+       |  SELECT d.doc_id, d.source, f.n_tokens,
+       |    md5(lower(trim(d.text))) AS fp
+       |  FROM documents d JOIN frac f USING (doc_id)
+       |  WHERE ${TextOps.t09KeepSql}),
+       |winners AS (
+       |  SELECT fp, MIN(doc_id) AS doc_id,
+       |    arg_min(source, doc_id) AS source,
+       |    arg_min(n_tokens, doc_id) AS n_tokens
+       |  FROM kept GROUP BY fp),
+       |tagged AS (
+       |  SELECT source, n_tokens,
+       |    ((((doc_id % 2147483646) + 1) * 48271 % 2147483647)
+       |      * 69621 % 2147483647) % 100 AS b
+       |  FROM winners)
+       |SELECT source,
+       |  CASE WHEN b < 80 THEN 'train'
+       |       WHEN b < 90 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  (CAST(SUM(n_tokens) AS BIGINT) + ${PackLen - 1}) // $PackLen AS n_seqs
+       |FROM tagged
+       |GROUP BY source, split
+       |ORDER BY source, split""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "p01_corpus_pipeline" -> (p01 _),
-    "p02_incremental_ingest" -> (p02 _))
+    "p02_incremental_ingest" -> (p02 _),
+    "p03_stream_ingest" -> (p03 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "p01_corpus_pipeline" -> p01Sql,
-    "p02_incremental_ingest" -> p02Sql)
+    "p02_incremental_ingest" -> p02Sql,
+    "p03_stream_ingest" -> p03Sql)
 }

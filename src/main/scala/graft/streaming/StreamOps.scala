@@ -152,6 +152,27 @@ object StreamOps {
         greatest(col("s_last_ts"), col("last_ts")).as("last_ts"))
   }
 
+  /** One merge round of a streaming DEDUP LEDGER (p03): the standing
+    * per-fingerprint winners merged with a batch's per-fingerprint
+    * partials, keeping the row with the MINIMUM doc_id per fp. The
+    * combine is associative, commutative, AND idempotent — any
+    * micro-batching of the input converges to the batch dedup truth,
+    * and a replayed batch is a no-op (min(x, x) = x), so the ledger is
+    * exactly-once without source-side dedup. Schema on both sides:
+    * (fp, doc_id, source, n_tokens). */
+  def dedupLedgerMerge(state: DataFrame, delta: DataFrame): DataFrame = {
+    val s = state.select(col("fp"), col("doc_id").as("s_doc_id"),
+      col("source").as("s_source"), col("n_tokens").as("s_n_tokens"))
+    val takeState = col("doc_id").isNull ||
+      (col("s_doc_id").isNotNull && col("s_doc_id") <= col("doc_id"))
+    s.join(delta, Seq("fp"), "full_outer")
+      .select(col("fp"),
+        when(takeState, col("s_doc_id")).otherwise(col("doc_id")).as("doc_id"),
+        when(takeState, col("s_source")).otherwise(col("source")).as("source"),
+        when(takeState, col("s_n_tokens")).otherwise(col("n_tokens"))
+          .as("n_tokens"))
+  }
+
   private val MoneyType = org.apache.spark.sql.types.DecimalType(18, 2)
   private val MergeDecimal = org.apache.spark.sql.types.DecimalType(28, 2)
 
