@@ -209,15 +209,93 @@ object Multimodal {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // m05: VIDEO-level near-dup via frame-fingerprint overlap — the
+  // Content-ID shape: each video contributes its per-frame perceptual
+  // fingerprints to an inverted index (fp → videos), candidate pairs
+  // come from sharing a frame fp (NO all-pairs), and a pair is a
+  // near-dup when shared distinct fps ≥ half the shorter video's frame
+  // count — which catches clipped/re-cut copies (a phase-shifted or
+  // truncated re-upload shares most frames; an unrelated video shares
+  // none). Hot fps (> DfCap videos — intro/outro cards, test patterns)
+  // are dropped from the index before the join, the same stop-key cap
+  // as d02/d07, so no fp fans out quadratically.
+  //
+  // Frames: no video codec in this env (the m01–m04 stub convention),
+  // so frame fingerprints are synthesized deterministically — video
+  // family g = doc_id div 7 (contiguous families of a FIXED size, so
+  // the planted structure and per-fp df are scale-invariant — a
+  // %-based family would grow with the corpus and trip the cap),
+  // phase = doc_id % 3, frame f of a video has
+  // fp = md5(g ":" (f + phase)). Same-family videos at different
+  // phases are the planted clipped copies; same-phase members are
+  // exact re-uploads (overlap 1.0); across families the md5 keyspace
+  // is disjoint. Portable: both engines compute identical md5 hex.
+  //
+  // Scale: linear in total frames; the pair-agg shuffles only
+  // same-fp collisions (df-capped); production frame rates just raise
+  // the per-video fan-out constant.
+  // ---------------------------------------------------------------------
+  private val M05DfCap = 64L
+
+  def m05(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = Tables.load(spark, dir, "documents")
+      .select($"doc_id", (lit(8L) + $"doc_id" % 5).as("n_frames"),
+        explode(sequence(lit(0L), lit(7L) + $"doc_id" % 5)).as("f"))
+      .select($"doc_id", $"n_frames",
+        md5(concat(expr("doc_id div 7").cast("string"), lit(":"),
+          ($"f" + $"doc_id" % 3).cast("string"))).as("fp"))
+    val hot = frames.groupBy($"fp")
+      .agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" > M05DfCap).select($"fp")
+    val idx = frames.join(hot, Seq("fp"), "left_anti")
+    val shared = idx.as("a").join(idx.as("b"), Seq("fp"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("vid_a"), $"b.doc_id".as("vid_b"),
+        $"a.n_frames".as("na"), $"b.n_frames".as("nb"))
+      .agg(countDistinct($"fp").as("n_shared"))
+    shared
+      .filter($"n_shared" * 2 >= least($"na", $"nb"))
+      .select($"vid_a", $"vid_b", $"n_shared",
+        ($"n_shared".cast("double") /
+          least($"na", $"nb").cast("double")).as("overlap"))
+      .orderBy($"vid_a", $"vid_b")
+  }
+
+  private val m05Sql =
+    s"""WITH frames AS (
+       |  SELECT doc_id, 8 + doc_id % 5 AS n_frames,
+       |    md5(CAST(doc_id // 7 AS VARCHAR) || ':' ||
+       |        CAST(f + doc_id % 3 AS VARCHAR)) AS fp
+       |  FROM documents, unnest(range(0, 8 + doc_id % 5)) AS t(f)),
+       |hot AS (
+       |  SELECT fp FROM frames GROUP BY fp
+       |  HAVING COUNT(DISTINCT doc_id) > $M05DfCap),
+       |idx AS (SELECT doc_id, n_frames, fp FROM frames ANTI JOIN hot USING (fp)),
+       |shared AS (
+       |  SELECT a.doc_id AS vid_a, b.doc_id AS vid_b,
+       |    a.n_frames AS na, b.n_frames AS nb,
+       |    COUNT(DISTINCT a.fp) AS n_shared
+       |  FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT vid_a, vid_b, CAST(n_shared AS BIGINT) AS n_shared,
+       |  CAST(n_shared AS DOUBLE) / least(na, nb) AS overlap
+       |FROM shared
+       |WHERE n_shared * 2 >= least(na, nb)
+       |ORDER BY vid_a, vid_b""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "m01_media_meta" -> (m01 _),
     "m02_media_features" -> (m02 _),
     "m03_frame_sample" -> (m03 _),
-    "m04_phash_neardup" -> (m04 _))
+    "m04_phash_neardup" -> (m04 _),
+    "m05_video_neardup" -> (m05 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "m01_media_meta" -> m01Sql,
     "m02_media_features" -> m02Sql,
     "m03_frame_sample" -> m03Sql,
-    "m04_phash_neardup" -> m04Sql)
+    "m04_phash_neardup" -> m04Sql,
+    "m05_video_neardup" -> m05Sql)
 }
