@@ -861,6 +861,49 @@ object Similarity {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // s12: FILTERED (faceted) ANN — retrieval under a metadata predicate,
+  // here "top-5 neighbors with the SAME label": the production shape
+  // for per-tenant / per-language / per-license vector search. The
+  // index key is the COMPOSITE (label, SRP bucket), so a filtered
+  // query probes only its own facet's buckets — query cost is
+  // |facet ∩ bucket|, sub-linear in both the corpus and the facet.
+  // This is PRE-filtering at the index level; the alternative
+  // (post-filtering an unfiltered ANN result) collapses recall when
+  // the predicate is selective, because the unfiltered top-k may
+  // contain zero rows of the facet. At 100 TB the composite key also
+  // gives the layout rule: partition the index by facet, bucket
+  // within — a tenant's query never touches another tenant's files.
+  // ---------------------------------------------------------------------
+  def s12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"label", $"embedding",
+        explode(SrpLsh.buckets(spark, $"embedding")).as("key"))
+    val q = Tables.load(spark, dir, "embeddings")
+      .filter($"vec_id" % 47 === 0)
+      .select($"vec_id".as("q_id"), $"label", $"embedding".as("q_emb"),
+        explode(SrpLsh.buckets(spark, $"embedding")).as("key"))
+    val scored = emb.join(broadcast(q), Seq("key", "label"))
+      .filter($"vec_id" =!= $"q_id")
+      .dropDuplicates("q_id", "vec_id")
+      .select($"q_id", $"vec_id",
+        VectorOps.cosineSim(spark, $"embedding", $"q_emb").as("cosine"))
+    top5(scored)
+  }
+
+  private def s12Sql: String = rankedSql(
+    s"""WITH keys AS MATERIALIZED (
+       |  ${Dedup.srpKeysSql("embeddings")}),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |kk AS (SELECT k.*, l.label FROM keys k JOIN lab l USING (vec_id)),
+       |qk AS (SELECT * FROM kk WHERE vec_id % 47 = 0),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, k.vec_id AS vec_id,
+       |    k.embedding AS emb, q.embedding AS q_emb
+       |  FROM kk k JOIN qk q ON k.t = q.t AND k.b = q.b
+       |    AND k.label = q.label AND k.vec_id <> q.vec_id)""".stripMargin)
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "s01_ann_bruteforce" -> (s01 _),
     "s02_ann_lsh" -> (s02 _),
@@ -872,7 +915,8 @@ object Similarity {
     "s08_semdedup" -> (s08 _),
     "s09_ann_ivfpq" -> (s09 _),
     "s10_ann_lsh_scaled" -> (s10 _),
-    "s11_knn_join_scaled" -> (s11 _))
+    "s11_knn_join_scaled" -> (s11 _),
+    "s12_filtered_ann" -> (s12 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "s01_ann_bruteforce" -> s01Sql,
@@ -885,5 +929,6 @@ object Similarity {
     "s08_semdedup" -> s08Sql,
     "s09_ann_ivfpq" -> s09Sql,
     "s10_ann_lsh_scaled" -> s10Sql,
-    "s11_knn_join_scaled" -> s11Sql)
+    "s11_knn_join_scaled" -> s11Sql,
+    "s12_filtered_ann" -> s12Sql)
 }
