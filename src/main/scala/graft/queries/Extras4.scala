@@ -139,11 +139,74 @@ object Extras4 {
       |GROUP BY cohort_w, week_offset
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q69: VARIANT semi-structured processing — Spark 4's open-encoded
+  // binary JSON type: documents are parsed ONCE (`parse_json`) into
+  // Variant's self-describing binary form, then multiple paths are
+  // extracted with typed `variant_get` against that one parse. q15's
+  // `get_json_object` re-tokenizes the JSON TEXT per extraction call —
+  // at 100 TB with several extracted paths, Variant's
+  // parse-once/extract-many is the difference between one scan's worth
+  // of parsing and one per path (and Variant is the columnar
+  // shredding-ready representation for parquet). The document here is
+  // nested (object + array) and built from event fields, so both
+  // engines construct logically identical JSON and the typed
+  // extraction results — not the raw encoding — are what the oracle
+  // hashes.
+  // ---------------------------------------------------------------------
+  def q69(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val doc = to_json(struct(
+      struct($"event_type".as("type"), $"user_id".as("uid")).as("meta"),
+      array($"event_id" % 7, $"user_id" % 13).as("vals")))
+    val parsed = Tables.load(spark, dir, "events")
+      .select(parse_json(doc).as("v"))
+    parsed
+      .select(
+        variant_get($"v", "$.meta.type", "string").as("vtype"),
+        variant_get($"v", "$.meta.uid", "long").as("uid"),
+        variant_get($"v", "$.vals[0]", "long").as("v0"),
+        try_variant_get($"v", "$.vals[1]", "long").as("v1"),
+        // a path that does not exist: try_variant_get yields NULL
+        try_variant_get($"v", "$.missing", "long").as("vm"))
+      .groupBy($"vtype")
+      .agg(count(lit(1)).as("n"),
+        sum($"uid").as("sum_uid"),
+        sum($"v0").as("sum_v0"),
+        max($"v1").as("max_v1"),
+        count($"vm").as("n_missing"))
+      .orderBy($"vtype")
+  }
+
+  private val q69Sql =
+    """WITH src AS (
+      |  SELECT json_object('meta',
+      |      json_object('type', event_type, 'uid', user_id),
+      |      'vals', json_array(event_id % 7, user_id % 13)) AS j
+      |  FROM events),
+      |ext AS (
+      |  SELECT json_extract_string(j, '$.meta.type') AS vtype,
+      |    CAST(json_extract(j, '$.meta.uid') AS BIGINT) AS uid,
+      |    CAST(json_extract(j, '$."vals"[0]') AS BIGINT) AS v0,
+      |    CAST(json_extract(j, '$."vals"[1]') AS BIGINT) AS v1,
+      |    CAST(json_extract(j, '$.missing') AS BIGINT) AS vm
+      |  FROM src)
+      |SELECT vtype, COUNT(*) AS n,
+      |  CAST(SUM(uid) AS BIGINT) AS sum_uid,
+      |  CAST(SUM(v0) AS BIGINT) AS sum_v0,
+      |  MAX(v1) AS max_v1,
+      |  COUNT(vm) AS n_missing
+      |FROM ext
+      |GROUP BY vtype
+      |ORDER BY vtype""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q59_funnel" -> (q59 _),
-    "q60_cohort_retention" -> (q60 _))
+    "q60_cohort_retention" -> (q60 _),
+    "q69_variant_json" -> (q69 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q59_funnel" -> q59Sql,
-    "q60_cohort_retention" -> q60Sql)
+    "q60_cohort_retention" -> q60Sql,
+    "q69_variant_json" -> q69Sql)
 }
