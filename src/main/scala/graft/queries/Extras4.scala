@@ -200,13 +200,70 @@ object Extras4 {
       |GROUP BY vtype
       |ORDER BY vtype""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q70: SQL-DEFINED FUNCTIONS (Spark 4): a scalar SQL UDF
+  // (`CREATE FUNCTION ... RETURNS DOUBLE RETURN expr`) and a SQL table
+  // function (`RETURNS TABLE ... RETURN SELECT`) — reusable
+  // query-language abstractions that Catalyst INLINES into the calling
+  // plan (no black-box JVM lambda: the revenue expression below still
+  // folds, pushes down, and codegens exactly as if written in place —
+  // the opposite of a Scala udf(), which is an optimization fence).
+  // The table function parameterizes a per-flag revenue summary; the
+  // scalar function is the discount formula shared by both.
+  // Exactness: the function does its arithmetic IN DECIMAL (operands
+  // cast to DECIMAL(18,2), product kept at DECIMAL(18,4) — q01's
+  // portability recipe), so both engines fold the same exact decimals;
+  // a double product rounded per row diverges by a penny at sf0.001.
+  // ---------------------------------------------------------------------
+  def q70(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_discounted(
+        |  price DOUBLE, disc DOUBLE) RETURNS DECIMAL(18,4)
+        |RETURN CAST(CAST(price AS DECIMAL(18,2))
+        |  * (CAST(1 AS DECIMAL(18,2)) - CAST(disc AS DECIMAL(18,2)))
+        |  AS DECIMAL(18,4))""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_flag_revenue(flag STRING)
+        |RETURNS TABLE(l_linestatus STRING, revenue DOUBLE, n_items BIGINT)
+        |RETURN SELECT l_linestatus,
+        |  CAST(SUM(graft_discounted(l_extendedprice, l_discount))
+        |    AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem WHERE l_returnflag = flag
+        |GROUP BY l_linestatus""".stripMargin)
+    spark.sql(
+      """SELECT 'A' AS l_returnflag, * FROM graft_flag_revenue('A')
+        |UNION ALL
+        |SELECT 'N' AS l_returnflag, * FROM graft_flag_revenue('N')
+        |UNION ALL
+        |SELECT 'R' AS l_returnflag, * FROM graft_flag_revenue('R')
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  private val q70Sql =
+    """WITH rev AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |      AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |    COUNT(*) AS n_items
+      |  FROM lineitem
+      |  WHERE l_returnflag IN ('A', 'N', 'R')
+      |  GROUP BY l_returnflag, l_linestatus)
+      |SELECT l_returnflag, l_linestatus, revenue, n_items
+      |FROM rev
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q59_funnel" -> (q59 _),
     "q60_cohort_retention" -> (q60 _),
-    "q69_variant_json" -> (q69 _))
+    "q69_variant_json" -> (q69 _),
+    "q70_sql_udf" -> (q70 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q59_funnel" -> q59Sql,
     "q60_cohort_retention" -> q60Sql,
-    "q69_variant_json" -> q69Sql)
+    "q69_variant_json" -> q69Sql,
+    "q70_sql_udf" -> q70Sql)
 }
