@@ -40,7 +40,11 @@ object Bench {
     // r12: the composed incremental-ingest pipeline — index build +
     // delta probe in one number; its regression baseline guards the
     // standing-index composition, not any single op
-    "p02_incremental_ingest")
+    "p02_incremental_ingest",
+    // r12 additions: the streaming ingest pipeline (gate → dedup-ledger
+    // merge across micro-batches), the frame-overlap video near-dup,
+    // and the faceted filtered ANN — one representative per new family
+    "p03_stream_ingest", "m05_video_neardup", "s12_filtered_ann")
 
   /** The x10 scale block's query set — ONE definition shared by the
     * sf1 child's warm-up loop and sf1Bench's measured loop, so the

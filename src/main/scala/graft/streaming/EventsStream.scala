@@ -343,6 +343,52 @@ object EventsStream {
       |FROM tot JOIN top ON tot.user_id = top.user_id AND rn = 1
       |ORDER BY tot.user_id""".stripMargin
 
+  /** Input/output rows for the event-time-timer op (st15). */
+  case class TimedEv(user_id: Long, ts_ms: Long)
+  case class EpisodeRow(user_id: Long, n_events: Long, last_ms: Long)
+
+  /** st15: EVENT-TIME TIMERS via transformWithState — the
+    * finalize-on-inactivity pattern: per-user profiles emit ONLY when a
+    * watermark-fired timer proves the user has been quiet for 30 min
+    * (handleExpiredTimer; nothing emits on input). With the single-file
+    * source the run is one data batch (profiles built, timers
+    * registered at last_ts + 30 min) plus the engine's no-data batch
+    * after the watermark advances to max ts − 1 h, which fires exactly
+    * the timers at or below it — so the emitted set is deterministic:
+    * users whose last event is ≥ 90 min before the corpus max. The
+    * batch oracle replicates that cutoff. */
+  def st15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = eventsSource(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .select($"user_id", unix_millis($"ts").as("ts_ms"))
+      .as[TimedEv]
+    val prev = spark.conf.getOption(ProviderConf)
+    spark.conf.set(ProviderConf, RocksDbProvider)
+    val drained =
+      try drain(StreamOps.inactivityProfiles(evs).toDF(), "append")
+      finally prev match {
+        case Some(v) => spark.conf.set(ProviderConf, v)
+        case None => spark.conf.unset(ProviderConf)
+      }
+    drained
+      .select($"user_id", $"n_events",
+        date_format(timestamp_millis($"last_ms"), "yyyy-MM-dd HH:mm:ss")
+          .as("last_ts"))
+      .orderBy($"user_id")
+  }
+
+  private val st15Sql =
+    """WITH m AS (SELECT MAX(ts) AS mx FROM events),
+      |agg AS (
+      |  SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, n_events,
+      |  strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+      |FROM agg, m
+      |WHERE last_ts + INTERVAL 30 MINUTE <= mx - INTERVAL 1 HOUR
+      |ORDER BY user_id""".stripMargin
+
   private val st07Sql =
     """SELECT p.event_id AS purchase_id, c.event_id AS click_id
       |FROM events p
@@ -550,7 +596,8 @@ object EventsStream {
     "st11_stream_upsert" -> (st11 _),
     "st12_stream_bro_sink" -> (st12 _),
     "st13_stream_outer_join" -> (st13 _),
-    "st14_transform_with_state" -> (st14 _))
+    "st14_transform_with_state" -> (st14 _),
+    "st15_event_time_timers" -> (st15 _))
 
   private val st02Sql =
     """WITH flagged AS (
@@ -588,5 +635,6 @@ object EventsStream {
     "st11_stream_upsert" -> st11Sql,
     "st12_stream_bro_sink" -> st12Sql,
     "st13_stream_outer_join" -> st13Sql,
-    "st14_transform_with_state" -> st14Sql)
+    "st14_transform_with_state" -> st14Sql,
+    "st15_event_time_timers" -> st15Sql)
 }

@@ -199,6 +199,26 @@ object StreamOps {
         OutputMode.Update())
   }
 
+  /** Per-user inactivity-finalized profiles via `transformWithState`
+    * EVENT-TIME TIMERS (st15): each user's running profile lives in
+    * ValueState and a timer is (re-)registered at last_event + 30 min;
+    * nothing emits from `handleInputRows` — the profile emits ONLY from
+    * `handleExpiredTimer`, when the advancing watermark proves the
+    * user has been quiet for the gap, and the state clears. This is
+    * the timer-driven finalize-on-inactivity pattern (session logout
+    * detection, abandoned-cart emission) that neither windowed aggs
+    * nor flatMapGroupsWithState timeouts express this directly:
+    * emission time is a per-key event-time fact, not a window close.
+    * State: one profile + one registered timer per active user. */
+  def inactivityProfiles(
+      evs: Dataset[EventsStream.TimedEv]): Dataset[EventsStream.EpisodeRow] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .transformWithState(new InactivityProcessor, TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Custom-state per-user profiles via flatMapGroupsWithState (state:
     * one `UserState` per user, independent of event volume). Defined
     * over the typed Ev/UserAgg rows in [[EventsStream]]. */
@@ -225,6 +245,54 @@ object StreamOps {
             fmt.format(java.time.Instant.ofEpochSecond(s.maxTs / 1000000)),
             s.minVal, s.maxVal))
         })
+  }
+}
+
+/** st15's StatefulProcessor: running (n, last_ts) profile in ValueState,
+  * an event-time timer re-registered at last_ts + 30 min on every
+  * batch the user appears in. Emission happens exclusively in
+  * handleExpiredTimer — when the watermark passes the inactivity
+  * deadline — after which the state clears, so a returning user starts
+  * a fresh episode. */
+class InactivityProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, EventsStream.TimedEv, EventsStream.EpisodeRow] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+    TTLConfig, TimeMode, TimerValues, ValueState}
+
+  private val GapMs = 30L * 60 * 1000
+
+  @transient private var profile: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    profile = getHandle.getValueState[(Long, Long)]("profile",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(user: Long,
+      rows: Iterator[EventsStream.TimedEv],
+      timerValues: TimerValues): Iterator[EventsStream.EpisodeRow] = {
+    val (n0, last0) =
+      if (profile.exists()) profile.get() else (0L, Long.MinValue)
+    var n = n0
+    var last = last0
+    rows.foreach { e => n += 1L; last = math.max(last, e.ts_ms) }
+    if (last != last0 && last0 != Long.MinValue)
+      getHandle.deleteTimer(last0 + GapMs)
+    profile.update((n, last))
+    if (last != last0) getHandle.registerTimer(last + GapMs)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[EventsStream.EpisodeRow] = {
+    val out =
+      if (!profile.exists()) Iterator.empty
+      else {
+        val (n, last) = profile.get()
+        Iterator.single(EventsStream.EpisodeRow(user, n, last))
+      }
+    profile.clear()
+    out
   }
 }
 
