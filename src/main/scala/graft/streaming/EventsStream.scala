@@ -389,6 +389,64 @@ object EventsStream {
       |WHERE last_ts + INTERVAL 30 MINUTE <= mx - INTERVAL 1 HOUR
       |ORDER BY user_id""".stripMargin
 
+  /** st16: transformWithState with INITIAL STATE — the production
+    * handover from batch to streaming: the state store is warm-started
+    * (`handleInitialState`) from a batch-computed snapshot (per-user
+    * type-count maps over the even-event_id half of the corpus), then
+    * the odd half arrives as the stream. A streamed user's emitted
+    * profile therefore reflects the FULL corpus even though the stream
+    * never saw the even half — which is exactly what the oracle
+    * checks: full-corpus modal stats, restricted to users with at
+    * least one streamed event (users living only in the snapshot never
+    * emit in Update mode). */
+  def st16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, dir, "events")
+    val init = ev.filter($"event_id" % 2 === 0)
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+      .groupBy($"user_id")
+      .agg(map_from_entries(collect_list(struct($"event_type", $"n")))
+        .as("types"))
+      .as[(Long, Map[String, Long])]
+      .groupByKey(_._1).mapValues(_._2)
+    val src = graft.Scratch.dir("st16_src")
+    ev.filter($"event_id" % 2 === 1).select($"user_id", $"event_type")
+      .coalesce(1).write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src).as[TypedEv]
+    val prev = spark.conf.getOption(ProviderConf)
+    spark.conf.set(ProviderConf, RocksDbProvider)
+    val drained =
+      try {
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        drain(stream.groupByKey(_.user_id)
+          .transformWithState(new ModalTypeWarmStartProcessor,
+            TimeMode.None(), OutputMode.Update(), init).toDF(), "update")
+      } finally prev match {
+        case Some(v) => spark.conf.set(ProviderConf, v)
+        case None => spark.conf.unset(ProviderConf)
+      }
+    drained.orderBy($"user_id")
+  }
+
+  private val st16Sql =
+    """WITH c AS (
+      |  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+      |    COUNT(*) AS n_types FROM c GROUP BY 1),
+      |top AS (
+      |  SELECT user_id, event_type AS top_type, n AS top_type_n,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY n DESC, event_type) AS rn
+      |  FROM c),
+      |streamed AS (
+      |  SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 1)
+      |SELECT tot.user_id AS user_id, n_events, n_types, top_type, top_type_n
+      |FROM tot JOIN top ON tot.user_id = top.user_id AND rn = 1
+      |JOIN streamed s ON tot.user_id = s.user_id
+      |ORDER BY tot.user_id""".stripMargin
+
   private val st07Sql =
     """SELECT p.event_id AS purchase_id, c.event_id AS click_id
       |FROM events p
@@ -597,7 +655,8 @@ object EventsStream {
     "st12_stream_bro_sink" -> (st12 _),
     "st13_stream_outer_join" -> (st13 _),
     "st14_transform_with_state" -> (st14 _),
-    "st15_event_time_timers" -> (st15 _))
+    "st15_event_time_timers" -> (st15 _),
+    "st16_warm_start_state" -> (st16 _))
 
   private val st02Sql =
     """WITH flagged AS (
@@ -636,5 +695,6 @@ object EventsStream {
     "st12_stream_bro_sink" -> st12Sql,
     "st13_stream_outer_join" -> st13Sql,
     "st14_transform_with_state" -> st14Sql,
-    "st15_event_time_timers" -> st15Sql)
+    "st15_event_time_timers" -> st15Sql,
+    "st16_warm_start_state" -> st16Sql)
 }

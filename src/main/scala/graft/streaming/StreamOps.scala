@@ -296,6 +296,60 @@ class InactivityProcessor extends org.apache.spark.sql.streaming.StatefulProcess
   }
 }
 
+/** st16's StatefulProcessor: st14's modal-type logic plus
+  * `handleInitialState` — the state store is WARM-STARTED from a batch
+  * snapshot (per-user type-count maps) before the first micro-batch,
+  * the production bootstrap path when a streaming job takes over from
+  * a batch-built table. Same state variables and emission as
+  * [[ModalTypeProcessor]] (single inheritance forces the small
+  * duplication: this class must extend StatefulProcessorWithInitialState). */
+class ModalTypeWarmStartProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+      Long, EventsStream.TypedEv, EventsStream.ModalRow,
+      Map[String, Long]] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TTLConfig,
+    TimeMode, TimerValues, ValueState}
+
+  @transient private var counts: MapState[String, Long] = _
+  @transient private var total: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    counts = getHandle.getMapState[String, Long]("type_counts",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    total = getHandle.getValueState[Long]("total", Encoders.scalaLong,
+      TTLConfig.NONE)
+  }
+
+  override def handleInitialState(user: Long, snap: Map[String, Long],
+      timerValues: TimerValues): Unit = {
+    var n = 0L
+    snap.foreach { case (t, c) => counts.updateValue(t, c); n += c }
+    total.update(n)
+  }
+
+  override def handleInputRows(user: Long,
+      rows: Iterator[EventsStream.TypedEv],
+      timerValues: TimerValues): Iterator[EventsStream.ModalRow] = {
+    var n = if (total.exists()) total.get() else 0L
+    rows.foreach { e =>
+      val c = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type)
+        else 0L
+      counts.updateValue(e.event_type, c + 1L)
+      n += 1L
+    }
+    total.update(n)
+    var topType: String = null
+    var topN = 0L
+    var nTypes = 0L
+    counts.iterator().foreach { case (t, c) =>
+      nTypes += 1
+      if (c > topN || (c == topN && t < topType)) { topType = t; topN = c }
+    }
+    Iterator.single(EventsStream.ModalRow(user, n, nTypes, topType, topN))
+  }
+}
+
 /** st14's StatefulProcessor: per-user type counts in MapState, running
   * total in ValueState. Emits the user's refreshed profile — total,
   * number of distinct types, and the modal type (count-max, ties broken
