@@ -771,6 +771,77 @@ object Extras3 {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q71: MANIFEST-BASED FILE SKIPPING — the Iceberg/Delta data-skipping
+  // pattern without a table format: the table is laid out
+  // range-partitioned on the filter column (each file owns a
+  // l_shipdate slice), a one-scan MANIFEST records per-file min/max,
+  // and a range query consults the manifest FIRST, handing the reader
+  // only files whose [min, max] intersects the predicate — files
+  // wholly outside never open. Complements q52 (runtime partition
+  // pruning inside one scan) and q53 (stats pushdown): this prunes at
+  // the FILE-LISTING level, before any footer is read. At 100 TB the
+  // manifest is O(#files) rows — a broadcastable table maintained
+  // incrementally on write; the driver-side collect here is that same
+  // O(#files) bound (the paths must reach the reader), and
+  // `ManifestSkipSpec` asserts the pruned read really opens fewer
+  // files AND returns exactly the full-scan answer.
+  // ---------------------------------------------------------------------
+  private[queries] def q71Layout(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val path = graft.Scratch.dir("q71_layout")
+    Tables.load(spark, dir, "lineitem")
+      .select($"l_shipdate", $"l_quantity", $"l_extendedprice", $"l_discount")
+      .repartitionByRange(8, $"l_shipdate")
+      .write.parquet(path)
+    path
+  }
+
+  /** The manifest-pruned file list for a [lo, hi] shipdate window:
+    * one scan builds per-file min/max, the predicate keeps only
+    * intersecting files. */
+  private[queries] def q71Prune(spark: SparkSession, path: String,
+      lo: String, hi: String): Seq[String] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min($"l_shipdate").as("f_lo"), max($"l_shipdate").as("f_hi"))
+      .filter($"f_hi" >= lit(lo).cast(TimestampType) &&
+        $"f_lo" <= lit(hi).cast(TimestampType))
+      .select($"file").collect().map(_.getString(0)).toSeq
+  }
+
+  def q71(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (lo, hi) = ("1996-01-01", "1996-12-31")
+    val path = q71Layout(spark, dir)
+    val kept = q71Prune(spark, path, lo, hi)
+    spark.read.parquet(kept: _*)
+      .filter($"l_shipdate".between(
+        lit(lo).cast(TimestampType), lit(hi).cast(TimestampType)))
+      .groupBy(date_format($"l_shipdate", "yyyy-MM").as("ship_month"))
+      .agg(
+        sum($"l_quantity".cast(D2)).cast(DoubleType).as("sum_qty"),
+        sum(($"l_extendedprice".cast(D2) *
+          (lit(1).cast(D2) - $"l_discount".cast(D2)))
+          .cast(DecimalType(18, 4))).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"ship_month")
+  }
+
+  private val q71Sql =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+      |  AND TIMESTAMP '1996-12-31 00:00:00'
+      |GROUP BY ship_month
+      |ORDER BY ship_month""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q53_agg_pushdown" -> (q53 _),
     "q54_gapfill_ffill" -> (q54 _),
@@ -785,7 +856,8 @@ object Extras3 {
     "q65_orc_roundtrip" -> (q65 _),
     "q66_xml_roundtrip" -> (q66 _),
     "q67_topk_sql_rewrite" -> (q67 _),
-    "q68_avro_roundtrip" -> (q68 _))
+    "q68_avro_roundtrip" -> (q68 _),
+    "q71_manifest_skip" -> (q71 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q53_agg_pushdown" -> q53Sql,
@@ -801,5 +873,6 @@ object Extras3 {
     "q65_orc_roundtrip" -> q65Sql,
     "q66_xml_roundtrip" -> q66Sql,
     "q67_topk_sql_rewrite" -> q64Sql, // same contract as q64, SQL route
-    "q68_avro_roundtrip" -> q68Sql)
+    "q68_avro_roundtrip" -> q68Sql,
+    "q71_manifest_skip" -> q71Sql)
 }
