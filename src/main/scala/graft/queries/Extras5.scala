@@ -1,0 +1,334 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Round-12 additions: the declarative-engine capabilities a production
+  * lake deployment leans on daily — data-quality constraint suites
+  * (Deequ/dbt-test shape), array higher-order functions (lambda
+  * pipelines without UDF fences), common-subplan reuse (one shuffle
+  * feeding two consumers), ordered-set aggregates (listagg / mode /
+  * percentile_disc), and iterative graph traversal (frontier BFS over a
+  * join-derived bipartite graph). Exactness rules as everywhere: counts
+  * and integer-valued doubles go through BIGINT, money through
+  * DECIMAL(18,2), and any residual double is a single IEEE operation
+  * both engines round identically.
+  */
+object Extras5 {
+
+  // ---------------------------------------------------------------------
+  // q72: DATA-QUALITY CONSTRAINT SUITE (Deequ/dbt-test shape) — the
+  // admission gate every production table gets before downstream jobs
+  // trust it: not-null, primary-key uniqueness, accepted-values, value
+  // ranges in ONE scan (a single hash-agg computes every per-row
+  // predicate's violation count simultaneously — at 100 TB the suite
+  // costs one pass, not one pass per constraint), plus referential
+  // integrity as a broadcast LEFT ANTI join against the dimension
+  // (violations = orphaned foreign keys, counted without materializing
+  // the join). Two constraints are deliberately tighter than the data
+  // (totalprice ≤ 450k, orderdate < 2001-07-01) so the suite
+  // demonstrably FIRES — a checker that only ever reports zero is
+  // untested by its own results.
+  // ---------------------------------------------------------------------
+  def q72(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+
+    // one scan: every per-row constraint is a conditional count in the
+    // same aggregate; the optimizer collapses them into one hash-agg
+    val scanRow = orders.agg(
+      count(when($"o_orderkey".isNull, 1)).as("c1_orderkey_not_null"),
+      (count(lit(1)) - countDistinct($"o_orderkey")).as("c2_orderkey_unique"),
+      count(when(!$"o_orderstatus".isin("O", "F", "P"), 1))
+        .as("c3_status_accepted"),
+      count(when($"o_totalprice" <= 0.0 || $"o_totalprice" > 450000.0, 1))
+        .as("c4_totalprice_range"),
+      count(when($"o_orderdate" >= lit("2001-07-01").cast(TimestampNTZType), 1))
+        .as("c5_orderdate_bound"))
+
+    // referential integrity: orphaned o_custkey values; the dim side is
+    // broadcastable (customer keys only), so the probe is shuffle-free
+    val fkRow = orders.join(broadcast(customer.select($"c_custkey")),
+        $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("c6_custkey_fk"))
+
+    // stack wide → tall: (constraint, n_violations, passed)
+    scanRow.crossJoin(fkRow)
+      .selectExpr(
+        """stack(6,
+          |  'c1_orderkey_not_null', c1_orderkey_not_null,
+          |  'c2_orderkey_unique',   c2_orderkey_unique,
+          |  'c3_status_accepted',   c3_status_accepted,
+          |  'c4_totalprice_range',  c4_totalprice_range,
+          |  'c5_orderdate_bound',   c5_orderdate_bound,
+          |  'c6_custkey_fk',        c6_custkey_fk
+          |) AS (constraint_name, n_violations)""".stripMargin)
+      .select($"constraint_name",
+        $"n_violations".cast(LongType).as("n_violations"),
+        ($"n_violations" === 0L).as("passed"))
+      .orderBy($"constraint_name")
+  }
+
+  private val q72Sql =
+    """WITH scan AS (
+      |  SELECT
+      |    COUNT(*) FILTER (o_orderkey IS NULL) AS c1,
+      |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS c2,
+      |    COUNT(*) FILTER (o_orderstatus NOT IN ('O','F','P')) AS c3,
+      |    COUNT(*) FILTER (o_totalprice <= 0.0 OR o_totalprice > 450000.0) AS c4,
+      |    COUNT(*) FILTER (o_orderdate >= TIMESTAMP '2001-07-01') AS c5
+      |  FROM orders),
+      |fk AS (
+      |  SELECT COUNT(*) AS c6 FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      |tall AS (
+      |  SELECT 'c1_orderkey_not_null' AS constraint_name, c1 AS v FROM scan
+      |  UNION ALL SELECT 'c2_orderkey_unique', c2 FROM scan
+      |  UNION ALL SELECT 'c3_status_accepted', c3 FROM scan
+      |  UNION ALL SELECT 'c4_totalprice_range', c4 FROM scan
+      |  UNION ALL SELECT 'c5_orderdate_bound', c5 FROM scan
+      |  UNION ALL SELECT 'c6_custkey_fk', c6 FROM fk)
+      |SELECT constraint_name, CAST(v AS BIGINT) AS n_violations,
+      |  v = 0 AS passed
+      |FROM tall ORDER BY constraint_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q73: ARRAY HIGHER-ORDER FUNCTIONS — the lambda pipeline surface
+  // (transform / filter / exists / aggregate(reduce) / zip_with) that
+  // keeps per-row collection logic INSIDE Catalyst: every lambda below
+  // codegens into the same whole-stage pipeline as the surrounding
+  // expressions (a Scala udf() doing the same work would fence pushdown
+  // and codegen, and serialize every array across the JVM boundary).
+  // Per order: the sorted quantity vector (integral by construction —
+  // BIGINT-exact), then lambda-derived scalars, then an exact rollup by
+  // order-key bucket. zip_with pairs the vector with its reverse —
+  // the max palindromic pair-sum needs index-aligned traversal, the one
+  // shape plain aggregates can't express.
+  // ---------------------------------------------------------------------
+  def q73(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perOrder = Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_quantity".cast(LongType).as("qty"))
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_list($"qty")).as("qtys"))
+      .select(
+        ($"l_orderkey" % 11).as("bucket"),
+        expr("aggregate(qtys, 0L, (acc, x) -> acc + 2L * x)").as("doubled_sum"),
+        expr("size(filter(qtys, x -> x >= 25L))").cast(LongType).as("n_large"),
+        expr("exists(qtys, x -> x > 45L)").as("has_gt45"),
+        expr("array_max(zip_with(qtys, reverse(qtys), (a, b) -> a + b))")
+          .as("max_palindrome"))
+    perOrder.groupBy($"bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"doubled_sum").as("sum_doubled"),
+        sum($"n_large").as("sum_large"),
+        count(when($"has_gt45", 1)).as("n_has_gt45"),
+        max($"max_palindrome").as("max_palin"))
+      .orderBy($"bucket")
+  }
+
+  private val q73Sql =
+    """WITH per_order AS (
+      |  SELECT l_orderkey % 11 AS bucket,
+      |    list_reduce(list_transform(l, x -> 2 * x), (a, b) -> a + b) AS doubled_sum,
+      |    len(list_filter(l, x -> x >= 25)) AS n_large,
+      |    len(list_filter(l, x -> x > 45)) > 0 AS has_gt45,
+      |    list_max(list_transform(generate_series(1, len(l)),
+      |      i -> l[i] + l[len(l) + 1 - i])) AS max_palindrome
+      |  FROM (
+      |    SELECT l_orderkey,
+      |      list_sort(list(CAST(l_quantity AS BIGINT))) AS l
+      |    FROM lineitem GROUP BY l_orderkey))
+      |SELECT bucket, COUNT(*) AS n_orders,
+      |  CAST(SUM(doubled_sum) AS BIGINT) AS sum_doubled,
+      |  CAST(SUM(n_large) AS BIGINT) AS sum_large,
+      |  COUNT(*) FILTER (has_gt45) AS n_has_gt45,
+      |  CAST(MAX(max_palindrome) AS BIGINT) AS max_palin
+      |FROM per_order GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q74: COMMON-SUBPLAN REUSE — share-of-total needs the SAME weekly
+  // aggregate twice: once as the detail rows and once inside the global
+  // total. A naive engine scans + aggregates the fact table twice;
+  // Spark's exchange reuse matches the two canonically-identical
+  // shuffle subtrees, runs the scan + partial aggregation ONCE, and the
+  // total's consumer reads the first's shuffle output through a
+  // `ReusedExchange` node (plan-asserted in Extras5Spec). At 100 TB
+  // this is the difference between one pass over the fact table and
+  // two — every self-comparative rollup (share-of-total, pct-of-max)
+  // hits this path. Note the subtrees must be canonically IDENTICAL:
+  // the WoW self-join variant (join on wk = wk + 7d) does NOT reuse,
+  // because the inferred isnotnull(wk + 7d) constraint pushes a
+  // different filter below one side's aggregate. Sums in DECIMAL
+  // (exact); share is a single double division.
+  // ---------------------------------------------------------------------
+  def q74(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weekly = Tables.load(spark, dir, "orders")
+      .groupBy(date_trunc("week", $"o_orderdate").as("wk"))
+      .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("rev"))
+    val total = weekly.agg(sum($"rev").as("tot"))
+    weekly.crossJoin(total)
+      .select(date_format($"wk", "yyyy-MM-dd").as("week"),
+        $"rev".cast(DoubleType).as("revenue"),
+        $"tot".cast(DoubleType).as("total_revenue"))
+      .withColumn("share", $"revenue" / $"total_revenue")
+      .orderBy($"week")
+  }
+
+  private val q74Sql =
+    """WITH weekly AS (
+      |  SELECT date_trunc('week', o_orderdate) AS wk,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |total AS (SELECT SUM(rev) AS tot FROM weekly)
+      |SELECT strftime(wk, '%Y-%m-%d') AS week,
+      |  CAST(rev AS DOUBLE) AS revenue,
+      |  CAST(tot AS DOUBLE) AS total_revenue,
+      |  CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+      |FROM weekly, total
+      |ORDER BY week""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q75: ORDERED-SET AGGREGATES (Spark 4 surface) — listagg WITHIN
+  // GROUP (deterministic ordered string concatenation; the distinct
+  // value list per group stays vocabulary-bounded so the agg state is
+  // small), mode (most frequent value — the data has a unique winner
+  // per group at every SF, verified, so tie-break semantics never
+  // engage), and percentile_disc (SQL-standard discrete percentile:
+  // smallest value with cume_dist ≥ p — returns an ACTUAL data value,
+  // so equality is bit-exact, unlike interpolating percentile_cont).
+  // ---------------------------------------------------------------------
+  def q75(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders_q75")
+    spark.sql(
+      """WITH distinct_prio AS (
+        |  SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders_q75),
+        |la AS (
+        |  SELECT o_orderstatus,
+        |    listagg(o_orderpriority, ',')
+        |      WITHIN GROUP (ORDER BY o_orderpriority) AS prio_list
+        |  FROM distinct_prio GROUP BY o_orderstatus),
+        |st AS (
+        |  SELECT o_orderstatus,
+        |    mode(o_orderpriority) AS top_prio,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+        |      AS median_price,
+        |    percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)
+        |      AS p90_price
+        |  FROM orders_q75 GROUP BY o_orderstatus)
+        |SELECT la.o_orderstatus, la.prio_list, st.top_prio,
+        |  st.median_price, st.p90_price
+        |FROM la JOIN st USING (o_orderstatus)
+        |ORDER BY la.o_orderstatus""".stripMargin)
+  }
+
+  private val q75Sql =
+    """WITH distinct_prio AS (
+      |  SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders),
+      |la AS (
+      |  SELECT o_orderstatus,
+      |    string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prio_list
+      |  FROM distinct_prio GROUP BY o_orderstatus),
+      |st AS (
+      |  SELECT o_orderstatus,
+      |    mode(o_orderpriority) AS top_prio,
+      |    percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median_price,
+      |    percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90_price
+      |  FROM orders GROUP BY o_orderstatus)
+      |SELECT la.o_orderstatus, la.prio_list, st.top_prio,
+      |  st.median_price, st.p90_price
+      |FROM la JOIN st USING (o_orderstatus)
+      |ORDER BY la.o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // g01: ITERATIVE GRAPH TRAVERSAL — multi-source BFS over the
+  // part↔supplier bipartite graph induced by lineitem (distinct
+  // (l_partkey, l_suppkey) pairs are "supplier ships part" edges).
+  // Seeds: suppliers with s_suppkey % 100 == 1. The driver loop runs a
+  // FRONTIER expansion per level — join the frontier to the edge list,
+  // anti-subtract everything already visited — which is how iterative
+  // graph algorithms are expressed on a relational engine (each level
+  // is one co-partitioned join; the frontier SHRINKS as the visited set
+  // saturates, and at 100 TB each level's join keys stay co-partitioned
+  // on the node id so the edge table shuffles once, not once per
+  // level). Distances are exact ints; levels 0-3 unroll identically in
+  // the oracle. d06's label propagation finds components; this measures
+  // DISTANCE — the other half of the graph-traversal story.
+  // ---------------------------------------------------------------------
+  def g01(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = Tables.load(spark, dir, "lineitem")
+      .select($"l_partkey".as("p"), $"l_suppkey".as("s"))
+      .distinct()
+    val seeds = Tables.load(spark, dir, "supplier")
+      .filter($"s_suppkey" % 100 === 1)
+      .select($"s_suppkey".as("s"))
+
+    // alternating frontier: suppliers at even levels, parts at odd
+    var visitedS = seeds
+    var visitedP = spark.emptyDataFrame.selectExpr("CAST(NULL AS BIGINT) AS p")
+      .filter(lit(false))
+    var levels = Seq(("supplier", 0L, seeds.count()))
+    var frontierS = seeds
+    var frontierP: DataFrame = null
+    for (lvl <- 1L to 3L) {
+      if (lvl % 2 == 1) {
+        frontierP = edges.join(frontierS, "s").select($"p").distinct()
+          .join(visitedP, Seq("p"), "left_anti")
+        // the frontier is the next level's probe side — materialize its
+        // lineage so level N+1 doesn't recompute levels 1..N
+        frontierP = frontierP.localCheckpoint(eager = true)
+        visitedP = visitedP.union(frontierP)
+        levels :+= (("part", lvl, frontierP.count()))
+      } else {
+        frontierS = edges.join(frontierP, "p").select($"s").distinct()
+          .join(visitedS, Seq("s"), "left_anti")
+        frontierS = frontierS.localCheckpoint(eager = true)
+        visitedS = visitedS.union(frontierS)
+        levels :+= (("supplier", lvl, frontierS.count()))
+      }
+    }
+    levels.toDF("node_type", "dist", "n_nodes")
+      .orderBy($"dist", $"node_type")
+  }
+
+  private val g01Sql =
+    """WITH edges AS (
+      |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+      |s0 AS (SELECT s_suppkey AS s FROM supplier WHERE s_suppkey % 100 = 1),
+      |p1 AS (SELECT DISTINCT e.p FROM edges e JOIN s0 USING (s)),
+      |s2 AS (
+      |  SELECT DISTINCT e.s FROM edges e JOIN p1 USING (p)
+      |  WHERE e.s NOT IN (SELECT s FROM s0)),
+      |p3 AS (
+      |  SELECT DISTINCT e.p FROM edges e JOIN s2 USING (s)
+      |  WHERE e.p NOT IN (SELECT p FROM p1))
+      |SELECT * FROM (
+      |  SELECT 'supplier' AS node_type, CAST(0 AS BIGINT) AS dist,
+      |    (SELECT COUNT(*) FROM s0) AS n_nodes
+      |  UNION ALL SELECT 'part', 1, (SELECT COUNT(*) FROM p1)
+      |  UNION ALL SELECT 'supplier', 2, (SELECT COUNT(*) FROM s2)
+      |  UNION ALL SELECT 'part', 3, (SELECT COUNT(*) FROM p3))
+      |ORDER BY dist, node_type""".stripMargin
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q72_constraint_suite" -> (q72 _),
+    "q73_higher_order" -> (q73 _),
+    "q74_exchange_reuse" -> (q74 _),
+    "q75_ordered_set_aggs" -> (q75 _),
+    "g01_graph_bfs" -> (g01 _))
+
+  val oracle: ListMap[String, String] = ListMap(
+    "q72_constraint_suite" -> q72Sql,
+    "q73_higher_order" -> q73Sql,
+    "q74_exchange_reuse" -> q74Sql,
+    "q75_ordered_set_aggs" -> q75Sql,
+    "g01_graph_bfs" -> g01Sql)
+}
