@@ -640,6 +640,117 @@ object EventsStream {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** st17: `dropDuplicatesWithinWatermark` — the BOUNDED-STATE dedup
+    * variant (Spark 3.5+/4 API). st10's `dropDuplicates` holds a state
+    * row per distinct key forever unless the key embeds an event-time
+    * bucket; this operator instead evicts a key once the watermark
+    * passes `first_ts + delay`, trading exactness for state bounded by
+    * the delay window — a duplicate arriving after eviction re-emits.
+    *
+    * The engine's exact mechanics — established EMPIRICALLY here by
+    * running candidate schedules against the operator, because three
+    * plausible models disagree and only one matches: (1) the state
+    * entry stores the FIRST arrival's event time + delay and duplicate
+    * arrivals do NOT renew it; (2) suppression is presence-based — an
+    * entry past its expiry still suppresses until cleanup removes it;
+    * (3) cleanup runs at the END of each micro-batch using the
+    * OPERATIVE watermark (computed from prior batches — it lags one
+    * batch). An eviction is therefore only observable two batches
+    * after the arrivals that caused it.
+    *
+    * The schedule makes every transition deterministic and
+    * oracle-exact: three event-time slices (cut at Jan 11 / Jan 21,
+    * delay = 1 day) streamed as three micro-batches in pinned mtime
+    * order — and each batch carries one REPRESENTATIVE row per key
+    * (the key's min-ts within the slice) so the stored event time is
+    * deterministic regardless of intra-batch processing order (raw
+    * slices would leave it to whichever duplicate a partition happens
+    * to process first). Batch 1's rows are emitted in duplicate to
+    * exercise in-batch dedup (two arrivals, one emission). Batch 1
+    * (wm 0): every key emits once. Batch 2 (wm = mx1 − 1d): keys in
+    * state are suppressed — including ones past expiry (presence
+    * rule); its end-of-batch cleanup evicts exactly the non-renewed
+    * keys with ts1 < mx1 − 2d. Batch 3: an evicted key re-emits
+    * (n_emits = 2 via the eviction path) while a retained key stays
+    * suppressed (n_emits counts only its earlier emissions). Both
+    * populations exist at every SF (713 evicted / 15 retained at
+    * sf0.01; 7228/118 at sf0.1). The oracle replays the three-batch
+    * state machine in SQL on the batch table. */
+  def st17(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_type", $"ts")
+    val src = graft.Scratch.dir("st17_src")
+    // three single-file event-time slices in one source dir; explicit
+    // mtimes pin the file-source processing order (earliest slice =
+    // batch 1). Three batches, not two: state eviction runs at the END
+    // of a batch, so an eviction driven by batch 2's watermark is only
+    // observable through batch 3's arrivals.
+    def parts() = {
+      val d = new java.io.File(src)
+      d.listFiles().filter(f => f.getName.startsWith("part-")).map(_.toPath).toSet
+    }
+    val cuts = Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+      .map(s => lit(s).cast("timestamp"))
+    val slices = Seq(
+      $"ts" < cuts(0),
+      $"ts" >= cuts(0) && $"ts" < cuts(1),
+      $"ts" >= cuts(1))
+    var seen = Set.empty[java.nio.file.Path]
+    slices.zipWithIndex.foreach { case (pred, i) =>
+      // one representative row per key per slice (min ts) so the stored
+      // state timestamp is deterministic; slice 1 doubled to exercise
+      // in-batch dedup
+      val rep = ev.filter(pred).groupBy($"user_id", $"event_type")
+        .agg(min($"ts").as("ts"))
+      val batch = if (i == 0) rep.union(rep) else rep
+      batch.coalesce(1).write.mode("append").parquet(src)
+      val fresh = parts() -- seen
+      fresh.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis((i + 1) * 1000000L)))
+      seen ++= fresh
+    }
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    drain(StreamOps.dedupWithinWatermark(stream), "append")
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n_emits"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  private val st17Sql =
+    """WITH r1 AS (
+      |  SELECT user_id, event_type, MIN(ts) AS ts1 FROM events
+      |  WHERE ts < TIMESTAMP '2024-01-11' GROUP BY user_id, event_type),
+      |r2 AS (
+      |  SELECT DISTINCT user_id, event_type FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-21'),
+      |r3 AS (
+      |  SELECT DISTINCT user_id, event_type FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-21'),
+      |m1 AS (SELECT MAX(ts1) AS mx FROM r1),
+      |em AS (
+      |  -- batch 1: every key emits once (its doubled row dedups in-batch)
+      |  SELECT user_id, event_type FROM r1
+      |  UNION ALL
+      |  -- batch 2: only keys with no state entry emit
+      |  SELECT user_id, event_type FROM r2
+      |  WHERE NOT EXISTS (SELECT 1 FROM r1
+      |    WHERE r1.user_id = r2.user_id AND r1.event_type = r2.event_type)
+      |  UNION ALL
+      |  -- batch 3: never-seen keys, plus keys whose batch-1 entry was
+      |  -- evicted by batch 2's end-of-batch cleanup (operative
+      |  -- watermark mx1 - 1d; entry expiry ts1 + 1d; no renewal)
+      |  SELECT r3.user_id, r3.event_type
+      |  FROM r3 LEFT JOIN r1 USING (user_id, event_type), m1
+      |  WHERE (r1.ts1 IS NULL AND NOT EXISTS (SELECT 1 FROM r2
+      |          WHERE r2.user_id = r3.user_id AND r2.event_type = r3.event_type))
+      |     OR r1.ts1 < m1.mx - INTERVAL 2 DAY)
+      |SELECT user_id, event_type, COUNT(*) AS n_emits
+      |FROM em GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "st01_stream_hourly" -> (st01 _),
     "st02_stream_sessionize" -> (st02 _),
@@ -656,7 +767,8 @@ object EventsStream {
     "st13_stream_outer_join" -> (st13 _),
     "st14_transform_with_state" -> (st14 _),
     "st15_event_time_timers" -> (st15 _),
-    "st16_warm_start_state" -> (st16 _))
+    "st16_warm_start_state" -> (st16 _),
+    "st17_dedup_within_watermark" -> (st17 _))
 
   private val st02Sql =
     """WITH flagged AS (
@@ -696,5 +808,6 @@ object EventsStream {
     "st13_stream_outer_join" -> st13Sql,
     "st14_transform_with_state" -> st14Sql,
     "st15_event_time_timers" -> st15Sql,
-    "st16_warm_start_state" -> st16Sql)
+    "st16_warm_start_state" -> st16Sql,
+    "st17_dedup_within_watermark" -> st17Sql)
 }
