@@ -285,17 +285,113 @@ object Multimodal {
        |WHERE n_shared * 2 >= least(na, nb)
        |ORDER BY vid_a, vid_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // m06: AUDIO fingerprint matching — the constellation/landmark shape
+  // (Wang 2003, the Shazam paper): each track's spectrogram peaks become
+  // LANDMARKS (consecutive peak-frequency pairs packed into one key), an
+  // inverted index maps landmark → (track, time-step), and a query
+  // snippet is identified by OFFSET-HISTOGRAM voting — every landmark
+  // the snippet shares with a track votes for the time offset
+  // (track_step − snippet_step), and a true match concentrates its votes
+  // on ONE offset while chance collisions scatter. The vote threshold
+  // (≥ 5) is what makes the scheme robust to dropouts: the snippets
+  // here lose every 4th time step and still match on the 6 surviving
+  // consecutive-pair landmarks.
+  //
+  // Peaks: no audio codec in this env (the m01–m05 stub convention), so
+  // the per-(track, step) peak frequency bin is synthesized
+  // deterministically as md5(doc ":" step) % 1024 — a 10-bit bin like a
+  // real constellation map; landmark key = bin(f) · 1024 + bin(f+1)
+  // (2^20 keyspace). Tracks have 20 + doc_id % 5 steps; every 10th doc
+  // also issues a QUERY: its own steps [s, s+12) with s = doc_id % 7
+  // and every 4th step dropped. The matcher never sees s — it
+  // re-derives it as the winning offset (spec-pinned: every query
+  // matches its source track at offset = query_id % 7 with exactly 6
+  // votes).
+  //
+  // Scale: the index is linear in total audio length; the probe join is
+  // keyed by landmark (shuffle only on collisions); hot landmarks
+  // (df > 64 — the claps/silence/test-tone keys every corpus has) are
+  // dropped from the index before the join, m05's stop-key cap, so no
+  // landmark fans out quadratically. Both engines compute identical
+  // md5-derived bins, so the whole pipeline is hash-verified.
+  // ---------------------------------------------------------------------
+  private val M06DfCap = 64L
+
+  def m06(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id")
+    // 10-bit peak-frequency bin of (track, step): md5-derived, portable
+    def bin(d: String, f: String) =
+      expr(s"cast(conv(substring(md5(concat(cast($d as string), ':', " +
+        s"cast($f as string))), 1, 8), 16, 10) as bigint) % 1024")
+    // inverted index: landmark key at step f pairs bins of f and f+1
+    val idx = docs
+      .select($"doc_id", explode(sequence(lit(0L), lit(18L) + $"doc_id" % 5))
+        .as("f"))
+      .select($"doc_id", $"f",
+        (bin("doc_id", "f") * 1024L + bin("doc_id", "f + 1")).as("lm"))
+    val hot = idx.groupBy($"lm").agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" > M06DfCap).select($"lm")
+    val index = idx.join(hot, Seq("lm"), "left_anti")
+    // query snippets: every 10th doc, steps [s, s+12), every 4th dropped;
+    // a landmark needs BOTH r and r+1 to survive the dropout
+    val snippets = docs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id".as("query_id"), ($"doc_id" % 7).as("s"),
+        explode(sequence(lit(0L), lit(10L))).as("r"))
+      .filter($"r" % 4 =!= 3 && ($"r" + 1) % 4 =!= 3)
+      .select($"query_id", $"r",
+        (bin("query_id", "s + r") * 1024L +
+          bin("query_id", "s + r + 1")).as("lm"))
+    snippets.join(index, Seq("lm"))
+      .groupBy($"query_id", $"doc_id".as("track_id"),
+        ($"f" - $"r").as("t_offset"))
+      .agg(count(lit(1)).as("votes"))
+      .filter($"votes" >= 5L)
+      .orderBy($"query_id", $"track_id", $"t_offset")
+  }
+
+  private val m06Sql =
+    s"""WITH docs AS (SELECT doc_id FROM documents),
+       |idx AS (
+       |  SELECT doc_id, f,
+       |    (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+       |        CAST(f AS VARCHAR)), 1, 8) AS BIGINT) % 1024) * 1024 +
+       |    (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+       |        CAST(f + 1 AS VARCHAR)), 1, 8) AS BIGINT) % 1024) AS lm
+       |  FROM docs, unnest(range(0, 19 + doc_id % 5)) AS t(f)),
+       |hot AS (
+       |  SELECT lm FROM idx GROUP BY lm
+       |  HAVING COUNT(DISTINCT doc_id) > $M06DfCap),
+       |index_kept AS (SELECT doc_id, f, lm FROM idx ANTI JOIN hot USING (lm)),
+       |snip AS (
+       |  SELECT doc_id AS query_id, r,
+       |    (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+       |        CAST(doc_id % 7 + r AS VARCHAR)), 1, 8) AS BIGINT) % 1024) * 1024 +
+       |    (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+       |        CAST(doc_id % 7 + r + 1 AS VARCHAR)), 1, 8) AS BIGINT) % 1024) AS lm
+       |  FROM docs, unnest(range(0, 11)) AS t(r)
+       |  WHERE doc_id % 10 = 0 AND r % 4 <> 3 AND (r + 1) % 4 <> 3)
+       |SELECT s.query_id, i.doc_id AS track_id, i.f - s.r AS t_offset,
+       |  COUNT(*) AS votes
+       |FROM snip s JOIN index_kept i USING (lm)
+       |GROUP BY s.query_id, i.doc_id, i.f - s.r
+       |HAVING COUNT(*) >= 5
+       |ORDER BY query_id, track_id, t_offset""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "m01_media_meta" -> (m01 _),
     "m02_media_features" -> (m02 _),
     "m03_frame_sample" -> (m03 _),
     "m04_phash_neardup" -> (m04 _),
-    "m05_video_neardup" -> (m05 _))
+    "m05_video_neardup" -> (m05 _),
+    "m06_audio_fingerprint" -> (m06 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "m01_media_meta" -> m01Sql,
     "m02_media_features" -> m02Sql,
     "m03_frame_sample" -> m03Sql,
     "m04_phash_neardup" -> m04Sql,
-    "m05_video_neardup" -> m05Sql)
+    "m05_video_neardup" -> m05Sql,
+    "m06_audio_fingerprint" -> m06Sql)
 }
