@@ -318,17 +318,70 @@ object Extras5 {
       |  UNION ALL SELECT 'part', 3, (SELECT COUNT(*) FROM p3))
       |ORDER BY dist, node_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q76: LARGE×LARGE BAND JOIN VIA BINNING — the time-proximity join
+  // between two FACT-sized inputs (every purchase paired with every
+  // error within ±1 h). Naively this is a non-equi θ-join: Spark plans
+  // BroadcastNestedLoopJoin (fine for q23's tiny dim side, quadratic
+  // death when both sides are large). The binning rewrite makes it an
+  // EQUI-join: both sides key by epoch-hour bin, the bounded side
+  // expands to its 3 covering bins (|Δt| ≤ 1 h ⟹ bins differ by ≤ 1),
+  // and the exact micros-precision predicate filters inside the join —
+  // the Databricks range-join-hint technique, expressed declaratively.
+  // Candidates are linear in rows × per-bin density (no cross product;
+  // plan-asserted in Extras5Spec), and at 100 TB the bin width is the
+  // dial that trades expansion factor against per-bin fan-in. A (p, e)
+  // pair meets in exactly ONE bin (the error's), so no dedup pass is
+  // needed. Gap seconds are truncation-consistent in both engines
+  // (floor-to-second before subtracting).
+  // ---------------------------------------------------------------------
+  def q76(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select($"event_id", $"event_type", $"ts")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"ts".as("p_ts"),
+        (unix_timestamp($"ts") / 3600L).cast(LongType).as("p_bin"))
+    val e = ev.filter($"event_type" === "error")
+      .select($"event_id".as("e_id"), $"ts".as("e_ts"),
+        (unix_timestamp($"ts") / 3600L).cast(LongType).as("bin"))
+    val pExpanded = p.withColumn("bin",
+      explode(array($"p_bin" - 1, $"p_bin", $"p_bin" + 1)))
+    pExpanded.join(e, Seq("bin"))
+      .filter($"e_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") &&
+        $"e_ts" <= $"p_ts" + expr("INTERVAL 1 HOUR"))
+      .groupBy(date_format($"p_ts", "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(abs(unix_timestamp($"p_ts") - unix_timestamp($"e_ts")))
+          .as("sum_gap_s"))
+      .orderBy($"day")
+  }
+
+  private val q76Sql =
+    """WITH p AS (
+      |  SELECT event_id, ts FROM events WHERE event_type = 'purchase'),
+      |e AS (
+      |  SELECT event_id, ts FROM events WHERE event_type = 'error')
+      |SELECT strftime(p.ts, '%Y-%m-%d') AS day, COUNT(*) AS n_pairs,
+      |  CAST(SUM(ABS(date_diff('second', e.ts, p.ts))) AS BIGINT)
+      |    AS sum_gap_s
+      |FROM p JOIN e
+      |  ON e.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR
+      |GROUP BY day ORDER BY day""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q72_constraint_suite" -> (q72 _),
     "q73_higher_order" -> (q73 _),
     "q74_exchange_reuse" -> (q74 _),
     "q75_ordered_set_aggs" -> (q75 _),
-    "g01_graph_bfs" -> (g01 _))
+    "g01_graph_bfs" -> (g01 _),
+    "q76_banded_time_join" -> (q76 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q72_constraint_suite" -> q72Sql,
     "q73_higher_order" -> q73Sql,
     "q74_exchange_reuse" -> q74Sql,
     "q75_ordered_set_aggs" -> q75Sql,
-    "g01_graph_bfs" -> g01Sql)
+    "g01_graph_bfs" -> g01Sql,
+    "q76_banded_time_join" -> q76Sql)
 }

@@ -27,6 +27,17 @@ class Extras5Spec extends SparkSpec {
       s"expected exchange reuse in the final plan:\n$plan")
   }
 
+  test("q76: the band join plans as an equi-join, not a nested loop") {
+    val df = Extras5.q76(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"band join degenerated to a cross product:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+        || plan.contains("BroadcastHashJoin"),
+      s"expected a hash/merge equi-join on the bin key:\n$plan")
+  }
+
   test("g01: BFS levels are disjoint and the frontier stays within the graph") {
     val rows = Extras5.g01(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
