@@ -348,6 +348,51 @@ object Similarity {
        |    k.embedding AS emb, q.embedding AS q_emb
        |  FROM keys k JOIN qk q ON k.t = q.t AND k.b = q.b AND k.vec_id <> q.vec_id)""".stripMargin)
 
+  /** s13: MULTIPROBE SRP-LSH — the third axis of the LSH design space,
+    * after s02 (stock) and s10 (more bucket bits): probe the query's
+    * home bucket AND every 1-bit-flip neighbor in each table (9 probes
+    * per table at 8 bits). A near-neighbor that lands one hyperplane
+    * sign away — the dominant miss mode, since a cos≈0.9 pair flips
+    * each bit with p = θ/π ≈ 0.08, so single-bit disagreements dwarf
+    * multi-bit ones — is recovered WITHOUT touching the index: recall
+    * rises at the cost of ~9× probe volume (still 9·N/2^bits per
+    * table, corpus-sublinear), where adding tables would multiply the
+    * INDEX size instead. Implementation is pure key arithmetic: probes
+    * = packed home key XOR (1 << j), the table tag living above the
+    * bucket bits; the index side is byte-identical to s02's.
+    * `MultiprobeSpec` pins the structural guarantees: s13's candidate
+    * set strictly contains s02's, and its measured recall@5 vs s01 is ≥
+    * s02's. */
+  def s13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding",
+        explode(SrpLsh.buckets(spark, $"embedding")).as("key"))
+    val probes = ($"home" +: (0 until SrpLsh.BitsPerTable)
+      .map(j => $"home".bitwiseXOR(lit(1L << j)))).toSeq
+    val q = queriesSubset(spark, dir)
+      .select($"q_id", $"q_emb",
+        explode(SrpLsh.buckets(spark, $"q_emb")).as("home"))
+      .select($"q_id", $"q_emb", explode(array(probes: _*)).as("key"))
+    val scored = emb.join(broadcast(q), Seq("key"))
+      .filter($"vec_id" =!= $"q_id")
+      .dropDuplicates("q_id", "vec_id")
+      .select($"q_id", $"vec_id",
+        VectorOps.cosineSim(spark, $"embedding", $"q_emb").as("cosine"))
+    top5(scored)
+  }
+
+  private def s13Sql: String = rankedSql(
+    s"""WITH keys AS MATERIALIZED (
+       |  ${Dedup.srpKeysSql("embeddings")}),
+       |qk AS (SELECT * FROM keys WHERE vec_id % 47 = 0),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, k.vec_id AS vec_id,
+       |    k.embedding AS emb, q.embedding AS q_emb
+       |  FROM keys k JOIN qk q
+       |    ON k.t = q.t AND bit_count(xor(k.b, q.b)) <= 1
+       |      AND k.vec_id <> q.vec_id)""".stripMargin)
+
   // ---------------------------------------------------------------------
   // s05: kNN JOIN — every corpus vector retrieves its own top-5
   // neighbors (q_id = each vec_id), the SemDeDup/semantic-clustering
@@ -916,7 +961,8 @@ object Similarity {
     "s09_ann_ivfpq" -> (s09 _),
     "s10_ann_lsh_scaled" -> (s10 _),
     "s11_knn_join_scaled" -> (s11 _),
-    "s12_filtered_ann" -> (s12 _))
+    "s12_filtered_ann" -> (s12 _),
+    "s13_multiprobe_lsh" -> (s13 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "s01_ann_bruteforce" -> s01Sql,
@@ -930,5 +976,6 @@ object Similarity {
     "s09_ann_ivfpq" -> s09Sql,
     "s10_ann_lsh_scaled" -> s10Sql,
     "s11_knn_join_scaled" -> s11Sql,
-    "s12_filtered_ann" -> s12Sql)
+    "s12_filtered_ann" -> s12Sql,
+    "s13_multiprobe_lsh" -> s13Sql)
 }
