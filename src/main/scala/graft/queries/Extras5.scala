@@ -369,13 +369,93 @@ object Extras5 {
       |  ON e.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR
       |GROUP BY day ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q77: CSV SOURCE WITH MALFORMED-RECORD HANDLING — the dirty-landing-
+  // zone contract every ingest pipeline needs: rows that fail the schema
+  // must be QUARANTINED, not silently dropped or job-fatal. The corpus'
+  // orders are serialized to CSV with a deterministic corruption (every
+  // o_orderkey ≡ 0 mod 37 gets a non-numeric o_totalprice), then read
+  // back two ways: PERMISSIVE + columnNameOfCorruptRecord (bad rows
+  // surface with the raw line captured in the corrupt column and nulls
+  // elsewhere — the quarantine path) and DROPMALFORMED (bad rows
+  // vanish — the best-effort path). The result compares the two modes'
+  // row/sum accounting in one frame; the oracle derives the same
+  // numbers from the parquet truth and the corruption rule. At scale
+  // CSV parsing is a narrow per-split map — the modes differ only in
+  // per-row error disposition, not in plan shape.
+  // ---------------------------------------------------------------------
+  def q77(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+    val csvDir = graft.Scratch.dir("q77_csv")
+    orders.select(
+        $"o_orderkey",
+        when($"o_orderkey" % 37 === 0, lit("corrupted!"))
+          .otherwise(format_number($"o_totalprice", 2)).as("o_totalprice_s"),
+        $"o_orderstatus")
+      .select(concat_ws(",", $"o_orderkey",
+        regexp_replace($"o_totalprice_s", ",", ""), $"o_orderstatus")
+        .as("value"))
+      .write.text(csvDir)
+
+    val dataSchema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderstatus", StringType)))
+    // the corrupt column is VIRTUAL: declared in the schema but excluded
+    // from positional token mapping — it carries the raw line of any row
+    // that failed to parse
+    val permissive = spark.read
+      .schema(dataSchema.add(StructField("_bad", StringType)))
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_bad")
+      .csv(csvDir)
+    val dropped = spark.read.schema(dataSchema)
+      .option("mode", "DROPMALFORMED").csv(csvDir)
+
+    val p = permissive.agg(
+      count(lit(1)).as("n_rows"),
+      count($"_bad").as("n_quarantined"),
+      sum(when($"_bad".isNull, $"o_totalprice".cast(DecimalType(18, 2))))
+        .cast(DoubleType).as("sum_good"))
+      .withColumn("mode", lit("1_permissive"))
+    val d = dropped.agg(
+      count(lit(1)).as("n_rows"),
+      count(when($"o_totalprice".isNull, 1)).as("n_quarantined"),
+      sum($"o_totalprice".cast(DecimalType(18, 2)))
+        .cast(DoubleType).as("sum_good"))
+      .withColumn("mode", lit("2_dropmalformed"))
+    p.unionByName(d)
+      .select($"mode", $"n_rows", $"n_quarantined", $"sum_good")
+      .orderBy($"mode")
+  }
+
+  // the oracle never reads the CSV: the corruption rule is deterministic,
+  // so the parquet table IS the ground truth for both dispositions.
+  // format_number rounds half-up to 2 decimals; o_totalprice is already
+  // 2-decimal money, so the round-trip is value-exact.
+  private val q77Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+      |    o_orderkey % 37 = 0 AS bad
+      |  FROM orders)
+      |SELECT '1_permissive' AS mode, COUNT(*) AS n_rows,
+      |  COUNT(*) FILTER (bad) AS n_quarantined,
+      |  CAST(SUM(p) FILTER (NOT bad) AS DOUBLE) AS sum_good
+      |FROM base
+      |UNION ALL
+      |SELECT '2_dropmalformed', COUNT(*) FILTER (NOT bad),
+      |  0, CAST(SUM(p) FILTER (NOT bad) AS DOUBLE)
+      |FROM base
+      |ORDER BY mode""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q72_constraint_suite" -> (q72 _),
     "q73_higher_order" -> (q73 _),
     "q74_exchange_reuse" -> (q74 _),
     "q75_ordered_set_aggs" -> (q75 _),
     "g01_graph_bfs" -> (g01 _),
-    "q76_banded_time_join" -> (q76 _))
+    "q76_banded_time_join" -> (q76 _),
+    "q77_csv_malformed" -> (q77 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q72_constraint_suite" -> q72Sql,
@@ -383,5 +463,6 @@ object Extras5 {
     "q74_exchange_reuse" -> q74Sql,
     "q75_ordered_set_aggs" -> q75Sql,
     "g01_graph_bfs" -> g01Sql,
-    "q76_banded_time_join" -> q76Sql)
+    "q76_banded_time_join" -> q76Sql,
+    "q77_csv_malformed" -> q77Sql)
 }
