@@ -640,6 +640,59 @@ object EventsStream {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** st18: DYNAMIC-GAP session windows — `session_window` with a
+    * per-event gap EXPRESSION (errors extend their session 10 minutes,
+    * everything else 30): session horizons depend on event content, the
+    * state-hygiene dial fixed-gap sessions lack. Emission semantics as
+    * st02 (append mode; a session emits once the watermark passes its
+    * end, where the end is the MAX member end — each event spans
+    * [ts, ts + its own gap) and overlapping spans merge). The oracle
+    * rebuilds the merge with a running-max-end island detection (new
+    * session iff ts ≥ max of all previous member ends) and applies the
+    * same close predicate (end ≤ max ts − 30 min). */
+  def st18(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    drain(StreamOps.dynamicSessionCounts(eventsSource(spark, dir)), "append")
+      .select(
+        date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format($"session_window.end", "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        $"user_id", $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  private val st18Sql =
+    """WITH spans AS (
+      |  SELECT user_id, ts, event_id,
+      |    ts + CASE WHEN event_type = 'error' THEN INTERVAL 10 MINUTE
+      |              ELSE INTERVAL 30 MINUTE END AS span_end
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts, span_end,
+      |    CASE WHEN ts >= MAX(span_end) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      OR MAX(span_end) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM spans),
+      |sess AS (
+      |  SELECT user_id, ts, span_end,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, span_end
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged),
+      |agg AS (
+      |  SELECT user_id, sid, MIN(ts) AS session_start,
+      |    MAX(span_end) AS session_end, COUNT(*) AS n_events
+      |  FROM sess GROUP BY user_id, sid),
+      |m AS (SELECT MAX(ts) AS mx FROM events)
+      |SELECT strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  user_id, n_events
+      |FROM agg, m
+      |WHERE session_end <= mx - INTERVAL 30 MINUTE
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** st17: `dropDuplicatesWithinWatermark` — the BOUNDED-STATE dedup
     * variant (Spark 3.5+/4 API). st10's `dropDuplicates` holds a state
     * row per distinct key forever unless the key embeds an event-time
@@ -768,7 +821,8 @@ object EventsStream {
     "st14_transform_with_state" -> (st14 _),
     "st15_event_time_timers" -> (st15 _),
     "st16_warm_start_state" -> (st16 _),
-    "st17_dedup_within_watermark" -> (st17 _))
+    "st17_dedup_within_watermark" -> (st17 _),
+    "st18_dynamic_gap_sessions" -> (st18 _))
 
   private val st02Sql =
     """WITH flagged AS (
@@ -809,5 +863,6 @@ object EventsStream {
     "st14_transform_with_state" -> st14Sql,
     "st15_event_time_timers" -> st15Sql,
     "st16_warm_start_state" -> st16Sql,
-    "st17_dedup_within_watermark" -> st17Sql)
+    "st17_dedup_within_watermark" -> st17Sql,
+    "st18_dynamic_gap_sessions" -> st18Sql)
 }

@@ -34,6 +34,21 @@ object StreamOps {
       .groupBy(session_window(col(tsCol), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** DYNAMIC-gap session windows: the gap is a per-EVENT expression —
+    * an 'error' extends its session only 10 minutes, anything else 30 —
+    * so a session's horizon depends on what its last events were (the
+    * production use: cheap events shouldn't hold state open as long as
+    * engaged ones). Each event spans [ts, ts + its gap); overlapping
+    * spans merge, and the session window's end is the max member end.
+    * Same append + watermark close semantics as [[sessionCounts]]. */
+  def dynamicSessionCounts(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events
+      .withWatermark(tsCol, "30 minutes")
+      .groupBy(session_window(col(tsCol),
+        when(col("event_type") === "error", "10 minutes")
+          .otherwise("30 minutes")), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
   /** Sliding 1-hour/30-minute counts by event type. State: one row per
     * (window, type) × overlap factor (window/slide = 2). */
   def slidingCounts(events: DataFrame, tsCol: String = "ts"): DataFrame =
