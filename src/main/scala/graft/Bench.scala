@@ -44,7 +44,12 @@ object Bench {
     // r12 additions: the streaming ingest pipeline (gate → dedup-ledger
     // merge across micro-batches), the frame-overlap video near-dup,
     // and the faceted filtered ANN — one representative per new family
-    "p03_stream_ingest", "m05_video_neardup", "s12_filtered_ann")
+    "p03_stream_ingest", "m05_video_neardup", "s12_filtered_ann",
+    // late-r12 families: the binned large×large band join, multiprobe
+    // LSH (9× probe volume — its cost needs a baseline), the landmark
+    // audio matcher, frontier BFS, and the bounded-state stream dedup
+    "q76_banded_time_join", "s13_multiprobe_lsh", "m06_audio_fingerprint",
+    "g01_graph_bfs", "st17_dedup_within_watermark")
 
   /** The x10 scale block's query set — ONE definition shared by the
     * sf1 child's warm-up loop and sf1Bench's measured loop, so the

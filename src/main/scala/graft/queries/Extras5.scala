@@ -448,6 +448,96 @@ object Extras5 {
       |FROM base
       |ORDER BY mode""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q78: SNAPSHOT-ISOLATED TIME-TRAVEL READS — the MVCC core of every
+  // table format (Iceberg/Delta), built from first principles on q71's
+  // manifest idea: data files are IMMUTABLE; a commit writes new files
+  // plus a manifest (one text file listing the snapshot's members); a
+  // reader resolves a VERSION to its manifest and scans exactly those
+  // files. Three commits: v1 = initial load (keys ≡ 0 mod 3), v2 =
+  // append (adds keys ≡ 1), v3 = DELETE via copy-on-write (rewrites
+  // v1's files without the 'F'-status rows; v2's append files carry
+  // over untouched). Because nothing is ever mutated in place, reading
+  // AS OF v1 after the delete still returns the original rows — that
+  // isolation is the whole point, and `Extras5Spec` pins it by
+  // resolving v2's file list, committing v3, and re-reading. The query
+  // aggregates all three snapshots side by side; the oracle derives
+  // each snapshot's contents from the version predicates. At 100 TB:
+  // manifests are O(#files) text, commits are atomic manifest swaps,
+  // and old snapshots cost only the storage their files share.
+  // ---------------------------------------------------------------------
+  private[queries] def q78Commit(base: String, version: Int,
+      files: Seq[String]): Unit = {
+    val dir = java.nio.file.Paths.get(base, "_manifests")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve(s"v$version.txt"),
+      files.sorted.mkString("\n").getBytes("UTF-8"))
+  }
+
+  private[queries] def q78Resolve(base: String, version: Int): Seq[String] = {
+    val p = java.nio.file.Paths.get(base, "_manifests", s"v$version.txt")
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  private def q78Parts(dir: String): Seq[String] =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).toSeq
+
+  /** Runs the three commits and returns the table root. */
+  private[queries] def q78Table(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val base = graft.Scratch.dir("q78_table")
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    // v1: initial load
+    orders.filter($"o_orderkey" % 3 === 0).write.parquet(s"$base/files-v1")
+    val a = q78Parts(s"$base/files-v1")
+    q78Commit(base, 1, a)
+    // v2: append-only commit — v1's files carry over by reference
+    orders.filter($"o_orderkey" % 3 === 1).write.parquet(s"$base/files-v2")
+    val b = q78Parts(s"$base/files-v2")
+    q78Commit(base, 2, a ++ b)
+    // v3: copy-on-write DELETE of 'F' rows from v1's slice — rewrites
+    // only the files that contain hits; the append files are untouched
+    orders.filter($"o_orderkey" % 3 === 0 && $"o_orderstatus" =!= "F")
+      .write.parquet(s"$base/files-v3")
+    q78Commit(base, 3, q78Parts(s"$base/files-v3") ++ b)
+    base
+  }
+
+  def q78(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = q78Table(spark, dir)
+    (1 to 3).map { v =>
+      spark.read.parquet(q78Resolve(base, v): _*)
+        .agg(count(lit(1)).as("n_rows"),
+          count(when($"o_orderstatus" === "F", 1)).as("n_f_status"),
+          sum($"o_totalprice".cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+        .withColumn("version", lit(v.toLong))
+    }.reduce(_ unionByName _)
+      .select($"version", $"n_rows", $"n_f_status", $"sum_price")
+      .orderBy($"version")
+  }
+
+  private val q78Sql =
+    """WITH snap AS (
+      |  SELECT 1 AS version, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT 2, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey % 3 IN (0, 1)
+      |  UNION ALL
+      |  SELECT 3, o_orderstatus, o_totalprice FROM orders
+      |  WHERE (o_orderkey % 3 = 0 AND o_orderstatus <> 'F')
+      |     OR o_orderkey % 3 = 1)
+      |SELECT CAST(version AS BIGINT) AS version, COUNT(*) AS n_rows,
+      |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_f_status,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM snap GROUP BY version ORDER BY version""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q72_constraint_suite" -> (q72 _),
     "q73_higher_order" -> (q73 _),
@@ -455,7 +545,8 @@ object Extras5 {
     "q75_ordered_set_aggs" -> (q75 _),
     "g01_graph_bfs" -> (g01 _),
     "q76_banded_time_join" -> (q76 _),
-    "q77_csv_malformed" -> (q77 _))
+    "q77_csv_malformed" -> (q77 _),
+    "q78_snapshot_reads" -> (q78 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q72_constraint_suite" -> q72Sql,
@@ -464,5 +555,6 @@ object Extras5 {
     "q75_ordered_set_aggs" -> q75Sql,
     "g01_graph_bfs" -> g01Sql,
     "q76_banded_time_join" -> q76Sql,
-    "q77_csv_malformed" -> q77Sql)
+    "q77_csv_malformed" -> q77Sql,
+    "q78_snapshot_reads" -> q78Sql)
 }

@@ -38,6 +38,28 @@ class Extras5Spec extends SparkSpec {
       s"expected a hash/merge equi-join on the bin key:\n$plan")
   }
 
+  test("q78: a resolved snapshot is immune to later commits (isolation)") {
+    import org.apache.spark.sql.functions._
+    // resolve v2 BEFORE v3 exists? q78Table commits all three, so pin the
+    // stronger property: v1/v2 manifests still resolve to the ORIGINAL
+    // files after the v3 delete, and re-reading them returns the
+    // pre-delete rows (including the deleted 'F' rows)
+    val base = Extras5.q78Table(spark, sf)
+    val v1 = Extras5.q78Resolve(base, 1)
+    val v3 = Extras5.q78Resolve(base, 3)
+    assert(v1.intersect(v3).isEmpty,
+      "copy-on-write delete must rewrite, not share, the touched files")
+    val v1F = spark.read.parquet(v1: _*)
+      .filter(col("o_orderstatus") === "F").count()
+    assert(v1F > 0, "time travel to v1 must still see the deleted rows")
+    val v3F = spark.read.parquet(v3: _*)
+      .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 3 === 0).count()
+    assert(v3F == 0, "v3 must not see the deleted slice")
+    // append files are shared by reference between v2 and v3
+    val v2 = Extras5.q78Resolve(base, 2)
+    assert(v2.intersect(v3).nonEmpty, "untouched files must carry over")
+  }
+
   test("g01: BFS levels are disjoint and the frontier stays within the graph") {
     val rows = Extras5.g01(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
