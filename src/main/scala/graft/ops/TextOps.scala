@@ -1373,7 +1373,8 @@ object TextOps {
     "t18_decontaminate" -> (t18 _),
     "t19_vocab_zipf" -> (t19 _),
     "t20_bigram_lm" -> (t20 _),
-    "t21_det_split" -> (t21 _))
+    "t21_det_split" -> (t21 _),
+    "t22_domain_prior_gate" -> (t22 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "t01_token_stats" -> t01Sql,
@@ -1396,5 +1397,82 @@ object TextOps {
     "t18_decontaminate" -> t18Sql,
     "t19_vocab_zipf" -> t19Sql,
     "t20_bigram_lm" -> t20Sql,
-    "t21_det_split" -> t21Sql)
+    "t21_det_split" -> t21Sql,
+    "t22_domain_prior_gate" -> t22Sql)
+
+  // ---------------------------------------------------------------------
+  // t22: DOMAIN-PRIOR GATE — hierarchical (two-level) corpus filtering,
+  // the CommonCrawl-curation shape: documents inherit a DOMAIN-level
+  // prior (is this site mostly junk?) on top of their own document-level
+  // score, because per-doc quality metrics alone admit boilerplate farms
+  // whose individual pages look fine. Level 1 aggregates t02's quality
+  // verdict per domain — a domain passes when ≥ 60% of its docs are good
+  // (integer cross-multiplication, no float threshold) and it has ≥ 3
+  // docs (cold domains can't buy trust with one page). Level 2 admits a
+  // doc iff its own score passes AND its domain's prior passes — applied
+  // as a BROADCAST join of the domain verdict table back onto the corpus
+  // (domains are O(sites), tiny next to docs, at any corpus scale).
+  // Domains are synthesized deterministically (source-keyed buckets; no
+  // registrable-domain parser in this env — the m01 stub convention);
+  // the per-doc score is t02's exact formula, whose double arithmetic
+  // is already bit-portable, so the ≥ 0.5 comparison is too.
+  // ---------------------------------------------------------------------
+  def t22(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens(lower($"text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    val nTok = size(toks).cast(DoubleType)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast(DoubleType)
+    val nPunct = (length($"text") -
+      length(regexp_replace($"text", "[^a-zA-Z0-9 ]", ""))).cast(DoubleType)
+    val stopRatio = when(nTok > 0, nStop / nTok).otherwise(0.0)
+    val punctRatio =
+      when(length($"text") > 0, nPunct / length($"text")).otherwise(0.0)
+    val qual = stopRatio * lit(0.5) + (lit(1.0) - punctRatio) * lit(0.5)
+
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        concat_ws("-", $"source", ($"doc_id" % 50).cast("string")).as("domain"),
+        (qual >= 0.5).as("doc_good"))
+    val priors = docs.groupBy($"source", $"domain")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"doc_good", 1)).as("n_good"))
+      .withColumn("prior_pass",
+        $"n_good" * 10L >= $"n_docs" * 6L && $"n_docs" >= 3L)
+    val admitted = docs
+      .join(broadcast(priors.select($"domain", $"prior_pass")), Seq("domain"))
+      .filter($"doc_good" && $"prior_pass")
+      .groupBy($"domain").agg(count(lit(1)).as("n_admitted"))
+    priors.join(admitted, Seq("domain"), "left")
+      .select($"source", $"domain", $"n_docs", $"n_good", $"prior_pass",
+        coalesce($"n_admitted", lit(0L)).as("n_admitted"))
+      .orderBy($"source", $"domain")
+  }
+
+  // lazy: declared below the registry maps that reference it — object
+  // init order would otherwise capture null into the oracle map
+  private lazy val t22Sql = {
+    val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH scored AS (
+       |  SELECT doc_id, source, source || '-' || CAST(doc_id % 50 AS VARCHAR) AS domain,
+       |    (CASE WHEN len(list_filter(string_split(lower(text), ' '), x -> x <> '')) > 0
+       |      THEN CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains($stopList, t))) AS DOUBLE)
+       |        / len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+       |      ELSE 0.0 END) * 0.5 +
+       |    (1.0 - CASE WHEN length(text) > 0
+       |      THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+       |        / length(text)
+       |      ELSE 0.0 END) * 0.5 >= 0.5 AS doc_good
+       |  FROM documents),
+       |priors AS (
+       |  SELECT source, domain, COUNT(*) AS n_docs,
+       |    COUNT(*) FILTER (doc_good) AS n_good,
+       |    COUNT(*) FILTER (doc_good) * 10 >= COUNT(*) * 6
+       |      AND COUNT(*) >= 3 AS prior_pass
+       |  FROM scored GROUP BY source, domain)
+       |SELECT p.source, p.domain, p.n_docs, p.n_good, p.prior_pass,
+       |  CASE WHEN p.prior_pass THEN p.n_good ELSE 0 END AS n_admitted
+       |FROM priors p
+       |ORDER BY p.source, p.domain""".stripMargin
+  }
 }

@@ -538,6 +538,70 @@ object Extras5 {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM snap GROUP BY version ORDER BY version""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q79: GLOBAL TOTAL-ORDER SORT (the terasort shape) — produce a
+  // DISTRIBUTED totally-ordered layout: `repartitionByRange` samples the
+  // key distribution to pick 8 balanced boundaries (one pass reservoir
+  // sample — the only way to total-order without funneling through one
+  // task), `sortWithinPartitions` orders inside each range, and the
+  // written files tile the keyspace without overlap. The terasort
+  // VALIDITY criterion is checked from the output itself: per-file
+  // [min, max] ranges, sorted by min, must chain monotonically
+  // (file_i.max ≤ file_{i+1}.min) — that plus in-file order IS a total
+  // order, verified without ever collecting the data. Per-file row
+  // counts depend on the sampled boundaries (not oracle-stable), so the
+  // result row reduces to the invariants: file count, global rows,
+  // global min/max, and the monotonicity verdict — all deterministic.
+  // ---------------------------------------------------------------------
+  def q79(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = graft.Scratch.dir("q79_sorted")
+    Tables.load(spark, dir, "lineitem")
+      .select($"l_shipdate", $"l_orderkey", $"l_quantity")
+      .repartitionByRange(8, $"l_shipdate", $"l_orderkey")
+      .sortWithinPartitions($"l_shipdate", $"l_orderkey")
+      .write.parquet(out)
+    val perFile = spark.read.parquet(out)
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        min(unix_micros($"l_shipdate".cast("timestamp"))).as("lo_ship"),
+        min(struct(unix_micros($"l_shipdate".cast("timestamp")),
+          $"l_orderkey")).as("f_lo"),
+        max(struct(unix_micros($"l_shipdate".cast("timestamp")),
+          $"l_orderkey")).as("f_hi"),
+        count(lit(1)).as("n"))
+    // the monotone-chain check runs DRIVER-side over O(#files) metadata
+    // rows (the q71Prune bound) — ordering 8 file summaries needs no
+    // partition-less window
+    import spark.implicits._
+    val files = perFile.orderBy($"f_lo").collect().map { r =>
+      val lo = r.getStruct(2); val hi = r.getStruct(3)
+      ((lo.getLong(0), lo.getLong(1)), (hi.getLong(0), hi.getLong(1)),
+        r.getLong(4))
+    }
+    val ordered = files.sliding(2).forall {
+      case Array((_, hi, _), (lo2, _, _)) =>
+        hi._1 < lo2._1 || (hi._1 == lo2._1 && hi._2 <= lo2._2)
+      case _ => true
+    }
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+      .withZone(java.time.ZoneOffset.UTC)
+    def day(us: Long) = fmt.format(java.time.Instant.ofEpochSecond(us / 1000000L))
+    Seq((files.length.toLong, files.map(_._3).sum,
+        day(files.map(_._1._1).min), day(files.map(_._2._1).max), ordered))
+      .toDF("n_files", "n_rows", "min_ship", "max_ship", "totally_ordered")
+  }
+
+  // the oracle pins the invariants: 8 non-overlapping files tiling the
+  // full table, and the monotone chain literally TRUE — a sort that
+  // leaves overlap or drops rows fails the hash
+  private val q79Sql =
+    """SELECT CAST(8 AS BIGINT) AS n_files, COUNT(*) AS n_rows,
+      |  strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
+      |  strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship,
+      |  TRUE AS totally_ordered
+      |FROM lineitem""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q72_constraint_suite" -> (q72 _),
     "q73_higher_order" -> (q73 _),
@@ -546,7 +610,8 @@ object Extras5 {
     "g01_graph_bfs" -> (g01 _),
     "q76_banded_time_join" -> (q76 _),
     "q77_csv_malformed" -> (q77 _),
-    "q78_snapshot_reads" -> (q78 _))
+    "q78_snapshot_reads" -> (q78 _),
+    "q79_global_sort" -> (q79 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q72_constraint_suite" -> q72Sql,
@@ -556,5 +621,6 @@ object Extras5 {
     "g01_graph_bfs" -> g01Sql,
     "q76_banded_time_join" -> q76Sql,
     "q77_csv_malformed" -> q77Sql,
-    "q78_snapshot_reads" -> q78Sql)
+    "q78_snapshot_reads" -> q78Sql,
+    "q79_global_sort" -> q79Sql)
 }
