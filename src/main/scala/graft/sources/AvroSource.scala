@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsReportStatistics, Statistics}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -97,6 +98,7 @@ private[sources] class AvroTable(schema: StructType,
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
@@ -151,6 +153,77 @@ private[sources] class AvroScan(full: StructType, required: StructType,
     val conf = new SerializableConfiguration(spark.sessionState.newHadoopConf())
     new AvroReaderFactory(required, conf)
   }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new AvroMicroBatchStream(required, options)
+}
+
+/** Streaming (micro-batch) read over a growing `.avro` directory — the
+  * landing-zone ingest path, making `gavro` a full batch+streaming
+  * source. Offsets index into the file listing ordered by
+  * (modification time, path): append-only arrival (the file-source
+  * contract — writers land NEW files, never rewrite old ones, which the
+  * sink side of this connector guarantees via its staging commit) means
+  * the order of already-seen files never changes, so an offset is a
+  * stable high-water mark and each file is read EXACTLY once.
+  * Admission control honors `maxFilesPerTrigger`; each batch's files
+  * are sync-marker split exactly like the batch scan, so one huge
+  * landed file still parallelizes inside its micro-batch. */
+private[sources] class AvroMicroBatchStream(required: StructType,
+    options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private def spark = SparkSession.active
+  private val maxFilesPerTrigger: Option[Int] =
+    Option(options.get("maxfilespertrigger")).map(_.toInt)
+
+  private def listing(): Seq[org.apache.hadoop.fs.FileStatus] =
+    AvroIo.listFiles(AvroIo.paths(options), spark.sessionState.newHadoopConf())
+      .sortBy(st => (st.getModificationTime, st.getPath.toString))
+
+  override def initialOffset(): Offset = AvroStreamOffset(0)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry point")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val total = listing().size.toLong
+    val from = start.asInstanceOf[AvroStreamOffset].idx
+    limit match {
+      case mf: ReadMaxFiles => AvroStreamOffset(math.min(total, from + mf.maxFiles()))
+      case _ => AvroStreamOffset(total)
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[AvroStreamOffset].idx.toInt
+    val to = end.asInstanceOf[AvroStreamOffset].idx.toInt
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    listing().slice(from, to).flatMap { st =>
+      val len = st.getLen
+      (0L until len by maxSplit).map { s =>
+        AvroInputPartition(st.getPath.toString, s, math.min(maxSplit, len - s))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroReaderFactory(required,
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+
+  override def deserializeOffset(json: String): Offset =
+    AvroStreamOffset("""-?\d+""".r.findFirstIn(json).get.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] case class AvroStreamOffset(idx: Long) extends Offset {
+  override def json(): String = s"""{"idx":$idx}"""
 }
 
 private[sources] case class AvroInputPartition(path: String, start: Long,

@@ -640,6 +640,40 @@ object EventsStream {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** st19: STREAMING READ THROUGH THE FIRST-PARTY AVRO CONNECTOR — the
+    * `gavro` DSv2 source's MICRO_BATCH_READ capability end-to-end: the
+    * events table lands in an Avro directory in three commits (the
+    * landing-zone shape the connector's staging sink produces), a
+    * `readStream.format("gavro")` consumes it through
+    * `AvroMicroBatchStream` (offset = high-water mark over the
+    * (mtime, path)-ordered listing; admission control honors
+    * maxFilesPerTrigger; each batch's files sync-split like the batch
+    * scan), and a complete-mode aggregation settles to the batch truth.
+    * `AvroStreamSpec` drives the multi-batch and exactly-once claims;
+    * this registry entry pins the settled result against the oracle. */
+  def st19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+    val lz = graft.Scratch.dir("st19_avro")
+    (0 to 2).foreach { i =>
+      ev.filter($"event_id" % 3 === i)
+        .write.format("graft.sources.AvroDataSource").mode("append").save(lz)
+    }
+    val stream = spark.readStream.format("graft.sources.AvroDataSource").load(lz)
+    drain(stream.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"user_id").as("sum_uid")), "complete")
+      .orderBy($"event_type")
+  }
+
+  private val st19Sql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(user_id) AS BIGINT) AS sum_uid
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** st18: DYNAMIC-GAP session windows — `session_window` with a
     * per-event gap EXPRESSION (errors extend their session 10 minutes,
     * everything else 30): session horizons depend on event content, the
@@ -822,7 +856,8 @@ object EventsStream {
     "st15_event_time_timers" -> (st15 _),
     "st16_warm_start_state" -> (st16 _),
     "st17_dedup_within_watermark" -> (st17 _),
-    "st18_dynamic_gap_sessions" -> (st18 _))
+    "st18_dynamic_gap_sessions" -> (st18 _),
+    "st19_avro_stream_read" -> (st19 _))
 
   private val st02Sql =
     """WITH flagged AS (
@@ -864,5 +899,6 @@ object EventsStream {
     "st15_event_time_timers" -> st15Sql,
     "st16_warm_start_state" -> st16Sql,
     "st17_dedup_within_watermark" -> st17Sql,
-    "st18_dynamic_gap_sessions" -> st18Sql)
+    "st18_dynamic_gap_sessions" -> st18Sql,
+    "st19_avro_stream_read" -> st19Sql)
 }
