@@ -602,6 +602,88 @@ object Extras5 {
       |  TRUE AS totally_ordered
       |FROM lineitem""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // g02: TRIANGLE COUNTING — the classic distributed-graph benchmark.
+  // The algorithm is the degree-ordered node-iterator (Schank & Wagner):
+  // orient every edge from its (degree, id)-smaller endpoint to the
+  // larger, build wedges by joining oriented edges on their source, and
+  // close each wedge with a semi-join back against the oriented edge
+  // set — each triangle is counted EXACTLY once, and the orientation
+  // bounds every vertex's out-degree by O(√|E|), which is what makes
+  // the wedge join feasible at scale (an unoriented wedge join explodes
+  // on high-degree vertices). All counts exact BIGINTs; the oracle
+  // replays the same three joins.
+  //
+  // The graph: the corpus' natural bipartite projections are DENSE
+  // (13-41 suppliers per part at sf0.01 — a co-supply projection is
+  // quadratic in that multiplicity and measured empty under any sane
+  // df-cap), so the graph is synthesized deterministically over the
+  // supplier vertex set (the stub convention): each supplier s links to
+  // s+1, s+2 and a content-dependent chord s + 3 + (s mod 5) — sparse
+  // (degree ≤ ~8), scale-proportional, triangle-rich (every consecutive
+  // triple closes), and irregular enough that the degree orientation
+  // actually reorders edges.
+  // ---------------------------------------------------------------------
+  def g02(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = Tables.load(spark, dir, "supplier").select($"s_suppkey".as("n"))
+    val rawEdges = nodes
+      .select($"n", explode(array(
+        $"n" + 1, $"n" + 2, $"n" + 3 + ($"n" % 5))).as("m"))
+    // keep only edges whose far endpoint exists (graph stays closed
+    // under the vertex set); dedup chords that collide with ladder edges
+    val edges = rawEdges.join(nodes.withColumnRenamed("n", "m"), Seq("m"))
+      .select($"n".as("u"), $"m".as("v")).distinct()
+    // degree-ordered orientation: u→v iff (deg(u), u) < (deg(v), v)
+    val deg = edges.select($"u".as("n")).union(edges.select($"v".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+    val withDeg = edges
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), Seq("v"))
+    val oriented = withDeg.select(
+      when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), struct($"u", $"v"))
+        .otherwise(struct($"v".as("u"), $"u".as("v"))).as("e"))
+      .select($"e.u".as("src"), $"e.v".as("dst"))
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        $"x.src" === $"y.src" && $"x.dst" < $"y.dst")
+      .select($"x.dst".as("a"), $"y.dst".as("b"))
+    // a wedge (a, b) closes iff the oriented edge set contains a→b or
+    // b→a (orientation direction between a and b depends on degrees)
+    val closed = wedges.join(oriented,
+        ($"a" === $"src" && $"b" === $"dst") ||
+          ($"b" === $"src" && $"a" === $"dst"), "left_semi")
+    edges.agg(count(lit(1)).as("n_edges")).crossJoin(
+        deg.agg(count(lit(1)).as("n_nodes")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+      .select($"n_nodes", $"n_edges", $"n_triangles")
+  }
+
+  private val g02Sql =
+    s"""WITH nodes AS (SELECT s_suppkey AS n FROM supplier),
+       |raw_edges AS (
+       |  SELECT n, unnest([n + 1, n + 2, n + 3 + (n % 5)]) AS m FROM nodes),
+       |edges AS (
+       |  SELECT DISTINCT e.n AS u, e.m AS v
+       |  FROM raw_edges e JOIN nodes x ON x.n = e.m),
+       |deg AS (
+       |  SELECT n, COUNT(*) AS d FROM (
+       |    SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+       |  GROUP BY n),
+       |oriented AS (
+       |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS src,
+       |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS dst
+       |  FROM edges JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v),
+       |wedges AS (
+       |  SELECT x.dst AS a, y.dst AS b
+       |  FROM oriented x JOIN oriented y ON x.src = y.src AND x.dst < y.dst),
+       |closed AS (
+       |  SELECT * FROM wedges w
+       |  WHERE EXISTS (SELECT 1 FROM oriented o
+       |    WHERE (o.src = w.a AND o.dst = w.b) OR (o.src = w.b AND o.dst = w.a)))
+       |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       |  (SELECT COUNT(*) FROM edges) AS n_edges,
+       |  (SELECT COUNT(*) FROM closed) AS n_triangles""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q72_constraint_suite" -> (q72 _),
     "q73_higher_order" -> (q73 _),
@@ -611,7 +693,8 @@ object Extras5 {
     "q76_banded_time_join" -> (q76 _),
     "q77_csv_malformed" -> (q77 _),
     "q78_snapshot_reads" -> (q78 _),
-    "q79_global_sort" -> (q79 _))
+    "q79_global_sort" -> (q79 _),
+    "g02_triangle_count" -> (g02 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q72_constraint_suite" -> q72Sql,
@@ -622,5 +705,6 @@ object Extras5 {
     "q76_banded_time_join" -> q76Sql,
     "q77_csv_malformed" -> q77Sql,
     "q78_snapshot_reads" -> q78Sql,
-    "q79_global_sort" -> q79Sql)
+    "q79_global_sort" -> q79Sql,
+    "g02_triangle_count" -> g02Sql)
 }
