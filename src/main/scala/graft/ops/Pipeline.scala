@@ -447,13 +447,91 @@ object Pipeline {
        |GROUP BY source, split
        |ORDER BY source, split""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // p04: PARTITION-SCOPED BACKFILL — the lakehouse correction loop: a
+  // derived monthly table is found to have used wrong logic for one
+  // period ('P'-status orders were invalid during 1996), so the fix
+  // RECOMPUTES ONLY THE AFFECTED MONTHS and commits them as a new
+  // snapshot version on q78's manifest protocol — every other month's
+  // files carry over BY REFERENCE (zero rewrite I/O outside the blast
+  // radius), and the pre-fix version stays readable for before/after
+  // audits. At 100 TB this is the difference between reprocessing a
+  // month and reprocessing a decade. Layout: `partitionBy(part_month)`
+  // gives month-pure files; the manifest stores month DIRECTORY paths
+  // (month also rides as a normal data column, so leaf-file reads keep
+  // it). The query reads BOTH versions and rolls up per year — the
+  // audit view showing exactly which year moved and by how much.
+  // ---------------------------------------------------------------------
+  private def p04MonthDirs(versionDir: String): Seq[String] =
+    new java.io.File(versionDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("part_month="))
+      .map(_.getAbsolutePath).toSeq
+
+  private[graft] def p04Table(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val base = graft.Scratch.dir("p04_table")
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_orderdate", $"o_orderstatus",
+        $"o_totalprice".cast(DecimalType(18, 2)).as("price"))
+    def monthly(df: DataFrame): DataFrame =
+      df.groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"), sum($"price").as("revenue"))
+        .withColumn("part_month", $"month")
+    // v1: the original build (bug: counts 'P' orders in 1996)
+    monthly(orders).write.partitionBy("part_month").parquet(s"$base/files-v1")
+    val v1 = p04MonthDirs(s"$base/files-v1")
+    graft.queries.Extras5.q78Commit(base, 1, v1)
+    // v2: the backfill — corrected logic, RECOMPUTED FOR 1996 ONLY
+    monthly(orders.filter(
+        !(date_format($"o_orderdate", "yyyy") === "1996" &&
+          $"o_orderstatus" === "P")))
+      .filter($"month".startsWith("1996"))
+      .write.partitionBy("part_month").parquet(s"$base/files-v2")
+    val untouched = v1.filterNot(_.contains("part_month=1996"))
+    graft.queries.Extras5.q78Commit(base, 2,
+      untouched ++ p04MonthDirs(s"$base/files-v2"))
+    base
+  }
+
+  def p04(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = p04Table(spark, dir)
+    (1 to 2).map { v =>
+      spark.read.parquet(graft.queries.Extras5.q78Resolve(base, v): _*)
+        .groupBy(substring($"month", 1, 4).as("year"))
+        .agg(count(lit(1)).as("n_months"),
+          sum($"n_orders").as("n_orders"),
+          sum($"revenue").cast(DoubleType).as("revenue"))
+        .withColumn("version", lit(v.toLong))
+    }.reduce(_ unionByName _)
+      .select($"version", $"year", $"n_months", $"n_orders", $"revenue")
+      .orderBy($"version", $"year")
+  }
+
+  private val p04Sql =
+    """WITH v AS (
+      |  SELECT 1 AS version, o_orderdate, o_totalprice FROM orders
+      |  UNION ALL
+      |  SELECT 2, o_orderdate, o_totalprice FROM orders
+      |  WHERE NOT (strftime(o_orderdate, '%Y') = '1996' AND o_orderstatus = 'P'))
+      |SELECT CAST(version AS BIGINT) AS version,
+      |  strftime(o_orderdate, '%Y') AS year,
+      |  COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS n_months,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM v
+      |GROUP BY version, year
+      |ORDER BY version, year""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "p01_corpus_pipeline" -> (p01 _),
     "p02_incremental_ingest" -> (p02 _),
-    "p03_stream_ingest" -> (p03 _))
+    "p03_stream_ingest" -> (p03 _),
+    "p04_backfill" -> (p04 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "p01_corpus_pipeline" -> p01Sql,
     "p02_incremental_ingest" -> p02Sql,
-    "p03_stream_ingest" -> p03Sql)
+    "p03_stream_ingest" -> p03Sql,
+    "p04_backfill" -> p04Sql)
 }

@@ -466,7 +466,7 @@ object Extras5 {
   // manifests are O(#files) text, commits are atomic manifest swaps,
   // and old snapshots cost only the storage their files share.
   // ---------------------------------------------------------------------
-  private[queries] def q78Commit(base: String, version: Int,
+  private[graft] def q78Commit(base: String, version: Int,
       files: Seq[String]): Unit = {
     val dir = java.nio.file.Paths.get(base, "_manifests")
     java.nio.file.Files.createDirectories(dir)
@@ -474,7 +474,7 @@ object Extras5 {
       files.sorted.mkString("\n").getBytes("UTF-8"))
   }
 
-  private[queries] def q78Resolve(base: String, version: Int): Seq[String] = {
+  private[graft] def q78Resolve(base: String, version: Int): Seq[String] = {
     val p = java.nio.file.Paths.get(base, "_manifests", s"v$version.txt")
     new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       .split("\n").toSeq.filter(_.nonEmpty)
