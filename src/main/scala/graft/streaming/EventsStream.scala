@@ -275,6 +275,58 @@ object EventsStream {
       |SELECT purchase_id, click_id FROM unmatched
       |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin
 
+  /** st20: stream-stream FULL OUTER interval join — completes the
+    * streaming join family (st07 inner, st13 left outer): BOTH sides
+    * emit null-completed rows when the watermark proves no future
+    * partner can match. The two proof horizons are ASYMMETRIC, which is
+    * the semantics this entry exists to pin: a purchase's click window
+    * is [p_ts − 1h, p_ts) — strictly BACKWARD — so an unmatched
+    * purchase emits once the global watermark (min over both inputs of
+    * side-max − 1h) passes p_ts; a click can match purchases up to 1 h
+    * LATER, so an unmatched click waits a full extra interval width
+    * (c_ts + 1h < watermark). The oracle replays matched pairs plus
+    * both horizon-cut unmatched sides. */
+  def st20(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val joined = StreamOps.purchaseClickFullJoin(
+      eventsSource(spark, dir).filter($"event_type" === "purchase"),
+      eventsSource(spark, dir).filter($"event_type" === "click"))
+    drain(joined, "append")
+      .select($"p_id".as("purchase_id"), $"c_id".as("click_id"))
+      .orderBy($"purchase_id", $"click_id")
+  }
+
+  private val st20Sql =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT event_id AS click_id, user_id, ts FROM events
+      |  WHERE event_type = 'click'),
+      |wmk AS (
+      |  SELECT least((SELECT MAX(ts) FROM p), (SELECT MAX(ts) FROM c))
+      |    - INTERVAL 1 HOUR AS w),
+      |matched AS (
+      |  SELECT p.purchase_id, c.click_id
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |    AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts),
+      |un_p AS (
+      |  SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id
+      |  FROM p
+      |  ANTI JOIN (SELECT DISTINCT purchase_id FROM matched) m
+      |    USING (purchase_id)
+      |  WHERE p.ts < (SELECT w FROM wmk)),
+      |un_c AS (
+      |  SELECT CAST(NULL AS BIGINT) AS purchase_id, c.click_id
+      |  FROM c
+      |  ANTI JOIN (SELECT DISTINCT click_id FROM matched) m
+      |    USING (click_id)
+      |  WHERE c.ts + INTERVAL 1 HOUR < (SELECT w FROM wmk))
+      |SELECT purchase_id, click_id FROM matched
+      |UNION ALL SELECT purchase_id, click_id FROM un_p
+      |UNION ALL SELECT purchase_id, click_id FROM un_c
+      |ORDER BY purchase_id NULLS FIRST, click_id NULLS FIRST""".stripMargin
+
   /** Input/output rows for the transformWithState op (st14). */
   case class TypedEv(user_id: Long, event_type: String)
   case class ModalRow(user_id: Long, n_events: Long, n_types: Long,
@@ -857,7 +909,8 @@ object EventsStream {
     "st16_warm_start_state" -> (st16 _),
     "st17_dedup_within_watermark" -> (st17 _),
     "st18_dynamic_gap_sessions" -> (st18 _),
-    "st19_avro_stream_read" -> (st19 _))
+    "st19_avro_stream_read" -> (st19 _),
+    "st20_stream_full_outer_join" -> (st20 _))
 
   private val st02Sql =
     """WITH flagged AS (
@@ -900,5 +953,6 @@ object EventsStream {
     "st16_warm_start_state" -> st16Sql,
     "st17_dedup_within_watermark" -> st17Sql,
     "st18_dynamic_gap_sessions" -> st18Sql,
-    "st19_avro_stream_read" -> st19Sql)
+    "st19_avro_stream_read" -> st19Sql,
+    "st20_stream_full_outer_join" -> st20Sql)
 }

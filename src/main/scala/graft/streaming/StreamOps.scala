@@ -152,6 +152,29 @@ object StreamOps {
       "left_outer")
   }
 
+  /** FULL OUTER stream-stream interval join: both sides emit
+    * null-completed rows once the watermark proves no future partner
+    * can arrive — the purchase side when the watermark passes its event
+    * time (its click window looks only BACKWARD), the click side when
+    * the watermark passes its event time + the interval width (a click
+    * can match purchases up to 1 h LATER). Same condition as
+    * [[purchaseClickLeftJoin]]; st20's oracle replays both horizons. */
+  def purchaseClickFullJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = clicks
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") < col("p_ts"),
+      "full_outer")
+  }
+
   /** Per-key partial aggregates of one micro-batch — the delta a
     * foreachBatch upsert merges into the standing table. Sums go
     * through a FIXED decimal type so the merged schema (and the exact
