@@ -684,6 +684,128 @@ object Extras5 {
        |  (SELECT COUNT(*) FROM edges) AS n_edges,
        |  (SELECT COUNT(*) FROM closed) AS n_triangles""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q80: Z-ORDER LAYOUT + 2-D FILE SKIPPING, MATERIALIZED — q48 costs
+  // the clustering decision; this entry CASHES it: both layouts are
+  // actually written (one directory per tile — the tile ids are q48's
+  // pure bit-arithmetic maps, so file membership is deterministic and
+  // the oracle can pin exact pruning counts), a q71-style min/max
+  // manifest is built per tile over BOTH dimensions, and two probe
+  // boxes run against each layout reading ONLY intersecting tiles. The
+  // payoff the numbers show: a SUPPKEY-window probe keeps a fraction of
+  // the z-order tiles but EVERY linear tile (a partkey-sorted file
+  // spans the full suppkey range — the second dimension is unpruned by
+  // a 1-D sort), while a partkey probe prunes both layouts. At 100 TB
+  // this is the difference between scanning a table and scanning a
+  // tile row: rows_scanned is the I/O bill each layout pays for the
+  // same correct answer.
+  // ---------------------------------------------------------------------
+  def q80(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val partBits = 11
+    val suppBits = 7
+    val zkey = ((0 until partBits).map(i =>
+        shiftleft(shiftright($"l_partkey", i).bitwiseAND(1), 2 * i)) ++
+      (0 until suppBits).map(i =>
+        shiftleft(shiftright($"l_suppkey", i).bitwiseAND(1), 2 * i + 1)))
+      .reduce(_ + _)
+    val base = Tables.load(spark, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey",
+        $"l_quantity".cast(DecimalType(18, 2)).as("qty"), zkey.as("zkey"))
+    val layouts = Seq(
+      ("linear", shiftright($"l_partkey", 3)),
+      ("zorder", shiftright($"zkey", 10)))
+    val roots = layouts.map { case (name, tile) =>
+      val root = graft.Scratch.dir(s"q80_$name")
+      base.withColumn("tile", tile.cast(LongType))
+        .drop("zkey")
+        .write.partitionBy("tile").parquet(root)
+      (name, root)
+    }
+    // probes: (name, pkLo, pkHi, skLo, skHi) — None = unconstrained
+    val probes = Seq(
+      ("a_suppkey_window", None, None, Some(40L), Some(90L)),
+      ("b_partkey_window", Some(500L), Some(580L), None, None))
+    val frames = for ((layout, root) <- roots;
+        (probe, pkLo, pkHi, skLo, skHi) <- probes) yield {
+      // partition-column inference types tile as int; normalize to long
+      val t = spark.read.parquet(root)
+        .withColumn("tile", $"tile".cast(LongType))
+      // the manifest: per-tile min/max on BOTH dimensions (one scan;
+      // in production this is maintained incrementally on write)
+      val manifest = t.groupBy($"tile")
+        .agg(min($"l_partkey").as("pk_lo"), max($"l_partkey").as("pk_hi"),
+          min($"l_suppkey").as("sk_lo"), max($"l_suppkey").as("sk_hi"))
+      def intersects = {
+        val pkOk = (pkLo, pkHi) match {
+          case (Some(lo), Some(hi)) => $"pk_hi" >= lo && $"pk_lo" <= hi
+          case _ => lit(true)
+        }
+        val skOk = (skLo, skHi) match {
+          case (Some(lo), Some(hi)) => $"sk_hi" >= lo && $"sk_lo" <= hi
+          case _ => lit(true)
+        }
+        pkOk && skOk
+      }
+      val kept = manifest.filter(intersects).select($"tile")
+        .collect().map(_.getLong(0)) // O(#tiles) driver metadata, q71's bound
+      val scanned = t.filter($"tile".isin(kept: _*))
+      val box = scanned
+        .filter(pkLo.map(lo => $"l_partkey" >= lo).getOrElse(lit(true)) &&
+          pkHi.map(hi => $"l_partkey" <= hi).getOrElse(lit(true)) &&
+          skLo.map(lo => $"l_suppkey" >= lo).getOrElse(lit(true)) &&
+          skHi.map(hi => $"l_suppkey" <= hi).getOrElse(lit(true)))
+      scanned.agg(count(lit(1)).as("rows_scanned")).crossJoin(
+          box.agg(count(lit(1)).as("n_rows"),
+            sum($"qty").cast(DoubleType).as("sum_qty")))
+        .select(lit(probe).as("probe"), lit(layout).as("layout"),
+          lit(kept.length.toLong).as("n_tiles_kept"),
+          $"rows_scanned", $"n_rows", $"sum_qty")
+    }
+    frames.reduce(_ unionByName _).orderBy($"probe", $"layout")
+  }
+
+  private val q80Sql = {
+    val zkey = ((0 until 11).map(i => s"(((l_partkey >> $i) & 1) << ${2 * i})") ++
+      (0 until 7).map(i => s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})"))
+      .mkString(" + ")
+    def arm(probe: String, layout: String, tile: String, pk: Option[(Long, Long)],
+        sk: Option[(Long, Long)]): String = {
+      val pkManifest = pk.map { case (lo, hi) => s"pk_hi >= $lo AND pk_lo <= $hi" }
+        .getOrElse("TRUE")
+      val skManifest = sk.map { case (lo, hi) => s"sk_hi >= $lo AND sk_lo <= $hi" }
+        .getOrElse("TRUE")
+      val pkBox = pk.map { case (lo, hi) => s"l_partkey BETWEEN $lo AND $hi" }
+        .getOrElse("TRUE")
+      val skBox = sk.map { case (lo, hi) => s"l_suppkey BETWEEN $lo AND $hi" }
+        .getOrElse("TRUE")
+      s"""SELECT '$probe' AS probe, '$layout' AS layout,
+         |  (SELECT COUNT(*) FROM (
+         |     SELECT $tile AS tile, MIN(l_partkey) pk_lo, MAX(l_partkey) pk_hi,
+         |       MIN(l_suppkey) sk_lo, MAX(l_suppkey) sk_hi
+         |     FROM keyed GROUP BY tile)
+         |   WHERE $pkManifest AND $skManifest) AS n_tiles_kept,
+         |  (SELECT COUNT(*) FROM keyed WHERE $tile IN (
+         |     SELECT tile FROM (
+         |       SELECT $tile AS tile, MIN(l_partkey) pk_lo, MAX(l_partkey) pk_hi,
+         |         MIN(l_suppkey) sk_lo, MAX(l_suppkey) sk_hi
+         |       FROM keyed GROUP BY tile)
+         |     WHERE $pkManifest AND $skManifest)) AS rows_scanned,
+         |  (SELECT COUNT(*) FROM keyed WHERE $pkBox AND $skBox) AS n_rows,
+         |  (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         |   FROM keyed WHERE $pkBox AND $skBox) AS sum_qty""".stripMargin
+    }
+    val arms = Seq(
+      arm("a_suppkey_window", "linear", "(l_partkey >> 3)", None, Some((40L, 90L))),
+      arm("a_suppkey_window", "zorder", "(zk >> 10)", None, Some((40L, 90L))),
+      arm("b_partkey_window", "linear", "(l_partkey >> 3)", Some((500L, 580L)), None),
+      arm("b_partkey_window", "zorder", "(zk >> 10)", Some((500L, 580L)), None))
+    s"""WITH keyed AS (
+       |  SELECT l_partkey, l_suppkey, l_quantity, $zkey AS zk FROM lineitem)
+       |${arms.mkString("\nUNION ALL\n")}
+       |ORDER BY probe, layout""".stripMargin
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q72_constraint_suite" -> (q72 _),
     "q73_higher_order" -> (q73 _),
@@ -694,7 +816,8 @@ object Extras5 {
     "q77_csv_malformed" -> (q77 _),
     "q78_snapshot_reads" -> (q78 _),
     "q79_global_sort" -> (q79 _),
-    "g02_triangle_count" -> (g02 _))
+    "g02_triangle_count" -> (g02 _),
+    "q80_zorder_skip" -> (q80 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q72_constraint_suite" -> q72Sql,
@@ -706,5 +829,6 @@ object Extras5 {
     "q77_csv_malformed" -> q77Sql,
     "q78_snapshot_reads" -> q78Sql,
     "q79_global_sort" -> q79Sql,
-    "g02_triangle_count" -> g02Sql)
+    "g02_triangle_count" -> g02Sql,
+    "q80_zorder_skip" -> q80Sql)
 }
