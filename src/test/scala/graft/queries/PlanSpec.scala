@@ -351,4 +351,41 @@ class PlanSpec extends SparkSpec {
     assert(pushed.contains("EqualTo(o_orderstatus"),
       s"selective status comparison not pushed to the ORC scan: $pushed")
   }
+
+  test("AQE splits a skewed shuffle-join partition at runtime (skew=true)") {
+    // q40 handles skew STATICALLY with salting; this pins the engine's
+    // RUNTIME answer — AQE's skew-join split — on a worst-case key
+    // distribution (90% of one side on a single key), with the skew
+    // thresholds scaled down to the test data so the optimization
+    // actually fires. At 100 TB this is what saves an unsalted hot-key
+    // join from a straggler task the size of the whole corpus.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val skewed = spark.range(60000)
+        .select((when($"id" % 10 === 0, 0L).otherwise($"id")).as("k"),
+          $"id".as("payload"))
+      val other = spark.range(2000).select($"id".as("k"), ($"id" * 3).as("v"))
+      // the join is the TERMINAL operator: a downstream partitioning
+      // requirement (e.g. a groupBy on the join output) makes AQE skip
+      // the split, since splitting breaks the hash-partition guarantee
+      val joined = skewed.join(other, "k")
+        .select($"k", $"payload" + $"v")
+      joined.collect() // finalize THIS df's adaptive plan (no extra exchange)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"plan not finalized:\n$plan")
+      assert(plan.contains("skew=true"),
+        s"AQE skew-join split did not fire:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
