@@ -806,6 +806,79 @@ object Extras5 {
        |ORDER BY probe, layout""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q81: FEDERATED FIVE-FORMAT JOIN — one Catalyst plan spanning every
+  // storage format the engine speaks: region lands as XML (feed/config
+  // shape), nation through the first-party Avro connector, customer as
+  // ORC, orders as CSV, and lineitem stays parquet. The point is that
+  // the format boundary dissolves at the logical plan: the same
+  // broadcast star join q04 runs on parquet plans identically over the
+  // mixed lake, each leaf scan negotiating its own pushdown with its
+  // own reader. This is the real shape of a landing zone mid-migration
+  // — and the proof the source family composes rather than just
+  // round-trips one at a time. Oracle: the identical join over the
+  // parquet originals.
+  // ---------------------------------------------------------------------
+  def q81(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fed = graft.Scratch.dir("q81_fed")
+    // land each dimension in its format
+    Tables.load(spark, dir, "region").select($"r_regionkey", $"r_name")
+      .write.option("rowTag", "region").format("xml").save(s"$fed/region")
+    Tables.load(spark, dir, "nation")
+      .select($"n_nationkey", $"n_regionkey".cast(LongType).as("n_regionkey"))
+      .write.format("graft.sources.AvroDataSource").mode("append")
+      .save(s"$fed/nation")
+    Tables.load(spark, dir, "customer").select($"c_custkey", $"c_nationkey")
+      .write.format("orc").save(s"$fed/customer")
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"))
+      .write.option("header", "true").csv(s"$fed/orders")
+
+    val region = spark.read
+      .schema(StructType(Seq(StructField("r_regionkey", LongType),
+        StructField("r_name", StringType))))
+      .option("rowTag", "region").format("xml").load(s"$fed/region")
+    val nation = spark.read.format("graft.sources.AvroDataSource")
+      .load(s"$fed/nation")
+    val customer = spark.read.format("orc").load(s"$fed/customer")
+    val orders = spark.read.option("header", "true")
+      .schema(StructType(Seq(StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_orderdate", StringType))))
+      .csv(s"$fed/orders")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+
+    lineitem
+      .join(orders.filter($"o_orderdate".startsWith("1996")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(customer, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n_items"),
+        sum(($"l_extendedprice".cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) -
+            $"l_discount".cast(DecimalType(18, 2))))
+          .cast(DecimalType(18, 4))).cast(DoubleType).as("revenue"))
+      .orderBy($"r_name")
+  }
+
+  private val q81Sql =
+    """SELECT r_name, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |  AND strftime(o_orderdate, '%Y') = '1996'
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q72_constraint_suite" -> (q72 _),
     "q73_higher_order" -> (q73 _),
@@ -817,7 +890,8 @@ object Extras5 {
     "q78_snapshot_reads" -> (q78 _),
     "q79_global_sort" -> (q79 _),
     "g02_triangle_count" -> (g02 _),
-    "q80_zorder_skip" -> (q80 _))
+    "q80_zorder_skip" -> (q80 _),
+    "q81_federated_join" -> (q81 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q72_constraint_suite" -> q72Sql,
@@ -830,5 +904,6 @@ object Extras5 {
     "q78_snapshot_reads" -> q78Sql,
     "q79_global_sort" -> q79Sql,
     "g02_triangle_count" -> g02Sql,
-    "q80_zorder_skip" -> q80Sql)
+    "q80_zorder_skip" -> q80Sql,
+    "q81_federated_join" -> q81Sql)
 }
