@@ -879,6 +879,75 @@ object Extras5 {
       |GROUP BY r_name
       |ORDER BY r_name""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q82: A/B EXPERIMENT ANALYSIS — the two-sample Welch z-test every
+  // product team runs daily: a deterministic variant assignment
+  // (user_id parity — in production this is t21's Lehmer split), the
+  // purchase-value metric aggregated per arm with q50's EXACT decimal
+  // power sums (n, Σx, Σx² — order-independent, so the doubles both
+  // engines derive from them are bit-equal), then means, variances, the
+  // pooled standard error, and the z statistic as a FIXED sequence of
+  // IEEE operations (divisions and one sqrt, both correctly rounded →
+  // portable). One row: the experiment readout, including the decision
+  // bit at α = 0.05. The whole test costs one scan + a 2-row aggregate
+  // at any corpus size.
+  // ---------------------------------------------------------------------
+  def q82(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val DS = DecimalType(38, 6)
+    val x = $"value".cast(DecimalType(18, 2))
+    val arms = Tables.load(spark, dir, "events")
+      .filter($"event_type" === "purchase")
+      .groupBy(($"user_id" % 2).as("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast(DS)).as("sx"), sum((x * x).cast(DS)).as("sxx"))
+    val a = arms.filter($"variant" === 0)
+      .select($"n".as("n_a"), $"sx".as("sx_a"), $"sxx".as("sxx_a"))
+    val b = arms.filter($"variant" === 1)
+      .select($"n".as("n_b"), $"sx".as("sx_b"), $"sxx".as("sxx_b"))
+    val j = a.crossJoin(b)
+    def stats(n: org.apache.spark.sql.Column, sx: org.apache.spark.sql.Column,
+        sxx: org.apache.spark.sql.Column) = {
+      val nd = n.cast(DoubleType)
+      val sxd = sx.cast(DoubleType); val sxxd = sxx.cast(DoubleType)
+      (sxd / nd, (nd * sxxd - sxd * sxd) / (nd * (nd - lit(1.0))))
+    }
+    val (meanA, varA) = stats($"n_a", $"sx_a", $"sxx_a")
+    val (meanB, varB) = stats($"n_b", $"sx_b", $"sxx_b")
+    val z = (meanA - meanB) /
+      sqrt(varA / $"n_a".cast(DoubleType) + varB / $"n_b".cast(DoubleType))
+    j.select($"n_a", $"n_b", meanA.as("mean_a"), meanB.as("mean_b"),
+        varA.as("var_a"), varB.as("var_b"), z.as("z_score"),
+        (abs(z) > 1.96).as("significant"))
+  }
+
+  private val q82Sql =
+    """WITH arms AS (
+      |  SELECT user_id % 2 AS variant, COUNT(*) AS n,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS sx,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+      |      AS DECIMAL(38,6))) AS sxx
+      |  FROM events WHERE event_type = 'purchase' GROUP BY variant),
+      |j AS (
+      |  SELECT a.n AS n_a, a.sx AS sx_a, a.sxx AS sxx_a,
+      |    b.n AS n_b, b.sx AS sx_b, b.sxx AS sxx_b
+      |  FROM (SELECT * FROM arms WHERE variant = 0) a,
+      |       (SELECT * FROM arms WHERE variant = 1) b),
+      |d AS (
+      |  SELECT n_a, n_b,
+      |    CAST(sx_a AS DOUBLE) / n_a AS mean_a,
+      |    CAST(sx_b AS DOUBLE) / n_b AS mean_b,
+      |    (n_a * CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE))
+      |      / (n_a * (n_a - 1.0)) AS var_a,
+      |    (n_b * CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE))
+      |      / (n_b * (n_b - 1.0)) AS var_b
+      |  FROM j)
+      |SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+      |  (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS z_score,
+      |  ABS((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)) > 1.96
+      |    AS significant
+      |FROM d""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q72_constraint_suite" -> (q72 _),
     "q73_higher_order" -> (q73 _),
@@ -891,7 +960,8 @@ object Extras5 {
     "q79_global_sort" -> (q79 _),
     "g02_triangle_count" -> (g02 _),
     "q80_zorder_skip" -> (q80 _),
-    "q81_federated_join" -> (q81 _))
+    "q81_federated_join" -> (q81 _),
+    "q82_ab_test" -> (q82 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q72_constraint_suite" -> q72Sql,
@@ -905,5 +975,6 @@ object Extras5 {
     "q79_global_sort" -> q79Sql,
     "g02_triangle_count" -> g02Sql,
     "q80_zorder_skip" -> q80Sql,
-    "q81_federated_join" -> q81Sql)
+    "q81_federated_join" -> q81Sql,
+    "q82_ab_test" -> q82Sql)
 }
