@@ -253,7 +253,10 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  private def d03Sql: String = {
+  /** d03's oracle CTE chain through the deduped candidate set — shared
+    * with d10's calibration audit, which extends it with exact-Jaccard
+    * verification. */
+  private def d03CandCtes: String = {
     val sigEntries = MinHash.coefs.map { case (a, b) =>
       s"list_min(list_transform(H, h -> (h * $a + $b) % $P))"
     }.mkString(",\n    ")
@@ -282,13 +285,16 @@ object Dedup {
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sig AS sig_a, y.sig AS sig_b
        |  FROM bx x JOIN bx y
        |    ON x.j = y.j AND x.k0 = y.k0 AND x.k1 = y.k1 AND x.k2 = y.k2 AND x.k3 = y.k3
-       |    AND x.doc_id < y.doc_id)
+       |    AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  private def d03Sql: String =
+    s"""$d03CandCtes
        |SELECT doc_a, doc_b,
        |  CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $NumHashes AS est_jaccard
        |FROM cand
        |WHERE CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $NumHashes >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   // ---------------------------------------------------------------------
   // d04: SimHash — 60-bit signature (portable h60 token hash) from
@@ -825,7 +831,8 @@ object Dedup {
     "d06_dup_clusters" -> (d06 _),
     "d07_incremental_dedup" -> (d07 _),
     "d08_editdist_dedup" -> (d08 _),
-    "d09_substring_dedup" -> (d09 _))
+    "d09_substring_dedup" -> (d09 _),
+    "d10_minhash_calibration" -> (d10 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "d01_exact_dedup" -> d01Sql,
@@ -836,5 +843,62 @@ object Dedup {
     "d06_dup_clusters" -> d06Sql,
     "d07_incremental_dedup" -> d07Sql,
     "d08_editdist_dedup" -> d08Sql,
-    "d09_substring_dedup" -> d09Sql)
+    "d09_substring_dedup" -> d09Sql,
+    "d10_minhash_calibration" -> d10Sql)
+
+  // ---------------------------------------------------------------------
+  // d10: MINHASH CALIBRATION AUDIT — s06's honesty discipline applied to
+  // the dedup family: every pair d03's banded MinHash admits is
+  // re-scored against the EXACT shingle-set Jaccard (|∩| and |∪| as
+  // integer set sizes over the pair's own shingle arrays — the pair
+  // list is post-LSH, so the exact verification is candidate-bounded,
+  // never corpus-quadratic), emitting estimate, truth, and the error
+  // side by side. Portability: est = k/128 (exact binary fractions),
+  // set sizes are ints, exact Jaccard and the error are single fixed
+  // IEEE ops. This is the number that justifies (or indicts) the 0.5
+  // estimate threshold: an estimator that systematically over-reads
+  // near the cut admits junk pairs at 100 TB, and only an in-band audit
+  // shows it.
+  // ---------------------------------------------------------------------
+  def d10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val sh = docs
+      .select($"doc_id", shingles(spark, $"text").as("S"))
+      .filter(size($"S") > 0)
+    val est = d03(spark, dir) // the admitted pairs with their estimates
+    est
+      .join(sh.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sh.as("sb"), $"doc_b" === $"sb.doc_id")
+      .withColumn("n_inter",
+        size(array_intersect($"sa.S", $"sb.S")).cast("long"))
+      .withColumn("n_union",
+        (size($"sa.S") + size($"sb.S")).cast("long") - $"n_inter")
+      .withColumn("exact_jaccard",
+        $"n_inter".cast(DoubleType) / $"n_union".cast(DoubleType))
+      .select($"doc_a", $"doc_b", $"est_jaccard", $"n_inter", $"n_union",
+        $"exact_jaccard",
+        abs($"est_jaccard" - $"exact_jaccard").as("abs_err"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private def d10Sql: String =
+    s"""$d03CandCtes,
+       |est AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $NumHashes AS est_jaccard
+       |  FROM cand
+       |  WHERE CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $NumHashes >= 0.5),
+       |ex AS (
+       |  SELECT e.doc_a, e.doc_b, e.est_jaccard,
+       |    CAST(len(list_intersect(sa.S, sb.S)) AS BIGINT) AS n_inter,
+       |    CAST(len(sa.S) + len(sb.S) - len(list_intersect(sa.S, sb.S)) AS BIGINT) AS n_union
+       |  FROM est e
+       |  JOIN sh sa ON sa.doc_id = e.doc_a
+       |  JOIN sh sb ON sb.doc_id = e.doc_b)
+       |SELECT doc_a, doc_b, est_jaccard, n_inter, n_union,
+       |  CAST(n_inter AS DOUBLE) / n_union AS exact_jaccard,
+       |  ABS(est_jaccard - CAST(n_inter AS DOUBLE) / n_union) AS abs_err
+       |FROM ex
+       |ORDER BY doc_a, doc_b""".stripMargin
 }
