@@ -948,6 +948,54 @@ object Extras5 {
       |    AS significant
       |FROM d""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q83: DYNAMIC PARTITION OVERWRITE — the engine-NATIVE sibling of
+  // p04's manifest backfill: with partitionOverwriteMode=dynamic, an
+  // overwrite write replaces ONLY the partitions present in the
+  // incoming data (here: the corrected 1996 months) and leaves every
+  // other partition's files untouched — versus STATIC mode, which
+  // would truncate the whole table first. The corrected rows drop
+  // 'P'-status 1996 orders (p04's scenario), so the post-overwrite
+  // yearly rollup shows exactly one year moved. The conf is scoped to
+  // the query and restored, and the overwrite is verified from the
+  // table itself — at 100 TB this is the difference between rewriting
+  // a month and rewriting the table.
+  // ---------------------------------------------------------------------
+  def q83(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = graft.Scratch.dir("q83_table")
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus",
+        $"o_totalprice".cast(DecimalType(18, 2)).as("price"),
+        date_format($"o_orderdate", "yyyy-MM").as("month"))
+    orders.write.partitionBy("month").parquet(table)
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val saved = spark.conf.getOption(conf)
+    try {
+      spark.conf.set(conf, "dynamic")
+      orders.filter($"month".startsWith("1996") && $"o_orderstatus" =!= "P")
+        .write.mode("overwrite").partitionBy("month").parquet(table)
+    } finally saved match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+    spark.read.parquet(table)
+      .groupBy(substring($"month", 1, 4).as("year"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(when($"o_orderstatus" === "P", 1)).as("n_p_status"),
+        sum($"price").cast(DoubleType).as("revenue"))
+      .orderBy($"year")
+  }
+
+  private val q83Sql =
+    """SELECT strftime(o_orderdate, '%Y') AS year, COUNT(*) AS n_orders,
+      |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_p_status,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |WHERE NOT (strftime(o_orderdate, '%Y') = '1996' AND o_orderstatus = 'P')
+      |GROUP BY year
+      |ORDER BY year""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q72_constraint_suite" -> (q72 _),
     "q73_higher_order" -> (q73 _),
@@ -961,7 +1009,8 @@ object Extras5 {
     "g02_triangle_count" -> (g02 _),
     "q80_zorder_skip" -> (q80 _),
     "q81_federated_join" -> (q81 _),
-    "q82_ab_test" -> (q82 _))
+    "q82_ab_test" -> (q82 _),
+    "q83_dynamic_overwrite" -> (q83 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q72_constraint_suite" -> q72Sql,
@@ -976,5 +1025,6 @@ object Extras5 {
     "g02_triangle_count" -> g02Sql,
     "q80_zorder_skip" -> q80Sql,
     "q81_federated_join" -> q81Sql,
-    "q82_ab_test" -> q82Sql)
+    "q82_ab_test" -> q82Sql,
+    "q83_dynamic_overwrite" -> q83Sql)
 }

@@ -7,7 +7,7 @@ dumps (columns sorted by name, values hashed row-wise). Usage:
 shape, where working memory accumulates) with an optional DuckDB
 memory_limit (default 2GB) — the stress mode that caught the r8 OOMs.
 """
-import sys, json, glob, os
+import sys, json, glob, os, tempfile
 import duckdb
 import pandas as pd
 
@@ -32,6 +32,16 @@ def main():
         con = duckdb.connect()
         if shared_limit:
             con.execute(f"SET memory_limit='{shared_limit}'")
+            # an in-memory DuckDB has NO temp directory, so a capped
+            # connection cannot spill AT ALL and cumulative allocator
+            # pressure across a 160-query registry OOMs the tail (seen
+            # at st16-st18: queries that run in milliseconds standalone
+            # failed 16KB allocations). A bounded-memory engine is
+            # expected to spill; give the oracle the same right. The
+            # memory_limit itself is unchanged.
+            spill = os.path.join(tempfile.gettempdir(), "graft_check_spill")
+            os.makedirs(spill, exist_ok=True)
+            con.execute(f"SET temp_directory='{spill}'")
         for t in TABLES:
             p = f"{sf_dir}/{t}.parquet"
             if os.path.exists(p):
