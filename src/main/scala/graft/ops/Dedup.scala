@@ -832,7 +832,8 @@ object Dedup {
     "d07_incremental_dedup" -> (d07 _),
     "d08_editdist_dedup" -> (d08 _),
     "d09_substring_dedup" -> (d09 _),
-    "d10_minhash_calibration" -> (d10 _))
+    "d10_minhash_calibration" -> (d10 _),
+    "d11_source_overlap" -> (d11 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "d01_exact_dedup" -> d01Sql,
@@ -844,7 +845,67 @@ object Dedup {
     "d07_incremental_dedup" -> d07Sql,
     "d08_editdist_dedup" -> d08Sql,
     "d09_substring_dedup" -> d09Sql,
-    "d10_minhash_calibration" -> d10Sql)
+    "d10_minhash_calibration" -> d10Sql,
+    "d11_source_overlap" -> d11Sql)
+
+  // ---------------------------------------------------------------------
+  // d11: CROSS-SOURCE DUPLICATION MATRIX — the provenance question the
+  // per-pair dedup output doesn't answer: WHICH sources duplicate WHICH
+  // (mirror sites, scraped re-posts, licensing leakage). d03's admitted
+  // near-dup pairs are lifted to the source level — an UNORDERED source
+  // pair (alphabetical normalization so (a,b) and (b,a) collapse) with
+  // the pair count and the share of each source's corpus involved.
+  // Within-source duplication sits on the diagonal. The matrix is
+  // O(sources²) rows regardless of corpus size — the aggregation is the
+  // cheap tail of the LSH pipeline, and it's the number a curation team
+  // reads before deciding which source to drop wholesale.
+  // ---------------------------------------------------------------------
+  def d11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source")
+    val pairs = d03(spark, dir)
+      .join(docs.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "src_a"), Seq("doc_a"))
+      .join(docs.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("source", "src_b"), Seq("doc_b"))
+      .select(least($"src_a", $"src_b").as("source_x"),
+        greatest($"src_a", $"src_b").as("source_y"))
+    val sizes = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    pairs.groupBy($"source_x", $"source_y")
+      .agg(count(lit(1)).as("n_dup_pairs"))
+      .join(sizes.withColumnRenamed("source", "source_x")
+        .withColumnRenamed("n_docs", "nx"), Seq("source_x"))
+      .join(sizes.withColumnRenamed("source", "source_y")
+        .withColumnRenamed("n_docs", "ny"), Seq("source_y"))
+      .select($"source_x", $"source_y", $"n_dup_pairs",
+        ($"n_dup_pairs".cast(DoubleType) / $"nx".cast(DoubleType))
+          .as("rate_vs_x"),
+        ($"n_dup_pairs".cast(DoubleType) / $"ny".cast(DoubleType))
+          .as("rate_vs_y"))
+      .orderBy($"source_x", $"source_y")
+  }
+
+  private def d11Sql: String =
+    s"""$d03CandCtes,
+       |adm AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  WHERE CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $NumHashes >= 0.5),
+       |src AS (SELECT doc_id, source FROM documents),
+       |lifted AS (
+       |  SELECT least(sa.source, sb.source) AS source_x,
+       |    greatest(sa.source, sb.source) AS source_y
+       |  FROM adm JOIN src sa ON sa.doc_id = adm.doc_a
+       |           JOIN src sb ON sb.doc_id = adm.doc_b),
+       |sizes AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
+       |SELECT l.source_x, l.source_y, COUNT(*) AS n_dup_pairs,
+       |  CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(sx.n) AS rate_vs_x,
+       |  CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(sy.n) AS rate_vs_y
+       |FROM lifted l
+       |JOIN sizes sx ON sx.source = l.source_x
+       |JOIN sizes sy ON sy.source = l.source_y
+       |GROUP BY l.source_x, l.source_y
+       |ORDER BY l.source_x, l.source_y""".stripMargin
 
   // ---------------------------------------------------------------------
   // d10: MINHASH CALIBRATION AUDIT — s06's honesty discipline applied to

@@ -996,6 +996,42 @@ object Extras5 {
       |GROUP BY year
       |ORDER BY year""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q84: TIME-INTERVAL RANGE FRAME — the window surface q42's numeric
+  // RANGE doesn't cover: a frame bounded by an INTERVAL on the
+  // event-TIME ordering ("everything this user did in the trailing
+  // hour", evaluated at every event). RANGE semantics make ties
+  // (equal timestamps) peers of the same frame, so the result is
+  // order-deterministic without any tiebreaker column — the property
+  // that makes rolling features safe to compute distributedly. One
+  // shuffle on user_id; the frame is an incremental range scan per
+  // partition, O(n) not O(n·frame).
+  // ---------------------------------------------------------------------
+  def q84(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events_q84")
+    spark.sql(
+      """SELECT user_id, date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_s,
+        |  event_id,
+        |  COUNT(*) OVER w AS n_trailing_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS sum_trailing_1h
+        |FROM events_q84
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_s, event_id""".stripMargin)
+  }
+
+  private val q84Sql =
+    """SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |  event_id,
+      |  COUNT(*) OVER w AS n_trailing_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |    AS sum_trailing_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts_s, event_id""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q72_constraint_suite" -> (q72 _),
     "q73_higher_order" -> (q73 _),
@@ -1010,7 +1046,8 @@ object Extras5 {
     "q80_zorder_skip" -> (q80 _),
     "q81_federated_join" -> (q81 _),
     "q82_ab_test" -> (q82 _),
-    "q83_dynamic_overwrite" -> (q83 _))
+    "q83_dynamic_overwrite" -> (q83 _),
+    "q84_time_range_frame" -> (q84 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q72_constraint_suite" -> q72Sql,
@@ -1026,5 +1063,6 @@ object Extras5 {
     "q80_zorder_skip" -> q80Sql,
     "q81_federated_join" -> q81Sql,
     "q82_ab_test" -> q82Sql,
-    "q83_dynamic_overwrite" -> q83Sql)
+    "q83_dynamic_overwrite" -> q83Sql,
+    "q84_time_range_frame" -> q84Sql)
 }
