@@ -50,11 +50,14 @@ object Bench {
     // audio matcher, frontier BFS, and the bounded-state stream dedup
     "q76_banded_time_join", "s13_multiprobe_lsh", "m06_audio_fingerprint",
     "g01_graph_bfs", "st17_dedup_within_watermark",
-    // end-of-r12 families: index-persist serving, manifest backfill,
-    // triangle counting, the full-outer streaming join, the federated
-    // five-format star, and the materialized z-order skip
-    "s14_ann_index_persist", "p04_backfill", "g02_triangle_count",
-    "st20_stream_full_outer_join", "q81_federated_join", "q80_zorder_skip")
+    // end-of-r12 families: index-persist serving and manifest backfill.
+    // (q80/q81/g02/st20 are correctness-gated but NOT benched: the
+    // compact gate line's 1.9 KB budget goes to ops whose medians can
+    // drift independently — g01 already baselines the graph family and
+    // st07/st13 the stream-join family, while q80/q81 write whole
+    // multi-format datasets per run, a layout demo not a regression
+    // medium.)
+    "s14_ann_index_persist", "p04_backfill")
 
   /** The x10 scale block's query set — ONE definition shared by the
     * sf1 child's warm-up loop and sf1Bench's measured loop, so the
