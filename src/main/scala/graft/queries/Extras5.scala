@@ -1032,6 +1032,96 @@ object Extras5 {
       |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, ts_s, event_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q85: IN-BAND METRIC OBSERVATION (`Dataset.observe`) — the
+  // operational telemetry surface: named aggregate metrics ride the
+  // query itself (collected by an accumulator during the SAME pass, no
+  // second scan) and surface on the driver when the action completes.
+  // This is how production pipelines self-audit — row counts, null
+  // counts, value totals recorded per run without doubling the I/O. The
+  // query observes a filtered lineitem scan, materializes it, and emits
+  // the OBSERVED metrics as the result — so the oracle (which computes
+  // the same aggregates the normal way) is literally checking that the
+  // observation mechanism reports the truth.
+  // ---------------------------------------------------------------------
+  def q85(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = new org.apache.spark.sql.Observation("q85_metrics")
+    val scanned = Tables.load(spark, dir, "lineitem")
+      .filter($"l_quantity" >= 25.0)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        count(when($"l_returnflag" === "R", 1)).as("n_returned"),
+        sum($"l_quantity".cast(DecimalType(18, 2))).as("sum_qty"),
+        min($"l_shipdate").as("min_ship"))
+    scanned.write.format("noop").mode("overwrite").save() // one real pass
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long],
+        m("n_returned").asInstanceOf[Long],
+        m("sum_qty").asInstanceOf[java.math.BigDecimal].doubleValue(),
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+          .format(m("min_ship").asInstanceOf[java.time.LocalDateTime])))
+      .toDF("n_rows", "n_returned", "sum_qty", "min_ship")
+  }
+
+  private val q85Sql =
+    """SELECT COUNT(*) AS n_rows,
+      |  COUNT(*) FILTER (l_returnflag = 'R') AS n_returned,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship
+      |FROM lineitem
+      |WHERE l_quantity >= 25.0""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q86: GOVERNED VIEW — the data-governance surface: consumers query a
+  // VIEW, not the table, and the view enforces (a) COLUMN MASKING — the
+  // customer name survives only as a salted one-way token (md5 of a
+  // purpose-prefixed key: joinable within the view's scope, not
+  // reversible, and a different purpose prefix yields unlinkable
+  // tokens) and the account balance is BUCKETED to a coarse band — and
+  // (b) a ROW FILTER (only the BUILDING segment is visible to this
+  // consumer). Catalyst inlines the view, so masking expressions fold
+  // into the consumer's plan and predicates still push below them —
+  // governance without a second copy of the data or a gateway service.
+  // The consumer query aggregates over the masked view and even groups
+  // by token, proving masked columns stay operationally useful.
+  // ---------------------------------------------------------------------
+  def q86(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer_q86")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW customer_governed AS
+        |SELECT
+        |  md5(concat('analytics:', c_name)) AS name_token,
+        |  c_nationkey,
+        |  CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band,
+        |  c_mktsegment
+        |FROM customer_q86
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+    spark.sql(
+      """SELECT c_nationkey, acctbal_band,
+        |  COUNT(*) AS n_customers,
+        |  COUNT(DISTINCT name_token) AS n_distinct_tokens,
+        |  min(name_token) AS sample_token
+        |FROM customer_governed
+        |GROUP BY c_nationkey, acctbal_band
+        |ORDER BY c_nationkey, acctbal_band""".stripMargin)
+  }
+
+  private val q86Sql =
+    """WITH governed AS (
+      |  SELECT md5('analytics:' || c_name) AS name_token,
+      |    c_nationkey,
+      |    CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band
+      |  FROM customer
+      |  WHERE c_mktsegment = 'BUILDING')
+      |SELECT c_nationkey, acctbal_band,
+      |  COUNT(*) AS n_customers,
+      |  COUNT(DISTINCT name_token) AS n_distinct_tokens,
+      |  min(name_token) AS sample_token
+      |FROM governed
+      |GROUP BY c_nationkey, acctbal_band
+      |ORDER BY c_nationkey, acctbal_band""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q72_constraint_suite" -> (q72 _),
     "q73_higher_order" -> (q73 _),
@@ -1047,7 +1137,9 @@ object Extras5 {
     "q81_federated_join" -> (q81 _),
     "q82_ab_test" -> (q82 _),
     "q83_dynamic_overwrite" -> (q83 _),
-    "q84_time_range_frame" -> (q84 _))
+    "q84_time_range_frame" -> (q84 _),
+    "q85_observed_metrics" -> (q85 _),
+    "q86_governed_view" -> (q86 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q72_constraint_suite" -> q72Sql,
@@ -1064,5 +1156,7 @@ object Extras5 {
     "q81_federated_join" -> q81Sql,
     "q82_ab_test" -> q82Sql,
     "q83_dynamic_overwrite" -> q83Sql,
-    "q84_time_range_frame" -> q84Sql)
+    "q84_time_range_frame" -> q84Sql,
+    "q85_observed_metrics" -> q85Sql,
+    "q86_governed_view" -> q86Sql)
 }
