@@ -833,7 +833,8 @@ object Dedup {
     "d08_editdist_dedup" -> (d08 _),
     "d09_substring_dedup" -> (d09 _),
     "d10_minhash_calibration" -> (d10 _),
-    "d11_source_overlap" -> (d11 _))
+    "d11_source_overlap" -> (d11 _),
+    "d12_lsh_tuning" -> (d12 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "d01_exact_dedup" -> d01Sql,
@@ -846,7 +847,113 @@ object Dedup {
     "d08_editdist_dedup" -> d08Sql,
     "d09_substring_dedup" -> d09Sql,
     "d10_minhash_calibration" -> d10Sql,
-    "d11_source_overlap" -> d11Sql)
+    "d11_source_overlap" -> d11Sql,
+    "d12_lsh_tuning" -> d12Sql)
+
+  // ---------------------------------------------------------------------
+  // d12: LSH BANDING TUNING TABLE — the parameter study an operator
+  // runs on a SAMPLE before committing a banding to a 100 TB pass: with
+  // the 128-hash signature FIXED, sweep (bands × rows-per-band) ∈
+  // {16×8, 32×4, 64×2} and measure, from the same signatures, what each
+  // config actually buys — occupied buckets, the capped candidate-pair
+  // volume (the shuffle/verify bill), admitted pairs (est ≥ 0.5), and
+  // the admitted pairs a config MISSES vs the most permissive one
+  // (64×2; any pair it can't see is invisible to every coarser config,
+  // since the theoretical S-curve threshold (1/b)^(1/r) only falls as
+  // rows shrink). The d03 cap rule (2 ≤ occupancy ≤ 64) applies to all
+  // configs so the numbers are the production bill, not the uncapped
+  // fantasy. At sf0.01 this table IS the evidence for d03's 32×4
+  // default; at a new corpus, rerun it on a slice.
+  // ---------------------------------------------------------------------
+  private lazy val D12Configs = Seq((16, 8), (32, 4), (64, 2))
+
+  def d12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withSig = Tables.load(spark, dir, "documents")
+      .select($"doc_id", MinHash.sigCol(spark, lower($"text")).as("sig"))
+      .filter($"sig".isNotNull)
+      .materialize
+    val perConfig = D12Configs.map { case (b, r) =>
+      val bandKeys = (0 until b).map { j =>
+        struct(lit(j).as("j") +: (0 until r).map(k =>
+          element_at($"sig", j * r + k + 1).as(s"k$k")): _*)
+      }
+      val bands = withSig.select($"doc_id",
+        explode(array(bandKeys: _*)).as("band_key")).materialize
+      val cold = bands.groupBy($"band_key").agg(count(lit(1)).as("c"))
+        .filter($"c" >= 2 && $"c" <= BandCap).select($"band_key")
+      val idx = bands.join(cold, Seq("band_key"), "left_semi")
+      val pairs = idx.as("x").join(idx.as("y"),
+          $"x.band_key" === $"y.band_key" && $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      val admitted = pairs
+        .join(withSig.as("sa"), $"doc_a" === $"sa.doc_id")
+        .join(withSig.as("sb"), $"doc_b" === $"sb.doc_id")
+        .filter(MinHash.agreeCol(spark, $"sa.sig", $"sb.sig")
+          .cast(DoubleType) / NumHashes >= 0.5)
+        .select($"doc_a", $"doc_b")
+      (b, r, cold, pairs, admitted)
+    }
+    val fullest = perConfig.last._5 // 64×2: the most permissive admit set
+    perConfig.map { case (b, r, cold, pairs, admitted) =>
+      cold.agg(count(lit(1)).as("n_active_buckets")).crossJoin(
+          pairs.agg(count(lit(1)).as("n_cand_pairs")))
+        .crossJoin(admitted.agg(count(lit(1)).as("n_admitted")))
+        .crossJoin(fullest.join(admitted, Seq("doc_a", "doc_b"), "left_anti")
+          .agg(count(lit(1)).as("n_missed_vs_64x2")))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          $"n_active_buckets", $"n_cand_pairs", $"n_admitted",
+          $"n_missed_vs_64x2")
+    }.reduce(_ unionByName _).orderBy($"bands")
+  }
+
+  private def d12Sql: String = {
+    val sigEntries = MinHash.coefs.map { case (a, b) =>
+      s"list_min(list_transform(H, h -> (h * $a + $b) % $P))"
+    }.mkString(",\n    ")
+    val h60 = PortableSql.h60Sql("w")
+    def configCtes(b: Int, r: Int): String = {
+      val ks = (0 until r).map(k => s"sig[j*$r + ${k + 1}] AS k$k").mkString(", ")
+      val kCols = (0 until r).map(k => s"k$k").mkString(", ")
+      val eq = (0 until r).map(k => s"x.k$k = y.k$k").mkString(" AND ")
+      s"""bands_${b} AS (
+         |  SELECT doc_id, sig, j, $ks
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $b)) AS j)),
+         |cold_${b} AS (
+         |  SELECT j, $kCols FROM bands_${b}
+         |  GROUP BY j, $kCols HAVING COUNT(*) >= 2 AND COUNT(*) <= $BandCap),
+         |bx_${b} AS (
+         |  SELECT b.* FROM bands_${b} b SEMI JOIN cold_${b} USING (j, $kCols)),
+         |pairs_${b} AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    x.sig AS sig_a, y.sig AS sig_b
+         |  FROM bx_${b} x JOIN bx_${b} y ON x.j = y.j AND $eq AND x.doc_id < y.doc_id),
+         |adm_${b} AS (
+         |  SELECT doc_a, doc_b FROM pairs_${b}
+         |  WHERE CAST(len(list_filter(range(1, ${NumHashes + 1}), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $NumHashes >= 0.5)""".stripMargin
+    }
+    val arms = D12Configs.map { case (b, r) =>
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+         |  (SELECT COUNT(*) FROM cold_${b}) AS n_active_buckets,
+         |  (SELECT COUNT(*) FROM pairs_${b}) AS n_cand_pairs,
+         |  (SELECT COUNT(*) FROM adm_${b}) AS n_admitted,
+         |  (SELECT COUNT(*) FROM adm_64 f ANTI JOIN adm_${b} a USING (doc_a, doc_b))
+         |    AS n_missed_vs_64x2""".stripMargin
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS L FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct([L[i] || ' ' || L[i+1] || ' ' || L[i+2] for i in range(1, len(L)-1)]) AS S
+       |  FROM toks WHERE len(L) >= 3),
+       |hs AS (SELECT doc_id, list_transform(S, w -> $h60 % $P) AS H FROM sh),
+       |sigs AS MATERIALIZED (SELECT doc_id, [
+       |    $sigEntries
+       |  ] AS sig FROM hs),
+       |${D12Configs.map { case (b, r) => configCtes(b, r) }.mkString(",\n")}
+       |${arms.mkString("\nUNION ALL\n")}
+       |ORDER BY bands""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // d11: CROSS-SOURCE DUPLICATION MATRIX — the provenance question the
