@@ -1374,7 +1374,8 @@ object TextOps {
     "t19_vocab_zipf" -> (t19 _),
     "t20_bigram_lm" -> (t20 _),
     "t21_det_split" -> (t21 _),
-    "t22_domain_prior_gate" -> (t22 _))
+    "t22_domain_prior_gate" -> (t22 _),
+    "t23_curriculum_pack" -> (t23 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "t01_token_stats" -> t01Sql,
@@ -1398,7 +1399,86 @@ object TextOps {
     "t19_vocab_zipf" -> t19Sql,
     "t20_bigram_lm" -> t20Sql,
     "t21_det_split" -> t21Sql,
-    "t22_domain_prior_gate" -> t22Sql)
+    "t22_domain_prior_gate" -> t22Sql,
+    "t23_curriculum_pack" -> t23Sql)
+
+  // ---------------------------------------------------------------------
+  // t23: CURRICULUM-ORDERED PACKING — t14 packs in arrival order; a
+  // curriculum schedule packs by DIFFICULTY BAND so training sees easy
+  // data first (or per-band mixing downstream). Documents are banded by
+  // t02's quality score into quartile-ish integer bands (the score's
+  // double arithmetic is bit-portable — t02's parity recipe — so the
+  // band-threshold comparisons land identically in both engines), then
+  // t14's exact cumsum packing
+  // runs PER (band, source): the curriculum is the partition key, and
+  // within a band the deterministic doc_id order makes the layout
+  // reproducible across runs and engines. Emits per-(band, source)
+  // yields — the table a training scheduler consumes. Same O(n) one-
+  // window shape as t14; the band key just widens the partitioning.
+  // ---------------------------------------------------------------------
+  def t23(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val toks = tokens(lower($"text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    val nTok = size(toks).cast(DoubleType)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t))).cast(DoubleType)
+    val nPunct = (length($"text") -
+      length(regexp_replace($"text", "[^a-zA-Z0-9 ]", ""))).cast(DoubleType)
+    val stopRatio = when(nTok > 0, nStop / nTok).otherwise(0.0)
+    val punctRatio =
+      when(length($"text") > 0, nPunct / length($"text")).otherwise(0.0)
+    val qual = stopRatio * lit(0.5) + (lit(1.0) - punctRatio) * lit(0.5)
+    val band = when(qual >= 0.6, 0L).when(qual >= 0.5, 1L)
+      .when(qual >= 0.4, 2L).otherwise(3L)
+    val w = Window.partitionBy($"band", $"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "documents")
+      .select($"source", $"doc_id", band.as("band"),
+        size(tokens(lower($"text"))).cast(LongType).as("n"))
+      .withColumn("cum", sum($"n").over(w))
+      .groupBy($"band", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n").as("total_tokens"),
+        ((max($"cum") + PackC - 1) / PackC).cast(LongType).as("n_seqs"),
+        when(max($"cum") > 0, (max($"cum") - 1) % PackC + 1)
+          .otherwise(0L).as("last_seq_fill"))
+      .orderBy($"band", $"source")
+  }
+
+  private lazy val t23Sql = {
+    val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH scored AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n,
+       |    (CASE WHEN len(list_filter(string_split(lower(text), ' '), x -> x <> '')) > 0
+       |      THEN CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains($stopList, t))) AS DOUBLE)
+       |        / len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+       |      ELSE 0.0 END) * 0.5 +
+       |    (1.0 - CASE WHEN length(text) > 0
+       |      THEN CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+       |        / length(text)
+       |      ELSE 0.0 END) * 0.5 AS q
+       |  FROM documents),
+       |banded AS (
+       |  SELECT source, doc_id, n,
+       |    CASE WHEN q >= 0.6 THEN 0 WHEN q >= 0.5 THEN 1
+       |         WHEN q >= 0.4 THEN 2 ELSE 3 END AS band
+       |  FROM scored),
+       |cums AS (
+       |  SELECT band, source, n,
+       |    SUM(n) OVER (PARTITION BY band, source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM banded)
+       |SELECT CAST(band AS BIGINT) AS band, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+       |  CAST((MAX(cum) + $PackC - 1) // $PackC AS BIGINT) AS n_seqs,
+       |  CAST(CASE WHEN MAX(cum) > 0 THEN (MAX(cum) - 1) % $PackC + 1
+       |    ELSE 0 END AS BIGINT) AS last_seq_fill
+       |FROM cums
+       |GROUP BY band, source
+       |ORDER BY band, source""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // t22: DOMAIN-PRIOR GATE — hierarchical (two-level) corpus filtering,
