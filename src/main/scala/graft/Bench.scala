@@ -64,6 +64,14 @@ object Bench {
     * warm-vs-warm methodology can't silently drift when entries are
     * added (r10 review: d09/d06 were measured but not warmed). */
   private val sf1Names: Seq[String] = headline ++ Seq(
+    // late-r12 at-scale claims now measured, not asserted: the band
+    // join says cost tracks rows × per-bin density (not the cross
+    // product), BFS says each level is one co-partitioned join, and
+    // the audio matcher says the probe join shuffles only landmark
+    // collisions. These sit FIRST so the most-watched entries below
+    // stay at the END of the sf1x line (the slice that survives the
+    // artifact's stdout tail window).
+    "q76_banded_time_join", "g01_graph_bfs", "m06_audio_fingerprint",
     "s05_knn_join", "s11_knn_join_scaled", "s08_semdedup",
     // the two heaviest dedup ops: d09 claims cost linear in corpus
     // tokens (no pair generation) and d06 claims label-propagation
