@@ -1122,6 +1122,39 @@ object Extras5 {
       |GROUP BY c_nationkey, acctbal_band
       |ORDER BY c_nationkey, acctbal_band""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q87: SQL PIVOT / UNPIVOT CLAUSES (Spark 3.4+ syntax) — the
+  // relational-algebra reshape pair as first-class SQL, distinct from
+  // q26/q34's DataFrame pivot/unpivot API: PIVOT turns the status
+  // dimension into columns (one COUNT cell per (priority, status)),
+  // UNPIVOT folds them back to tall rows — the round trip proves the
+  // two clauses are inverses over a dense matrix, and the tall output
+  // is a plain GROUP BY to the oracle. Both clauses compile to the
+  // same aggregate/expand plans the API versions use; the surface is
+  // what's new.
+  // ---------------------------------------------------------------------
+  def q87(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("orders_q87")
+    spark.sql(
+      """WITH wide AS (
+        |  SELECT * FROM (SELECT o_orderpriority, o_orderstatus FROM orders_q87)
+        |  PIVOT (COUNT(*) FOR o_orderstatus IN ('O' AS st_o, 'F' AS st_f, 'P' AS st_p))
+        |)
+        |SELECT o_orderpriority, status, n_orders
+        |FROM wide
+        |UNPIVOT (n_orders FOR status IN (st_o, st_f, st_p))
+        |ORDER BY o_orderpriority, status""".stripMargin)
+  }
+
+  private val q87Sql =
+    """SELECT o_orderpriority,
+      |  CASE o_orderstatus WHEN 'O' THEN 'st_o' WHEN 'F' THEN 'st_f'
+      |    ELSE 'st_p' END AS status,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderpriority, status
+      |ORDER BY o_orderpriority, status""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q72_constraint_suite" -> (q72 _),
     "q73_higher_order" -> (q73 _),
@@ -1139,7 +1172,8 @@ object Extras5 {
     "q83_dynamic_overwrite" -> (q83 _),
     "q84_time_range_frame" -> (q84 _),
     "q85_observed_metrics" -> (q85 _),
-    "q86_governed_view" -> (q86 _))
+    "q86_governed_view" -> (q86 _),
+    "q87_sql_pivot_unpivot" -> (q87 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q72_constraint_suite" -> q72Sql,
@@ -1158,5 +1192,6 @@ object Extras5 {
     "q83_dynamic_overwrite" -> q83Sql,
     "q84_time_range_frame" -> q84Sql,
     "q85_observed_metrics" -> q85Sql,
-    "q86_governed_view" -> q86Sql)
+    "q86_governed_view" -> q86Sql,
+    "q87_sql_pivot_unpivot" -> q87Sql)
 }
