@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.Extras3.queries ++
       graft.queries.Extras4.queries ++
       graft.queries.Extras5.queries ++
+      graft.queries.Extras6.queries ++
       graft.queries.CodecQueries.queries ++
       graft.ops.TextOps.queries ++
       graft.ops.Dedup.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
       graft.queries.Extras3.oracle ++
       graft.queries.Extras4.oracle ++
       graft.queries.Extras5.oracle ++
+      graft.queries.Extras6.oracle ++
       graft.queries.CodecQueries.oracle ++
       graft.ops.TextOps.oracle ++
       graft.ops.Dedup.oracle ++

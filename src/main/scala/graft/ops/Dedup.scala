@@ -858,11 +858,17 @@ object Dedup {
   // config actually buys — occupied buckets, the capped candidate-pair
   // volume (the shuffle/verify bill), admitted pairs (est ≥ 0.5), and
   // the admitted pairs a config MISSES vs the most permissive one
-  // (64×2; any pair it can't see is invisible to every coarser config,
-  // since the theoretical S-curve threshold (1/b)^(1/r) only falls as
-  // rows shrink). The d03 cap rule (2 ≤ occupancy ≤ 64) applies to all
-  // configs so the numbers are the production bill, not the uncapped
-  // fantasy. At sf0.01 this table IS the evidence for d03's 32×4
+  // (64×2). For the UNCAPPED banding the superset argument is exact —
+  // the S-curve threshold (1/b)^(1/r) only falls as rows shrink, so any
+  // pair invisible to 64×2 is invisible to every coarser config. Under
+  // the d03 occupancy cap (2 ≤ occupancy ≤ 64, applied to all configs
+  // so the numbers are the production bill, not the uncapped fantasy)
+  // monotonicity can break at the margin: a hot 2-row bucket dropped by
+  // the cap in 64×2 may sit inside an under-cap 8-row band in 16×8, so
+  // a coarser config CAN admit a pair 64×2 misses — n_missed_vs_64x2 is
+  // therefore an estimate of the recall gap, not a strict lower bound.
+  // Both engines compute the identical capped number, so the metric
+  // stays hash-verified either way. At sf0.01 this table IS the evidence for d03's 32×4
   // default; at a new corpus, rerun it on a slice.
   // ---------------------------------------------------------------------
   private lazy val D12Configs = Seq((16, 8), (32, 4), (64, 2))

@@ -302,7 +302,7 @@ object Multimodal {
   // the per-(track, step) peak frequency bin is synthesized
   // deterministically as md5(doc ":" step) % 1024 — a 10-bit bin like a
   // real constellation map; landmark key = bin(f) · 1024 + bin(f+1)
-  // (2^20 keyspace). Tracks have 20 + doc_id % 5 steps; every 10th doc
+  // (2^20 keyspace). Tracks have 19 + doc_id % 5 steps; every 10th doc
   // also issues a QUERY: its own steps [s, s+12) with s = doc_id % 7
   // and every 4th step dropped. The matcher never sees s — it
   // re-derives it as the winning offset (spec-pinned: every query

@@ -587,16 +587,21 @@ object Extras5 {
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
       .withZone(java.time.ZoneOffset.UTC)
     def day(us: Long) = fmt.format(java.time.Instant.ofEpochSecond(us / 1000000L))
-    Seq((files.length.toLong, files.map(_._3).sum,
+    // file count is NOT oracle-pinned: repartitionByRange writes no
+    // file for an empty range partition, so a small or skewed corpus
+    // can legitimately yield < 8 files while the total order (the
+    // invariant this query exists to check) still holds. The oracle
+    // pins 1 ≤ n_files ≤ 8 as a boolean instead of the exact count.
+    Seq((files.nonEmpty && files.length <= 8, files.map(_._3).sum,
         day(files.map(_._1._1).min), day(files.map(_._2._1).max), ordered))
-      .toDF("n_files", "n_rows", "min_ship", "max_ship", "totally_ordered")
+      .toDF("files_ok", "n_rows", "min_ship", "max_ship", "totally_ordered")
   }
 
-  // the oracle pins the invariants: 8 non-overlapping files tiling the
-  // full table, and the monotone chain literally TRUE — a sort that
-  // leaves overlap or drops rows fails the hash
+  // the oracle pins the invariants: ≥1 (≤8) non-overlapping files
+  // tiling the full table, and the monotone chain literally TRUE — a
+  // sort that leaves overlap or drops rows fails the hash
   private val q79Sql =
-    """SELECT CAST(8 AS BIGINT) AS n_files, COUNT(*) AS n_rows,
+    """SELECT TRUE AS files_ok, COUNT(*) AS n_rows,
       |  strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
       |  strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship,
       |  TRUE AS totally_ordered

@@ -322,9 +322,14 @@ private[sources] class AvroBatchWrite(schema: StructType,
     val (fs, root, staging) = fsAndPaths()
     if (truncate) {
       // truncate is deferred to COMMIT so a failed overwrite job can't
-      // destroy the previous generation; the staging dir survives the sweep
+      // destroy the previous generation. The sweep skips EVERY
+      // `.staging-*` name, not just this job's: a concurrent writer's
+      // in-flight staging dir must survive or its commit renames fail.
+      // (Two concurrent truncate-writers still race on the FINAL files
+      // — last commit wins, same as Hadoop FileOutputCommitter v2 — but
+      // neither can strand the other mid-commit.)
       fs.listStatus(root)
-        .filterNot(_.getPath.getName == stagingName)
+        .filterNot(_.getPath.getName.startsWith(".staging-"))
         .foreach(st => fs.delete(st.getPath, true))
     }
     messages.foreach { case AvroCommit(path) =>

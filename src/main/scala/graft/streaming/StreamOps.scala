@@ -73,11 +73,14 @@ object StreamOps {
       .select(col("ts_hour"), col("user_id"), col("event_type"))
 
   /** Bounded-state streaming dedup via `dropDuplicatesWithinWatermark`:
-    * a key's state is EVICTED once the watermark passes its LAST-seen
-    * event time + delay (each duplicate arrival RENEWS the expiry —
-    * verified empirically against the engine in st17's oracle, which a
-    * first-arrival-only model fails), and a duplicate arriving after
-    * eviction re-emits. That re-emission is the price of bounded state:
+    * a key's state is EVICTED once the watermark passes its FIRST
+    * arrival's event time + delay — duplicate arrivals are suppressed
+    * by the state's presence but do NOT renew the expiry (verified
+    * empirically against the engine in st17's oracle and pinned by
+    * DedupWithinWatermarkSpec; eviction happens at end-of-batch under
+    * the one-batch-lagging operative watermark, so it is observable two
+    * batches later), and a duplicate arriving after eviction re-emits.
+    * That re-emission is the price of bounded state:
     * `dropDuplicates` (st10 / dedupKeys) keeps exact semantics by
     * keying state on the event-time bucket, while this variant bounds
     * state purely by the delay dial — the right tool when the key has

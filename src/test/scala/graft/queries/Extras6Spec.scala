@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins q88's MERGE file-level contract — the parts the oracle hash
+  * (which sees only aggregates) cannot see:
+  *  - copy-on-write rewrite DISJOINTNESS: touched ∪ carried = v1's file
+  *    set exactly, touched ∩ carried = ∅;
+  *  - file-level pruning is REAL: every touched file contains ≥1
+  *    matched key, no carried file contains any;
+  *  - snapshot isolation: v1 resolves to its original files (bytes on
+  *    disk untouched) after both merges have committed;
+  *  - COW ≡ MOR at ROW level (the query only proves aggregate
+  *    equality): full row sets identical.
+  */
+class Extras6Spec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val st = Extras6.q88Build(spark, sf)
+
+  test("q88 COW rewrite partitions v1's files disjointly") {
+    assert(st.touched.toSet.intersect(st.carried.toSet).isEmpty)
+    assert((st.touched ++ st.carried).sorted == st.v1Files.sorted)
+    assert(st.touched.nonEmpty, "delta must touch at least one file")
+  }
+
+  test("q88 file pruning: matched keys live only in touched files") {
+    def matchedIn(files: Seq[String]): Long =
+      if (files.isEmpty) 0L
+      else spark.read.parquet(files: _*)
+        .filter($"o_orderkey" % 30 === 0).count()
+    assert(matchedIn(st.touched) > 0)
+    assert(matchedIn(st.carried) == 0)
+  }
+
+  test("q88 snapshot isolation: v1 still resolves post-merge") {
+    val v1 = Extras5.q78Resolve(st.base, 1)
+    assert(v1.sorted == st.v1Files.sorted)
+    // and every listed file still exists (COW never deletes)
+    assert(v1.forall(p => new java.io.File(p).isFile))
+    val n = spark.read.parquet(v1: _*).count()
+    assert(n == spark.read.parquet(v1: _*)
+      .filter($"o_orderkey" % 3 === 0).count())
+  }
+
+  test("q88 COW and MOR produce identical row sets") {
+    val cow = spark.read.parquet(Extras5.q78Resolve(st.base, 2): _*)
+    val mor = Extras6.q88ReadMor(spark, st)
+    val key = Seq("o_orderkey", "o_orderstatus", "price")
+    assert(cow.count() == mor.count())
+    assert(cow.exceptAll(mor).isEmpty && mor.exceptAll(cow).isEmpty)
+    // the merge actually did something: v2 differs from v1
+    val v1 = spark.read.parquet(Extras5.q78Resolve(st.base, 1): _*)
+    assert(v1.exceptAll(cow).count() > 0)
+    assert(key.forall(cow.columns.contains))
+  }
+}
