@@ -1375,7 +1375,8 @@ object TextOps {
     "t20_bigram_lm" -> (t20 _),
     "t21_det_split" -> (t21 _),
     "t22_domain_prior_gate" -> (t22 _),
-    "t23_curriculum_pack" -> (t23 _))
+    "t23_curriculum_pack" -> (t23 _),
+    "t24_bpe_train" -> (t24 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "t01_token_stats" -> t01Sql,
@@ -1400,7 +1401,8 @@ object TextOps {
     "t20_bigram_lm" -> t20Sql,
     "t21_det_split" -> t21Sql,
     "t22_domain_prior_gate" -> t22Sql,
-    "t23_curriculum_pack" -> t23Sql)
+    "t23_curriculum_pack" -> t23Sql,
+    "t24_bpe_train" -> t24Sql)
 
   // ---------------------------------------------------------------------
   // t23: CURRICULUM-ORDERED PACKING — t14 packs in arrival order; a
@@ -1555,4 +1557,158 @@ object TextOps {
        |FROM priors p
        |ORDER BY p.source, p.domain""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // t24: BPE MERGE TRAINING (Sennrich et al., ACL'16) — the one
+  // standard LLM-pipeline op t05 only consumed: LEARN the merge table,
+  // don't assume it. The distributed shape exploits BPE's key
+  // structural fact: training operates on the VOCABULARY (distinct
+  // pre-tokens × corpus frequency), not the corpus — one corpus-sized
+  // groupBy up front, then every merge round is O(vocab) regardless of
+  // corpus bytes, which is what makes the op viable at 100 TB (Heaps'
+  // law bounds vocab growth sublinearly). Each round (g01's driver-loop
+  // pattern, localCheckpoint per round to truncate lineage):
+  //   1. adjacent-pair counts from the (word, pos, symbol) rows via
+  //      lead() + hash agg, weighted by word frequency (overlapping
+  //      occurrences count, the paper's convention);
+  //   2. argmax with the DETERMINISTIC tie-break (count DESC, then
+  //      lexicographic pair) — one collected row;
+  //   3. apply the merge greedily left-to-right. Greedy non-overlap is
+  //      made relational with run-parity: candidates at consecutive
+  //      positions only occur for self-pairs (a,a), so keeping the
+  //      even offsets within each consecutive-candidate island IS the
+  //      greedy answer — no sequential scan needed.
+  // Output: the learned merge table (rank, pair, weighted count) plus
+  // the corpus re-tokenization trajectory — corpus_tokens_after(r) =
+  // Σ freq·|symbols| after merges 1..r, i.e. what the corpus token
+  // count becomes under the learned tokenizer (re-tokenizing the corpus
+  // is a vocab lookup since every corpus token IS a vocab word). The
+  // oracle replays all rounds as a generated unrolled CTE chain
+  // (g01's fixed-depth convention); TextOpsBpeSpec additionally pins
+  // the merge sequence against an independent sequential reference
+  // trainer on a fixture with self-pair runs and ties.
+  // ---------------------------------------------------------------------
+  private def T24Merges = 10
+
+  def t24(spark: SparkSession, dir: String): DataFrame =
+    t24On(spark, Tables.load(spark, dir, "documents"), T24Merges)
+
+  private[ops] def t24On(spark: SparkSession, docs: DataFrame,
+      nMerges: Int): DataFrame = {
+    import spark.implicits._
+    val byW = Window.partitionBy($"w").orderBy($"pos")
+    // vocabulary: the ONLY corpus-sized pass
+    val words = docs
+      .select(explode(regexp_extract_all(lower($"text"), lit(BpePattern),
+        lit(0))).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    var state = words
+      .select($"w", $"freq",
+        posexplode(transform(sequence(lit(1), length($"w")),
+          i => $"w".substr(i, lit(1)))))
+      .withColumnRenamed("col", "sym")
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val withNx = state.withColumn("nx", lead($"sym", 1).over(byW))
+      val top = withNx.filter($"nx".isNotNull)
+        .groupBy($"sym", $"nx").agg(sum($"freq").as("c"))
+        .orderBy($"c".desc, $"sym", $"nx")
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        // greedy-left-to-right as run-parity over candidate islands
+        val kept = withNx.filter($"sym" === a && $"nx" === b)
+          .withColumn("island", $"pos" - row_number().over(byW))
+          .withColumn("off",
+            $"pos" - min($"pos").over(Window.partitionBy($"w", $"island")))
+          .filter($"off" % 2 === 0)
+          .select($"w".as("kw"), $"pos".as("kpos"))
+        state = withNx
+          .join(kept, $"w" === $"kw" && $"pos" === $"kpos", "left")
+          .withColumn("m", $"kpos".isNotNull)
+          .drop("kw", "kpos")
+          .join(kept, $"w" === $"kw" && $"pos" === $"kpos" + 1, "left_anti")
+          .select($"w", $"freq", $"pos".as("opos"),
+            when($"m", lit(a + b)).otherwise($"sym").as("sym"))
+          .withColumn("pos",
+            row_number().over(Window.partitionBy($"w").orderBy($"opos")))
+          .drop("opos")
+          .localCheckpoint(true)
+        val tokensAfter = state.agg(sum($"freq")).head().getLong(0)
+        learned += ((r.toLong, a, b, c, tokensAfter))
+        r += 1
+      }
+    }
+    learned.toSeq
+      .toDF("merge_rank", "lhs", "rhs", "pair_count", "corpus_tokens_after")
+      .orderBy($"merge_rank")
+  }
+
+  /** The training loop unrolled to a fixed-depth CTE chain (the g01
+    * convention for iterative ops): round r's CTEs compute the pair
+    * argmax, the greedy-kept positions, and the post-merge state from
+    * round r−1's. */
+  private def t24SqlGen(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH words AS (
+         |  SELECT w, COUNT(*) AS freq FROM (
+         |    SELECT unnest(regexp_extract_all(lower(text), '$BpePattern')) AS w
+         |    FROM documents) GROUP BY w),
+         |s0 AS MATERIALIZED (
+         |  SELECT w, freq, CAST(t.i AS INTEGER) AS pos, substring(w, CAST(t.i AS INTEGER), 1) AS sym
+         |  FROM words, unnest(range(1, length(w) + 1)) AS t(i)),
+         |""".stripMargin)
+    for (r <- 1 to n) {
+      sb.append(
+        s"""r${r}_nx AS MATERIALIZED (
+           |  SELECT w, freq, pos, sym,
+           |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nx
+           |  FROM s${r - 1}),
+           |r${r}_best AS MATERIALIZED (
+           |  SELECT sym AS a, nx AS b, SUM(freq) AS c
+           |  FROM r${r}_nx WHERE nx IS NOT NULL
+           |  GROUP BY 1, 2 ORDER BY c DESC, a, b LIMIT 1),
+           |r${r}_k AS MATERIALIZED (
+           |  SELECT w, pos FROM (
+           |    SELECT w, pos,
+           |      pos - MIN(pos) OVER (PARTITION BY w, island) AS off
+           |    FROM (
+           |      SELECT x.w, x.pos,
+           |        x.pos - row_number() OVER (PARTITION BY x.w ORDER BY x.pos) AS island
+           |      FROM r${r}_nx x JOIN r${r}_best bb ON x.sym = bb.a AND x.nx = bb.b))
+           |  WHERE off % 2 = 0),
+           |s$r AS MATERIALIZED (
+           |  SELECT w, freq,
+           |    CAST(row_number() OVER (PARTITION BY w ORDER BY pos) AS INTEGER) AS pos,
+           |    CASE WHEN m THEN (SELECT a || b FROM r${r}_best) ELSE sym END AS sym
+           |  FROM (
+           |    SELECT s.w, s.freq, s.pos, s.sym, k.pos IS NOT NULL AS m
+           |    FROM r${r}_nx s
+           |    LEFT JOIN r${r}_k k ON s.w = k.w AND s.pos = k.pos
+           |    LEFT JOIN r${r}_k k2 ON s.w = k2.w AND s.pos = k2.pos + 1
+           |    WHERE k2.pos IS NULL)),
+           |""".stripMargin)
+    }
+    sb.append((1 to n).map { r =>
+      s"""sel$r AS (
+         |  SELECT CAST($r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
+         |    CAST(c AS BIGINT) AS pair_count,
+         |    (SELECT CAST(SUM(freq) AS BIGINT) FROM s$r) AS corpus_tokens_after
+         |  FROM r${r}_best)""".stripMargin
+    }.mkString(",\n"))
+    sb.append("\n")
+    sb.append((1 to n).map(r => s"SELECT * FROM sel$r").mkString("\nUNION ALL\n"))
+    sb.append("\nORDER BY merge_rank")
+    sb.toString
+  }
+
+  // lazy: declared below the registry maps (t22Sql's init-order note)
+  private lazy val t24Sql = t24SqlGen(T24Merges)
 }

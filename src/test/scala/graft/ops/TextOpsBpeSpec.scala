@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Pins t24's distributed BPE training against an independent
+  * SEQUENTIAL reference trainer (the textbook algorithm, executed
+  * verbatim: recount pairs, argmax with (count DESC, pair ASC)
+  * tie-break, greedy left-to-right merge per word) on a fixture built
+  * to stress the relational formulation's hard cases:
+  *  - self-pair runs ("aaaa" under merge (a,a) must yield "aa","aa" —
+  *    the island-parity rule, not naive pairwise marking);
+  *  - count ties (broken lexicographically);
+  *  - merged symbols re-entering later rounds' pair space.
+  */
+class TextOpsBpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Sequential textbook BPE: words as symbol vectors × freq. */
+  private def referenceBpe(words: Map[String, Long], n: Int)
+      : Seq[(String, String, Long, Long)] = {
+    var vocab: Map[Vector[String], Long] =
+      words.map { case (w, f) => w.map(_.toString).toVector -> f }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
+    for (_ <- 1 to n) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      if (counts.nonEmpty) {
+        val ((a, b), c) = counts.toSeq.minBy { case ((x, y), k) => (-k, x, y) }
+        vocab = vocab.groupMapReduce { case (syms, _) =>
+          val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              merged += (a + b); i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          merged.toVector
+        }(_._2)(_ + _)
+        out += ((a, b, c, vocab.map { case (s, f) => s.length * f }.sum))
+      }
+    }
+    out.toSeq
+  }
+
+  private val fixtureDocs = Seq(
+    // "aaaa " runs stress self-pair parity; low/lower/newest/widest is
+    // the Sennrich example; repeated short words force count ties
+    (1L, "low low low low low aaaa aaaa"),
+    (2L, "lower lower newest newest newest"),
+    (3L, "newest newest newest widest widest widest aaaa"))
+
+  test("t24 matches the sequential reference trainer on the fixture") {
+    val docs = fixtureDocs.toDF("doc_id", "text")
+    val got = TextOps.t24On(spark, docs, 8).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    // reference vocab = same pre-tokenizer (leading-space tokens are
+    // distinct words, as in GPT-2 BPE)
+    val pattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+".r
+    val words = fixtureDocs.flatMap(d => pattern.findAllIn(d._2.toLowerCase))
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+    val want = referenceBpe(words, 8)
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+  }
+
+  test("t24 self-pair run merges greedily (aaaa -> aa,aa)") {
+    val docs = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val got = TextOps.t24On(spark, docs, 1).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert((r.getString(1), r.getString(2)) == ("a", "a"))
+    // 3 words of "aaaa"/" aaaa" = 3 overlapping (a,a) pairs each ... but
+    // ' aaaa' has syms [' ','a','a','a','a'] -> 3 (a,a) pairs too
+    assert(r.getLong(3) == 9L)
+    // after merging: 'aaaa' -> [aa, aa] (2 syms), ' aaaa' -> [' ',aa,aa]
+    // (3 syms): corpus tokens = 2 + 3 + 3 = 8
+    assert(r.getLong(4) == 8L)
+  }
+
+  test("t24 trajectory is monotone non-increasing") {
+    val docs = fixtureDocs.toDF("doc_id", "text")
+    val traj = TextOps.t24On(spark, docs, 6).collect().map(_.getLong(4)).toSeq
+    assert(traj == traj.sorted.reverse)
+  }
+}
