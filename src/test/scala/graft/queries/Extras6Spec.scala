@@ -55,4 +55,35 @@ class Extras6Spec extends SparkSpec {
     assert(v1.exceptAll(cow).count() > 0)
     assert(key.forall(cow.columns.contains))
   }
+
+  // --- q89: compaction commit --------------------------------------
+
+  private lazy val cst = Extras6.q89Build(spark, sf)
+
+  test("q89 rewrites exactly the planned multi-file bins, one file per bin") {
+    val multi = cst.bins.filter(_._2.length > 1)
+    assert(multi.nonEmpty, "fixture must produce at least one multi-file bin")
+    // one output file per planned multi-file bin
+    assert(cst.compacted.length == multi.length)
+    // every output path carries its bin id; planned bins are the only ones
+    val outBins = cst.compacted.map { p =>
+      "bin=(\\d+)".r.findFirstMatchIn(p).get.group(1).toLong
+    }.sorted
+    assert(outBins == multi.map(_._1).sorted)
+    // carried = exactly the singleton bins' files, untouched paths
+    assert(cst.carried.sorted == cst.bins.filter(_._2.length == 1).flatMap(_._2).sorted)
+    // v2 file count = bin count
+    assert(Extras5.q78Resolve(cst.base, 2).length == cst.bins.length)
+  }
+
+  test("q89 compaction preserves contents and v1 stays resolvable") {
+    val v1 = spark.read.parquet(Extras5.q78Resolve(cst.base, 1): _*)
+    val v2 = spark.read.parquet(Extras5.q78Resolve(cst.base, 2): _*)
+    assert(v2.columns.sorted.toSeq == v1.columns.sorted.toSeq)
+    assert(v1.exceptAll(v2).isEmpty && v2.exceptAll(v1).isEmpty)
+    assert(Extras5.q78Resolve(cst.base, 1).sorted == cst.v1Files.sorted)
+    assert(cst.v1Files.forall(p => new java.io.File(p).isFile))
+    // compaction reduced the file count (the op's reason to exist)
+    assert(Extras5.q78Resolve(cst.base, 2).length < cst.v1Files.length)
+  }
 }
