@@ -25,11 +25,10 @@ object Bench {
     * a renamed query would otherwise report -1 and silently shrink the
     * measured surface. */
   val opNames: Seq[String] = Seq("d01_exact_dedup", "d06_dup_clusters",
-    "d07_incremental_dedup", "s04_ann_int8_rerank", "s05_knn_join",
-    "t08_winnow_overlap", "t09_quality_filter", "t11_bm25_score",
-    "t14_sequence_pack", "t17_boilerplate_strip", "m04_phash_neardup",
-    "t18_decontaminate", "s07_ann_pq_adc", "s08_semdedup",
-    "t20_bigram_lm", "s09_ann_ivfpq", "s11_knn_join_scaled",
+    "s05_knn_join",
+    "t08_winnow_overlap", "t11_bm25_score",
+    "t18_decontaminate", "s08_semdedup",
+    "s09_ann_ivfpq", "s11_knn_join_scaled",
     "d09_substring_dedup",
     // streaming representatives (r9 advice item 5): the `.bro` landing
     // zone ingest, the dual-watermark stream-stream join, and the
@@ -50,14 +49,22 @@ object Bench {
     // audio matcher, frontier BFS, and the bounded-state stream dedup
     "q76_banded_time_join", "s13_multiprobe_lsh", "m06_audio_fingerprint",
     "g01_graph_bfs", "st17_dedup_within_watermark",
-    // end-of-r12 families: index-persist serving and manifest backfill.
-    // (q80/q81/g02/st20 are correctness-gated but NOT benched: the
-    // compact gate line's 1.9 KB budget goes to ops whose medians can
-    // drift independently — g01 already baselines the graph family and
-    // st07/st13 the stream-join family, while q80/q81 write whole
-    // multi-format datasets per run, a layout demo not a regression
-    // medium.)
-    "s14_ann_index_persist", "p04_backfill")
+    // end-of-r12 families: index-persist serving and manifest backfill
+    "s14_ann_index_persist", "p04_backfill",
+    // r13 ROTATION (r12 verdict item 5): the five correctness-gated-but-
+    // blind families get first baselines — the 1.9 KB compact-line
+    // budget pays for them by rotating OUT eight entries whose medians
+    // were stable across r10-r12 and whose families stay covered:
+    // d07 (p02's delta probe composes it), s04/s07 (s09 carries the
+    // PQ kernel, headline s02 the LSH probe), t09/t14/t17/t20 (t08/
+    // t11/t18/t24 keep the text family's spread), m04 (m05/m06 remain).
+    // A rotated-out op losing its baseline is visible, not silent:
+    // this comment is the ledger, and bench_full_last.json keeps the
+    // last measured medians.
+    "q80_zorder_skip", "q81_federated_join", "g02_triangle_count",
+    "st20_stream_full_outer_join", "q87_sql_pivot_unpivot",
+    // r13 features: MERGE INTO (COW+MOR), compaction commit, BPE train
+    "q88_merge_cow_mor", "q89_compact_commit", "t24_bpe_train")
 
   /** The x10 scale block's query set — ONE definition shared by the
     * sf1 child's warm-up loop and sf1Bench's measured loop, so the

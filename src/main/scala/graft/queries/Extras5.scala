@@ -337,16 +337,28 @@ object Extras5 {
   // ---------------------------------------------------------------------
   def q76(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // The at-scale dial, conf-surfaced (r12 advice): bin width in
+    // seconds, default = the 1 h interval width. A denser corpus turns
+    // it DOWN (narrower bins, less per-bin fan-in, more expansion
+    // copies of the bounded side); a sparser one turns it UP. Results
+    // are bin-width-invariant — the expansion radius k adapts so the
+    // covering set always spans the full ±1 h band, and the exact
+    // predicate decides membership (Extras5Spec pins 2× and ½× widths
+    // row-identical).
+    val binSec = spark.conf.getOption("spark.graft.bandjoin.binSec")
+      .map(_.toLong).getOrElse(3600L)
+    require(binSec > 0, s"spark.graft.bandjoin.binSec must be positive: $binSec")
+    val k = ((3600L + binSec - 1) / binSec).toInt
     val ev = Tables.load(spark, dir, "events")
       .select($"event_id", $"event_type", $"ts")
     val p = ev.filter($"event_type" === "purchase")
       .select($"event_id".as("p_id"), $"ts".as("p_ts"),
-        (unix_timestamp($"ts") / 3600L).cast(LongType).as("p_bin"))
+        (unix_timestamp($"ts") / binSec).cast(LongType).as("p_bin"))
     val e = ev.filter($"event_type" === "error")
       .select($"event_id".as("e_id"), $"ts".as("e_ts"),
-        (unix_timestamp($"ts") / 3600L).cast(LongType).as("bin"))
+        (unix_timestamp($"ts") / binSec).cast(LongType).as("bin"))
     val pExpanded = p.withColumn("bin",
-      explode(array($"p_bin" - 1, $"p_bin", $"p_bin" + 1)))
+      explode(array((-k to k).map(i => $"p_bin" + i): _*)))
     pExpanded.join(e, Seq("bin"))
       .filter($"e_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") &&
         $"e_ts" <= $"p_ts" + expr("INTERVAL 1 HOUR"))

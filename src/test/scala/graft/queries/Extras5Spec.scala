@@ -38,6 +38,17 @@ class Extras5Spec extends SparkSpec {
       s"expected a hash/merge equi-join on the bin key:\n$plan")
   }
 
+  test("q76: results are bin-width-invariant (the at-scale dial)") {
+    val base = Extras5.q76(spark, sf).collect().toSeq
+    for (binSec <- Seq("7200", "1800")) { // 2x and half the interval width
+      spark.conf.set("spark.graft.bandjoin.binSec", binSec)
+      try {
+        val got = Extras5.q76(spark, sf).collect().toSeq
+        assert(got == base, s"binSec=$binSec changed the result")
+      } finally spark.conf.unset("spark.graft.bandjoin.binSec")
+    }
+  }
+
   test("q78: a resolved snapshot is immune to later commits (isolation)") {
     import org.apache.spark.sql.functions._
     // resolve v2 BEFORE v3 exists? q78Table commits all three, so pin the
