@@ -308,6 +308,12 @@ final class BrotliEncoder(quality: Int = 6, lgwin: Int = 22) {
     * the dictionary (streams stay valid either way). Must precede the
     * first write; a decoder needs the same dictionary to reproduce the
     * stream. */
+  /** True while a `setDictionary` preload is armed and no payload has
+    * been written yet (histTail doubles as the general history tail once
+    * encoding starts, so this is only meaningful pre-write — exactly the
+    * pool-reuse seam that needs it, see BrotliCompressor). */
+  def hasPreload: Boolean = !headerWritten && staged == 0 && histTail > 0
+
   def setDictionary(b: Array[Byte], off: Int, len: Int): Unit = {
     require(!headerWritten && staged == 0 && histTail == 0,
       "setDictionary must precede writes")

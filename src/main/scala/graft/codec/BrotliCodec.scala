@@ -58,7 +58,23 @@ class BrotliCodec extends Configurable with CompressionCodec {
   override def createOutputStream(out: OutputStream): CompressionOutputStream =
     createOutputStream(out, createCompressor())
   override def createOutputStream(out: OutputStream, c: Compressor): CompressionOutputStream = {
-    if (dictionary.nonEmpty) c.setDictionary(dictionary, 0, dictionary.length)
+    // quality is also per-stream state: a pooled compressor arrives with
+    // its CONSTRUCTION-time quality (CodecPool pools by compressor class,
+    // so parquet-mr's per-quality codec instances would otherwise share
+    // one stale compressor) — re-apply the codec's current quality first,
+    // then the dictionary (the quality change resets the encoder)
+    c match {
+      case bc: BrotliCompressor =>
+        bc.setQuality(quality)
+        // always normalize, mirroring createInputStream: an empty codec
+        // dictionary must CLEAR any stale preload a reused compressor
+        // carries — a dict-preloaded encoder emits preload-reaching
+        // distances a dict-less reader misreads as §8 static-dictionary
+        // references ("invalid dictionary copy length")
+        bc.normalizeDictionary(dictionary)
+      case other =>
+        if (dictionary.nonEmpty) other.setDictionary(dictionary, 0, dictionary.length)
+    }
     new CompressorStream(out, c, bufferSize)
   }
 
@@ -116,8 +132,25 @@ object BrotliCodec {
 
 /** Push-side Hadoop state machine over [[BrotliEncoder]]
   * (contract of BroCompressor.java:63-148, pure JVM). */
-class BrotliCompressor(quality: Int) extends Compressor {
+class BrotliCompressor(initialQuality: Int) extends Compressor {
+  private var quality = initialQuality
   private var encoder = new BrotliEncoder(quality)
+
+  /** Pool seam (see `BrotliCodec.createOutputStream`): re-arm a pooled
+    * instance with the owning codec's quality. A change discards any
+    * in-flight encoder state, so this must only run at stream
+    * construction — exactly where the dictionary is re-applied too. */
+  private[codec] def setQuality(q: Int): Unit =
+    if (q != quality) { quality = q; reset() }
+
+  /** Pool seam, dictionary half: make the encoder's preload match the
+    * codec's dictionary exactly — apply it when non-empty, and RESET
+    * away any stale preload when empty (the decompressor side has had
+    * this normalize-always rule since the pool was introduced). */
+  private[codec] def normalizeDictionary(dict: Array[Byte]): Unit = {
+    if (encoder.hasPreload) reset()
+    if (dict.nonEmpty) setDictionary(dict, 0, dict.length)
+  }
   private val pending = new ByteArrayOutputStream(1 << 16)
   private var pendingBuf: Array[Byte] = Array.emptyByteArray
   private var pendingPos = 0
@@ -179,7 +212,13 @@ class BrotliCompressor(quality: Int) extends Compressor {
   }
 
   override def end(): Unit = reset()
-  override def reinit(conf: Configuration): Unit = reset()
+  override def reinit(conf: Configuration): Unit = {
+    // Hadoop's CodecPool.getCompressor(codec, conf) seam: a non-null
+    // conf re-binds quality before the reset re-creates the encoder
+    if (conf != null)
+      quality = conf.getInt(BrotliCodec.QualityKey, quality)
+    reset()
+  }
 }
 
 /** Pull-side Hadoop state machine over [[BrotliDecoder]]

@@ -298,11 +298,50 @@ object Extras6 {
       |  CAST(SUM(p) AS DOUBLE) AS sum_price
       |FROM vs CROSS JOIN t GROUP BY version ORDER BY version""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q90: PARQUET-BROTLI ROUND-TRIP — the r12 "investigation spike"
+  // resolved YES: parquet-mr hardcodes BROTLI's codec class as
+  // "org.apache.hadoop.io.compress.BrotliCodec" (CompressionCodecName,
+  // parquet-hadoop 1.16.0 bytecode), so the graft codec published under
+  // that FQCN (sources/ParquetBrotliShim.scala) lets the stock Spark
+  // writer emit genuine BROTLI-tagged parquet pages and the vectorized
+  // reader decode them — the analytics format (SURVEY §4.2) the
+  // reference's JNI codec could never serve. This entry writes the
+  // documents table as brotli parquet, reads it back, and aggregates
+  // per-source counts + md5 content fingerprints; the oracle computes
+  // the same from the source table, so the hash match proves the
+  // compressed pages preserved every text byte. ParquetBrotliSpec pins
+  // the footer codec id (no silent fallback), size < uncompressed, and
+  // the parquet-sanctioned `compression.brotli.quality` dial.
+  // ---------------------------------------------------------------------
+  def q90(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = graft.Scratch.dir("q90_brotli_pq")
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"source", $"text", $"n_chars")
+      .write.option("compression", "brotli").parquet(out)
+    spark.read.parquet(out)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast(LongType).as("sum_chars"),
+        min(md5($"text")).as("min_fp"),
+        max(md5($"text")).as("max_fp"))
+      .orderBy($"source")
+  }
+
+  private val q90Sql =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(md5(text)) AS min_fp, MAX(md5(text)) AS max_fp
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q88_merge_cow_mor" -> (q88 _),
-    "q89_compact_commit" -> (q89 _))
+    "q89_compact_commit" -> (q89 _),
+    "q90_parquet_brotli" -> (q90 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q88_merge_cow_mor" -> q88Sql,
-    "q89_compact_commit" -> q89Sql)
+    "q89_compact_commit" -> q89Sql,
+    "q90_parquet_brotli" -> q90Sql)
 }
