@@ -193,6 +193,20 @@ object Similarity {
 
   private def s03Sql: String = {
     val dim = 64
+    rankedSql(
+      s"""WITH $ivfIndexCtes,
+         |probes AS (SELECT q_id, q_emb, cluster FROM qranks
+         |  WHERE pr <= $IvfNProbe),
+         |cand AS (
+         |  SELECT p.q_id, a.vec_id, a.embedding AS emb, p.q_emb
+         |  FROM a3 a JOIN probes p ON a.cluster = p.cluster AND a.vec_id <> p.q_id)""".stripMargin)
+  }
+
+  /** The shared IVF oracle machinery (used by s03 and the s15 nprobe
+    * sweep): quantized corpus → 2 Lloyd rounds → final assignment `a3`
+    * → per-query centroid ranking `qranks` (probe = pr <= nprobe). */
+  private def ivfIndexCtes: String = {
+    val dim = 64
     val centroidList = (1 to dim).map(i => s"SUM(qv[$i]) / COUNT(*)")
       .mkString("[", ", ", "]")
     def assignCte(name: String, cents: String): String =
@@ -201,23 +215,19 @@ object Similarity {
          |    row_number() OVER (PARTITION BY v.vec_id
          |      ORDER BY ${sqDistSql("v.qv", "c.m", dim)} ASC, c.cluster ASC) AS pr
          |  FROM qe v CROSS JOIN $cents c) WHERE pr = 1)""".stripMargin
-    rankedSql(
-      s"""WITH qe AS MATERIALIZED (SELECT vec_id, embedding, ${ivfQuantSql("embedding")} AS qv FROM embeddings),
-         |c0 AS (SELECT vec_id AS cluster, qv AS m
-         |  FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id LIMIT $IvfNList)),
-         |${assignCte("a1", "c0")},
-         |c1 AS (SELECT cluster, $centroidList AS m FROM a1 GROUP BY cluster),
-         |${assignCte("a2", "c1")},
-         |c2 AS (SELECT cluster, $centroidList AS m FROM a2 GROUP BY cluster),
-         |${assignCte("a3", "c2")},
-         |probes AS (SELECT q_id, q_emb, cluster FROM (
-         |  SELECT v.vec_id AS q_id, v.embedding AS q_emb, c.cluster,
-         |    row_number() OVER (PARTITION BY v.vec_id
-         |      ORDER BY ${sqDistSql("v.qv", "c.m", dim)} ASC, c.cluster ASC) AS pr
-         |  FROM qe v CROSS JOIN c2 c WHERE v.vec_id % 47 = 0) WHERE pr <= $IvfNProbe),
-         |cand AS (
-         |  SELECT p.q_id, a.vec_id, a.embedding AS emb, p.q_emb
-         |  FROM a3 a JOIN probes p ON a.cluster = p.cluster AND a.vec_id <> p.q_id)""".stripMargin)
+    s"""qe AS MATERIALIZED (SELECT vec_id, embedding, ${ivfQuantSql("embedding")} AS qv FROM embeddings),
+       |c0 AS (SELECT vec_id AS cluster, qv AS m
+       |  FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id LIMIT $IvfNList)),
+       |${assignCte("a1", "c0")},
+       |c1 AS (SELECT cluster, $centroidList AS m FROM a1 GROUP BY cluster),
+       |${assignCte("a2", "c1")},
+       |c2 AS (SELECT cluster, $centroidList AS m FROM a2 GROUP BY cluster),
+       |${assignCte("a3", "c2")},
+       |qranks AS MATERIALIZED (
+       |  SELECT v.vec_id AS q_id, v.embedding AS q_emb, c.cluster,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${sqDistSql("v.qv", "c.m", dim)} ASC, c.cluster ASC) AS pr
+       |  FROM qe v CROSS JOIN c2 c WHERE v.vec_id % 47 = 0)""".stripMargin
   }
 
   /** s04: int8 scalar-quantized ANN — SRP-LSH bucket candidate
@@ -837,6 +847,97 @@ object Similarity {
        |ORDER BY ex.q_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // s15: NPROBE SWEEP — the serving-side parameter study an operator
+  // runs before fixing an IVF deployment's recall/latency point (the
+  // d12 banding sweep's ANN sibling, completing the trio with s06's
+  // fixed-config recall audit): with the INDEX fixed (same quantizer,
+  // same 2-round Lloyd centroids, same assignment — built once, reused
+  // by every arm), sweep nprobe ∈ {1, 2, 4, 8} of the 16 lists and
+  // measure, per config, what a probe actually buys: the candidate
+  // volume scanned (the latency bill — at serving scale cost is ∝
+  // candidates, which grow ~linearly in nprobe) and recall@5 against
+  // the exact brute-force baseline (the quality side). Counts are exact
+  // integers (hash-verified); recall is their IEEE quotient. Monotone
+  // by construction — nprobe n's candidate set ⊆ n+1's — so the table
+  // reads as a proper frontier; s03's shipped nprobe=2 sits on it.
+  // ---------------------------------------------------------------------
+  private val S15Sweep = Seq(1, 2, 4, 8)
+
+  def s15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // shared index state — s03's construction, materialized ONCE
+    val qe = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding", ivfQuant($"embedding").as("qv"))
+    var cents = qe.orderBy($"vec_id").limit(IvfNList)
+      .select($"vec_id".as("cluster"), $"qv".as("m"))
+    for (_ <- 0 until IvfIters)
+      cents = ivfUpdate(ivfAssign(qe, cents))
+    cents = spark.createDataFrame(
+      spark.sparkContext.parallelize(cents.collect().toIndexedSeq, 1),
+      cents.schema)
+    val corpus = ivfAssign(qe, cents).materialize
+    val q = queriesSubset(spark, dir).withColumn("qq", ivfQuant($"q_emb"))
+    val wProbe = Window.partitionBy($"q_id").orderBy($"dist".asc, $"cluster".asc)
+    val qranks = q.crossJoin(broadcast(cents))
+      .withColumn("dist", sqDist($"qq", $"m"))
+      .withColumn("pr", row_number().over(wProbe))
+      .select($"q_id", $"q_emb", $"cluster", $"pr")
+      .materialize
+    val exact = s01(spark, dir).select($"q_id", $"vec_id").materialize
+    val nExact = exact.count()
+    val rows = S15Sweep.map { np =>
+      val probes = qranks.filter($"pr" <= np).select($"q_id", $"q_emb", $"cluster")
+      val cand = corpus.join(broadcast(probes), Seq("cluster"))
+        .filter($"vec_id" =!= $"q_id")
+      val nCand = cand.count()
+      val topk = top5(cand.select($"q_id", $"vec_id",
+        VectorOps.cosineSim(spark, $"embedding", $"q_emb").as("cosine")))
+      val nHits = topk.join(exact, Seq("q_id", "vec_id"), "left_semi").count()
+      (np.toLong, nCand, nHits, nHits.toDouble / nExact)
+    }
+    rows.toDF("nprobe", "n_candidates", "n_hits", "recall_at_5")
+      .orderBy($"nprobe")
+  }
+
+  private def s15Sql: String = {
+    val dot = PortableSql.dotSql("emb", "q_emb", 64)
+    val na = PortableSql.dotSql("emb", "emb", 64)
+    val nb = PortableSql.dotSql("q_emb", "q_emb", 64)
+    val cos = PortableSql.cosineFromPartsSql("dot", "na", "nb")
+    // every arm CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    // reference, and the 64-term dot expressions over the widest arm's
+    // candidate set blow memory if expanded repeatedly (t24's lesson)
+    val arms = S15Sweep.map { np =>
+      s"""cand$np AS MATERIALIZED (
+         |  SELECT p.q_id, a.vec_id, a.embedding AS emb, p.q_emb
+         |  FROM a3 a JOIN (SELECT q_id, q_emb, cluster FROM qranks WHERE pr <= $np) p
+         |    ON a.cluster = p.cluster AND a.vec_id <> p.q_id),
+         |top$np AS MATERIALIZED (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+         |    FROM (SELECT q_id, vec_id, $cos AS cosine FROM (
+         |      SELECT q_id, vec_id, $dot AS dot, $na AS na, $nb AS nb FROM cand$np)))
+         |  WHERE rank <= 5),
+         |hit$np AS MATERIALIZED (
+         |  SELECT COUNT(*) AS h FROM top$np t JOIN ex USING (q_id, vec_id)),
+         |nc$np AS MATERIALIZED (SELECT COUNT(*) AS c FROM cand$np)""".stripMargin
+    }.mkString(",\n")
+    val rows = S15Sweep.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+         |  (SELECT c FROM nc$np) AS n_candidates,
+         |  (SELECT h FROM hit$np) AS n_hits,
+         |  CAST((SELECT h FROM hit$np) AS DOUBLE)
+         |    / (SELECT COUNT(*) FROM ex) AS recall_at_5""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $ivfIndexCtes,
+       |ex AS MATERIALIZED (SELECT q_id, vec_id FROM ($s01Sql)),
+       |$arms
+       |$rows
+       |ORDER BY nprobe""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // s08: SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023 shape) — the
   // cluster-then-prune recipe used to shrink LLM pretraining corpora:
   // (1) assign every vector to its nearest coarse centroid, (2) compare
@@ -1045,7 +1146,8 @@ object Similarity {
     "s11_knn_join_scaled" -> (s11 _),
     "s12_filtered_ann" -> (s12 _),
     "s13_multiprobe_lsh" -> (s13 _),
-    "s14_ann_index_persist" -> (s14 _))
+    "s14_ann_index_persist" -> (s14 _),
+    "s15_nprobe_sweep" -> (s15 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "s01_ann_bruteforce" -> s01Sql,
@@ -1061,5 +1163,6 @@ object Similarity {
     "s11_knn_join_scaled" -> s11Sql,
     "s12_filtered_ann" -> s12Sql,
     "s13_multiprobe_lsh" -> s13Sql,
-    "s14_ann_index_persist" -> s09Sql)
+    "s14_ann_index_persist" -> s09Sql,
+    "s15_nprobe_sweep" -> s15Sql)
 }

@@ -299,6 +299,75 @@ object Extras6 {
       |FROM vs CROSS JOIN t GROUP BY version ORDER BY version""".stripMargin
 
   // ---------------------------------------------------------------------
+  // CDC machinery shared with st21 (streaming CDC apply): q88's COW
+  // merge generalized to REPEATED commits with explicit per-row ops.
+  // ---------------------------------------------------------------------
+
+  /** Build the CDC base table: v1 = orders keys ≡ 0 (mod 3), price
+    * DECIMAL(18,2), committed as manifest v1. Returns the table root. */
+  private[graft] def cdcBase(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val base = graft.Scratch.dir("cdc_table")
+    Tables.load(spark, dir, "orders")
+      .filter($"o_orderkey" % 3 === 0)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice".cast(D2).as("price"))
+      .write.parquet(s"$base/files-v1")
+    Extras5.q78Commit(base, 1, parts(s"$base/files-v1"))
+    base
+  }
+
+  /** Apply one CDC batch copy-on-write and commit version `from + 1`.
+    * Delta rows carry (d_key, d_op 'U'|'D', d_status, d_price):
+    * matched 'D' deletes, matched 'U' replaces the row with the delta's
+    * values, unmatched 'U' inserts, unmatched 'D' no-ops. Same scale
+    * shape as q88: touched-file discovery and all three branches ride
+    * broadcast joins of the (small) batch; rewrite I/O ∝ the batch's
+    * file footprint; the commit is an atomic manifest swap, so a reader
+    * mid-stream always sees a complete version — never a half-applied
+    * batch. */
+  private[graft] def cowMergeCommit(spark: SparkSession, base: String,
+      from: Int, delta: DataFrame): Unit = {
+    import spark.implicits._
+    val cur = Extras5.q78Resolve(base, from)
+    val d = delta.select($"d_key", $"d_op", $"d_status", $"d_price")
+    val tProj = spark.read.parquet(cur: _*)
+      .select($"o_orderkey", input_file_name().as("f"))
+    val touched = tProj
+      .join(broadcast(d), $"o_orderkey" === $"d_key", "left_semi")
+      .select($"f").distinct().as[String].collect().toSeq
+      .map(dropScheme).sorted
+    val carried = cur.filterNot(touched.contains)
+    val inserts = d.filter($"d_op" === "U")
+      .join(tProj.select($"o_orderkey"), $"d_key" === $"o_orderkey", "left_anti")
+      .select($"d_key".as("o_orderkey"), $"d_status".as("o_orderstatus"),
+        $"d_price".as("price"))
+    val rewritten =
+      if (touched.isEmpty) inserts.limit(0)
+      else spark.read.parquet(touched: _*)
+        .join(broadcast(d), $"o_orderkey" === $"d_key", "left")
+        .filter(!($"d_key".isNotNull && $"d_op" === "D"))
+        .select($"o_orderkey",
+          when($"d_key".isNotNull, $"d_status")
+            .otherwise($"o_orderstatus").as("o_orderstatus"),
+          when($"d_key".isNotNull, $"d_price")
+            .otherwise($"price").as("price"))
+    val outDir = s"$base/files-v${from + 1}"
+    rewritten.unionByName(inserts).write.parquet(outDir)
+    Extras5.q78Commit(base, from + 1, carried ++ parts(outDir))
+  }
+
+  /** The standard snapshot aggregate used by q88/q89/st21 results. */
+  private[graft] def snapshotAgg(spark: SparkSession, files: Seq[String],
+      label: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(files: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        count(when($"o_orderstatus" === "F", 1)).as("n_f_status"),
+        sum($"price").cast(DoubleType).as("sum_price"))
+      .withColumn("snapshot", lit(label))
+  }
+
+  // ---------------------------------------------------------------------
   // q90: PARQUET-BROTLI ROUND-TRIP — the r12 "investigation spike"
   // resolved YES: parquet-mr hardcodes BROTLI's codec class as
   // "org.apache.hadoop.io.compress.BrotliCodec" (CompressionCodecName,

@@ -890,6 +890,95 @@ object EventsStream {
       |FROM em GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // st21: STREAMING CDC APPLY — the change-data-capture loop every
+  // lakehouse runs: a change feed (upserts + deletes) applied to the
+  // q78-manifest versioned table as one COPY-ON-WRITE merge COMMIT per
+  // micro-batch (foreachBatch → Extras6.cowMergeCommit). Composes the
+  // round's two write paths: q88's merge machinery under p03's
+  // streaming drain. Exactly-once at the table level comes from the
+  // commit protocol, not the stream: each batch's merge lands as an
+  // atomic manifest swap, so a concurrent reader sees version N or N+1,
+  // never a half-applied batch, and a replayed batch would re-derive
+  // the same version content (keys are unique in the feed — upserts
+  // and deletes commute across batches, which StreamCdcSpec pins by
+  // comparing against a ONE-SHOT batch merge of the whole feed).
+  // Feed rule (deterministic, oracle-replayable): orders keys ≡ 0,1
+  // (mod 7); op = DELETE where o_orderstatus = 'F', else UPSERT at
+  // price + 50. Result reads v1 and the final version side by side
+  // (both deterministic — intermediate versions depend on file-to-batch
+  // assignment, the final state does not) plus the commit count.
+  // At 100 TB: merge cost per batch ∝ the batch's file footprint
+  // (file-pruned, broadcast-joined), state NONE (the table IS the
+  // state), old versions retained for time travel until expired.
+  // ---------------------------------------------------------------------
+  private[graft] def st21Run(spark: SparkSession, dir: String): (String, Long) = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.DecimalType
+    val base = graft.queries.Extras6.cdcBase(spark, dir)
+    val src = graft.Scratch.dir("st21_feed")
+    graft.Tables.load(spark, dir, "orders")
+      .filter($"o_orderkey" % 7 <= 1)
+      .select($"o_orderkey".as("d_key"),
+        when($"o_orderstatus" === "F", "D").otherwise("U").as("d_op"),
+        $"o_orderstatus".as("d_status"),
+        ($"o_totalprice".cast(DecimalType(18, 2)) + 50)
+          .cast(DecimalType(18, 2)).as("d_price"))
+      .repartition(4)
+      .write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val version = new AtomicLong(1)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.queries.Extras6.cowMergeCommit(spark, base,
+          version.get().toInt, batch)
+        version.incrementAndGet()
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    (base, version.get() - 1)
+  }
+
+  def st21(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (base, nCommits) = st21Run(spark, dir)
+    val v1 = graft.queries.Extras5.q78Resolve(base, 1)
+    val fin = graft.queries.Extras5.q78Resolve(base, (1 + nCommits).toInt)
+    graft.queries.Extras6.snapshotAgg(spark, v1, "1_base")
+      .unionByName(graft.queries.Extras6.snapshotAgg(spark, fin, "2_final"))
+      .withColumn("n_commits", lit(nCommits))
+      .select($"snapshot", $"n_rows", $"n_f_status", $"sum_price", $"n_commits")
+      .orderBy($"snapshot")
+  }
+
+  private val st21Sql =
+    """WITH v1 AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |fin AS (
+      |  -- untouched base rows (not in the feed)
+      |  SELECT o_orderstatus, p FROM v1 WHERE o_orderkey % 7 > 1
+      |  UNION ALL
+      |  -- one arm covers matched updates AND unmatched inserts: every
+      |  -- non-'F' feed row upserts to price + 50; 'F' feed rows delete
+      |  -- (matched) or no-op (unmatched)
+      |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) + 50
+      |  FROM orders
+      |  WHERE o_orderkey % 7 <= 1 AND o_orderstatus <> 'F'),
+      |snaps AS (
+      |  SELECT '1_base' AS snapshot, o_orderstatus, p FROM v1
+      |  UNION ALL SELECT '2_final', o_orderstatus, p FROM fin)
+      |SELECT snapshot, COUNT(*) AS n_rows,
+      |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_f_status,
+      |  CAST(SUM(p) AS DOUBLE) AS sum_price,
+      |  CAST(4 AS BIGINT) AS n_commits
+      |FROM snaps GROUP BY snapshot ORDER BY snapshot""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "st01_stream_hourly" -> (st01 _),
     "st02_stream_sessionize" -> (st02 _),
@@ -910,7 +999,8 @@ object EventsStream {
     "st17_dedup_within_watermark" -> (st17 _),
     "st18_dynamic_gap_sessions" -> (st18 _),
     "st19_avro_stream_read" -> (st19 _),
-    "st20_stream_full_outer_join" -> (st20 _))
+    "st20_stream_full_outer_join" -> (st20 _),
+    "st21_stream_cdc_merge" -> (st21 _))
 
   private val st02Sql =
     """WITH flagged AS (
@@ -954,5 +1044,6 @@ object EventsStream {
     "st17_dedup_within_watermark" -> st17Sql,
     "st18_dynamic_gap_sessions" -> st18Sql,
     "st19_avro_stream_read" -> st19Sql,
-    "st20_stream_full_outer_join" -> st20Sql)
+    "st20_stream_full_outer_join" -> st20Sql,
+    "st21_stream_cdc_merge" -> st21Sql)
 }

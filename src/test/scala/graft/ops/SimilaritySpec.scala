@@ -117,4 +117,23 @@ class SimilaritySpec extends SparkSpec {
       assert(lead._4, s"cluster $c: lowest vec_id ${lead._1} was dropped")
     }
   }
+
+  test("s15 nprobe sweep: a proper frontier (monotone, bounded, non-trivial)") {
+    import spark.implicits._
+    val rows = Similarity.s15(spark, sf)
+      .select($"nprobe", $"n_candidates", $"n_hits", $"recall_at_5")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    // candidate sets are nested by construction -> counts monotone
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+    // more probes can only add hits (same index, wider candidate set)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+    rows.foreach { case (np, nc, nh, r) =>
+      assert(r >= 0.0 && r <= 1.0, s"nprobe=$np recall $r out of range")
+      assert(nc >= nh, s"nprobe=$np: hits $nh exceed candidates $nc")
+    }
+    // the sweep must actually trade: widest probe beats narrowest
+    assert(rows.last._3 > rows.head._3 || rows.head._4 == 1.0,
+      "nprobe=8 found no more exact neighbors than nprobe=1")
+  }
 }
