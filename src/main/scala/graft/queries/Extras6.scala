@@ -311,6 +311,10 @@ object Extras6 {
     Tables.load(spark, dir, "orders")
       .filter($"o_orderkey" % 3 === 0)
       .select($"o_orderkey", $"o_orderstatus", $"o_totalprice".cast(D2).as("price"))
+      // key-range layout, 16 files: merges touch only the ranges their
+      // keys fall in, so untouched files genuinely carry by reference —
+      // the sharing that makes q91's reference-counted GC non-trivial
+      .repartitionByRange(16, $"o_orderkey")
       .write.parquet(s"$base/files-v1")
     Extras5.q78Commit(base, 1, parts(s"$base/files-v1"))
     base
@@ -404,13 +408,111 @@ object Extras6 {
       |  MIN(md5(text)) AS min_fp, MAX(md5(text)) AS max_fp
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q91: SNAPSHOT EXPIRATION (VACUUM) — the retention half of the
+  // lakehouse lifecycle the protocol was still missing: q88/st21 write
+  // versions, q89 optimizes them, q78 time-travels them — q91 EXPIRES
+  // them. The algorithm is reference-counted garbage collection over
+  // manifests, exactly Iceberg's expire_snapshots / Delta's VACUUM:
+  //  1. build the retained set = union of file lists of every manifest
+  //     version ≥ the horizon (here: keep the latest 2 of 3);
+  //  2. the candidate set = union over EXPIRED manifests' lists;
+  //  3. delete candidates NOT in the retained set — files SHARED with a
+  //     retained version (carried by reference across commits, the
+  //     protocol's whole point) must survive;
+  //  4. drop the expired manifests.
+  // Both set unions are manifest-sized (O(#files) metadata, driver-side
+  // by the q79 bound; a DataFrame anti-join at catalog scale). The
+  // versioned table: v1 = cdcBase, v2 = COW delete of 'F' rows among
+  // keys ≡ 0 (mod 30) (rewrites only touched files; untouched v1 files
+  // carry into v2 BY REFERENCE — those shared files are what make the
+  // GC non-trivial), v3 = insert-only merge of keys ≡ 1 (mod 30).
+  // Result: retained snapshots' aggregates (unchanged by the vacuum —
+  // the invariant) plus the expired version's unreadability as a pinned
+  // boolean. Extras6Spec pins the file accounting: deleted = expired \
+  // retained exactly, shared files survive on disk, retained reads are
+  // row-identical pre/post.
+  // ---------------------------------------------------------------------
+
+  private[queries] case class Q91State(
+      base: String,
+      deleted: Seq[String],
+      sharedSurvivors: Seq[String])
+
+  private[queries] def q91Build(spark: SparkSession, dir: String): Q91State = {
+    import spark.implicits._
+    val base = cdcBase(spark, dir) // v1: keys ≡ 0 (mod 3)
+    val orders = Tables.load(spark, dir, "orders")
+    // v2: COW DELETE of 'F' rows among keys ≡ 0 (mod 30)
+    val del = orders
+      .filter($"o_orderkey" % 30 === 0 && $"o_orderstatus" === "F")
+      .select($"o_orderkey".as("d_key"), lit("D").as("d_op"),
+        $"o_orderstatus".as("d_status"), $"o_totalprice".cast(D2).as("d_price"))
+    cowMergeCommit(spark, base, 1, del)
+    // v3: insert-only merge of keys ≡ 1 (mod 30)
+    val ins = orders
+      .filter($"o_orderkey" % 30 === 1)
+      .select($"o_orderkey".as("d_key"), lit("U").as("d_op"),
+        $"o_orderstatus".as("d_status"), $"o_totalprice".cast(D2).as("d_price"))
+    cowMergeCommit(spark, base, 2, ins)
+
+    // VACUUM: retain {v2, v3}, expire {v1}
+    val retained = (2 to 3).flatMap(Extras5.q78Resolve(base, _)).toSet
+    val expired = Extras5.q78Resolve(base, 1)
+    val (shared, toDelete) = expired.partition(retained.contains)
+    toDelete.foreach(p => java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(p)))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(base, "_manifests", "v1.txt"))
+    Q91State(base, toDelete, shared)
+  }
+
+  def q91(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val st = q91Build(spark, dir)
+    val v1Gone = // resolving the expired version must fail post-vacuum
+      try { Extras5.q78Resolve(st.base, 1); false }
+      catch { case _: java.io.IOException | _: java.nio.file.NoSuchFileException => true }
+    (2 to 3).map { v =>
+      snapshotAgg(spark, Extras5.q78Resolve(st.base, v), s"v$v")
+    }.reduce(_ unionByName _)
+      .withColumn("expired_unreadable", lit(v1Gone))
+      .select($"snapshot", $"n_rows", $"n_f_status", $"sum_price",
+        $"expired_unreadable")
+      .orderBy($"snapshot")
+  }
+
+  private val q91Sql =
+    """WITH v1 AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |v2 AS (
+      |  SELECT o_orderkey, o_orderstatus, p FROM v1
+      |  WHERE NOT (o_orderkey % 30 = 0 AND o_orderstatus = 'F')),
+      |v3 AS (
+      |  SELECT o_orderstatus, p FROM v2
+      |  UNION ALL
+      |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2))
+      |  FROM orders WHERE o_orderkey % 30 = 1),
+      |snaps AS (
+      |  SELECT 'v2' AS snapshot, o_orderstatus, p FROM v2
+      |  UNION ALL SELECT 'v3', o_orderstatus, p FROM v3)
+      |SELECT snapshot, COUNT(*) AS n_rows,
+      |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_f_status,
+      |  CAST(SUM(p) AS DOUBLE) AS sum_price,
+      |  TRUE AS expired_unreadable
+      |FROM snaps GROUP BY snapshot ORDER BY snapshot""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q88_merge_cow_mor" -> (q88 _),
     "q89_compact_commit" -> (q89 _),
-    "q90_parquet_brotli" -> (q90 _))
+    "q90_parquet_brotli" -> (q90 _),
+    "q91_vacuum_expire" -> (q91 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q88_merge_cow_mor" -> q88Sql,
     "q89_compact_commit" -> q89Sql,
-    "q90_parquet_brotli" -> q90Sql)
+    "q90_parquet_brotli" -> q90Sql,
+    "q91_vacuum_expire" -> q91Sql)
 }

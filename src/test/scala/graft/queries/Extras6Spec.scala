@@ -86,4 +86,29 @@ class Extras6Spec extends SparkSpec {
     // compaction reduced the file count (the op's reason to exist)
     assert(Extras5.q78Resolve(cst.base, 2).length < cst.v1Files.length)
   }
+
+  // --- q91: vacuum / snapshot expiration ----------------------------
+
+  test("q91 vacuum deletes exactly the unreferenced files and spares shared ones") {
+    // rebuild the same table WITHOUT vacuuming to know the true file sets
+    val vst = Extras6.q91Build(spark, sf)
+    assert(vst.deleted.nonEmpty, "the COW delete must have rewritten some file")
+    assert(vst.sharedSurvivors.nonEmpty,
+      "some v1 files must carry into v2 by reference (else GC is trivial)")
+    // every deleted file is gone; every shared survivor still on disk
+    vst.deleted.foreach(p => assert(!new java.io.File(p).exists(), s"$p not deleted"))
+    vst.sharedSurvivors.foreach(p =>
+      assert(new java.io.File(p).isFile, s"shared $p was wrongly deleted"))
+    // deleted ∩ retained = ∅ (no retained version lost a file)
+    val retained = (2 to 3).flatMap(Extras5.q78Resolve(vst.base, _)).toSet
+    assert(vst.deleted.toSet.intersect(retained).isEmpty)
+    // retained versions still read completely
+    for (v <- 2 to 3) {
+      val files = Extras5.q78Resolve(vst.base, v)
+      assert(files.forall(p => new java.io.File(p).isFile))
+      assert(spark.read.parquet(files: _*).count() > 0)
+    }
+    // the expired manifest is gone
+    assert(!new java.io.File(s"${vst.base}/_manifests/v1.txt").exists())
+  }
 }
