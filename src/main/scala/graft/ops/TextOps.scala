@@ -1376,7 +1376,8 @@ object TextOps {
     "t21_det_split" -> (t21 _),
     "t22_domain_prior_gate" -> (t22 _),
     "t23_curriculum_pack" -> (t23 _),
-    "t24_bpe_train" -> (t24 _))
+    "t24_bpe_train" -> (t24 _),
+    "t25_bpe_apply" -> (t25 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "t01_token_stats" -> t01Sql,
@@ -1402,7 +1403,8 @@ object TextOps {
     "t21_det_split" -> t21Sql,
     "t22_domain_prior_gate" -> t22Sql,
     "t23_curriculum_pack" -> t23Sql,
-    "t24_bpe_train" -> t24Sql)
+    "t24_bpe_train" -> t24Sql,
+    "t25_bpe_apply" -> t25Sql)
 
   // ---------------------------------------------------------------------
   // t23: CURRICULUM-ORDERED PACKING — t14 packs in arrival order; a
@@ -1594,7 +1596,13 @@ object TextOps {
     t24On(spark, Tables.load(spark, dir, "documents"), T24Merges)
 
   private[ops] def t24On(spark: SparkSession, docs: DataFrame,
-      nMerges: Int): DataFrame = {
+      nMerges: Int): DataFrame = t24Train(spark, docs, nMerges)._2
+
+  /** The training loop, returning BOTH the final vocabulary state
+    * (w, freq, pos, sym — one row per symbol of each distinct word) and
+    * the merge table; t24 reports the table, t25 applies the state. */
+  private[ops] def t24Train(spark: SparkSession, docs: DataFrame,
+      nMerges: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
     val byW = Window.partitionBy($"w").orderBy($"pos")
     // vocabulary: the ONLY corpus-sized pass
@@ -1645,19 +1653,58 @@ object TextOps {
         r += 1
       }
     }
-    learned.toSeq
+    (state, learned.toSeq
       .toDF("merge_rank", "lhs", "rhs", "pair_count", "corpus_tokens_after")
-      .orderBy($"merge_rank")
+      .orderBy($"merge_rank"))
+  }
+
+  // ---------------------------------------------------------------------
+  // t25: BPE APPLY — re-tokenize the corpus with t24's LEARNED merges
+  // (training's consumer half): per source, the character mass, the
+  // pre-tokenizer token count, and the BPE token count under the
+  // trained vocabulary, i.e. what the corpus costs a model before and
+  // after the merges. The apply exploits the same structural fact as
+  // training: every corpus token IS a vocabulary word, so applying N
+  // merges to the corpus is a per-source (source, word) count —
+  // vocabulary-bounded shuffle — joined against the BROADCAST trained
+  // vocabulary's symbol counts. No per-document merge replay, no
+  // corpus-sized second pass beyond the pre-tokenization scan; at
+  // 100 TB the apply costs one scan + one broadcast join.
+  // ---------------------------------------------------------------------
+  def t25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val (state, _) = t24Train(spark, docs, T24Merges)
+    val wlen = state.groupBy($"w").agg(count(lit(1)).as("n_syms"))
+    val perWord = docs
+      .select($"source",
+        explode(regexp_extract_all(lower($"text"), lit(BpePattern),
+          lit(0))).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("n"))
+    val tokenMass = perWord.join(broadcast(wlen), Seq("w"))
+      .groupBy($"source")
+      .agg(sum($"n").as("n_pretokens"),
+        sum($"n" * $"n_syms").as("n_bpe_tokens"))
+    val chars = docs.groupBy($"source")
+      .agg(sum(length($"text")).cast(LongType).as("n_chars"))
+    chars.join(tokenMass, Seq("source"))
+      .select($"source", $"n_chars", $"n_pretokens", $"n_bpe_tokens",
+        ($"n_chars".cast(DoubleType) / $"n_bpe_tokens")
+          .as("chars_per_bpe_token"))
+      .orderBy($"source")
   }
 
   /** The training loop unrolled to a fixed-depth CTE chain (the g01
     * convention for iterative ops): round r's CTEs compute the pair
     * argmax, the greedy-kept positions, and the post-merge state from
     * round r−1's. */
-  private def t24SqlGen(n: Int): String = {
+  /** The training chain (words → s0 → rounds → s`n`) as a WITH-body
+    * fragment, shared by t24's merge-table oracle and t25's apply
+    * oracle. */
+  private def t24ChainSql(n: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH words AS (
+      s"""words AS (
          |  SELECT w, COUNT(*) AS freq FROM (
          |    SELECT unnest(regexp_extract_all(lower(text), '$BpePattern')) AS w
          |    FROM documents) GROUP BY w),
@@ -1696,19 +1743,43 @@ object TextOps {
            |    WHERE k2.pos IS NULL)),
            |""".stripMargin)
     }
-    sb.append((1 to n).map { r =>
+    sb.toString.stripSuffix(",\n").stripSuffix(",")
+  }
+
+  private def t24SqlGen(n: Int): String = {
+    val sels = (1 to n).map { r =>
       s"""sel$r AS (
          |  SELECT CAST($r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
          |    CAST(c AS BIGINT) AS pair_count,
          |    (SELECT CAST(SUM(freq) AS BIGINT) FROM s$r) AS corpus_tokens_after
          |  FROM r${r}_best)""".stripMargin
-    }.mkString(",\n"))
-    sb.append("\n")
-    sb.append((1 to n).map(r => s"SELECT * FROM sel$r").mkString("\nUNION ALL\n"))
-    sb.append("\nORDER BY merge_rank")
-    sb.toString
+    }.mkString(",\n")
+    val union = (1 to n).map(r => s"SELECT * FROM sel$r").mkString("\nUNION ALL\n")
+    s"WITH ${t24ChainSql(n)},\n$sels\n$union\nORDER BY merge_rank"
   }
+
+  private def t25SqlGen(n: Int): String =
+    s"""WITH ${t24ChainSql(n)},
+       |wlen AS MATERIALIZED (SELECT w, COUNT(*) AS n_syms FROM s$n GROUP BY w),
+       |per_word AS (
+       |  SELECT source, w, COUNT(*) AS n FROM (
+       |    SELECT source,
+       |      unnest(regexp_extract_all(lower(text), '$BpePattern')) AS w
+       |    FROM documents)
+       |  GROUP BY source, w),
+       |mass AS (
+       |  SELECT source, CAST(SUM(n) AS BIGINT) AS n_pretokens,
+       |    CAST(SUM(n * n_syms) AS BIGINT) AS n_bpe_tokens
+       |  FROM per_word JOIN wlen USING (w) GROUP BY source),
+       |chars AS (
+       |  SELECT source, CAST(SUM(length(text)) AS BIGINT) AS n_chars
+       |  FROM documents GROUP BY source)
+       |SELECT source, n_chars, n_pretokens, n_bpe_tokens,
+       |  CAST(n_chars AS DOUBLE) / n_bpe_tokens AS chars_per_bpe_token
+       |FROM chars JOIN mass USING (source)
+       |ORDER BY source""".stripMargin
 
   // lazy: declared below the registry maps (t22Sql's init-order note)
   private lazy val t24Sql = t24SqlGen(T24Merges)
+  private lazy val t25Sql = t25SqlGen(T24Merges)
 }

@@ -83,4 +83,18 @@ class TextOpsBpeSpec extends SparkSpec {
     val traj = TextOps.t24On(spark, docs, 6).collect().map(_.getLong(4)).toSeq
     assert(traj == traj.sorted.reverse)
   }
+
+  test("t25 apply is consistent with t24's trajectory and bounded") {
+    val t24Last = TextOps.t24(spark, sf).collect().last.getLong(4)
+    val rows = TextOps.t25(spark, sf).collect()
+    // Σ per-source BPE tokens == training's final corpus token count
+    assert(rows.map(_.getLong(3)).sum == t24Last)
+    rows.foreach { r =>
+      val (chars, pre, bpe) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // merges only shrink words toward (not past) whole pre-tokens,
+      // and never below; symbols never exceed characters
+      assert(bpe >= pre, s"${r.getString(0)}: bpe $bpe < pretokens $pre")
+      assert(bpe <= chars, s"${r.getString(0)}: bpe $bpe > chars $chars")
+    }
+  }
 }
