@@ -209,19 +209,23 @@ object Similarity {
     val dim = 64
     val centroidList = (1 to dim).map(i => s"SUM(qv[$i]) / COUNT(*)")
       .mkString("[", ", ", "]")
+    // every stage MATERIALIZED: the 64-term distance expressions over
+    // the corpus×centroid cross joins explode memory if the chain is
+    // inlined per consumer (s15 references it from 4 sweep arms; the
+    // 512MB shared-gate OOM'd on the un-materialized form)
     def assignCte(name: String, cents: String): String =
-      s"""$name AS (SELECT vec_id, embedding, qv, cluster FROM (
+      s"""$name AS MATERIALIZED (SELECT vec_id, embedding, qv, cluster FROM (
          |  SELECT v.vec_id, v.embedding, v.qv, c.cluster,
          |    row_number() OVER (PARTITION BY v.vec_id
          |      ORDER BY ${sqDistSql("v.qv", "c.m", dim)} ASC, c.cluster ASC) AS pr
          |  FROM qe v CROSS JOIN $cents c) WHERE pr = 1)""".stripMargin
     s"""qe AS MATERIALIZED (SELECT vec_id, embedding, ${ivfQuantSql("embedding")} AS qv FROM embeddings),
-       |c0 AS (SELECT vec_id AS cluster, qv AS m
+       |c0 AS MATERIALIZED (SELECT vec_id AS cluster, qv AS m
        |  FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id LIMIT $IvfNList)),
        |${assignCte("a1", "c0")},
-       |c1 AS (SELECT cluster, $centroidList AS m FROM a1 GROUP BY cluster),
+       |c1 AS MATERIALIZED (SELECT cluster, $centroidList AS m FROM a1 GROUP BY cluster),
        |${assignCte("a2", "c1")},
-       |c2 AS (SELECT cluster, $centroidList AS m FROM a2 GROUP BY cluster),
+       |c2 AS MATERIALIZED (SELECT cluster, $centroidList AS m FROM a2 GROUP BY cluster),
        |${assignCte("a3", "c2")},
        |qranks AS MATERIALIZED (
        |  SELECT v.vec_id AS q_id, v.embedding AS q_emb, c.cluster,

@@ -504,15 +504,125 @@ object Extras6 {
       |  TRUE AS expired_unreadable
       |FROM snaps GROUP BY snapshot ORDER BY snapshot""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q92: CHANGE DATA FEED — "what changed between snapshot i and j?"
+  // (Delta CDF / Iceberg changelog scan), answered from the manifest
+  // protocol with FILE-LEVEL PRUNING: a key living in a file SHARED by
+  // both manifests cannot have changed (data files are immutable and
+  // carried by reference), so the diff reads ONLY the symmetric
+  // difference of the two manifests' file lists — cost ∝ the commits'
+  // rewrite footprint, never the table size. On the pruned slices the
+  // change classification is one full outer join on the key:
+  //   pre NULL → insert; post NULL → delete; both & any column differs
+  //   → update (counted once, with pre/post price sums so the value
+  //   delta is visible); both & identical → carried collateral of a
+  //   rewritten file (NOT a change — rewriting a file to delete one
+  //   row re-writes its innocent neighbors; a naive file-diff would
+  //   misreport them, the key-join classification is what filters them
+  //   out).
+  // Table under test = the q91 construction WITHOUT the vacuum, plus an
+  // UPDATE commit: v1 load → v2 COW delete ('F' rows, keys ≡ 0 mod 30)
+  // → v3 insert (keys ≡ 1 mod 30) → v4 update (keys ≡ 3 mod 30, price
+  // +25) — so the three transitions each exercise one change type.
+  // Extras6Spec pins pruned ≡ naive full diff and that pruning reads
+  // strictly fewer files.
+  // ---------------------------------------------------------------------
+
+  private[queries] def q92Build(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val base = cdcBase(spark, dir)
+    val orders = Tables.load(spark, dir, "orders")
+    cowMergeCommit(spark, base, 1, orders
+      .filter($"o_orderkey" % 30 === 0 && $"o_orderstatus" === "F")
+      .select($"o_orderkey".as("d_key"), lit("D").as("d_op"),
+        $"o_orderstatus".as("d_status"), $"o_totalprice".cast(D2).as("d_price")))
+    cowMergeCommit(spark, base, 2, orders
+      .filter($"o_orderkey" % 30 === 1)
+      .select($"o_orderkey".as("d_key"), lit("U").as("d_op"),
+        $"o_orderstatus".as("d_status"), $"o_totalprice".cast(D2).as("d_price")))
+    cowMergeCommit(spark, base, 3, orders
+      .filter($"o_orderkey" % 30 === 3)
+      .select($"o_orderkey".as("d_key"), lit("U").as("d_op"),
+        $"o_orderstatus".as("d_status"),
+        ($"o_totalprice".cast(D2) + 25).cast(D2).as("d_price")))
+    base
+  }
+
+  /** The pruned diff of versions (i, j): reads only files NOT shared by
+    * the two manifests, classifies by key with one full outer join. */
+  private[queries] def q92Diff(spark: SparkSession, base: String,
+      i: Int, j: Int, pruned: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val fi = Extras5.q78Resolve(base, i)
+    val fj = Extras5.q78Resolve(base, j)
+    val (ri, rj) =
+      if (pruned) (fi.filterNot(fj.toSet), fj.filterNot(fi.toSet))
+      else (fi, fj)
+    def side(files: Seq[String], tag: String): DataFrame =
+      if (files.isEmpty)
+        spark.read.parquet(fi: _*).limit(0)
+          .toDF(s"${tag}_key", s"${tag}_status", s"${tag}_price")
+      else spark.read.parquet(files: _*)
+        .toDF(s"${tag}_key", s"${tag}_status", s"${tag}_price")
+    side(ri, "pre").join(side(rj, "post"),
+        $"pre_key" === $"post_key", "full_outer")
+      .select(
+        when($"pre_key".isNull, "insert")
+          .when($"post_key".isNull, "delete")
+          .when($"pre_status" =!= $"post_status" ||
+            $"pre_price" =!= $"post_price", "update")
+          .otherwise("carried").as("change_type"),
+        coalesce($"pre_price", lit(0).cast(D2)).as("pre_price"),
+        coalesce($"post_price", lit(0).cast(D2)).as("post_price"))
+      .filter($"change_type" =!= "carried")
+      .withColumn("transition", lit(s"v${i}_to_v$j"))
+  }
+
+  def q92(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = q92Build(spark, dir)
+    Seq((1, 2), (2, 3), (3, 4))
+      .map { case (i, j) => q92Diff(spark, base, i, j) }
+      .reduce(_ unionByName _)
+      .groupBy($"transition", $"change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"pre_price").cast(DoubleType).as("sum_pre_price"),
+        sum($"post_price").cast(DoubleType).as("sum_post_price"))
+      .orderBy($"transition", $"change_type")
+  }
+
+  private val q92Sql =
+    """WITH o AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders),
+      |chg AS (
+      |  SELECT 'v1_to_v2' AS transition, 'delete' AS change_type,
+      |    p AS pre_price, CAST(0 AS DECIMAL(18,2)) AS post_price
+      |  FROM o WHERE k % 30 = 0 AND st = 'F'
+      |  UNION ALL
+      |  SELECT 'v2_to_v3', 'insert', CAST(0 AS DECIMAL(18,2)), p
+      |  FROM o WHERE k % 30 = 1
+      |  UNION ALL
+      |  SELECT 'v3_to_v4', 'update', p, p + 25
+      |  FROM o WHERE k % 30 = 3)
+      |SELECT transition, change_type, COUNT(*) AS n_rows,
+      |  CAST(SUM(pre_price) AS DOUBLE) AS sum_pre_price,
+      |  CAST(SUM(post_price) AS DOUBLE) AS sum_post_price
+      |FROM chg GROUP BY transition, change_type
+      |ORDER BY transition, change_type""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q88_merge_cow_mor" -> (q88 _),
     "q89_compact_commit" -> (q89 _),
     "q90_parquet_brotli" -> (q90 _),
-    "q91_vacuum_expire" -> (q91 _))
+    "q91_vacuum_expire" -> (q91 _),
+    "q92_change_feed" -> (q92 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q88_merge_cow_mor" -> q88Sql,
     "q89_compact_commit" -> q89Sql,
     "q90_parquet_brotli" -> q90Sql,
-    "q91_vacuum_expire" -> q91Sql)
+    "q91_vacuum_expire" -> q91Sql,
+    "q92_change_feed" -> q92Sql)
 }

@@ -111,4 +111,30 @@ class Extras6Spec extends SparkSpec {
     // the expired manifest is gone
     assert(!new java.io.File(s"${vst.base}/_manifests/v1.txt").exists())
   }
+
+  // --- q92: change data feed -----------------------------------------
+
+  test("q92 pruned diff equals the naive full diff and reads fewer files") {
+    val base = Extras6.q92Build(spark, sf)
+    for ((i, j) <- Seq((1, 2), (2, 3), (3, 4))) {
+      val pruned = Extras6.q92Diff(spark, base, i, j, pruned = true)
+      val naive = Extras6.q92Diff(spark, base, i, j, pruned = false)
+      assert(pruned.exceptAll(naive).isEmpty && naive.exceptAll(pruned).isEmpty,
+        s"transition $i->$j: pruned and naive diffs disagree")
+      // pruning is real: the symmetric difference is smaller than both
+      // full manifests together (shared carried files are skipped)
+      val fi = Extras5.q78Resolve(base, i)
+      val fj = Extras5.q78Resolve(base, j)
+      val prunedFiles = fi.filterNot(fj.toSet).length + fj.filterNot(fi.toSet).length
+      assert(prunedFiles < fi.length + fj.length,
+        s"transition $i->$j: no file was shared, pruning is vacuous")
+    }
+    // rewritten-file collateral is classified away: the v1->v2 feed
+    // must contain ONLY deletes (the delete rewrote whole files, but
+    // untouched neighbor rows in them are 'carried', not changes)
+    val d12 = Extras6.q92Diff(spark, base, 1, 2)
+    val types = d12.select("change_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(types == Set("delete"), s"v1->v2 types: $types")
+  }
 }
