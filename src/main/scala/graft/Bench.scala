@@ -181,7 +181,23 @@ object Bench {
     // the gate measurements in one JVM and the headline drifted +9% —
     // isolating the block keeps the sf0.1 gate numbers clean. Falls back
     // to in-process if the spawn fails (classpath surprises).
-    val sf1 = try sf1Spawn(sfDir, results ++ opResults) catch {
+    // TWO sf1 children, per-entry best (r13): the block previously ran
+    // in ONE child, and a child parked in the host's slow mode poisons
+    // every sf1 reading for the round (r12 printed s05/s11 at 4.8/4.7 s
+    // vs 3.2/1.4 clean-JVM; r13 dev runs drew s05 at 10.9 s then 19.0 s
+    // on byte-identical code that measures 3.2 s clean). The query loop
+    // and codec block already take best-of-two fresh placements for
+    // exactly this reason; x_vs_sf is recomputed from the merged secs
+    // so ratio and absolute stay consistent.
+    val sf1 = try {
+      val a = sf1Spawn(sfDir, results ++ opResults)
+      val b = try Some(sf1Spawn(sfDir, results ++ opResults)) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] second sf1 child failed (${e.getMessage}); single-child readings")
+          None
+      }
+      b.map(mergeSf1Json(a, _, (results ++ opResults).toMap)).getOrElse(a)
+    } catch {
       case e: Throwable =>
         System.err.println(s"[bench] sf1 spawn failed (${e.getMessage}); running in-process")
         try sf1Bench(spark, sfDir, results ++ opResults) catch {
@@ -446,6 +462,37 @@ object Bench {
     medians.delete()
     require(json != null, s"child exited ${p.exitValue()} without SF1JSON")
     json
+  }
+
+  /** Merge two sf1-child JSON blocks: per entry the MIN positive sec
+    * across children (fresh-placement best, the codec-block rule), with
+    * x_vs_sf recomputed from the merged sec against the sf0.1 medians
+    * so the pair stays consistent. Entry ORDER follows the first block
+    * (the tail-window doctrine: most-watched entries last); header
+    * fields come from the first block too. */
+  private[graft] def mergeSf1Json(a: String, b: String,
+      base: Map[String, Double]): String = {
+    val re = """"([a-z0-9_]+)":\{"sec":(-?[0-9.]+),"x_vs_sf":(-?[0-9.]+)\}""".r
+    def entries(s: String): Seq[(String, Double)] =
+      re.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    val (ea, eb) = (entries(a), entries(b))
+    val (ma, mb) = (ea.toMap, eb.toMap)
+    val order = ea.map(_._1) ++ eb.map(_._1).filterNot(ma.contains)
+    val merged = order.map { n =>
+      val secs = Seq(ma.get(n), mb.get(n)).flatten.filter(_ >= 0)
+      if (secs.isEmpty) s""""$n":{"sec":-1,"x_vs_sf":-1}"""
+      else {
+        val t = secs.min
+        val ratio = base.get(n).filter(_ > 0).map(t / _).getOrElse(-1.0)
+        f""""$n":{"sec":$t%.3f,"x_vs_sf":$ratio%.2f}"""
+      }
+    }
+    val scale = """"scale":"([^"]*)"""".r.findFirstMatchIn(a)
+      .map(_.group(1)).getOrElse("")
+    val gen = """"gen_sec":(-?[0-9.]+)""".r.findFirstMatchIn(a)
+      .map(_.group(1)).getOrElse("0")
+    s"""{"scale":"$scale; best of 2 children","gen_sec":$gen,""" +
+      merged.mkString(",") + "}"
   }
 
   /** Child-JVM entry for the sf1 block: own SparkSession, prints the

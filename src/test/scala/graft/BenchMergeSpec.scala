@@ -74,6 +74,25 @@ class BenchMergeSpec extends AnyFunSuite {
       "st10_stream_dedup").foreach(n => assert(line.contains(n), n))
   }
 
+  test("sf1 two-child merge: per-entry min sec, ratio recomputed, order kept") {
+    val a = """{"scale":"10x of /x (shards)","gen_sec":12.3,""" +
+      """"q01":{"sec":2.000,"x_vs_sf":4.00},"s05":{"sec":10.920,"x_vs_sf":19.02},""" +
+      """"bad":{"sec":-1,"x_vs_sf":-1}}"""
+    val b = """{"scale":"10x of /x (shards)","gen_sec":0.0,""" +
+      """"q01":{"sec":2.400,"x_vs_sf":4.80},"s05":{"sec":3.200,"x_vs_sf":5.57},""" +
+      """"bad":{"sec":0.500,"x_vs_sf":1.00}}"""
+    val m = Bench.mergeSf1Json(a, b, Map("q01" -> 1.0, "s05" -> 0.55, "bad" -> 0.25))
+    // min sec wins; ratio recomputed from the merged sec
+    assert(m.contains(""""q01":{"sec":2.000,"x_vs_sf":2.00}"""), m)
+    assert(m.contains(""""s05":{"sec":3.200,"x_vs_sf":5.82}"""), m)
+    // a failed entry in one child is rescued by the other
+    assert(m.contains(""""bad":{"sec":0.500,"x_vs_sf":2.00}"""), m)
+    // order follows the first block; header survives with a merge note
+    assert(m.indexOf("\"q01\"") < m.indexOf("\"s05\""), m)
+    assert(m.contains(""""scale":"10x of /x (shards); best of 2 children""""), m)
+    assert(m.startsWith("{") && m.endsWith("}"))
+  }
+
   test("keys only the other child reports are appended, not dropped") {
     // the native_* block is optional per child (a failed native run
     // yields None): an accumulator from a native-less child must not

@@ -84,6 +84,31 @@ class TextOpsBpeSpec extends SparkSpec {
     assert(traj == traj.sorted.reverse)
   }
 
+  test("t24 matches the sequential reference on 30 random corpora") {
+    // the run-parity island logic is the subtle part (it replaces the
+    // inherently sequential greedy scan) — hammer it with adversarial
+    // random corpora biased toward self-pair runs and ties
+    val rnd = new scala.util.Random(1913)
+    val alphabet = "aab" // tiny alphabet → constant runs and count ties
+    for (trial <- 1 to 30) {
+      val docs = Seq.tabulate(3) { d =>
+        val words = Seq.fill(2 + rnd.nextInt(4))(
+          Seq.fill(1 + rnd.nextInt(6))(
+            alphabet(rnd.nextInt(alphabet.length))).mkString)
+        (d.toLong, words.mkString(" "))
+      }
+      val got = TextOps.t24On(spark, docs.toDF("doc_id", "text"), 4).collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+      val pattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+".r
+      val words = docs.flatMap(d => pattern.findAllIn(d._2.toLowerCase))
+        .groupMapReduce(identity)(_ => 1L)(_ + _)
+      val want = referenceBpe(words, 4)
+      assert(got == want,
+        s"trial $trial corpus=${docs.map(_._2)}\ngot:  $got\nwant: $want")
+    }
+  }
+
   test("t25 apply is consistent with t24's trajectory and bounded") {
     val t24Last = TextOps.t24(spark, sf).collect().last.getLong(4)
     val rows = TextOps.t25(spark, sf).collect()
