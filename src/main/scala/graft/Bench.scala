@@ -616,8 +616,16 @@ object Bench {
     // measured number — r8/r9 single-shot runs showed q03 at 21 s cold
     // vs 1.2 s settled, a 17× phantom in x_vs_sf. The first run doubles
     // as that warm-up, exactly like the ops loop.
-    val entries = sf1Names.filter(all.contains).map { name =>
-      try {
+    // EXECUTION order is the REVERSE of sf1Names, decoupled from the
+    // print order (r13): sf1Names ends with the most-watched entries so
+    // they survive the artifact's stdout tail window, but running them
+    // LAST also means they measure on a heap churned by everything
+    // before them — a measured gradient on s05: 3.2 s in a minimal JVM
+    // (S11Diag), 4.4 s when measured 16th in this loop, 8.2 s in-bench.
+    // Reversing execution gives the watched entries the freshest heap;
+    // the emitted JSON keeps sf1Names order for the tail window.
+    val measured = sf1Names.filter(all.contains).reverse.map { name =>
+      name -> (try {
         val times = (1 to 3).map { _ =>
           val t1 = System.nanoTime()
           all(name)(spark, outRoot).write.format("noop").mode("overwrite").save()
@@ -629,8 +637,9 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 $name failed: ${e.getMessage}")
         s""""$name":{"sec":-1,"x_vs_sf":-1}"""
-      }
-    }
+      })
+    }.toMap
+    val entries = sf1Names.filter(all.contains).map(measured)
     s"""{"scale":"10x of $sfDir (key-shifted shards; docs token-scrambled, embeddings dim-rotated per copy)",""" +
       f""""gen_sec":$genSec%.1f,""" + entries.mkString(",") + "}"
   }
