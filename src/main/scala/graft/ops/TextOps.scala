@@ -1377,7 +1377,8 @@ object TextOps {
     "t22_domain_prior_gate" -> (t22 _),
     "t23_curriculum_pack" -> (t23 _),
     "t24_bpe_train" -> (t24 _),
-    "t25_bpe_apply" -> (t25 _))
+    "t25_bpe_apply" -> (t25 _),
+    "t26_gopher_rules" -> (t26 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "t01_token_stats" -> t01Sql,
@@ -1404,7 +1405,8 @@ object TextOps {
     "t22_domain_prior_gate" -> t22Sql,
     "t23_curriculum_pack" -> t23Sql,
     "t24_bpe_train" -> t24Sql,
-    "t25_bpe_apply" -> t25Sql)
+    "t25_bpe_apply" -> t25Sql,
+    "t26_gopher_rules" -> t26Sql)
 
   // ---------------------------------------------------------------------
   // t23: CURRICULUM-ORDERED PACKING — t14 packs in arrival order; a
@@ -1698,6 +1700,67 @@ object TextOps {
     * convention for iterative ops): round r's CTEs compute the pair
     * argmax, the greedy-kept positions, and the post-merge state from
     * round r−1's. */
+  // ---------------------------------------------------------------------
+  // t26: GOPHER QUALITY RULES (Rae et al. 2021, Table A1 subset) — the
+  // canonical PUBLISHED LLM pre-filter ruleset, as distinct from t02's
+  // generic composite score: named, hard-threshold rules a curation
+  // team can audit one by one. Per document:
+  //   R1  50 ≤ word_count ≤ 100,000
+  //   R2  3 ≤ mean_word_length ≤ 10
+  //   R3  symbol-to-word ratio ≤ 0.1  ('#' chars + '...' occurrences)
+  //   R4  ≥ 80% of words contain ≥ 1 alphabetic character
+  //   R5  ≥ 2 of the 8-word stop-word set present (t02's list)
+  //   R6  ≤ 90% of lines start with a bullet ('-' / '*')
+  //   R7  ≤ 30% of lines end with an ellipsis
+  // All measures are one narrow map over the text (higher-order lambdas
+  // — codegen'd, no UDF); the verdict column is the AND. Divisions are
+  // exact-int-over-int IEEE quotients, zero-guarded, so every number is
+  // bit-portable and the op is hash-verified. At 100 TB this is a
+  // pre-shuffle gate: it runs in the scan stage and drops rows before
+  // any exchange, exactly where a curation pipeline wants it.
+  // ---------------------------------------------------------------------
+  def t26(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = filter(split($"text", " "), w => w =!= "")
+    val nw = size(words).cast(LongType)
+    val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val meanLen = when(nw === 0, 0.0)
+      .otherwise(sumLen.cast(DoubleType) / nw)
+    val nHash = length($"text") - length(regexp_replace($"text", "#", ""))
+    val nEll = (length($"text") -
+      length(regexp_replace($"text", "\\.\\.\\.", ""))) / 3
+    val symRatio = when(nw === 0, 0.0)
+      .otherwise((nHash + nEll).cast(DoubleType) / nw)
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]"))).cast(LongType)
+    val fracAlpha = when(nw === 0, 0.0)
+      .otherwise(nAlpha.cast(DoubleType) / nw)
+    val lowerWords = transform(words, lower(_))
+    val stopHits = size(filter(
+      array(stopwords.map(lit): _*),
+      s => array_contains(lowerWords, s))).cast(LongType)
+    val lines = filter(split($"text", "\n"), l => l =!= "")
+    val nl = size(lines).cast(LongType)
+    val nBullet = size(filter(lines, l =>
+      substring(l, 1, 1) === "-" || substring(l, 1, 1) === "*")).cast(LongType)
+    val nEllLine = size(filter(lines, l =>
+      length(l) >= 3 && substring(l, -3, 3) === "...")).cast(LongType)
+    val bulletFrac = when(nl === 0, 0.0).otherwise(nBullet.cast(DoubleType) / nl)
+    val ellFrac = when(nl === 0, 0.0).otherwise(nEllLine.cast(DoubleType) / nl)
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        nw.as("n_words"), meanLen.as("mean_word_len"),
+        symRatio.as("symbol_ratio"), fracAlpha.as("frac_alpha_words"),
+        stopHits.as("n_stop_hits"),
+        bulletFrac.as("bullet_frac"), ellFrac.as("ellipsis_frac"))
+      .withColumn("pass",
+        $"n_words" >= 50 && $"n_words" <= 100000 &&
+          $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0 &&
+          $"symbol_ratio" <= 0.1 && $"frac_alpha_words" >= 0.8 &&
+          $"n_stop_hits" >= 2 &&
+          $"bullet_frac" <= 0.9 && $"ellipsis_frac" <= 0.3)
+      .orderBy($"doc_id")
+  }
+
   /** The training chain (words → s0 → rounds → s`n`) as a WITH-body
     * fragment, shared by t24's merge-table oracle and t25's apply
     * oracle. */
@@ -1782,4 +1845,44 @@ object TextOps {
   // lazy: declared below the registry maps (t22Sql's init-order note)
   private lazy val t24Sql = t24SqlGen(T24Merges)
   private lazy val t25Sql = t25SqlGen(T24Merges)
+
+  private lazy val t26Sql = {
+    val stopList = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), w -> w <> '') AS W,
+       |    list_filter(string_split(text, chr(10)), l -> l <> '') AS L,
+       |    length(text) - length(replace(text, '#', '')) AS n_hash,
+       |    (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(W) AS BIGINT) AS n_words,
+       |    CASE WHEN len(W) = 0 THEN 0.0 ELSE
+       |      CAST(list_aggregate(list_transform(W, w -> length(w)), 'sum') AS DOUBLE)
+       |        / len(W) END AS mean_word_len,
+       |    CASE WHEN len(W) = 0 THEN 0.0 ELSE
+       |      (n_hash + n_ell) / len(W) END AS symbol_ratio,
+       |    CASE WHEN len(W) = 0 THEN 0.0 ELSE
+       |      CAST(len(list_filter(W, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+       |        / len(W) END AS frac_alpha_words,
+       |    CAST(len(list_filter($stopList,
+       |      s -> list_contains(list_transform(W, w -> lower(w)), s))) AS BIGINT)
+       |      AS n_stop_hits,
+       |    CASE WHEN len(L) = 0 THEN 0.0 ELSE
+       |      CAST(len(list_filter(L, l -> substring(l, 1, 1) = '-'
+       |        OR substring(l, 1, 1) = '*')) AS DOUBLE) / len(L) END AS bullet_frac,
+       |    CASE WHEN len(L) = 0 THEN 0.0 ELSE
+       |      CAST(len(list_filter(L, l -> length(l) >= 3
+       |        AND right(l, 3) = '...')) AS DOUBLE) / len(L) END AS ellipsis_frac
+       |  FROM base)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, frac_alpha_words,
+       |  n_stop_hits, bullet_frac, ellipsis_frac,
+       |  n_words >= 50 AND n_words <= 100000
+       |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |    AND symbol_ratio <= 0.1 AND frac_alpha_words >= 0.8
+       |    AND n_stop_hits >= 2
+       |    AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AS pass
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
 }

@@ -26,6 +26,26 @@ class TextOpsPropertySpec extends SparkSpec {
       "injection produced no PII — the scrub verified nothing")
   }
 
+  test("t26 gopher rules: verdict is the conjunction of its own columns") {
+    import spark.implicits._
+    val rows = TextOps.t26(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val recomputed =
+        r.getLong(1) >= 50 && r.getLong(1) <= 100000 &&
+          r.getDouble(2) >= 3.0 && r.getDouble(2) <= 10.0 &&
+          r.getDouble(3) <= 0.1 && r.getDouble(4) >= 0.8 &&
+          r.getLong(5) >= 2 &&
+          r.getDouble(6) <= 0.9 && r.getDouble(7) <= 0.3
+      assert(r.getBoolean(8) == recomputed, s"doc ${r.getLong(0)}")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // the ruleset must actually filter (not vacuously pass/fail all)
+    val passes = rows.count(_.getBoolean(8))
+    assert(passes > 0 && passes < rows.length,
+      s"gopher rules passed $passes of ${rows.length} — no discrimination")
+  }
+
   test("t19 vocab stats: counts nest and shares are consistent with t01") {
     import spark.implicits._
     val rows = TextOps.t19(spark, sf).collect()
