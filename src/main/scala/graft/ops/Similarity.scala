@@ -908,24 +908,27 @@ object Similarity {
     val na = PortableSql.dotSql("emb", "emb", 64)
     val nb = PortableSql.dotSql("q_emb", "q_emb", 64)
     val cos = PortableSql.cosineFromPartsSql("dot", "na", "nb")
-    // every arm CTE is MATERIALIZED: DuckDB inlines plain CTEs per
-    // reference, and the 64-term dot expressions over the widest arm's
-    // candidate set blow memory if expanded repeatedly (t24's lesson)
+    // the sweep's arms are NESTED (candidate set of nprobe n ⊆ n+1's),
+    // so candidates are generated and 64-term-scored ONCE at the widest
+    // setting with the probe rank attached; every arm is a pr-filter
+    // over the list-free scored table. Besides the 4× work saving this
+    // keeps the shared-oracle-gate footprint down: the first shape held
+    // four MATERIALIZED embedding-list candidate tables and OOM'd the
+    // 512MB cumulative-pressure gate (every heavy CTE stays
+    // MATERIALIZED — DuckDB inlines plain CTEs per reference, t24's
+    // lesson)
+    val maxNp = S15Sweep.max
     val arms = S15Sweep.map { np =>
-      s"""cand$np AS MATERIALIZED (
-         |  SELECT p.q_id, a.vec_id, a.embedding AS emb, p.q_emb
-         |  FROM a3 a JOIN (SELECT q_id, q_emb, cluster FROM qranks WHERE pr <= $np) p
-         |    ON a.cluster = p.cluster AND a.vec_id <> p.q_id),
-         |top$np AS MATERIALIZED (
+      s"""top$np AS MATERIALIZED (
          |  SELECT q_id, vec_id FROM (
          |    SELECT q_id, vec_id,
          |      row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
-         |    FROM (SELECT q_id, vec_id, $cos AS cosine FROM (
-         |      SELECT q_id, vec_id, $dot AS dot, $na AS na, $nb AS nb FROM cand$np)))
+         |    FROM scored WHERE pr <= $np)
          |  WHERE rank <= 5),
          |hit$np AS MATERIALIZED (
          |  SELECT COUNT(*) AS h FROM top$np t JOIN ex USING (q_id, vec_id)),
-         |nc$np AS MATERIALIZED (SELECT COUNT(*) AS c FROM cand$np)""".stripMargin
+         |nc$np AS MATERIALIZED (
+         |  SELECT COUNT(*) AS c FROM scored WHERE pr <= $np)""".stripMargin
     }.mkString(",\n")
     val rows = S15Sweep.map { np =>
       s"""SELECT CAST($np AS BIGINT) AS nprobe,
@@ -936,6 +939,14 @@ object Similarity {
     }.mkString("\nUNION ALL\n")
     s"""WITH $ivfIndexCtes,
        |ex AS MATERIALIZED (SELECT q_id, vec_id FROM ($s01Sql)),
+       |cand AS MATERIALIZED (
+       |  SELECT p.q_id, a.vec_id, p.pr, a.embedding AS emb, p.q_emb
+       |  FROM a3 a JOIN (SELECT q_id, q_emb, cluster, pr FROM qranks
+       |    WHERE pr <= $maxNp) p
+       |    ON a.cluster = p.cluster AND a.vec_id <> p.q_id),
+       |scored AS MATERIALIZED (
+       |  SELECT q_id, vec_id, pr, $cos AS cosine FROM (
+       |    SELECT q_id, vec_id, pr, $dot AS dot, $na AS na, $nb AS nb FROM cand)),
        |$arms
        |$rows
        |ORDER BY nprobe""".stripMargin
