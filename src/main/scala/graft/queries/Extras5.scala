@@ -704,11 +704,13 @@ object Extras5 {
   // ---------------------------------------------------------------------
   // q80: Z-ORDER LAYOUT + 2-D FILE SKIPPING, MATERIALIZED — q48 costs
   // the clustering decision; this entry CASHES it: both layouts are
-  // actually written (one directory per tile — the tile ids are q48's
-  // pure bit-arithmetic maps, so file membership is deterministic and
-  // the oracle can pin exact pruning counts), a q71-style min/max
-  // manifest is built per tile over BOTH dimensions, and two probe
-  // boxes run against each layout reading ONLY intersecting tiles. The
+  // actually written (compact files sorted by the layout key — the
+  // tile ids are q48's pure bit-arithmetic maps, so tile membership is
+  // deterministic and the oracle can pin exact pruning counts), a
+  // q71-style min/max manifest is built per tile over BOTH dimensions,
+  // and two probe boxes run against each layout reading ONLY
+  // intersecting tiles (a range at the parquet scan, since tiles are
+  // contiguous in the sort order). The
   // payoff the numbers show: a SUPPKEY-window probe keeps a fraction of
   // the z-order tiles but EVERY linear tile (a partkey-sorted file
   // spans the full suppkey range — the second dimension is unpruned by
@@ -730,42 +732,61 @@ object Extras5 {
       .select($"l_partkey", $"l_suppkey",
         $"l_quantity".cast(DecimalType(18, 2)).as("qty"), zkey.as("zkey"))
     val layouts = Seq(
-      ("linear", shiftright($"l_partkey", 3)),
-      ("zorder", shiftright($"zkey", 10)))
-    val roots = layouts.map { case (name, tile) =>
+      ("linear", shiftright($"l_partkey", 3), $"l_partkey"),
+      ("zorder", shiftright($"zkey", 10), $"zkey"))
+    // The store is SORTED COMPACT FILES, not one directory per tile —
+    // the production z-order shape (Delta/Iceberg OPTIMIZE ZORDER):
+    // rows range-partitioned + sorted by the layout key, so each of
+    // the 16 files (and each parquet row group inside it) covers a
+    // CONTIGUOUS tile span and per-file/row-group min/max stats do the
+    // skipping. A dir-per-tile materialization (the r13 version) wrote
+    // 2,500 tiny files per layout — a small-files explosion and a
+    // metastore bomb at 100×; this one is 16 files per layout and the
+    // tile → file mapping is still deterministic (tile is monotone in
+    // the sort key: linear tile = pk>>3, zorder tile = zkey>>10).
+    val roots = layouts.map { case (name, tile, sortKey) =>
       val root = graft.Scratch.dir(s"q80_$name")
       base.withColumn("tile", tile.cast(LongType))
+        .repartitionByRange(16, sortKey)
+        .sortWithinPartitions(sortKey)
         .drop("zkey")
-        .write.partitionBy("tile").parquet(root)
+        .write.parquet(root)
       (name, root)
     }
     // probes: (name, pkLo, pkHi, skLo, skHi) — None = unconstrained
     val probes = Seq(
       ("a_suppkey_window", None, None, Some(40L), Some(90L)),
       ("b_partkey_window", Some(500L), Some(580L), None, None))
-    val frames = for ((layout, root) <- roots;
-        (probe, pkLo, pkHi, skLo, skHi) <- probes) yield {
-      // partition-column inference types tile as int; normalize to long
+    val frames = for ((layout, root) <- roots) yield {
       val t = spark.read.parquet(root)
-        .withColumn("tile", $"tile".cast(LongType))
-      // the manifest: per-tile min/max on BOTH dimensions (one scan;
-      // in production this is maintained incrementally on write)
+      // the manifest: per-tile min/max on BOTH dimensions, computed
+      // ONCE per layout (one scan of the compact store) and collected
+      // — O(#tiles) driver metadata, q71's bound; each probe arm
+      // filters the collected rows driver-side instead of re-scanning
+      // the table. In production this is maintained incrementally on
+      // write.
       val manifest = t.groupBy($"tile")
-        .agg(min($"l_partkey").as("pk_lo"), max($"l_partkey").as("pk_hi"),
-          min($"l_suppkey").as("sk_lo"), max($"l_suppkey").as("sk_hi"))
-      def intersects = {
+        .agg(min($"l_partkey").cast(LongType).as("pk_lo"),
+          max($"l_partkey").cast(LongType).as("pk_hi"),
+          min($"l_suppkey").cast(LongType).as("sk_lo"),
+          max($"l_suppkey").cast(LongType).as("sk_hi"))
+        .collect()
+      val arms = for ((probe, pkLo, pkHi, skLo, skHi) <- probes) yield {
+      val kept = manifest.filter { r =>
         val pkOk = (pkLo, pkHi) match {
-          case (Some(lo), Some(hi)) => $"pk_hi" >= lo && $"pk_lo" <= hi
-          case _ => lit(true)
+          case (Some(lo), Some(hi)) => r.getLong(2) >= lo && r.getLong(1) <= hi
+          case _ => true
         }
         val skOk = (skLo, skHi) match {
-          case (Some(lo), Some(hi)) => $"sk_hi" >= lo && $"sk_lo" <= hi
-          case _ => lit(true)
+          case (Some(lo), Some(hi)) => r.getLong(4) >= lo && r.getLong(3) <= hi
+          case _ => true
         }
         pkOk && skOk
-      }
-      val kept = manifest.filter(intersects).select($"tile")
-        .collect().map(_.getLong(0)) // O(#tiles) driver metadata, q71's bound
+      }.map(_.getLong(0))
+      // kept tiles are CONTIGUOUS in the sort key, so this In turns
+      // into a range at the parquet scan (pushdown.inFilterThreshold)
+      // and row groups outside the span are skipped via their stats —
+      // rows_scanned is the same I/O bill the dir-per-tile layout paid
       val scanned = t.filter($"tile".isin(kept: _*))
       val box = scanned
         .filter(pkLo.map(lo => $"l_partkey" >= lo).getOrElse(lit(true)) &&
@@ -778,8 +799,10 @@ object Extras5 {
         .select(lit(probe).as("probe"), lit(layout).as("layout"),
           lit(kept.length.toLong).as("n_tiles_kept"),
           $"rows_scanned", $"n_rows", $"sum_qty")
+      }
+      arms
     }
-    frames.reduce(_ unionByName _).orderBy($"probe", $"layout")
+    frames.flatten.reduce(_ unionByName _).orderBy($"probe", $"layout")
   }
 
   private val q80Sql = {
