@@ -478,12 +478,63 @@ object Extras5 {
   // manifests are O(#files) text, commits are atomic manifest swaps,
   // and old snapshots cost only the storage their files share.
   // ---------------------------------------------------------------------
-  private[graft] def q78Commit(base: String, version: Int,
-      files: Seq[String]): Unit = {
+  /** Commit `files` as manifest `v$version` — optimistic CAS on the
+    * version number. The full manifest is staged to a temp name, then
+    * PUBLISHED by an atomic exclusive create of the final name (hard
+    * link on local/HDFS-like stores; an object store would use a
+    * conditional PUT / If-None-Match): a reader never sees a partial
+    * manifest, and of two concurrent writers racing to `v{n+1}`
+    * exactly one wins — the loser gets `false` and must rebase onto
+    * the new current version and retry (see Extras6.cowMergeCommitOcc
+    * for the COW conflict-resolution loop). */
+  private[graft] def q78TryCommit(base: String, version: Int,
+      files: Seq[String]): Boolean = {
     val dir = java.nio.file.Paths.get(base, "_manifests")
     java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.write(dir.resolve(s"v$version.txt"),
-      files.sorted.mkString("\n").getBytes("UTF-8"))
+    val target = dir.resolve(s"v$version.txt")
+    val tmp = java.nio.file.Files.createTempFile(dir, s".v$version-", ".tmp")
+    try {
+      java.nio.file.Files.write(tmp,
+        files.sorted.mkString("\n").getBytes("UTF-8"))
+      try { java.nio.file.Files.createLink(target, tmp); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException =>
+          // FS without hard links: exclusive-create fallback (O_EXCL is
+          // still atomic for the race; publish is no longer all-or-
+          // nothing, acceptable only off the object-store path)
+          try {
+            java.nio.file.Files.write(target,
+              files.sorted.mkString("\n").getBytes("UTF-8"),
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+      }
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  /** Single-writer commit: CAS that treats losing the race as a bug.
+    * Writers that can legitimately race use q78TryCommit + rebase. */
+  private[graft] def q78Commit(base: String, version: Int,
+      files: Seq[String]): Unit = {
+    if (!q78TryCommit(base, version, files))
+      throw new IllegalStateException(
+        s"concurrent commit detected: $base v$version already exists " +
+          "(use q78TryCommit + rebase for multi-writer paths)")
+  }
+
+  /** Latest committed version, from the manifest listing — O(#versions)
+    * driver metadata. */
+  private[graft] def q78Latest(base: String): Int = {
+    val dir = new java.io.File(base, "_manifests")
+    val vs = Option(dir.listFiles()).getOrElse(Array.empty)
+      .flatMap { f =>
+        val m = "^v(\\d+)\\.txt$".r.findFirstMatchIn(f.getName)
+        m.map(_.group(1).toInt)
+      }
+    if (vs.isEmpty) 0 else vs.max
   }
 
   private[graft] def q78Resolve(base: String, version: Int): Seq[String] = {

@@ -48,8 +48,10 @@ object Extras6 {
   // applies all three branches with one broadcast left join + filter
   // (the q55 single-pass shape), unions the not-matched inserts, and
   // writes; the commit is an atomic manifest swap listing carried ++ new
-  // files. Merge cost is proportional to the delta's file FOOTPRINT,
-  // not the table size — the whole point of file-level pruning.
+  // files (q78TryCommit's exclusive create — under concurrency the swap
+  // is a CAS and losers rebase, see cowMergeCommitOcc). Merge cost is
+  // proportional to the delta's file FOOTPRINT, not the table size —
+  // the whole point of file-level pruning.
   //
   // MOR at 100 TB: the write is O(delta) regardless of footprint (no
   // rewrite at all); the read pays a broadcast anti-join against the DV
@@ -103,7 +105,8 @@ object Extras6 {
       .join(broadcast(delta), $"o_orderkey" === $"d_key", "left_semi")
       .select($"f").distinct().as[String].collect().toSeq
       .map(dropScheme).sorted
-    val carried = v1Files.filterNot(touched.contains)
+    val touchedSet = touched.toSet
+    val carried = v1Files.filterNot(touchedSet)
 
     // inserts = NOT MATCHED delta rows (source anti target — the same
     // one extra target-keys pass Delta/Iceberg merges pay)
@@ -328,11 +331,17 @@ object Extras6 {
     * broadcast joins of the (small) batch; rewrite I/O ∝ the batch's
     * file footprint; the commit is an atomic manifest swap, so a reader
     * mid-stream always sees a complete version — never a half-applied
-    * batch. */
-  private[graft] def cowMergeCommit(spark: SparkSession, base: String,
-      from: Int, delta: DataFrame): Unit = {
+    * batch. This path commits as the SOLE writer (st21's micro-batches
+    * are serialized by the streaming engine); concurrent writers use
+    * cowMergeCommitOcc, which turns the same swap into a CAS + rebase
+    * loop. */
+  /** The COW merge computation against a concrete file list `cur`:
+    * discover touched files, rewrite them with the delta applied, write
+    * the new files to `outDir`. Returns (touched, carried, new files).
+    * Commit policy (single-writer vs optimistic retry) is the caller's. */
+  private[graft] def cowApply(spark: SparkSession, cur: Seq[String],
+      delta: DataFrame, outDir: String): (Seq[String], Seq[String], Seq[String]) = {
     import spark.implicits._
-    val cur = Extras5.q78Resolve(base, from)
     val d = delta.select($"d_key", $"d_op", $"d_status", $"d_price")
     val tProj = spark.read.parquet(cur: _*)
       .select($"o_orderkey", input_file_name().as("f"))
@@ -340,7 +349,8 @@ object Extras6 {
       .join(broadcast(d), $"o_orderkey" === $"d_key", "left_semi")
       .select($"f").distinct().as[String].collect().toSeq
       .map(dropScheme).sorted
-    val carried = cur.filterNot(touched.contains)
+    val touchedSet = touched.toSet
+    val carried = cur.filterNot(touchedSet)
     val inserts = d.filter($"d_op" === "U")
       .join(tProj.select($"o_orderkey"), $"d_key" === $"o_orderkey", "left_anti")
       .select($"d_key".as("o_orderkey"), $"d_status".as("o_orderstatus"),
@@ -355,9 +365,92 @@ object Extras6 {
             .otherwise($"o_orderstatus").as("o_orderstatus"),
           when($"d_key".isNotNull, $"d_price")
             .otherwise($"price").as("price"))
-    val outDir = s"$base/files-v${from + 1}"
     rewritten.unionByName(inserts).write.parquet(outDir)
-    Extras5.q78Commit(base, from + 1, carried ++ parts(outDir))
+    (touched, carried, parts(outDir))
+  }
+
+  private[graft] def cowMergeCommit(spark: SparkSession, base: String,
+      from: Int, delta: DataFrame): Unit = {
+    val cur = Extras5.q78Resolve(base, from)
+    val (_, carried, newFiles) =
+      cowApply(spark, cur, delta, s"$base/files-v${from + 1}")
+    Extras5.q78Commit(base, from + 1, carried ++ newFiles)
+  }
+
+  /** One optimistic COW merge: outcome of cowMergeCommitOcc for the
+    * spec's assertions. `casLost` counts commit attempts that lost the
+    * version race; `rewrites` counts times the (expensive) rewrite job
+    * ran — a lost race whose winner touched a DISJOINT file set costs a
+    * re-discovery but NOT a second rewrite. */
+  private[queries] case class OccOutcome(
+      version: Int, casLost: Int, rewrites: Int, conflicting: Seq[String])
+
+  /** MERGE with optimistic concurrency on the manifest protocol — the
+    * multi-writer path q88/st21's single-writer commit lacks. Loop:
+    *  1. read the CURRENT latest version and its file list;
+    *  2. run the COW merge against it (discovery + rewrite);
+    *  3. q78TryCommit(latest+1): the atomic exclusive create is the
+    *     compare-and-swap — success publishes; failure means another
+    *     writer committed first.
+    *  4. On failure, rebase: re-read the new latest, RE-DISCOVER the
+    *     touched set against it. If discovery returns the same file set
+    *     (the winner's commit touched disjoint files — the common case
+    *     for key-partitioned writers), the already-written output is
+    *     still valid: only the carried list is recomputed, and we CAS
+    *     again. If the sets differ (a true conflict: the winner
+    *     rewrote or added files our keys live in), the rewrite reruns
+    *     against the new base — the Delta/Iceberg semantics.
+    * Every attempt writes to a unique outDir, so racing writers never
+    * collide on data files — only on the manifest CAS, by design. */
+  private[graft] def cowMergeCommitOcc(spark: SparkSession, base: String,
+      delta: DataFrame, maxAttempts: Int = 10,
+      raceHook: Int => Unit = _ => ()): OccOutcome = {
+    import spark.implicits._
+    var casLost = 0
+    var rewrites = 0
+    var conflicting = Seq.empty[String]
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val from = Extras5.q78Latest(base)
+      val cur = Extras5.q78Resolve(base, from)
+      val outDir = s"$base/files-occ-${java.util.UUID.randomUUID().toString.take(8)}"
+      val (touched, carried, newFiles) = { rewrites += 1
+        cowApply(spark, cur, delta, outDir) }
+      // test seam: lets a spec interleave a competing writer's commit
+      // inside the window between our read of `from` and our CAS — the
+      // race a real concurrent writer produces nondeterministically
+      raceHook(from)
+      if (Extras5.q78TryCommit(base, from + 1, carried ++ newFiles))
+        return OccOutcome(from + 1, casLost, rewrites, conflicting)
+      // lost the CAS — rebase onto whatever is latest now, possibly
+      // several commits ahead, and salvage the rewrite when the
+      // interleaved commits didn't touch our files
+      var salvaged = true
+      while (salvaged) {
+        casLost += 1
+        val now = Extras5.q78Latest(base)
+        val newCur = Extras5.q78Resolve(base, now)
+        val d = delta.select($"d_key")
+        val reTouched = spark.read.parquet(newCur: _*)
+          .select($"o_orderkey", input_file_name().as("f"))
+          .join(broadcast(d), $"o_orderkey" === $"d_key", "left_semi")
+          .select($"f").distinct().as[String].collect().toSeq
+          .map(dropScheme).sorted
+        if (reTouched == touched) {
+          val touchedSet = touched.toSet
+          val reCarried = newCur.filterNot(touchedSet)
+          if (Extras5.q78TryCommit(base, now + 1, reCarried ++ newFiles))
+            return OccOutcome(now + 1, casLost, rewrites, conflicting)
+          // raced again with a still-disjoint winner: loop the salvage
+        } else {
+          conflicting = (reTouched.toSet -- touched.toSet).toSeq.sorted
+          salvaged = false // true conflict: fall out to a full redo
+        }
+      }
+    }
+    throw new IllegalStateException(
+      s"cowMergeCommitOcc: gave up after $maxAttempts attempts on $base")
   }
 
   /** The standard snapshot aggregate used by q88/q89/st21 results. */
