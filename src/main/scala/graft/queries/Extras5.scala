@@ -488,14 +488,24 @@ object Extras5 {
     * the new current version and retry (see Extras6.cowMergeCommitOcc
     * for the COW conflict-resolution loop). */
   private[graft] def q78TryCommit(base: String, version: Int,
-      files: Seq[String]): Boolean = {
+      files: Seq[String],
+      stats: Map[String, (Long, Long)] = Map.empty): Boolean = {
     val dir = java.nio.file.Paths.get(base, "_manifests")
     java.nio.file.Files.createDirectories(dir)
     val target = dir.resolve(s"v$version.txt")
+    // manifest line: path, optionally followed by the file's key-column
+    // min/max (tab-separated) — stats ride INSIDE the manifest so the
+    // atomic publish covers them (a sidecar could split-brain under the
+    // CAS). Files without stats are always kept by pruned reads.
+    val body = files.sorted.map { f =>
+      stats.get(f) match {
+        case Some((lo, hi)) => s"$f\t$lo\t$hi"
+        case None => f
+      }
+    }.mkString("\n").getBytes("UTF-8")
     val tmp = java.nio.file.Files.createTempFile(dir, s".v$version-", ".tmp")
     try {
-      java.nio.file.Files.write(tmp,
-        files.sorted.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(tmp, body)
       try { java.nio.file.Files.createLink(target, tmp); true }
       catch {
         case _: java.nio.file.FileAlreadyExistsException => false
@@ -504,8 +514,7 @@ object Extras5 {
           // still atomic for the race; publish is no longer all-or-
           // nothing, acceptable only off the object-store path)
           try {
-            java.nio.file.Files.write(target,
-              files.sorted.mkString("\n").getBytes("UTF-8"),
+            java.nio.file.Files.write(target, body,
               java.nio.file.StandardOpenOption.CREATE_NEW)
             true
           } catch {
@@ -518,8 +527,9 @@ object Extras5 {
   /** Single-writer commit: CAS that treats losing the race as a bug.
     * Writers that can legitimately race use q78TryCommit + rebase. */
   private[graft] def q78Commit(base: String, version: Int,
-      files: Seq[String]): Unit = {
-    if (!q78TryCommit(base, version, files))
+      files: Seq[String],
+      stats: Map[String, (Long, Long)] = Map.empty): Unit = {
+    if (!q78TryCommit(base, version, files, stats))
       throw new IllegalStateException(
         s"concurrent commit detected: $base v$version already exists " +
           "(use q78TryCommit + rebase for multi-writer paths)")
@@ -537,10 +547,60 @@ object Extras5 {
     if (vs.isEmpty) 0 else vs.max
   }
 
-  private[graft] def q78Resolve(base: String, version: Int): Seq[String] = {
+  private[graft] def q78Resolve(base: String, version: Int): Seq[String] =
+    q78ResolveStats(base, version).map(_._1)
+
+  /** Manifest entries with their optional key-column (min, max). */
+  private[graft] def q78ResolveStats(base: String,
+      version: Int): Seq[(String, Option[(Long, Long)])] = {
     val p = java.nio.file.Paths.get(base, "_manifests", s"v$version.txt")
     new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       .split("\n").toSeq.filter(_.nonEmpty)
+      .map { line =>
+        line.split("\t") match {
+          case Array(f, lo, hi) => (f, Some((lo.toLong, hi.toLong)))
+          case _ => (line, None)
+        }
+      }
+  }
+
+  /** Versioned read with stats pruning: only files whose committed
+    * [min, max] intersects [lo, hi] (files committed without stats are
+    * kept — pruning must never be unsound). O(#files) driver metadata;
+    * no data file is opened to make the decision — this is q71's
+    * min/max skipping folded into the snapshot protocol, so a selective
+    * read of ANY version prunes on the stats its commit recorded. */
+  private[graft] def q78ResolvePruned(base: String, version: Int,
+      lo: Long, hi: Long): Seq[String] =
+    q78ResolveStats(base, version).collect {
+      case (f, None) => f
+      case (f, Some((mn, mx))) if mx >= lo && mn <= hi => f
+    }
+
+  /** Per-file (min, max) of an INT64 column, read from parquet FOOTERS
+    * driver-side — O(#files) metadata I/O, never a data scan; the write
+    * path already paid for these stats, a commit just records them. */
+  private[graft] def parquetKeyStats(files: Seq[String],
+      column: String): Map[String, (Long, Long)] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    files.flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val ranges = for {
+          block <- reader.getFooter.getBlocks.asScala.toSeq
+          col <- block.getColumns.asScala
+          if col.getPath.toDotString == column
+          st = col.getStatistics
+          if st != null && !st.isEmpty
+        } yield (st.genericGetMin.asInstanceOf[Number].longValue(),
+          st.genericGetMax.asInstanceOf[Number].longValue())
+        if (ranges.isEmpty) None
+        else Some(f -> (ranges.map(_._1).min, ranges.map(_._2).max))
+      } finally reader.close()
+    }.toMap
   }
 
   private def q78Parts(dir: String): Seq[String] =
