@@ -1,0 +1,113 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.queries.{Extras5, Extras6}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Pins the SQL-catalog contract (q93 family) the oracle hash cannot
+  * see: copy-on-write carries untouched files (runtime group filtering
+  * actually fired), commits record stats for the new files, time travel
+  * stays isolated, UPDATE/DELETE statements ride the same machinery,
+  * and reads prune files statically from pushed key predicates.
+  */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): (String, String) = {
+    GraftCatalog.install(spark)
+    val base = Extras6.q93Build(spark, sf)
+    val name = s"spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    GraftCatalog.register(name, base)
+    (name, base)
+  }
+
+  private def keyRange(name: String): (Long, Long) = {
+    val r = spark.sql(s"SELECT MIN(o_orderkey), MAX(o_orderkey) FROM graft.$name").head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("MERGE touching one key carries every other file (runtime group filtering)") {
+    val (name, base) = freshTable()
+    val v1 = Extras5.q78Resolve(base, 1)
+    val (loKey, _) = keyRange(name)
+    spark.sql(s"SELECT $loKey AS d_key, 'X' AS d_status, CAST(1 AS DECIMAL(18,2)) AS d_price")
+      .createOrReplaceTempView("one_key_delta")
+    spark.sql(
+      s"""MERGE INTO graft.$name t USING one_key_delta d
+         |ON t.o_orderkey = d.d_key
+         |WHEN MATCHED THEN UPDATE SET o_orderstatus = d.d_status""".stripMargin)
+    val v2 = Extras5.q78Resolve(base, 2)
+    val sharedWithV1 = v2.toSet.intersect(v1.toSet)
+    assert(sharedWithV1.size == v1.size - 1,
+      s"exactly one of ${v1.size} files should be rewritten; carried ${sharedWithV1.size}")
+    // the row changed; the table's row count did not
+    assert(spark.sql(s"SELECT o_orderstatus FROM graft.$name WHERE o_orderkey = $loKey")
+      .head().getString(0) == "X")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0) ==
+      spark.read.parquet(v1: _*).count())
+    // time travel still sees the pre-merge row
+    assert(spark.sql(
+      s"SELECT o_orderstatus FROM graft.$name VERSION AS OF 1 WHERE o_orderkey = $loKey")
+      .head().getString(0) != "X")
+  }
+
+  test("commit records key stats for rewritten files; carried stats survive") {
+    val (name, base) = freshTable()
+    val (loKey, _) = keyRange(name)
+    spark.sql(s"UPDATE graft.$name SET price = CAST(price + 1 AS DECIMAL(18,2)) " +
+      s"WHERE o_orderkey = $loKey")
+    val v2 = Extras5.q78ResolveStats(base, 2)
+    assert(v2.forall(_._2.isDefined),
+      "every file in the post-write manifest must carry stats")
+    // and the new file's range actually contains the key it rewrote
+    val newFiles = v2.filterNot(f => Extras5.q78Resolve(base, 1).contains(f._1))
+    assert(newFiles.nonEmpty)
+    assert(newFiles.exists { case (_, Some((mn, mx))) => mn <= loKey && loKey <= mx
+      case _ => false })
+  }
+
+  test("UPDATE and DELETE statements ride the same COW machinery") {
+    val (name, base) = freshTable()
+    val before = spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0)
+    val fBefore = spark.sql(
+      s"SELECT COUNT(*) FROM graft.$name WHERE o_orderstatus = 'F'").head().getLong(0)
+    assert(fBefore > 0, "fixture needs F rows")
+    spark.sql(s"DELETE FROM graft.$name WHERE o_orderstatus = 'F'")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0) ==
+      before - fBefore)
+    spark.sql(s"UPDATE graft.$name SET o_orderstatus = 'Z'")
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM graft.$name WHERE o_orderstatus = 'Z'").head().getLong(0) ==
+      before - fBefore)
+    assert(Extras5.q78Latest(base) == 3)
+    // v1 remains byte-identical history
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name VERSION AS OF 1")
+      .head().getLong(0) == before)
+  }
+
+  test("key predicates prune files statically via committed stats") {
+    val (name, base) = freshTable()
+    val (loKey, _) = keyRange(name)
+    val cat = new GraftCatalog
+    cat.initialize("graft", CaseInsensitiveStringMap.empty())
+    val table = cat.loadTable(Identifier.of(Array.empty, name))
+      .asInstanceOf[GraftTable]
+    val builder = new GraftScanBuilder(table, None)
+    // push o_orderkey = loKey through the public V2 predicate API
+    import org.apache.spark.sql.connector.expressions.{Expressions => E}
+    builder.pushPredicates(Array(
+      new Predicate("=", Array(E.column("o_orderkey"),
+        E.literal(java.lang.Long.valueOf(loKey))))))
+    val scan = builder.build().asInstanceOf[GraftScan]
+    val planned = scan.planInputPartitions()
+    assert(planned.length == 1,
+      s"point lookup should open 1 of ${table.manifest.size} files, opened ${planned.length}")
+    // and the full unpruned scan sees all files
+    val full = new GraftScanBuilder(table, None).build().asInstanceOf[GraftScan]
+    assert(full.planInputPartitions().length == table.manifest.size)
+  }
+}
