@@ -476,6 +476,15 @@ object Bench {
     def entries(s: String): Seq[(String, Double)] =
       re.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toSeq
     val (ea, eb) = (entries(a), entries(b))
+    // If the children's entry format ever drifts from the regex, a
+    // silent zero-entry merge would emit malformed JSON (trailing comma
+    // after gen_sec) — fall back to child A verbatim instead, which is
+    // always a well-formed block.
+    if (ea.isEmpty) {
+      System.err.println("[bench] mergeSf1Json parsed 0 entries; " +
+        "falling back to first child's block verbatim")
+      return a
+    }
     val (ma, mb) = (ea.toMap, eb.toMap)
     val order = ea.map(_._1) ++ eb.map(_._1).filterNot(ma.contains)
     val merged = order.map { n =>

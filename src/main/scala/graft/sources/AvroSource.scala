@@ -337,6 +337,19 @@ private[sources] class AvroBatchWrite(schema: StructType,
       fs.rename(src, new Path(root, src.getName))
     }
     fs.delete(staging, true)
+    // Reclaim staging dirs orphaned by CRASHED jobs: anything
+    // `.staging-*` older than the TTL cannot belong to a live writer
+    // (a healthy commit deletes its own dir above within the job's
+    // lifetime), so sweep it here — otherwise orphans accumulate in
+    // the table root forever. The TTL bounds the assumption "no job
+    // runs longer than a day"; a concurrent writer younger than that
+    // is untouched, same as before.
+    val ttlMs = 24L * 3600 * 1000
+    val cutoff = System.currentTimeMillis() - ttlMs
+    fs.listStatus(root)
+      .filter(st => st.getPath.getName.startsWith(".staging-") &&
+        st.getModificationTime < cutoff)
+      .foreach(st => fs.delete(st.getPath, true))
     val out = fs.create(new Path(root, "_SUCCESS"), true); out.close()
   }
 

@@ -912,7 +912,7 @@ object EventsStream {
   // (file-pruned, broadcast-joined), state NONE (the table IS the
   // state), old versions retained for time travel until expired.
   // ---------------------------------------------------------------------
-  private[graft] def st21Run(spark: SparkSession, dir: String): (String, Long) = {
+  private[graft] def st21Run(spark: SparkSession, dir: String): (String, Long, Long) = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types.DecimalType
@@ -940,18 +940,27 @@ object EventsStream {
       }
       .trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
-    (base, version.get() - 1)
+    val feedFiles = new java.io.File(src).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    (base, version.get() - 1, feedFiles.toLong)
   }
 
   def st21(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (base, nCommits) = st21Run(spark, dir)
+    val (base, nCommits, feedFiles) = st21Run(spark, dir)
     val v1 = graft.queries.Extras5.q78Resolve(base, 1)
     val fin = graft.queries.Extras5.q78Resolve(base, (1 + nCommits).toInt)
     graft.queries.Extras6.snapshotAgg(spark, v1, "1_base")
       .unionByName(graft.queries.Extras6.snapshotAgg(spark, fin, "2_final"))
-      .withColumn("n_commits", lit(nCommits))
-      .select($"snapshot", $"n_rows", $"n_f_status", $"sum_price", $"n_commits")
+      // one commit per feed file, derived from the ACTUAL feed listing
+      // rather than a hard-coded 4: the boolean still gates the
+      // one-batch-per-file contract (maxFilesPerTrigger=1 under
+      // AvailableNow, no trailing empty batch) but a drift in engine
+      // micro-batching or in repartition(4)'s file count now reads as
+      // an explicit false, not a confusing count mismatch.
+      .withColumn("commits_match_feed", lit(nCommits == feedFiles))
+      .select($"snapshot", $"n_rows", $"n_f_status", $"sum_price",
+        $"commits_match_feed")
       .orderBy($"snapshot")
   }
 
@@ -976,7 +985,7 @@ object EventsStream {
       |SELECT snapshot, COUNT(*) AS n_rows,
       |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_f_status,
       |  CAST(SUM(p) AS DOUBLE) AS sum_price,
-      |  CAST(4 AS BIGINT) AS n_commits
+      |  TRUE AS commits_match_feed
       |FROM snaps GROUP BY snapshot ORDER BY snapshot""".stripMargin
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(

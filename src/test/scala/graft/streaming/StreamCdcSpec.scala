@@ -28,8 +28,8 @@ class StreamCdcSpec extends SparkSpec {
   }
 
   test("st21 streamed CDC equals a one-shot merge of the whole feed") {
-    val (base, nCommits) = EventsStream.st21Run(spark, sf)
-    assert(nCommits == 4L)
+    val (base, nCommits, feedFiles) = EventsStream.st21Run(spark, sf)
+    assert(nCommits == feedFiles, "one commit per feed file")
     val streamed = spark.read.parquet(
       Extras5.q78Resolve(base, (1 + nCommits).toInt): _*)
 
