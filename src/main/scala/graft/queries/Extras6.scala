@@ -626,7 +626,7 @@ object Extras6 {
   // strictly fewer files.
   // ---------------------------------------------------------------------
 
-  private[queries] def q92Build(spark: SparkSession, dir: String): String = {
+  private[graft] def q92Build(spark: SparkSession, dir: String): String = {
     import spark.implicits._
     val base = cdcBase(spark, dir)
     val orders = Tables.load(spark, dir, "orders")
@@ -689,7 +689,7 @@ object Extras6 {
       .orderBy($"transition", $"change_type")
   }
 
-  private val q92Sql =
+  private[graft] val q92Sql =
     """WITH o AS (
       |  SELECT o_orderkey AS k, o_orderstatus AS st,
       |    CAST(o_totalprice AS DECIMAL(18,2)) AS p

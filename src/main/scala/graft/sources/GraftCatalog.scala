@@ -106,7 +106,18 @@ class GraftCatalog extends TableCatalog {
     GraftCatalog.baseFor(ident.name) match {
       case Some(base) =>
         new GraftTable(s"$catalogName.${ident.name}", base, version)
-      case None => throw new NoSuchTableException(ident)
+      case None =>
+        // `graft.<t>.changes` — the table's streaming change feed (the
+        // Iceberg metadata-table addressing convention)
+        val isChanges = ident.name == "changes" &&
+          ident.namespace.length == 1
+        val baseTable = if (isChanges)
+          GraftCatalog.baseFor(ident.namespace.head) else None
+        baseTable match {
+          case Some(base) => new GraftChangeFeedTable(
+            s"$catalogName.${ident.namespace.head}.changes", base)
+          case None => throw new NoSuchTableException(ident)
+        }
     }
 
   override def createTable(ident: Identifier, columns: Array[Column],

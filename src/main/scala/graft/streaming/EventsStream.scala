@@ -988,6 +988,50 @@ object EventsStream {
       |  TRUE AS commits_match_feed
       |FROM snaps GROUP BY snapshot ORDER BY snapshot""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // st22: STREAMING CHANGE DATA FEED — q92's pruned snapshot diff
+  // served INCREMENTALLY by sources/GraftChangeFeed: a DSv2
+  // MicroBatchStream addressed as `graft.<t>.changes` whose offsets are
+  // manifest versions, so the engine's own checkpointing is the resume
+  // protocol (restart continues from the first uncommitted transition,
+  // never re-emitting a commit — StreamChangeFeedSpec pins that and the
+  // per-transition file pruning). The table under test is q92's
+  // (v1 load → v2 COW delete → v3 insert → v4 update), the feed drains
+  // under AvailableNow, and each batch classifies its transitions with
+  // one per-(version, key) aggregation — insert / delete / update,
+  // rewritten-file collateral filtered out exactly like q92. The
+  // settled result is q92's batch truth, so it shares q92's oracle.
+  // At 100 TB: batch cost ∝ the commits' rewrite footprint; shared
+  // files are never opened; the driver holds O(#files) metadata.
+  // ---------------------------------------------------------------------
+  def st22(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = graft.queries.Extras6.q92Build(spark, dir)
+    graft.sources.GraftCatalog.install(spark)
+    val name = s"cdf_${counter.incrementAndGet()}_${System.nanoTime()}"
+    graft.sources.GraftCatalog.register(name, base)
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, String, Long, Double, Double)]()
+    val q = spark.readStream.table(s"graft.$name.changes")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        StreamOps.classifyChanges(batch)
+          .collect() // bounded: ≤ 3 change types per transition
+          .foreach(r => acc.add((r.getString(0), r.getString(1),
+            r.getLong(2), r.getDouble(3), r.getDouble(4))))
+        ()
+      }
+      .option("checkpointLocation", graft.Scratch.dir("st22_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    acc.asScala.toSeq
+      .toDF("transition", "change_type", "n_rows", "sum_pre_price",
+        "sum_post_price")
+      .orderBy($"transition", $"change_type")
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "st01_stream_hourly" -> (st01 _),
     "st02_stream_sessionize" -> (st02 _),
@@ -1009,7 +1053,8 @@ object EventsStream {
     "st18_dynamic_gap_sessions" -> (st18 _),
     "st19_avro_stream_read" -> (st19 _),
     "st20_stream_full_outer_join" -> (st20 _),
-    "st21_stream_cdc_merge" -> (st21 _))
+    "st21_stream_cdc_merge" -> (st21 _),
+    "st22_stream_change_feed" -> (st22 _))
 
   private val st02Sql =
     """WITH flagged AS (
@@ -1054,5 +1099,6 @@ object EventsStream {
     "st18_dynamic_gap_sessions" -> st18Sql,
     "st19_avro_stream_read" -> st19Sql,
     "st20_stream_full_outer_join" -> st20Sql,
-    "st21_stream_cdc_merge" -> st21Sql)
+    "st21_stream_cdc_merge" -> st21Sql,
+    "st22_stream_change_feed" -> graft.queries.Extras6.q92Sql)
 }

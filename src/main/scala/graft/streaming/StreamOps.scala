@@ -197,6 +197,45 @@ object StreamOps {
     * exactly-once. This is MERGE INTO's execution shape; on a real
     * cluster the write side is Delta/Iceberg MERGE or an overwrite of
     * the (partitioned) table — the join below is the engine work. */
+  /** Classify one change-feed batch (st22) into per-transition change
+    * aggregates. Input rows are `graft.<t>.changes` rows: (side =
+    * pre|post, commit_version, o_orderkey, o_orderstatus, price) over
+    * the symmetric-difference files of each transition. Keys are unique
+    * per side within a transition, so one per-(version, key)
+    * conditional aggregation reconstructs the full-outer join: pre
+    * absent → insert, post absent → delete, values differ → update,
+    * identical → rewritten-file collateral (dropped — not a change),
+    * exactly q92's classification. Transitions never straddle batches
+    * (the source plans whole transitions), so this is complete per
+    * batch. */
+  def classifyChanges(batch: DataFrame): DataFrame = {
+    val perKey = batch.groupBy(col("commit_version"), col("o_orderkey"))
+      .agg(
+        max(when(col("side") === "pre", col("o_orderstatus"))).as("pre_status"),
+        max(when(col("side") === "pre", col("price"))).as("pre_price"),
+        max(when(col("side") === "post", col("o_orderstatus"))).as("post_status"),
+        max(when(col("side") === "post", col("price"))).as("post_price"),
+        count(when(col("side") === "pre", 1)).as("n_pre"),
+        count(when(col("side") === "post", 1)).as("n_post"))
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    perKey
+      .select(
+        concat(lit("v"), col("commit_version") - 1, lit("_to_v"),
+          col("commit_version")).as("transition"),
+        when(col("n_pre") === 0, "insert")
+          .when(col("n_post") === 0, "delete")
+          .when(col("pre_status") =!= col("post_status") ||
+            col("pre_price") =!= col("post_price"), "update")
+          .otherwise("carried").as("change_type"),
+        coalesce(col("pre_price"), lit(0).cast(d2)).as("pre_price"),
+        coalesce(col("post_price"), lit(0).cast(d2)).as("post_price"))
+      .filter(col("change_type") =!= "carried")
+      .groupBy(col("transition"), col("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("pre_price")).cast("double").as("sum_pre_price"),
+        sum(col("post_price")).cast("double").as("sum_post_price"))
+  }
+
   def upsertMerge(state: DataFrame, delta: DataFrame): DataFrame = {
     val s = state.columns.foldLeft(state)((d, c) => d.withColumnRenamed(c, s"s_$c"))
     s.join(delta, col("s_user_id") === col("user_id"), "full_outer")

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.queries.{Extras5, Extras6}
+import graft.sources.{GraftCatalog, GraftChangeFeed, GraftChangeFeedStream, GraftVersionOffset}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+
+/** Pins the streaming change-feed contract (st22) the oracle hash
+  * cannot see:
+  *  - RESUME: the engine's checkpointed offset is the manifest version
+  *    — a drained query re-run on the same checkpoint emits NOTHING,
+  *    and after a new commit it emits ONLY the new transition;
+  *  - PRUNING: a transition's input partitions cover exactly the
+  *    symmetric difference of the two manifests (shared carried files
+  *    are never opened).
+  */
+class StreamChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def drainOnce(name: String, ckpt: String): Seq[(String, Long)] = {
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val q = spark.readStream.table(s"graft.$name.changes")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        StreamOps.classifyChanges(batch).collect()
+          .foreach(r => acc.add((r.getString(0), r.getLong(2))))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    acc.asScala.toSeq
+  }
+
+  test("restart resumes from the committed version; no re-emission") {
+    val base = Extras6.q92Build(spark, sf) // versions 1..4
+    GraftCatalog.install(spark)
+    val name = s"cdfspec_${java.util.UUID.randomUUID().toString.take(8)}"
+    GraftCatalog.register(name, base)
+    val ckpt = graft.Scratch.dir("cdf_spec_ckpt")
+
+    val first = drainOnce(name, ckpt)
+    assert(first.map(_._1).toSet ==
+      Set("v1_to_v2", "v2_to_v3", "v3_to_v4"))
+
+    // same checkpoint, no new commits: nothing re-emits
+    assert(drainOnce(name, ckpt).isEmpty)
+
+    // a new commit arrives; the restarted query serves ONLY it
+    Extras6.cowMergeCommit(spark, base, 4,
+      graft.Tables.load(spark, sf, "orders")
+        .filter($"o_orderkey" % 30 === 9)
+        .select($"o_orderkey".as("d_key"), lit("U").as("d_op"),
+          $"o_orderstatus".as("d_status"),
+          ($"o_totalprice".cast(DecimalType(18, 2)) + 7)
+            .cast(DecimalType(18, 2)).as("d_price")))
+    val third = drainOnce(name, ckpt)
+    assert(third.map(_._1).toSet == Set("v4_to_v5"),
+      s"expected only the new transition, got $third")
+  }
+
+  test("a transition's partitions are exactly the manifests' symmetric difference") {
+    val base = Extras6.q92Build(spark, sf)
+    val stream = new GraftChangeFeedStream(base,
+      GraftChangeFeed.schemaFor(base), 1)
+    val parts = stream.planInputPartitions(
+      GraftVersionOffset(1), GraftVersionOffset(2))
+      .map(_.asInstanceOf[graft.sources.GraftChangePartition])
+    val pre = Extras5.q78Resolve(base, 1).toSet
+    val post = Extras5.q78Resolve(base, 2).toSet
+    val shared = pre.intersect(post)
+    assert(shared.nonEmpty, "fixture must carry files for pruning to matter")
+    assert(parts.forall(p => !shared.contains(p.path)),
+      "carried files must never be planned")
+    assert(parts.filter(_.side == "pre").map(_.path).toSet == pre -- shared)
+    assert(parts.filter(_.side == "post").map(_.path).toSet == post -- shared)
+    assert(parts.forall(_.version == 2))
+  }
+}
