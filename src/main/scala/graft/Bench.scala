@@ -35,36 +35,41 @@ object Bench {
     // stateful dedup — each entry times the full micro-batch drain, so
     // a streaming-engine regression is visible round over round
     "st06_stream_bro_ingest", "st07_stream_stream_join",
-    "st10_stream_dedup",
     // r12: the composed incremental-ingest pipeline — index build +
     // delta probe in one number; its regression baseline guards the
     // standing-index composition, not any single op
     "p02_incremental_ingest",
     // r12 additions: the streaming ingest pipeline (gate → dedup-ledger
-    // merge across micro-batches), the frame-overlap video near-dup,
-    // and the faceted filtered ANN — one representative per new family
-    "p03_stream_ingest", "m05_video_neardup", "s12_filtered_ann",
-    // late-r12 families: the binned large×large band join, multiprobe
-    // LSH (9× probe volume — its cost needs a baseline), the landmark
+    // merge across micro-batches) and the faceted filtered ANN
+    "p03_stream_ingest", "s12_filtered_ann",
+    // late-r12 families: the binned large×large band join, the landmark
     // audio matcher, frontier BFS, and the bounded-state stream dedup
-    "q76_banded_time_join", "s13_multiprobe_lsh", "m06_audio_fingerprint",
+    "q76_banded_time_join", "m06_audio_fingerprint",
     "g01_graph_bfs", "st17_dedup_within_watermark",
-    // end-of-r12 families: index-persist serving and manifest backfill
-    "s14_ann_index_persist", "p04_backfill",
-    // r13 ROTATION (r12 verdict item 5): the five correctness-gated-but-
-    // blind families get first baselines — the 1.9 KB compact-line
-    // budget pays for them by rotating OUT eight entries whose medians
-    // were stable across r10-r12 and whose families stay covered:
-    // d07 (p02's delta probe composes it), s04/s07 (s09 carries the
-    // PQ kernel, headline s02 the LSH probe), t09/t14/t17/t20 (t08/
-    // t11/t18/t24 keep the text family's spread), m04 (m05/m06 remain).
-    // A rotated-out op losing its baseline is visible, not silent:
-    // this comment is the ledger, and bench_full_last.json keeps the
-    // last measured medians.
-    "q80_zorder_skip", "q81_federated_join", "g02_triangle_count",
-    "st20_stream_full_outer_join", "q87_sql_pivot_unpivot",
+    // end-of-r12 family: index-persist serving
+    "s14_ann_index_persist",
+    // r13 ROTATION ledger (see bench_full_last.json for last medians):
+    // OUT d07 (p02 composes it), s04/s07 (s09 carries the PQ kernel),
+    // t09/t14/t17/t20 (t08/t11/t18/t24 keep the text spread), m04.
+    // q80 stays THIS round so its write-path fix (dir-per-tile →
+    // sorted compact files) shows up as the r13 48.9s → single-digit
+    // drop against the same entry; it is the first rotate-out
+    // candidate for r15 now that the baseline exists.
+    "q80_zorder_skip",
     // r13 features: MERGE INTO (COW+MOR), compaction commit, BPE train
-    "q88_merge_cow_mor", "q89_compact_commit", "t24_bpe_train")
+    "q88_merge_cow_mor", "q89_compact_commit", "t24_bpe_train",
+    // r14 ROTATION (r13 verdict item 6): first baselines for the seven
+    // blind r13 families (q90/q91/q92/st21/s15/t25/t26) plus the new
+    // SQL-catalog merge (q93). Budget paid by rotating OUT eight
+    // entries with stable r12-r13 baselines and live family coverage:
+    // st10/st20 (st07+st17 keep stream joins & dedup), s13 (s15's
+    // sweep subsumes the multiprobe cost question), q81/g02/q87 (one
+    // clean r13 baseline each, static code), p04 (p02/p03 keep the
+    // pipeline family), m05 (m06 keeps multimodal matching). r14's
+    // own blind families (st22, q94) are the first adds for r15.
+    "q90_parquet_brotli", "q91_vacuum_expire", "q92_change_feed",
+    "st21_stream_cdc_merge", "s15_nprobe_sweep", "t25_bpe_apply",
+    "t26_gopher_rules", "q93_sql_merge_catalog")
 
   /** The x10 scale block's query set — ONE definition shared by the
     * sf1 child's warm-up loop and sf1Bench's measured loop, so the

@@ -69,9 +69,10 @@ class BenchMergeSpec extends AnyFunSuite {
     val line = Bench.compactLine(123.456, 123.456, 12.345, 0, qs, ops,
       codec, "/root/testdata/sf0.1")
     assert(line.length <= 1900, s"compact line ${line.length} B > 1900")
-    // and it must carry the streaming representatives (r10 verdict #1)
+    // and it must carry streaming representatives (r10 verdict #1) —
+    // st10 rotated out in r14 (st17 keeps stateful stream dedup)
     Seq("st06_stream_bro_ingest", "st07_stream_stream_join",
-      "st10_stream_dedup").foreach(n => assert(line.contains(n), n))
+      "st17_dedup_within_watermark").foreach(n => assert(line.contains(n), n))
   }
 
   test("sf1 two-child merge: per-entry min sec, ratio recomputed, order kept") {
