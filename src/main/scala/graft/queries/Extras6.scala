@@ -877,6 +877,63 @@ object Extras6 {
       |  CAST(SUM(p) AS DOUBLE) AS sum_price
       |FROM snaps GROUP BY snapshot ORDER BY snapshot""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q95: FULL SQL TABLE LIFECYCLE on the catalog — CREATE TABLE (empty
+  // v1 manifest + persisted schema), INSERT INTO (append commit:
+  // current files carry by reference, new files land with key stats),
+  // a second INSERT INTO (v3), then INSERT OVERWRITE (truncating
+  // overwrite: v4 replaces the file set; v1-v3 stay readable — an
+  // overwrite is just another version). Every statement is plain SQL
+  // against graft.<t>; every commit rides the optimistic CAS. The
+  // result reads all four versions via VERSION AS OF side by side —
+  // time travel across DDL+DML history is the point being proven.
+  // ---------------------------------------------------------------------
+  def q95(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.GraftCatalog.install(spark)
+    val name = s"lc_${java.util.UUID.randomUUID().toString.take(8)}"
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice".cast(D2).as("price"))
+      .createOrReplaceTempView("q95_src")
+    spark.sql(s"CREATE TABLE graft.$name " +
+      "(o_orderkey BIGINT, o_orderstatus STRING, price DECIMAL(18,2))")
+    spark.sql(s"INSERT INTO graft.$name " +
+      "SELECT * FROM q95_src WHERE o_orderkey % 3 = 0")
+    spark.sql(s"INSERT INTO graft.$name " +
+      "SELECT * FROM q95_src WHERE o_orderkey % 3 = 1")
+    spark.sql(s"INSERT OVERWRITE graft.$name " +
+      "SELECT * FROM q95_src WHERE o_orderkey % 3 = 2")
+    (1 to 4).map { v =>
+      spark.sql(s"SELECT * FROM graft.$name VERSION AS OF $v")
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum($"price"), lit(0).cast(D2))
+            .cast(DoubleType).as("sum_price"))
+        .withColumn("version", lit(v.toLong))
+    }.reduce(_ unionByName _)
+      .select($"version", $"n_rows", $"sum_price")
+      .orderBy($"version")
+  }
+
+  private val q95Sql =
+    """WITH src AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders),
+      |snaps AS (
+      |  SELECT 1 AS version, COUNT(*) AS n_rows,
+      |    CAST(COALESCE(SUM(p), 0) AS DOUBLE) AS sum_price
+      |  FROM src WHERE FALSE
+      |  UNION ALL
+      |  SELECT 2, COUNT(*), CAST(COALESCE(SUM(p), 0) AS DOUBLE)
+      |  FROM src WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT 3, COUNT(*), CAST(COALESCE(SUM(p), 0) AS DOUBLE)
+      |  FROM src WHERE k % 3 IN (0, 1)
+      |  UNION ALL
+      |  SELECT 4, COUNT(*), CAST(COALESCE(SUM(p), 0) AS DOUBLE)
+      |  FROM src WHERE k % 3 = 2)
+      |SELECT CAST(version AS BIGINT) AS version, n_rows, sum_price
+      |FROM snaps ORDER BY version""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q88_merge_cow_mor" -> (q88 _),
     "q89_compact_commit" -> (q89 _),
@@ -884,6 +941,7 @@ object Extras6 {
     "q91_vacuum_expire" -> (q91 _),
     "q92_change_feed" -> (q92 _),
     "q93_sql_merge_catalog" -> (q93 _),
+    "q95_sql_table_lifecycle" -> (q95 _),
     "q94_stats_pruned_read" -> (q94 _))
 
   val oracle: ListMap[String, String] = ListMap(
@@ -893,5 +951,6 @@ object Extras6 {
     "q91_vacuum_expire" -> q91Sql,
     "q92_change_feed" -> q92Sql,
     "q93_sql_merge_catalog" -> q93Sql,
+    "q95_sql_table_lifecycle" -> q95Sql,
     "q94_stats_pruned_read" -> q94Sql)
 }

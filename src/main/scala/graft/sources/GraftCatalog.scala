@@ -120,12 +120,34 @@ class GraftCatalog extends TableCatalog {
         }
     }
 
+  /** CREATE TABLE graft.t (...) — the table is born as an EMPTY v1
+    * manifest commit plus a persisted schema (the manifest protocol's
+    * only out-of-band metadata: with zero files there is no footer to
+    * infer from). Location defaults to a scratch warehouse; a
+    * `location` table property overrides it. Partition transforms are
+    * rejected — layout in this protocol is a property of the files
+    * (sorted/compacted), not of directory structure. */
   override def createTable(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are created by committing a manifest (q78Commit) " +
-        "and registered via GraftCatalog.register")
+      properties: java.util.Map[String, String]): Table = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "graft tables do not take PARTITIONED BY: layout is file-level " +
+        "(sorted/compacted files + per-file stats), not directory-level")
+    if (GraftCatalog.baseFor(ident.name).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(Seq(ident.name))
+    val base = Option(properties.get("location"))
+      .getOrElse(graft.Scratch.dir(s"graft_${ident.name}"))
+    val schema = new StructType(columns.map(c =>
+      StructField(c.name, c.dataType, c.nullable)))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(base, "_schema.json"),
+      schema.json.getBytes("UTF-8"))
+    Extras5.q78Commit(base, 1, Seq.empty)
+    GraftCatalog.register(ident.name, base)
+    new GraftTable(s"$catalogName.${ident.name}", base, None)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("ALTER TABLE not supported")
@@ -145,8 +167,8 @@ class GraftCatalog extends TableCatalog {
   * consistent snapshot even if writers commit while it runs). */
 private[sources] class GraftTable(tableName: String, val base: String,
     pinned: Option[Int])
-    extends Table with SupportsRead with SupportsRowLevelOperations
-    with SupportsMetadataColumns {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   /** Snapshot version (shadows Table.version()'s String default —
     * callers wanting the trait's form use versionString). */
@@ -159,8 +181,15 @@ private[sources] class GraftTable(tableName: String, val base: String,
 
   override def name(): String = tableName
 
-  override lazy val schema: StructType =
-    GraftParquet.inferSchema(manifest.head._1)
+  /** Footer inference from the first live file; tables created via SQL
+    * CREATE TABLE persist their schema (an empty table has no footer). */
+  override lazy val schema: StructType = {
+    val sj = java.nio.file.Paths.get(base, "_schema.json")
+    if (java.nio.file.Files.exists(sj))
+      DataType.fromJson(new String(
+        java.nio.file.Files.readAllBytes(sj), "UTF-8")).asInstanceOf[StructType]
+    else GraftParquet.inferSchema(manifest.head._1)
+  }
 
   override def partitioning(): Array[Transform] = Array.empty
 
@@ -169,7 +198,9 @@ private[sources] class GraftTable(tableName: String, val base: String,
       "version" -> snapshotVersion.toString).asJava
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(new MetadataColumn {
@@ -181,6 +212,24 @@ private[sources] class GraftTable(tableName: String, val base: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this, None)
+
+  /** INSERT INTO (append) / INSERT OVERWRITE (truncating overwrite) —
+    * both commit through the same optimistic CAS as the merge path. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsOverwriteV2 {
+      private var replaceAll = false
+      override def truncate(): WriteBuilder = { replaceAll = true; this }
+      override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
+        val alwaysTrue = predicates.isEmpty ||
+          predicates.forall(_.name == "ALWAYS_TRUE")
+        if (!alwaysTrue) throw new UnsupportedOperationException(
+          "graft tables support only full INSERT OVERWRITE " +
+            "(use MERGE/UPDATE/DELETE for row-level changes)")
+        replaceAll = true; this
+      }
+      override def build(): Write =
+        new GraftAppendWrite(GraftTable.this, info, replaceAll)
+    }
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
@@ -433,6 +482,54 @@ private[sources] class GraftCowWrite(table: GraftTable,
     }
 
   override def description(): String = s"GraftCowWrite(${table.name})"
+}
+
+/** INSERT INTO / INSERT OVERWRITE write: appends never conflict (pure
+  * addition — a lost CAS just rebases onto the new manifest and
+  * retries), and a truncating overwrite replaces whatever is current
+  * AT COMMIT TIME (last-writer-wins, the Hive/Delta overwrite
+  * semantics). */
+private[sources] class GraftAppendWrite(table: GraftTable,
+    info: LogicalWriteInfo, replaceAll: Boolean)
+    extends Write with BatchWrite {
+
+  private val outDir = s"${table.base}/files-sql-${info.queryId.take(8)}-" +
+    UUID.randomUUID().toString.take(8)
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(
+      pinfo: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWriterFactory(info.schema(), outDir)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val commits = messages.collect { case m: GraftSqlCommit if m.rows > 0 => m }
+    val newFiles = commits.map(_.path).toSeq.sorted
+    val newStats = commits.collect {
+      case m if m.hasKey => m.path -> (m.keyLo, m.keyHi)
+    }.toMap
+    var attempts = 0
+    while (attempts < 10) {
+      attempts += 1
+      val latest = Extras5.q78Latest(table.base)
+      val cur = if (replaceAll) Seq.empty
+        else Extras5.q78ResolveStats(table.base, latest)
+      val stats = cur.collect { case (f, Some(s)) => f -> s }.toMap ++ newStats
+      if (Extras5.q78TryCommit(table.base, latest + 1,
+          cur.map(_._1) ++ newFiles, stats)) return
+    }
+    throw new IllegalStateException(
+      s"gave up committing to ${table.name} after $attempts CAS attempts")
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftSqlCommit(path, _, _, _, _) =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+      case _ => ()
+    }
+
+  override def description(): String = s"GraftAppendWrite(${table.name})"
 }
 
 private[sources] class GraftWriterFactory(schema: StructType, dir: String)

@@ -89,6 +89,45 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) == before)
   }
 
+  test("CREATE TABLE / INSERT INTO / INSERT OVERWRITE lifecycle") {
+    GraftCatalog.install(spark)
+    val name = s"lcspec_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE graft.$name " +
+      "(o_orderkey BIGINT, o_orderstatus STRING, price DECIMAL(18,2))")
+    // an empty table is readable (v1 = empty manifest, schema persisted)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0) == 0)
+    // duplicate create refuses
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.$name (x BIGINT)")
+    }
+    spark.sql(s"INSERT INTO graft.$name VALUES " +
+      "(10, 'O', CAST(1.50 AS DECIMAL(18,2))), (20, 'F', CAST(2.25 AS DECIMAL(18,2)))")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0) == 2)
+    spark.sql(s"INSERT INTO graft.$name VALUES (30, 'O', CAST(4.00 AS DECIMAL(18,2)))")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0) == 3)
+    // append carries prior files by reference
+    val base = GraftCatalog.baseFor(name).get
+    val v2 = Extras5.q78Resolve(base, 2)
+    val v3 = Extras5.q78Resolve(base, 3)
+    assert(v2.toSet.subsetOf(v3.toSet), "append must carry v2's files")
+    // appended files landed with key stats (writer-tracked, no footer pass)
+    assert(Extras5.q78ResolveStats(base, 3).forall(_._2.isDefined))
+    // overwrite replaces the file set; history stays readable
+    spark.sql(s"INSERT OVERWRITE graft.$name VALUES (99, 'X', CAST(9.99 AS DECIMAL(18,2)))")
+    val v4 = Extras5.q78Resolve(base, 4)
+    assert(v4.toSet.intersect(v3.toSet).isEmpty, "overwrite starts fresh")
+    assert(spark.sql(s"SELECT o_orderkey FROM graft.$name").head().getLong(0) == 99)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name VERSION AS OF 3")
+      .head().getLong(0) == 3)
+    // and the merged history streams out of the change feed machinery:
+    // transitions 1→2 (2 inserts), 2→3 (1 insert), 3→4 (3 del + 1 ins)
+    val stream = new GraftChangeFeedStream(base,
+      GraftChangeFeed.schemaFor(base), 1)
+    val parts = stream.planInputPartitions(
+      GraftVersionOffset(1), GraftVersionOffset(4))
+    assert(parts.nonEmpty)
+  }
+
   test("key predicates prune files statically via committed stats") {
     val (name, base) = freshTable()
     val (loKey, _) = keyRange(name)
