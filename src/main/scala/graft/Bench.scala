@@ -56,7 +56,12 @@ object Bench {
     // drop against the same entry; it is the first rotate-out
     // candidate for r15 now that the baseline exists.
     "q80_zorder_skip",
-    // r13 features: MERGE INTO (COW+MOR), compaction commit, BPE train
+    // r13 features: MERGE INTO (COW+MOR), compaction commit, BPE train.
+    // t24 note: r14 made trainer rounds INCREMENTAL (cost ∝ affected
+    // words, measured by TextOpsBpeSpec's 100-merge run) — at the
+    // testdata's toy ~61-word vocab that machinery is pure overhead,
+    // so expect t24's median to step up ~2x vs r13; the win is the
+    // 100x-merge-count path, not this corpus.
     "q88_merge_cow_mor", "q89_compact_commit", "t24_bpe_train",
     // r14 ROTATION (r13 verdict item 6): first baselines for the seven
     // blind r13 families (q90/q91/q92/st21/s15/t25/t26) plus the new

@@ -34,4 +34,3 @@ object BpeProf {
     spark.stop()
   }
 }
-// (symbol-length dump appended by r14 profiling)
