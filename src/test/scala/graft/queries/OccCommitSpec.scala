@@ -79,6 +79,60 @@ class OccCommitSpec extends SparkSpec {
     assert(v2.filter($"o_orderstatus" === "B").count() == 1)
   }
 
+  test("four genuinely concurrent writers all land (real threads, no race seam)") {
+    // The seam tests above make specific interleavings deterministic;
+    // this one is the blunt instrument: four threads race real merges
+    // at the SAME starting version with no coordination. Whatever
+    // interleaving the scheduler produces, the protocol must serialize
+    // them into versions 2..5 with every delta applied exactly once.
+    val base = Extras6.cdcBase(spark, sf)
+    val v1 = Extras5.q78Resolve(base, 1)
+    val keys = spark.read.parquet(v1: _*)
+      .select($"o_orderkey").orderBy($"o_orderkey")
+      .as[Long].collect()
+    // four keys spread across the 16-file key-range layout
+    val picks = Seq(keys.head, keys(keys.length / 3),
+      keys(2 * keys.length / 3), keys.last)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val outcomes = Await.result(Future.sequence(picks.zipWithIndex.map {
+      case (k, i) => Future {
+        Extras6.cowMergeCommitOcc(spark, base, updDelta(Seq(k), s"T$i", i + 1))
+      }
+    }), 5.minutes)
+    assert(Extras5.q78Latest(base) == 5, "4 commits on top of v1")
+    assert(outcomes.map(_.version).sorted == Seq(2, 3, 4, 5),
+      "each writer landed exactly one distinct version")
+    val fin = spark.read.parquet(Extras5.q78Resolve(base, 5): _*)
+    picks.zipWithIndex.foreach { case (k, i) =>
+      assert(fin.filter($"o_orderkey" === k && $"o_orderstatus" === s"T$i")
+        .count() == 1, s"delta T$i must land")
+    }
+    assert(fin.count() == spark.read.parquet(v1: _*).count())
+    // every intermediate version still resolves (history intact)
+    (1 to 5).foreach(v => assert(Extras5.q78Resolve(base, v).nonEmpty))
+  }
+
+  test("concurrent SQL INSERT INTO appends never conflict") {
+    graft.sources.GraftCatalog.install(spark)
+    val name = s"occins_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE graft.$name (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, price DECIMAL(18,2))")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence((1 to 4).map { i =>
+      Future {
+        spark.sql(s"INSERT INTO graft.$name VALUES " +
+          s"($i, 'S$i', CAST($i AS DECIMAL(18,2)))")
+      }
+    }), 5.minutes)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0) == 4)
+    assert(spark.sql(s"SELECT COUNT(DISTINCT o_orderkey) FROM graft.$name")
+      .head().getLong(0) == 4)
+  }
+
   test("OCC true conflict: loser re-runs the merge against the winner's table") {
     val base = Extras6.cdcBase(spark, sf)
     val v1 = Extras5.q78Resolve(base, 1)
