@@ -53,13 +53,19 @@ private[sources] class GraftChangeFeedTable(tableName: String, base: String)
 
   override def partitioning(): Array[Transform] = Array.empty
 
+  /** Readable BOTH ways: `spark.readStream.table` serves commits
+    * incrementally; a plain `SELECT * FROM graft.t.changes` is the
+    * batch form (Delta's table_changes) over the same partitions —
+    * options startingVersion/endingVersion bound the window. */
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val startingVersion = Option(options.get("startingversion"))
       .map(_.toInt).getOrElse(1)
-    () => new GraftChangeFeedScan(base, schema, startingVersion)
+    val endingVersion = Option(options.get("endingversion")).map(_.toInt)
+    () => new GraftChangeFeedScan(base, schema, startingVersion, endingVersion)
   }
 }
 
@@ -76,10 +82,21 @@ private[graft] object GraftChangeFeed {
 }
 
 private[sources] class GraftChangeFeedScan(base: String, schema: StructType,
-    startingVersion: Int) extends Scan {
+    startingVersion: Int, endingVersion: Option[Int] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftChangeFeedStream(base, schema, startingVersion)
+  /** Batch form: all transitions in (startingVersion, endingVersion ∨
+    * latest] in one shot — the same symmetric-difference partitions the
+    * stream plans, resolved once at planning time. */
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    new GraftChangeFeedStream(base, schema, startingVersion)
+      .planInputPartitions(GraftVersionOffset(startingVersion),
+        GraftVersionOffset(endingVersion.getOrElse(Extras5.q78Latest(base))))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftChangeReaderFactory(schema)
   override def description(): String = s"GraftChangeFeedScan($base)"
 }
 

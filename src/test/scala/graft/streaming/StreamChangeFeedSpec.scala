@@ -63,6 +63,37 @@ class StreamChangeFeedSpec extends SparkSpec {
       s"expected only the new transition, got $third")
   }
 
+  test("batch SELECT over graft.<t>.changes equals the streamed truth") {
+    val base = Extras6.q92Build(spark, sf)
+    GraftCatalog.install(spark)
+    val name = s"cdfbat_${java.util.UUID.randomUUID().toString.take(8)}"
+    GraftCatalog.register(name, base)
+    val batch = StreamOps.classifyChanges(
+        spark.sql(s"SELECT * FROM graft.$name.changes"))
+      .orderBy($"transition", $"change_type").collect().toSeq
+    val streamed = {
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.Row]()
+      val q = spark.readStream.table(s"graft.$name.changes")
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          StreamOps.classifyChanges(b).collect().foreach(acc.add); ()
+        }
+        .option("checkpointLocation", graft.Scratch.dir("cdf_bat_ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      acc.asScala.toSeq.sortBy(r => (r.getString(0), r.getString(1)))
+    }
+    assert(batch.map(_.toString) == streamed.map(_.toString))
+    assert(batch.nonEmpty)
+    // a bounded window reads only its transitions
+    val bounded = spark.read.option("endingVersion", "2")
+      .table(s"graft.$name.changes")
+    assert(bounded.select($"commit_version").distinct()
+      .as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("a transition's partitions are exactly the manifests' symmetric difference") {
     val base = Extras6.q92Build(spark, sf)
     val stream = new GraftChangeFeedStream(base,
