@@ -149,8 +149,28 @@ class GraftCatalog extends TableCatalog {
     new GraftTable(s"$catalogName.${ident.name}", base, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported")
+  /** ALTER TABLE graft.t ADD COLUMN — schema evolution without history
+    * rewrite: the persisted schema widens; files written before the
+    * change simply lack the field and read back as NULL (the
+    * Iceberg/Delta convention). Only top-level, nullable ADD COLUMN is
+    * supported; anything else (drop/rename/retype) would need
+    * field-id tracking this protocol does not carry. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val base = GraftCatalog.baseFor(ident.name)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val current = new GraftTable(s"$catalogName.${ident.name}", base, None).schema
+    val widened = changes.foldLeft(current) {
+      case (sch, add: TableChange.AddColumn)
+          if add.fieldNames.length == 1 && add.isNullable =>
+        sch.add(StructField(add.fieldNames.head, add.dataType, nullable = true))
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graft tables support only nullable top-level ADD COLUMN, got $other")
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(base, "_schema.json"),
+      widened.json.getBytes("UTF-8"))
+    new GraftTable(s"$catalogName.${ident.name}", base, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     GraftCatalog.baseFor(ident.name) match {
@@ -368,6 +388,10 @@ private[sources] class GraftPartitionReader(path: String, required: StructType)
     val fileSchema = g.getType
     val values = required.fields.map { f =>
       if (f.name == "_file") UTF8String.fromString(path)
+      // files written before an ALTER TABLE ADD COLUMN lack the new
+      // field — they surface NULL for it (Iceberg/Delta evolution
+      // semantics; no rewrite of history)
+      else if (!fileSchema.containsField(f.name)) null
       else {
         val idx = fileSchema.getFieldIndex(f.name)
         if (g.getFieldRepetitionCount(idx) == 0) null

@@ -128,6 +128,35 @@ class GraftCatalogSpec extends SparkSpec {
     assert(parts.nonEmpty)
   }
 
+  test("ALTER TABLE ADD COLUMN: history reads back with NULLs, no rewrite") {
+    GraftCatalog.install(spark)
+    val name = s"evspec_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE graft.$name " +
+      "(o_orderkey BIGINT, o_orderstatus STRING, price DECIMAL(18,2))")
+    spark.sql(s"INSERT INTO graft.$name VALUES (1, 'O', CAST(1 AS DECIMAL(18,2)))")
+    val base = GraftCatalog.baseFor(name).get
+    val filesBefore = Extras5.q78Resolve(base, 2)
+    spark.sql(s"ALTER TABLE graft.$name ADD COLUMN note STRING")
+    // no rewrite: same manifest version, same files on disk
+    assert(Extras5.q78Latest(base) == 2)
+    assert(Extras5.q78Resolve(base, 2) == filesBefore)
+    spark.sql(s"INSERT INTO graft.$name VALUES " +
+      "(2, 'F', CAST(2 AS DECIMAL(18,2)), 'new-era')")
+    val rows = spark.sql(
+      s"SELECT o_orderkey, note FROM graft.$name ORDER BY o_orderkey").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(1), "pre-evolution row reads NULL for the new column")
+    assert(rows(1).getString(1) == "new-era")
+    // time travel to the pre-evolution version still works (current
+    // schema, old files -> NULL — the Iceberg convention)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name VERSION AS OF 2")
+      .head().getLong(0) == 1)
+    // unsupported changes refuse loudly instead of corrupting
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$name DROP COLUMN note")
+    }
+  }
+
   test("key predicates prune files statically via committed stats") {
     val (name, base) = freshTable()
     val (loKey, _) = keyRange(name)
