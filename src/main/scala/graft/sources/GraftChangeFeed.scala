@@ -70,10 +70,17 @@ private[sources] class GraftChangeFeedTable(tableName: String, base: String)
 }
 
 private[graft] object GraftChangeFeed {
-  /** change-feed schema = (side, commit_version) ++ the table's own. */
+  /** change-feed schema = (side, commit_version) ++ the table's own
+    * (the persisted schema when the table has one — so an ALTERed
+    * table's feed carries the widened shape — else footer inference). */
   def schemaFor(base: String): StructType = {
-    val dataSchema = GraftParquet.inferSchema(
-      Extras5.q78ResolveStats(base, Extras5.q78Latest(base)).head._1)
+    val sj = java.nio.file.Paths.get(base, "_schema.json")
+    val dataSchema =
+      if (java.nio.file.Files.exists(sj))
+        DataType.fromJson(new String(
+          java.nio.file.Files.readAllBytes(sj), "UTF-8")).asInstanceOf[StructType]
+      else GraftParquet.inferSchema(
+        Extras5.q78ResolveStats(base, Extras5.q78Latest(base)).head._1)
     StructType(
       StructField("side", StringType, nullable = false) +:
       StructField("commit_version", LongType, nullable = false) +:
@@ -171,9 +178,11 @@ private[sources] class GraftChangeReader(part: GraftChangePartition,
     values(0) = UTF8String.fromString(part.side)
     values(1) = part.version.toLong
     dataFields.zipWithIndex.foreach { case (f, i) =>
-      val idx = fileSchema.getFieldIndex(f.name)
+      // pre-evolution files lack columns added by ALTER TABLE → NULL
+      val idx = if (fileSchema.containsField(f.name))
+        fileSchema.getFieldIndex(f.name) else -1
       values(i + 2) =
-        if (g.getFieldRepetitionCount(idx) == 0) null
+        if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) null
         else f.dataType match {
           case LongType => g.getLong(idx, 0)
           case IntegerType => g.getInteger(idx, 0)

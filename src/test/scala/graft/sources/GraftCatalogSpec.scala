@@ -155,6 +155,13 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql(s"ALTER TABLE graft.$name DROP COLUMN note")
     }
+    // the change feed survives evolution: pre-evolution transitions
+    // read under the widened schema with NULL for the new column
+    val feed = spark.sql(s"SELECT side, commit_version, o_orderkey, note " +
+      s"FROM graft.$name.changes ORDER BY commit_version, o_orderkey").collect()
+    assert(feed.exists(r => r.getLong(1) == 2 && r.isNullAt(3)),
+      "pre-evolution feed rows carry NULL for the added column")
+    assert(feed.exists(r => r.getLong(1) == 3 && r.getString(3) == "new-era"))
   }
 
   test("key predicates prune files statically via committed stats") {
