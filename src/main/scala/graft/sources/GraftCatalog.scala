@@ -6,25 +6,23 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.parquet.example.data.Group
-import org.apache.parquet.example.data.simple.SimpleGroup
-import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
-import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetWriter}
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type => PType, Types}
+import org.apache.parquet.schema.{LogicalTypeAnnotation, Type => PType}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 
 import graft.queries.Extras5
 
@@ -39,7 +37,10 @@ import graft.queries.Extras5
   * Spark-first design, the Iceberg/Delta shape on our own protocol:
   *  - reads are a DSv2 Batch over the version's manifest file list,
   *    with file skipping from the per-file key stats the commit
-  *    recorded (q78ResolvePruned) pushed down via V2 predicates;
+  *    recorded (q78ResolvePruned) pushed down via V2 predicates; the
+  *    leaf I/O is Spark's VECTORIZED parquet machinery (columnar
+  *    batches, projection pushed into the decode, row-group splits and
+  *    footer-stat skipping — see GraftParquetIO);
   *  - MERGE/UPDATE/DELETE go through SupportsRowLevelOperations with
   *    GROUP-BASED (copy-on-write) semantics: Spark's
   *    RewriteMergeIntoTable plans a ReplaceData over the operation's
@@ -59,23 +60,74 @@ import graft.queries.Extras5
   * the delta's file footprint (runtime group filtering), commit cost ∝
   * #files of metadata, and time travel is a manifest lookup.
   *
-  * Registration is an in-JVM map (a production catalog would back this
-  * with a metastore); `GraftCatalog.install` wires the catalog name
-  * into the active session.
+  * Registration is an in-JVM map backed by a PERSISTED registry file:
+  * every register/create/drop rewrites `_catalog.json` (name → base)
+  * under the warehouse root, and `initialize` loads it — so a fresh
+  * catalog instance (or a new session pointed at the same warehouse)
+  * resolves `graft.t` without re-registering. Entries whose base lost
+  * its `_manifests` directory (scratch cleaned between runs) are
+  * treated as unregistered and dropped lazily. `GraftCatalog.install`
+  * wires the catalog name into the active session; the warehouse
+  * defaults to `spark-warehouse/graft-catalog` and is overridable via
+  * the `spark.sql.catalog.graft.warehouse` option.
   */
 object GraftCatalog {
   private val tables = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  @volatile private var warehouse: String = "spark-warehouse/graft-catalog"
 
   /** The key column whose per-file stats commits record; fixed for the
     * protocol family's canonical orders shape. */
   val StatsColumn = "o_orderkey"
 
-  def register(name: String, base: String): Unit = tables.put(name, base)
+  def register(name: String, base: String): Unit = {
+    tables.put(name, base)
+    persist()
+  }
+
+  private[sources] def unregister(name: String): Option[String] = {
+    val prev = Option(tables.remove(name))
+    if (prev.isDefined) persist()
+    prev
+  }
 
   private[sources] def baseFor(name: String): Option[String] =
     Option(tables.get(name))
 
   private[sources] def names: Seq[String] = tables.keys.asScala.toSeq
+
+  /** Test seam: drops the in-JVM registry (the persisted file stays, so
+    * a re-initialized catalog must reload it — what the spec pins). */
+  private[graft] def resetInMemoryForTest(): Unit = tables.clear()
+
+  /** Test seam: fired once inside a row-level commit, between the
+    * operation's snapshot read and its CAS loop — lets a spec
+    * deterministically interleave a competing commit. */
+  @volatile private[graft] var commitRaceHook: () => Unit = () => ()
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Rewrites the registry file atomically (temp + move). */
+  private def persist(): Unit = synchronized {
+    val dir = java.nio.file.Paths.get(warehouse)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = java.nio.file.Files.createTempFile(dir, "._catalog-", ".tmp")
+    mapper.writeValue(tmp.toFile, tables)
+    java.nio.file.Files.move(tmp, dir.resolve("_catalog.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Loads `_catalog.json` under `dir` (if present) into the registry;
+    * in-JVM entries win on collision (they are at least as fresh). */
+  private[sources] def attachWarehouse(dir: String): Unit = synchronized {
+    warehouse = dir
+    val f = java.nio.file.Paths.get(dir, "_catalog.json")
+    if (java.nio.file.Files.exists(f)) {
+      val loaded = mapper.readValue(f.toFile,
+        classOf[java.util.Map[String, String]])
+      loaded.forEach((k, v) => tables.putIfAbsent(k, v))
+    }
+  }
 
   /** Idempotently binds catalog name `graft` in the session. */
   def install(spark: SparkSession): Unit =
@@ -86,8 +138,11 @@ object GraftCatalog {
 class GraftCatalog extends TableCatalog {
   private var catalogName: String = "graft"
 
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    GraftCatalog.attachWarehouse(
+      Option(options.get("warehouse")).getOrElse("spark-warehouse/graft-catalog"))
+  }
 
   override def name(): String = catalogName
 
@@ -102,8 +157,21 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     make(ident, Some(version.toInt))
 
-  private def make(ident: Identifier, version: Option[Int]): Table =
-    GraftCatalog.baseFor(ident.name) match {
+  /** Registry hit whose table data actually still exists; a persisted
+    * entry whose base lost its `_manifests` (scratch cleaned between
+    * runs) is dropped lazily and reads as unregistered. */
+  private def liveBaseFor(name: String): Option[String] =
+    GraftCatalog.baseFor(name).flatMap { base =>
+      if (java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(base, "_manifests"))) Some(base)
+      else { GraftCatalog.unregister(name); None }
+    }
+
+  private def make(ident: Identifier, version: Option[Int]): Table = {
+    // direct resolution only for `graft.t` (empty namespace) — a table
+    // named 'changes' must not shadow the `graft.<t>.changes` address
+    val direct = if (ident.namespace.isEmpty) liveBaseFor(ident.name) else None
+    direct match {
       case Some(base) =>
         new GraftTable(s"$catalogName.${ident.name}", base, version)
       case None =>
@@ -112,13 +180,14 @@ class GraftCatalog extends TableCatalog {
         val isChanges = ident.name == "changes" &&
           ident.namespace.length == 1
         val baseTable = if (isChanges)
-          GraftCatalog.baseFor(ident.namespace.head) else None
+          liveBaseFor(ident.namespace.head) else None
         baseTable match {
           case Some(base) => new GraftChangeFeedTable(
             s"$catalogName.${ident.namespace.head}.changes", base)
           case None => throw new NoSuchTableException(ident)
         }
     }
+  }
 
   /** CREATE TABLE graft.t (...) — the table is born as an EMPTY v1
     * manifest commit plus a persisted schema (the manifest protocol's
@@ -133,7 +202,7 @@ class GraftCatalog extends TableCatalog {
     if (partitions.nonEmpty) throw new UnsupportedOperationException(
       "graft tables do not take PARTITIONED BY: layout is file-level " +
         "(sorted/compacted files + per-file stats), not directory-level")
-    if (GraftCatalog.baseFor(ident.name).isDefined)
+    if (liveBaseFor(ident.name).isDefined)
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(Seq(ident.name))
     val base = Option(properties.get("location"))
@@ -156,7 +225,7 @@ class GraftCatalog extends TableCatalog {
     * supported; anything else (drop/rename/retype) would need
     * field-id tracking this protocol does not carry. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val base = GraftCatalog.baseFor(ident.name)
+    val base = liveBaseFor(ident.name)
       .getOrElse(throw new NoSuchTableException(ident))
     val current = new GraftTable(s"$catalogName.${ident.name}", base, None).schema
     val widened = changes.foldLeft(current) {
@@ -173,10 +242,7 @@ class GraftCatalog extends TableCatalog {
   }
 
   override def dropTable(ident: Identifier): Boolean =
-    GraftCatalog.baseFor(ident.name) match {
-      case Some(_) => GraftCatalog.tables.remove(ident.name); true
-      case None => false
-    }
+    GraftCatalog.unregister(ident.name).isDefined
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE not supported")
@@ -309,14 +375,17 @@ private[sources] class GraftScanBuilder(table: GraftTable,
       case (f, None) => f
       case (f, Some((mn, mx))) if mx >= keyLo && mn <= keyHi => f
     }
-    val scan = new GraftScan(table, required, files)
+    val scan = new GraftScan(table, required, files, keyLo, keyHi)
     owner.foreach(_.configuredScan = scan)
     scan
   }
 }
 
 private[sources] class GraftScan(table: GraftTable, required: StructType,
-    initialFiles: Seq[String]) extends Scan with Batch
+    initialFiles: Seq[String],
+    private[sources] val keyLo: Long = Long.MinValue,
+    private[sources] val keyHi: Long = Long.MaxValue)
+    extends Scan with Batch
     with SupportsRuntimeV2Filtering {
 
   /** Narrowed twice: statically by key-stats pruning (in the builder),
@@ -346,72 +415,27 @@ private[sources] class GraftScan(table: GraftTable, required: StructType,
       }
     }
 
+  /** Files split at maxPartitionBytes boundaries — a multi-row-group
+    * file fans out across tasks instead of serializing through one;
+    * `_file` rides as a per-split constant. */
   override def planInputPartitions(): Array[InputPartition] =
-    activeFiles.map(f => GraftInputPartition(f)).toArray
+    GraftParquetIO.planSplits(activeFiles,
+      f => Map("_file" -> f)).toArray[InputPartition]
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required)
+  /** Columnar, projection pushed into the parquet decode; a bounded
+    * pushed key range additionally skips row groups on footer stats
+    * (sound: key predicates stay residual in Spark). */
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val bounded = keyLo != Long.MinValue || keyHi != Long.MaxValue
+    val keyIsLong = table.schema.fields
+      .exists(f => f.name == GraftCatalog.StatsColumn && f.dataType == LongType)
+    val range = if (bounded && keyIsLong)
+      Some((GraftCatalog.StatsColumn, keyLo, keyHi)) else None
+    new GraftVectorizedReaderFactory(required, Set("_file"), range)
+  }
 
   override def description(): String =
     s"GraftScan(${table.name}, v${table.snapshotVersion}, files=${activeFiles.size})"
-}
-
-private[sources] case class GraftInputPartition(path: String)
-    extends InputPartition
-
-private[sources] class GraftReaderFactory(required: StructType)
-    extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(
-      partition.asInstanceOf[GraftInputPartition].path, required)
-}
-
-/** Parquet example-Group reader → InternalRow, flat primitive schemas
-  * only (the protocol family's shape). `_file` is served from the
-  * partition itself. */
-private[sources] class GraftPartitionReader(path: String, required: StructType)
-    extends PartitionReader[InternalRow] {
-
-  private val reader: ParquetReader[Group] =
-    ParquetReader.builder(new GroupReadSupport(), new HPath(path))
-      .withConf(new Configuration()).build()
-
-  private var current: Group = _
-
-  override def next(): Boolean = {
-    current = reader.read()
-    current != null
-  }
-
-  override def get(): InternalRow = {
-    val g = current
-    val fileSchema = g.getType
-    val values = required.fields.map { f =>
-      if (f.name == "_file") UTF8String.fromString(path)
-      // files written before an ALTER TABLE ADD COLUMN lack the new
-      // field — they surface NULL for it (Iceberg/Delta evolution
-      // semantics; no rewrite of history)
-      else if (!fileSchema.containsField(f.name)) null
-      else {
-        val idx = fileSchema.getFieldIndex(f.name)
-        if (g.getFieldRepetitionCount(idx) == 0) null
-        else f.dataType match {
-          case LongType => g.getLong(idx, 0)
-          case IntegerType => g.getInteger(idx, 0)
-          case DoubleType => g.getDouble(idx, 0)
-          case BooleanType => g.getBoolean(idx, 0)
-          case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
-          case d: DecimalType =>
-            Decimal.createUnsafe(g.getLong(idx, 0), d.precision, d.scale)
-          case other => throw new UnsupportedOperationException(
-            s"graft catalog reader: unsupported type $other for ${f.name}")
-        }
-      }
-    }
-    new GenericInternalRow(values.asInstanceOf[Array[Any]])
-  }
-
-  override def close(): Unit = reader.close()
 }
 
 // ---------------------------------------------------------------------------
@@ -461,11 +485,23 @@ private[sources] class GraftCowWrite(table: GraftTable,
     * replaced set is what the operation's scan READ (post runtime
     * filtering); carried = current manifest minus replaced, keeping
     * each carried file's committed stats; new files come in with the
-    * stats their writers tracked. Losing the race to a DISJOINT writer
-    * rebases and retries; to an OVERLAPPING writer aborts — our merged
-    * rows were derived from files that no longer exist, so the
-    * statement must be re-run (the caller's retry re-reads the new
-    * snapshot, exactly Delta/Iceberg's conflict semantics). */
+    * stats their writers tracked.
+    *
+    * Conflict detection on a lost race checks BOTH directions, the
+    * Delta/Iceberg semantics:
+    *  - files we REWROTE no longer live → our output was derived from
+    *    rows that no longer exist: abort, re-run the statement;
+    *  - files were ADDED since our snapshot → a concurrent append may
+    *    hold rows this operation's keys should have matched (a NOT
+    *    MATCHED insert computed from the stale snapshot would land
+    *    beside the appended row). The rebase is allowed only when
+    *    every added file's committed key range is provably DISJOINT
+    *    from this scan's pushed key window (Delta's
+    *    ConcurrentAppendException rule: without provable disjointness,
+    *    abort — an unbounded scan window or a stats-less added file
+    *    always aborts).
+    * Losing to a disjoint writer rebases the carried list and retries;
+    * anything else asks the caller to re-run against the new snapshot. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val commits = messages.collect { case m: GraftSqlCommit if m.rows > 0 => m }
     val newFiles = commits.map(_.path).toSeq.sorted
@@ -475,6 +511,13 @@ private[sources] class GraftCowWrite(table: GraftTable,
     val replaced = Option(op.configuredScan)
       .map(_.activeFiles.toSet)
       .getOrElse(table.manifest.map(_._1).toSet)
+    // everything this operation's snapshot could see — the baseline the
+    // added-files check diffs against
+    val snapshotPaths = table.manifest.map(_._1).toSet
+    val (scanLo, scanHi) = Option(op.configuredScan)
+      .map(s => (s.keyLo, s.keyHi)).getOrElse((Long.MinValue, Long.MaxValue))
+    GraftCatalog.commitRaceHook()
+    GraftCatalog.commitRaceHook = () => ()
     var attempts = 0
     while (attempts < 10) {
       attempts += 1
@@ -486,13 +529,24 @@ private[sources] class GraftCowWrite(table: GraftTable,
           s"concurrent write conflict on ${table.name}: " +
             s"${(replaced -- curPaths).size} of the files this statement " +
             "rewrote were replaced by another commit; re-run the statement")
+      val added = cur.filterNot { case (f, _) => snapshotPaths(f) }
+      val overlappingAdds = added.filterNot {
+        case (_, Some((mn, mx))) => mx < scanLo || mn > scanHi
+        case (_, None) => false // no stats: cannot prove disjoint
+      }
+      if (overlappingAdds.nonEmpty)
+        throw new IllegalStateException(
+          s"concurrent write conflict on ${table.name}: " +
+            s"${overlappingAdds.size} file(s) were added by another commit " +
+            "inside this statement's key window, so rows computed from the " +
+            "stale snapshot could contradict them; re-run the statement")
       val carried = cur.filterNot { case (f, _) => replaced(f) }
       val stats = carried.collect { case (f, Some(s)) => f -> s }.toMap ++ newStats
       if (Extras5.q78TryCommit(table.base, latest + 1,
           carried.map(_._1) ++ newFiles, stats))
         return
       // lost the CAS to a concurrent commit — loop re-resolves and,
-      // if our replaced files are still live there, rebases the carry
+      // if the conflict checks still pass there, rebases the carry
     }
     throw new IllegalStateException(
       s"gave up committing to ${table.name} after $attempts CAS attempts")
@@ -562,47 +616,63 @@ private[sources] class GraftWriterFactory(schema: StructType, dir: String)
     new GraftDataWriter(schema, dir, partitionId, taskId)
 }
 
-/** Parquet example-Group writer; tracks the stats column's min/max so
-  * the commit records per-file stats without any post-hoc footer read. */
+/** Parquet writer on Spark's OWN write support (InternalRow →
+  * parquet pages directly, the exact binary shape `spark.write.parquet`
+  * emits — no per-row example-Group object materialization); tracks the
+  * stats column's min/max so the commit records per-file stats without
+  * any post-hoc footer read. */
 private[sources] class GraftDataWriter(schema: StructType, dir: String,
     partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
 
   private val path = s"$dir/part-$partitionId-$taskId.parquet"
-  private val messageType = GraftParquet.toMessageType(schema)
   private val keyIdx = schema.fieldNames.indexOf(GraftCatalog.StatsColumn)
+  // commits record Long-semantics key stats; widen integral key types,
+  // disable tracking for anything else (a non-integral StatsColumn must
+  // not crash the write — the file just commits stats-less)
+  private val keyGet: Option[InternalRow => Long] =
+    if (keyIdx < 0) None
+    else schema.fields(keyIdx).dataType match {
+      case LongType => Some(r => r.getLong(keyIdx))
+      case IntegerType => Some(r => r.getInt(keyIdx).toLong)
+      case _ => None
+    }
   private var rows = 0L
   private var keyLo = Long.MaxValue
   private var keyHi = Long.MinValue
 
   private lazy val writer = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    ExampleParquetWriter.builder(new HPath(path))
-      .withType(messageType)
-      .withConf(new Configuration())
+    val conf = new Configuration()
+    ParquetWriteSupport.setSchema(schema, conf)
+    // ParquetWriteSupport.init / SparkToParquetSchemaConverter read
+    // these keys WITHOUT defaults — pin the session defaults
+    import org.apache.spark.sql.internal.SQLConf
+    conf.setBoolean(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, false)
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+    conf.setBoolean(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, false)
+    conf.setBoolean(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, false)
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    class Bldr(p: HPath) extends ParquetWriter.Builder[InternalRow, Bldr](p) {
+      override def self(): Bldr = this
+      override def getWriteSupport(c: Configuration): WriteSupport[InternalRow] =
+        new ParquetWriteSupport
+    }
+    new Bldr(new HPath(path))
+      .withConf(conf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
       .build()
   }
 
   override def write(row: InternalRow): Unit = {
-    val g = new SimpleGroup(messageType)
-    schema.fields.zipWithIndex.foreach { case (f, i) =>
-      if (!row.isNullAt(i)) f.dataType match {
-        case LongType => g.add(i, row.getLong(i))
-        case IntegerType => g.add(i, row.getInt(i))
-        case DoubleType => g.add(i, row.getDouble(i))
-        case BooleanType => g.add(i, row.getBoolean(i))
-        case StringType => g.add(i, row.getUTF8String(i).toString)
-        case d: DecimalType =>
-          g.add(i, row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
-        case other => throw new UnsupportedOperationException(
-          s"graft catalog writer: unsupported type $other for ${f.name}")
+    keyGet.foreach { g =>
+      if (!row.isNullAt(keyIdx)) {
+        val k = g(row)
+        keyLo = math.min(keyLo, k); keyHi = math.max(keyHi, k)
       }
     }
-    if (keyIdx >= 0 && !row.isNullAt(keyIdx)) {
-      val k = row.getLong(keyIdx)
-      keyLo = math.min(keyLo, k); keyHi = math.max(keyHi, k)
-    }
     rows += 1
-    writer.write(g)
+    writer.write(row)
   }
 
   override def commit(): WriterCommitMessage = {
@@ -611,7 +681,8 @@ private[sources] class GraftDataWriter(schema: StructType, dir: String,
       // never opened (lazy) or opened empty: leave no file behind
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
     }
-    GraftSqlCommit(path, rows, keyLo, keyHi, keyIdx >= 0 && rows > 0)
+    GraftSqlCommit(path, rows, keyLo, keyHi,
+      keyGet.isDefined && rows > 0 && keyLo <= keyHi)
   }
 
   override def abort(): Unit = {
@@ -654,33 +725,5 @@ private[sources] object GraftParquet {
           nullable = f.getRepetition != PType.Repetition.REQUIRED)
       }.toArray)
     } finally reader.close()
-  }
-
-  def toMessageType(schema: StructType): MessageType = {
-    val b = Types.buildMessage()
-    schema.fields.foreach { f =>
-      val rep =
-        if (f.nullable) PType.Repetition.OPTIONAL else PType.Repetition.REQUIRED
-      f.dataType match {
-        case LongType =>
-          b.addField(Types.primitive(PrimitiveTypeName.INT64, rep).named(f.name))
-        case IntegerType =>
-          b.addField(Types.primitive(PrimitiveTypeName.INT32, rep).named(f.name))
-        case DoubleType =>
-          b.addField(Types.primitive(PrimitiveTypeName.DOUBLE, rep).named(f.name))
-        case BooleanType =>
-          b.addField(Types.primitive(PrimitiveTypeName.BOOLEAN, rep).named(f.name))
-        case StringType =>
-          b.addField(Types.primitive(PrimitiveTypeName.BINARY, rep)
-            .as(LogicalTypeAnnotation.stringType()).named(f.name))
-        case d: DecimalType if d.precision <= 18 =>
-          b.addField(Types.primitive(PrimitiveTypeName.INT64, rep)
-            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-            .named(f.name))
-        case other => throw new UnsupportedOperationException(
-          s"graft catalog: unsupported write type $other for ${f.name}")
-      }
-    }
-    b.named("graft_row")
   }
 }

@@ -1,19 +1,11 @@
 package graft.sources
 
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.parquet.example.data.Group
-import org.apache.parquet.hadoop.ParquetReader
-import org.apache.parquet.hadoop.example.GroupReadSupport
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 
 import graft.queries.Extras5
 
@@ -37,12 +29,25 @@ import graft.queries.Extras5
   * aggregation downstream — each transition is wholly contained in one
   * batch, so the classification never straddles a trigger.
   *
+  * `startingVersion` is EXCLUSIVE: the first transition served is
+  * startingVersion → startingVersion+1 ("changes SINCE this version" —
+  * note this is the opposite convention from Delta CDF's inclusive
+  * startingVersion). It must name a still-resolvable manifest ≥ 1;
+  * versions expired by VACUUM (q91) fail fast at scan build with a
+  * retention error naming the earliest available version, and a
+  * transition expiring mid-stream (a VACUUM racing a slow consumer)
+  * fails the batch with the same retention message instead of a raw
+  * FS exception — Delta's startingVersion-out-of-retention shape.
+  *
   * Restart/resume is the engine's own offset checkpointing: the
   * committed version is the offset, so a restarted query continues
   * from the first uncommitted transition and never re-emits a commit.
   * At 100 TB: a batch's cost ∝ the commits' rewrite footprint (never
-  * table size), and the source's driver-side work is O(#files) manifest
-  * metadata per transition.
+  * table size), the source's driver-side work is O(#files) manifest
+  * metadata per transition, and the leaf I/O is the same vectorized,
+  * projection-pruned columnar path the catalog's snapshot reads use
+  * (GraftParquetIO) — (side, commit_version) ride as per-partition
+  * constants, never decoded from disk.
   */
 private[sources] class GraftChangeFeedTable(tableName: String, base: String)
     extends Table with SupportsRead {
@@ -65,7 +70,8 @@ private[sources] class GraftChangeFeedTable(tableName: String, base: String)
     val startingVersion = Option(options.get("startingversion"))
       .map(_.toInt).getOrElse(1)
     val endingVersion = Option(options.get("endingversion")).map(_.toInt)
-    () => new GraftChangeFeedScan(base, schema, startingVersion, endingVersion)
+    GraftChangeFeed.requireResolvable(base, startingVersion)
+    new GraftChangeFeedScanBuilder(base, schema, startingVersion, endingVersion)
   }
 }
 
@@ -86,6 +92,59 @@ private[graft] object GraftChangeFeed {
       StructField("commit_version", LongType, nullable = false) +:
       dataSchema.fields)
   }
+
+  /** Still-resolvable manifest versions, from the `_manifests` listing
+    * — O(#versions) driver metadata. */
+  private def availableVersions(base: String): Seq[Int] = {
+    val dir = new java.io.File(base, "_manifests")
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => "^v(\\d+)\\.txt$".r.findFirstMatchIn(f.getName)
+        .map(_.group(1).toInt)).toSeq.sorted
+  }
+
+  /** Fails fast with a clear retention message when `version` does not
+    * resolve — the Delta startingVersion-out-of-retention contract
+    * (instead of a raw NoSuchFileException from manifest resolution). */
+  def requireResolvable(base: String, version: Int): Unit = {
+    val avail = availableVersions(base)
+    if (version < 1 || !avail.contains(version)) {
+      val earliest = avail.headOption.getOrElse(0)
+      throw new IllegalArgumentException(
+        s"change feed startingVersion=$version is unavailable for $base: " +
+          s"manifest v$version does not resolve (valid range: " +
+          s"${math.max(1, earliest)}..${avail.lastOption.getOrElse(0)}; " +
+          "earlier versions were expired by VACUUM). startingVersion is " +
+          "EXCLUSIVE — the first transition served is " +
+          "startingVersion -> startingVersion+1.")
+    }
+  }
+
+  /** Resolves a transition endpoint, converting an expired manifest
+    * into the retention error (a VACUUM can race a slow consumer). */
+  def resolveOrRetentionError(base: String, version: Int): Seq[String] =
+    try Extras5.q78Resolve(base, version)
+    catch {
+      case e: java.nio.file.NoSuchFileException =>
+        val avail = availableVersions(base)
+        throw new IllegalStateException(
+          s"change feed transition needs manifest v$version of $base, " +
+            s"which was expired by VACUUM (earliest available: " +
+            s"v${avail.headOption.getOrElse(0)}); restart the feed with " +
+            "startingVersion >= the earliest available version", e)
+    }
+}
+
+private[sources] class GraftChangeFeedScanBuilder(base: String,
+    full: StructType, startingVersion: Int, endingVersion: Option[Int])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftChangeFeedScan(base, required, startingVersion, endingVersion)
 }
 
 private[sources] class GraftChangeFeedScan(base: String, schema: StructType,
@@ -103,7 +162,7 @@ private[sources] class GraftChangeFeedScan(base: String, schema: StructType,
       .planInputPartitions(GraftVersionOffset(startingVersion),
         GraftVersionOffset(endingVersion.getOrElse(Extras5.q78Latest(base))))
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftChangeReaderFactory(schema)
+    new GraftVectorizedReaderFactory(schema, Set("side", "commit_version"))
   override def description(): String = s"GraftChangeFeedScan($base)"
 }
 
@@ -126,77 +185,25 @@ private[graft] class GraftChangeFeedStream(base: String,
 
   override def commit(end: Offset): Unit = () // manifests are immutable
 
-  /** One partition per (file, side, transition) over the symmetric
-    * difference of each transition's manifests. */
+  /** Byte-split partitions per (file, side, transition) over the
+    * symmetric difference of each transition's manifests; (side,
+    * commit_version) ride as per-partition constants. */
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftVersionOffset].v
     val e = end.asInstanceOf[GraftVersionOffset].v
     (s + 1 to e).flatMap { v =>
-      val pre = Extras5.q78Resolve(base, v - 1)
-      val post = Extras5.q78Resolve(base, v)
-      val shared = pre.toSet.intersect(post.toSet)
-      pre.filterNot(shared).map(f => GraftChangePartition(f, "pre", v)) ++
-        post.filterNot(shared).map(f => GraftChangePartition(f, "post", v))
+      val pre = GraftChangeFeed.resolveOrRetentionError(base, v - 1).toSet
+      val post = GraftChangeFeed.resolveOrRetentionError(base, v).toSet
+      def side(files: Set[String], tag: String) =
+        GraftParquetIO.planSplits((files -- (pre intersect post)).toSeq.sorted,
+          _ => Map("side" -> tag, "commit_version" -> v.toLong))
+      side(pre, "pre") ++ side(post, "post")
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftChangeReaderFactory(schema)
+    new GraftVectorizedReaderFactory(schema, Set("side", "commit_version"))
 
   override def stop(): Unit = ()
-}
-
-private[graft] case class GraftChangePartition(path: String, side: String,
-    version: Int) extends InputPartition
-
-private[sources] class GraftChangeReaderFactory(schema: StructType)
-    extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftChangeReader(partition.asInstanceOf[GraftChangePartition], schema)
-}
-
-/** Group reader emitting (side, commit_version, <data columns>). */
-private[sources] class GraftChangeReader(part: GraftChangePartition,
-    schema: StructType) extends PartitionReader[InternalRow] {
-
-  private val dataFields = schema.fields.drop(2)
-  private val reader: ParquetReader[Group] =
-    ParquetReader.builder(new GroupReadSupport(), new HPath(part.path))
-      .withConf(new Configuration()).build()
-  private var current: Group = _
-
-  override def next(): Boolean = {
-    current = reader.read()
-    current != null
-  }
-
-  override def get(): InternalRow = {
-    val g = current
-    val fileSchema = g.getType
-    val values = new Array[Any](schema.length)
-    values(0) = UTF8String.fromString(part.side)
-    values(1) = part.version.toLong
-    dataFields.zipWithIndex.foreach { case (f, i) =>
-      // pre-evolution files lack columns added by ALTER TABLE → NULL
-      val idx = if (fileSchema.containsField(f.name))
-        fileSchema.getFieldIndex(f.name) else -1
-      values(i + 2) =
-        if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) null
-        else f.dataType match {
-          case LongType => g.getLong(idx, 0)
-          case IntegerType => g.getInteger(idx, 0)
-          case DoubleType => g.getDouble(idx, 0)
-          case BooleanType => g.getBoolean(idx, 0)
-          case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
-          case d: DecimalType =>
-            Decimal.createUnsafe(g.getLong(idx, 0), d.precision, d.scale)
-          case other => throw new UnsupportedOperationException(
-            s"change feed reader: unsupported type $other for ${f.name}")
-        }
-    }
-    new GenericInternalRow(values)
-  }
-
-  override def close(): Unit = reader.close()
 }

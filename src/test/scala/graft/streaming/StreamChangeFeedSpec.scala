@@ -100,15 +100,17 @@ class StreamChangeFeedSpec extends SparkSpec {
       GraftChangeFeed.schemaFor(base), 1)
     val parts = stream.planInputPartitions(
       GraftVersionOffset(1), GraftVersionOffset(2))
-      .map(_.asInstanceOf[graft.sources.GraftChangePartition])
+      .map(_.asInstanceOf[graft.sources.GraftParquetIO.GraftFileSplit])
     val pre = Extras5.q78Resolve(base, 1).toSet
     val post = Extras5.q78Resolve(base, 2).toSet
     val shared = pre.intersect(post)
     assert(shared.nonEmpty, "fixture must carry files for pruning to matter")
     assert(parts.forall(p => !shared.contains(p.path)),
       "carried files must never be planned")
-    assert(parts.filter(_.side == "pre").map(_.path).toSet == pre -- shared)
-    assert(parts.filter(_.side == "post").map(_.path).toSet == post -- shared)
-    assert(parts.forall(_.version == 2))
+    def sideOf(p: graft.sources.GraftParquetIO.GraftFileSplit): String =
+      p.constants("side").asInstanceOf[String]
+    assert(parts.filter(sideOf(_) == "pre").map(_.path).toSet == pre -- shared)
+    assert(parts.filter(sideOf(_) == "post").map(_.path).toSet == post -- shared)
+    assert(parts.forall(_.constants("commit_version") == 2L))
   }
 }
