@@ -164,6 +164,75 @@ class GraftCatalogSpec extends SparkSpec {
     assert(feed.exists(r => r.getLong(1) == 3 && r.getString(3) == "new-era"))
   }
 
+  test("big files split into multiple partitions; every row read exactly once") {
+    val (name, base) = freshTable()
+    val nFiles = Extras5.q78Resolve(base, 1).size
+    val expect = spark.sql(
+      s"SELECT COUNT(*), SUM(o_orderkey) FROM graft.$name").head()
+    // tiny split target: each (small) fixture file spans several splits;
+    // parquet's midpoint rule must hand every row group to exactly one
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+    try {
+      val cat = new GraftCatalog
+      cat.initialize("graft", CaseInsensitiveStringMap.empty())
+      val table = cat.loadTable(Identifier.of(Array.empty, name))
+        .asInstanceOf[GraftTable]
+      val planned = new GraftScanBuilder(table, None).build()
+        .asInstanceOf[GraftScan].planInputPartitions()
+      assert(planned.length > nFiles,
+        s"expected more partitions than the $nFiles files, got ${planned.length}")
+      val got = spark.sql(
+        s"SELECT COUNT(*), SUM(o_orderkey) FROM graft.$name").head()
+      assert(got == expect, "split reads must neither lose nor duplicate rows")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", "128MB")
+  }
+
+  test("a fresh catalog instance resolves tables from the persisted registry") {
+    val (name, base) = freshTable()
+    // drop the in-JVM registry: resolution now MUST come from
+    // _catalog.json under the warehouse root
+    GraftCatalog.resetInMemoryForTest()
+    val cat = new GraftCatalog
+    cat.initialize("graft", CaseInsensitiveStringMap.empty())
+    val t = cat.loadTable(Identifier.of(Array.empty, name))
+      .asInstanceOf[GraftTable]
+    assert(t.base == base)
+    // and the reload repopulated the shared registry for the session
+    assert(GraftCatalog.baseFor(name).contains(base))
+  }
+
+  test("MERGE aborts when a concurrent commit adds files it did not see") {
+    val (name, base) = freshTable()
+    val (loKey, hiKey) = keyRange(name)
+    spark.sql(s"SELECT $loKey AS d_key, 'X' AS d_status, " +
+      "CAST(1 AS DECIMAL(18,2)) AS d_price")
+      .createOrReplaceTempView("conflict_delta")
+    // a competing INSERT lands inside the merge's snapshot->commit window
+    GraftCatalog.commitRaceHook = () =>
+      spark.sql(s"INSERT INTO graft.$name VALUES " +
+        s"(${hiKey + 7}, 'C', CAST(0 AS DECIMAL(18,2)))")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.$name t USING conflict_delta d
+           |ON t.o_orderkey = d.d_key
+           |WHEN MATCHED THEN UPDATE SET o_orderstatus = d.d_status""".stripMargin)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("re-run the statement")),
+      s"expected the added-file conflict message, got: ${messages(e)}")
+    // the insert's commit is intact, and re-running the merge against
+    // the fresh snapshot succeeds and composes both effects
+    spark.sql(
+      s"""MERGE INTO graft.$name t USING conflict_delta d
+         |ON t.o_orderkey = d.d_key
+         |WHEN MATCHED THEN UPDATE SET o_orderstatus = d.d_status""".stripMargin)
+    assert(spark.sql(s"SELECT o_orderstatus FROM graft.$name " +
+      s"WHERE o_orderkey = $loKey").head().getString(0) == "X")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name " +
+      s"WHERE o_orderkey = ${hiKey + 7}").head().getLong(0) == 1)
+  }
+
   test("key predicates prune files statically via committed stats") {
     val (name, base) = freshTable()
     val (loKey, _) = keyRange(name)

@@ -94,6 +94,51 @@ class StreamChangeFeedSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("vacuumed versions fail with a retention error, not a raw FS exception") {
+    val base = Extras6.q92Build(spark, sf) // versions 1..4
+    GraftCatalog.install(spark)
+    val name = s"cdfvac_${java.util.UUID.randomUUID().toString.take(8)}"
+    GraftCatalog.register(name, base)
+    // VACUUM away v1 (the q91 shape: retained versions keep their files)
+    val retained = (2 to 4).flatMap(Extras5.q78Resolve(base, _)).toSet
+    Extras5.q78Resolve(base, 1).filterNot(retained)
+      .foreach(p => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(base, "_manifests", "v1.txt"))
+
+    def messagesOf(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messagesOf(t.getCause)
+
+    // startingVersion below the horizon (or nonsensical) fails FAST at
+    // scan build, naming the valid range — Delta's out-of-retention shape
+    for (bad <- Seq("0", "1")) {
+      val e = intercept[Exception] {
+        spark.read.option("startingVersion", bad)
+          .table(s"graft.$name.changes").collect()
+      }
+      assert(messagesOf(e).exists(m =>
+        m.contains("unavailable") && m.contains("VACUUM")),
+        s"startingVersion=$bad: expected a retention error, got: ${messagesOf(e)}")
+    }
+
+    // from the earliest still-resolvable version the feed serves
+    // exactly the surviving transitions
+    val ok = spark.read.option("startingVersion", "2")
+      .table(s"graft.$name.changes")
+    assert(ok.select($"commit_version").distinct()
+      .as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+
+    // a transition expiring MID-STREAM (planInputPartitions hitting a
+    // vacuumed endpoint) reports the same retention contract
+    val stream = new GraftChangeFeedStream(base,
+      GraftChangeFeed.schemaFor(base), 1)
+    val e2 = intercept[Exception] {
+      stream.planInputPartitions(GraftVersionOffset(0), GraftVersionOffset(2))
+    }
+    assert(messagesOf(e2).exists(_.contains("expired by VACUUM")))
+  }
+
   test("a transition's partitions are exactly the manifests' symmetric difference") {
     val base = Extras6.q92Build(spark, sf)
     val stream = new GraftChangeFeedStream(base,
