@@ -207,8 +207,12 @@ object Extras6 {
   //     input_file_name(), shuffle by bin, write partitionBy(bin) — one
   //     output file per bin (each bin hashes to exactly one task).
   //     Single-file bins are NOT rewritten; they carry by reference.
-  //  3. COMMIT carried ++ compacted as manifest v2 — an atomic swap;
-  //     v1 stays resolvable (no file is ever deleted or mutated).
+  //  3. COMMIT carried ++ compacted through the OPTIMISTIC CAS
+  //     (compactionCommitOcc): a lost race to a writer that left our
+  //     inputs intact rebases the carried list; a race that rewrote an
+  //     input ABANDONS the compaction (layout maintenance yields to
+  //     data writers — Delta/Iceberg OPTIMIZE semantics). v1 stays
+  //     resolvable (no file is ever deleted or mutated).
   // The hash-verified result reads v1 and v2 side by side: identical
   // aggregates ARE the compaction invariant (layout maintenance must
   // never change query results). Extras6Spec pins the file-level
@@ -273,7 +277,10 @@ object Extras6 {
             f.getName.startsWith("part-") && f.getName.endsWith(".parquet")))
           .map(_.getAbsolutePath).toSeq.sorted
       }
-    Extras5.q78Commit(base, 2, carried ++ compactedFiles)
+    val committed = compactionCommitOcc(base,
+      inputs = multi.flatMap(_._2), outputs = compactedFiles,
+      outDir = s"$base/compact-v2")
+    assert(committed.contains(2), s"sole-writer fixture must commit v2, got $committed")
     Q89State(base, v1Files, bins, carried, compactedFiles)
   }
 
@@ -331,10 +338,11 @@ object Extras6 {
     * broadcast joins of the (small) batch; rewrite I/O ∝ the batch's
     * file footprint; the commit is an atomic manifest swap, so a reader
     * mid-stream always sees a complete version — never a half-applied
-    * batch. This path commits as the SOLE writer (st21's micro-batches
-    * are serialized by the streaming engine); concurrent writers use
-    * cowMergeCommitOcc, which turns the same swap into a CAS + rebase
-    * loop. */
+    * batch. This path commits as the SOLE writer — it is for fixture
+    * builds with no concurrency by construction; every path that can
+    * race (st21's streaming apply, q89's compaction, the SQL catalog)
+    * commits through the optimistic CAS + rebase loop
+    * (cowMergeCommitOcc / compactionCommitOcc / GraftCowWrite). */
   /** The COW merge computation against a concrete file list `cur`:
     * discover touched files, rewrite them with the delta applied, write
     * the new files to `outDir`. Returns (touched, carried, new files).
@@ -386,7 +394,8 @@ object Extras6 {
       version: Int, casLost: Int, rewrites: Int, conflicting: Seq[String])
 
   /** MERGE with optimistic concurrency on the manifest protocol — the
-    * multi-writer path q88/st21's single-writer commit lacks. Loop:
+    * multi-writer commit st21's streaming apply rides per micro-batch
+    * (q88's fixture build stays single-writer by construction). Loop:
     *  1. read the CURRENT latest version and its file list;
     *  2. run the COW merge against it (discovery + rewrite);
     *  3. q78TryCommit(latest+1): the atomic exclusive create is the
@@ -409,9 +418,11 @@ object Extras6 {
     var casLost = 0
     var rewrites = 0
     var conflicting = Seq.empty[String]
-    var attempt = 0
-    while (attempt < maxAttempts) {
-      attempt += 1
+    // one budget bounds ALL CAS attempts — rewrite attempts and salvage
+    // retries alike — so a steady stream of winners cannot spin the
+    // salvage loop forever
+    def tries = rewrites + casLost
+    while (tries < maxAttempts) {
       val from = Extras5.q78Latest(base)
       val cur = Extras5.q78Resolve(base, from)
       val outDir = s"$base/files-occ-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -427,7 +438,7 @@ object Extras6 {
       // several commits ahead, and salvage the rewrite when the
       // interleaved commits didn't touch our files
       var salvaged = true
-      while (salvaged) {
+      while (salvaged && tries < maxAttempts) {
         casLost += 1
         val now = Extras5.q78Latest(base)
         val newCur = Extras5.q78Resolve(base, now)
@@ -448,9 +459,55 @@ object Extras6 {
           salvaged = false // true conflict: fall out to a full redo
         }
       }
+      // the staged output is abandoned (redo, or budget exhausted):
+      // delete it so lost races never orphan data files
+      deleteRecursively(outDir)
     }
     throw new IllegalStateException(
       s"cowMergeCommitOcc: gave up after $maxAttempts attempts on $base")
+  }
+
+  private[graft] def deleteRecursively(dir: String): Unit = {
+    def loop(d: java.io.File): Unit = {
+      Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.isDirectory) loop(f)
+        else java.nio.file.Files.deleteIfExists(f.toPath)
+      }
+      java.nio.file.Files.deleteIfExists(d.toPath)
+    }
+    loop(new java.io.File(dir))
+  }
+
+  /** Compaction commit with optimistic concurrency (q89's layout
+    * rewrite racing real writers): CAS at latest+1; on a lost race, if
+    * every INPUT file is still live in the new latest the compaction is
+    * still valid — rebase the carried list and retry; if any input was
+    * rewritten away by the winner, ABANDON the compaction (delete its
+    * output, commit nothing) — layout maintenance is optional work, so
+    * on conflict it yields to the data writer instead of fighting it
+    * (Delta/Iceberg OPTIMIZE semantics). Returns the committed version,
+    * or None if abandoned. */
+  private[graft] def compactionCommitOcc(base: String, inputs: Seq[String],
+      outputs: Seq[String], outDir: String,
+      maxAttempts: Int = 10): Option[Int] = {
+    val inputSet = inputs.toSet
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      val latest = Extras5.q78Latest(base)
+      val cur = Extras5.q78Resolve(base, latest)
+      if (!inputSet.subsetOf(cur.toSet)) {
+        // a data writer rewrote one of our inputs: the compacted output
+        // is stale — yield
+        deleteRecursively(outDir)
+        return None
+      }
+      val carried = cur.filterNot(inputSet)
+      if (Extras5.q78TryCommit(base, latest + 1, carried ++ outputs))
+        return Some(latest + 1)
+    }
+    deleteRecursively(outDir)
+    None
   }
 
   /** The standard snapshot aggregate used by q88/q89/st21 results. */
@@ -749,14 +806,17 @@ object Extras6 {
     val span = mx - mn + 1
     val sliced = t.withColumn("slice",
       expr(s"((o_orderkey - $mn) * 8) div $span"))
-    val nonEmpty = sliced.groupBy($"slice").count()
-      .select($"slice").as[Long].collect().sorted
-    val files = nonEmpty.flatMap { i =>
-      val out = s"$base/slice-$i"
-      sliced.filter($"slice" === i).drop("slice")
-        .coalesce(1).write.parquet(out)
-      parts(out)
-    }.toSeq
+    // ONE pass: repartition by slice (each slice's rows land in exactly
+    // one task) + partitionBy (one file per slice directory) — the q89
+    // pattern, instead of 8 filtered scans of the table
+    sliced.repartition($"slice")
+      .write.partitionBy("slice").parquet(s"$base/slices")
+    val files = new java.io.File(s"$base/slices").listFiles()
+      .filter(_.getName.startsWith("slice="))
+      .sortBy(_.getName)
+      .flatMap(d => d.listFiles().filter(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet")))
+      .map(_.getAbsolutePath).toSeq
     val stats = Extras5.parquetKeyStats(files, "o_orderkey")
     Extras5.q78Commit(base, 1, files, stats)
     val (lo, hi) = (mn + span * 3 / 16, mn + span * 5 / 16)

@@ -894,7 +894,12 @@ object EventsStream {
   // st21: STREAMING CDC APPLY — the change-data-capture loop every
   // lakehouse runs: a change feed (upserts + deletes) applied to the
   // q78-manifest versioned table as one COPY-ON-WRITE merge COMMIT per
-  // micro-batch (foreachBatch → Extras6.cowMergeCommit). Composes the
+  // micro-batch (foreachBatch → Extras6.cowMergeCommitOcc, the
+  // optimistic CAS + rebase loop — so the stream survives RACING
+  // writers: a compaction (q89), a VACUUM-adjacent commit, or another
+  // CDC apply landing between a batch's snapshot read and its commit
+  // rebases or re-runs instead of throwing; StreamCdcSpec interleaves
+  // a competing commit mid-stream and both deltas land). Composes the
   // round's two write paths: q88's merge machinery under p03's
   // streaming drain. Exactly-once at the table level comes from the
   // commit protocol, not the stream: each batch's merge lands as an
@@ -912,7 +917,8 @@ object EventsStream {
   // (file-pruned, broadcast-joined), state NONE (the table IS the
   // state), old versions retained for time travel until expired.
   // ---------------------------------------------------------------------
-  private[graft] def st21Run(spark: SparkSession, dir: String): (String, Long, Long) = {
+  private[graft] def st21Run(spark: SparkSession, dir: String,
+      raceHook: (String, Int) => Unit = (_, _) => ()): (String, Long, Long) = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types.DecimalType
@@ -928,21 +934,25 @@ object EventsStream {
       .repartition(4)
       .write.parquet(src)
     val schema = spark.read.parquet(src).schema
-    val version = new AtomicLong(1)
+    val commits = new AtomicLong(0)
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.queries.Extras6.cowMergeCommit(spark, base,
-          version.get().toInt, batch)
-        version.incrementAndGet()
+        // multi-writer-safe commit: the CAS+rebase loop absorbs any
+        // writer that lands between this batch's snapshot and its
+        // commit (the version is re-discovered inside the loop, never
+        // assumed from a local counter)
+        graft.queries.Extras6.cowMergeCommitOcc(spark, base, batch,
+          raceHook = from => raceHook(base, from))
+        commits.incrementAndGet()
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
     val feedFiles = new java.io.File(src).listFiles()
       .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-    (base, version.get() - 1, feedFiles.toLong)
+    (base, commits.get(), feedFiles.toLong)
   }
 
   def st21(spark: SparkSession, dir: String): DataFrame = {

@@ -159,6 +159,19 @@ class OccCommitSpec extends SparkSpec {
       .filter($"o_orderkey" === loKey).head()
     assert(v3row.getAs[java.math.BigDecimal]("price") ==
       baseRow.getAs[java.math.BigDecimal]("price").add(java.math.BigDecimal.TEN))
+    // the abandoned first rewrite's outDir was deleted on redo: every
+    // surviving files-occ-* directory holds only manifest-referenced
+    // files — lost races never orphan data files (r14 advice)
+    val referenced = (1 to 3).flatMap(Extras5.q78Resolve(base, _)).toSet
+    val occDirs = new java.io.File(base).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("files-occ-"))
+    assert(occDirs.nonEmpty, "the winning rewrite's dir survives")
+    occDirs.foreach { d =>
+      val files = d.listFiles().map(_.getAbsolutePath).toSeq
+        .filter(_.endsWith(".parquet"))
+      assert(files.forall(referenced),
+        s"orphaned parquet output left behind in ${d.getName}")
+    }
   }
 }
 

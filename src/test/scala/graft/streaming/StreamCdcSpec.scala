@@ -52,4 +52,41 @@ class StreamCdcSpec extends SparkSpec {
     // the stream actually changed the table
     assert(v1.exceptAll(streamed).count() > 0)
   }
+
+  test("a competing commit mid-stream rebases; both deltas land, nothing throws") {
+    import org.apache.spark.sql.types.DecimalType
+    // competing delta on a key OUTSIDE the feed (≡ 3 mod 7, so the
+    // streaming batches never touch it): deterministic composition
+    val competingKey = graft.Tables.load(spark, sf, "orders")
+      .filter($"o_orderkey" % 21 === 3)
+      .select(min($"o_orderkey")).as[Long].head()
+    val competing = graft.Tables.load(spark, sf, "orders")
+      .filter($"o_orderkey" === competingKey)
+      .select($"o_orderkey".as("d_key"), lit("U").as("d_op"),
+        lit("RACER").as("d_status"),
+        $"o_totalprice".cast(DecimalType(18, 2)).as("d_price"))
+    // fire the competitor INSIDE the first batch's snapshot->CAS window
+    // (the OCC race seam): its single-writer commit wins that version,
+    // the stream's batch must rebase — not throw
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val (base, nCommits, feedFiles) = EventsStream.st21Run(spark, sf,
+      raceHook = (tableBase, from) =>
+        if (fired.compareAndSet(false, true))
+          Extras6.cowMergeCommit(spark, tableBase, from, competing))
+    assert(nCommits == feedFiles, "every micro-batch still committed")
+    val finalV = Extras5.q78Latest(base)
+    assert(finalV == (1 + nCommits + 1).toInt,
+      s"stream commits + the competitor must all land, latest=$finalV")
+    val fin = spark.read.parquet(Extras5.q78Resolve(base, finalV): _*)
+    // the competitor's delta survived the interleaved stream commits
+    assert(fin.filter($"o_orderkey" === competingKey &&
+      $"o_orderstatus" === "RACER").count() == 1)
+    // and the streamed CDC result equals the one-shot truth everywhere else
+    val oneBase = Extras6.cdcBase(spark, sf)
+    Extras6.cowMergeCommit(spark, oneBase, 1, feed)
+    val oneShot = spark.read.parquet(Extras5.q78Resolve(oneBase, 2): _*)
+      .filter($"o_orderkey" =!= competingKey)
+    val streamed = fin.filter($"o_orderkey" =!= competingKey)
+    assert(streamed.exceptAll(oneShot).isEmpty && oneShot.exceptAll(streamed).isEmpty)
+  }
 }
