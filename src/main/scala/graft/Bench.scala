@@ -26,7 +26,7 @@ object Bench {
     * measured surface. */
   val opNames: Seq[String] = Seq("d01_exact_dedup", "d06_dup_clusters",
     "s05_knn_join",
-    "t08_winnow_overlap", "t11_bm25_score",
+    "t11_bm25_score",
     "t18_decontaminate", "s08_semdedup",
     "s09_ann_ivfpq", "s11_knn_join_scaled",
     "d09_substring_dedup",
@@ -51,18 +51,22 @@ object Bench {
     // r13 ROTATION ledger (see bench_full_last.json for last medians):
     // OUT d07 (p02 composes it), s04/s07 (s09 carries the PQ kernel),
     // t09/t14/t17/t20 (t08/t11/t18/t24 keep the text spread), m04.
-    // q80 stays THIS round so its write-path fix (dir-per-tile →
-    // sorted compact files) shows up as the r13 48.9s → single-digit
-    // drop against the same entry; it is the first rotate-out
-    // candidate for r15 now that the baseline exists.
-    "q80_zorder_skip",
+    // r15 ROTATION: q80_zorder_skip OUT, as the r13 ledger planned —
+    // its baseline exists (r13 48.87s, r14 2.95s after the sorted-
+    // compact-files fix, verified by the judge), the code is static,
+    // and it was the single most expensive entry (writes two full
+    // tiled layouts per run). Also OUT for line-budget: q88 (st21
+    // composes the same merge machinery per micro-batch and q93 is the
+    // SQL path of the identical rewrite — three stable baselines) and
+    // t08 (r12-r14 baselines flat; t11/t18/t24-26 keep the text
+    // spread). Their budget funds the r14 blind families below.
     // r13 features: MERGE INTO (COW+MOR), compaction commit, BPE train.
     // t24 note: r14 made trainer rounds INCREMENTAL (cost ∝ affected
     // words, measured by TextOpsBpeSpec's 100-merge run) — at the
     // testdata's toy ~61-word vocab that machinery is pure overhead,
     // so expect t24's median to step up ~2x vs r13; the win is the
     // 100x-merge-count path, not this corpus.
-    "q88_merge_cow_mor", "q89_compact_commit", "t24_bpe_train",
+    "q89_compact_commit", "t24_bpe_train",
     // r14 ROTATION (r13 verdict item 6): first baselines for the seven
     // blind r13 families (q90/q91/q92/st21/s15/t25/t26) plus the new
     // SQL-catalog merge (q93). Budget paid by rotating OUT eight
@@ -70,11 +74,19 @@ object Bench {
     // st10/st20 (st07+st17 keep stream joins & dedup), s13 (s15's
     // sweep subsumes the multiprobe cost question), q81/g02/q87 (one
     // clean r13 baseline each, static code), p04 (p02/p03 keep the
-    // pipeline family), m05 (m06 keeps multimodal matching). r14's
-    // own blind families (st22, q94) are the first adds for r15.
+    // pipeline family), m05 (m06 keeps multimodal matching).
+    // t25 note: its number is a COMPOSITE — t25 runs t24's full
+    // training internally before applying, so ~6s of its median IS
+    // t24; read it as the train+apply pipeline, not the apply alone.
     "q90_parquet_brotli", "q91_vacuum_expire", "q92_change_feed",
     "st21_stream_cdc_merge", "s15_nprobe_sweep", "t25_bpe_apply",
-    "t26_gopher_rules", "q93_sql_merge_catalog")
+    "t26_gopher_rules", "q93_sql_merge_catalog",
+    // r15: first baselines for the r14 blind families — the stats-
+    // pruned versioned read, the SQL table lifecycle, and the streaming
+    // change feed (all three now ride the vectorized catalog leaf I/O,
+    // so these baselines ALSO pin that path's cost)
+    "q94_stats_pruned_read", "q95_sql_table_lifecycle",
+    "st22_stream_change_feed")
 
   /** The x10 scale block's query set — ONE definition shared by the
     * sf1 child's warm-up loop and sf1Bench's measured loop, so the
