@@ -118,14 +118,24 @@ object GraftCatalog {
   }
 
   /** Loads `_catalog.json` under `dir` (if present) into the registry;
-    * in-JVM entries win on collision (they are at least as fresh). */
+    * in-JVM entries win on collision (they are at least as fresh).
+    * Entries whose base lost its `_manifests` (scratch dirs cleaned
+    * between runs) are dropped at load — the file self-heals instead
+    * of accumulating dead names forever. */
   private[sources] def attachWarehouse(dir: String): Unit = synchronized {
     warehouse = dir
     val f = java.nio.file.Paths.get(dir, "_catalog.json")
     if (java.nio.file.Files.exists(f)) {
       val loaded = mapper.readValue(f.toFile,
         classOf[java.util.Map[String, String]])
-      loaded.forEach((k, v) => tables.putIfAbsent(k, v))
+      var dropped = false
+      loaded.forEach { (k, v) =>
+        if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(v, "_manifests")))
+          tables.putIfAbsent(k, v)
+        else dropped = true
+      }
+      if (dropped) persist()
     }
   }
 
