@@ -478,6 +478,20 @@ object Extras5 {
   // manifests are O(#files) text, commits are atomic manifest swaps,
   // and old snapshots cost only the storage their files share.
   // ---------------------------------------------------------------------
+  /** One manifest entry: an immutable data file, its optional committed
+    * key-column (min, max), and an optional DELETION VECTOR — a sidecar
+    * of row POSITIONS within the file that are logically deleted
+    * (merge-on-read DELETE: the file is untouched, readers skip the
+    * listed ordinals). A DV change is a new logical version of the
+    * file, so commit-conflict identity is (path, dv), never path alone
+    * — two writers disagreeing about a file's live rows must conflict
+    * even though neither touched its bytes. */
+  private[graft] case class ManifestEntry(path: String,
+      stats: Option[(Long, Long)] = None, dv: Option[String] = None) {
+    /** Conflict identity for OCC checks: path + the DV generation. */
+    def identity: String = dv.fold(path)(d => path + "\u0000" + d)
+  }
+
   /** Commit `files` as manifest `v$version` — optimistic CAS on the
     * version number. The full manifest is staged to a temp name, then
     * PUBLISHED by an atomic exclusive create of the final name (hard
@@ -489,20 +503,40 @@ object Extras5 {
     * for the COW conflict-resolution loop). */
   private[graft] def q78TryCommit(base: String, version: Int,
       files: Seq[String],
-      stats: Map[String, (Long, Long)] = Map.empty): Boolean = {
+      stats: Map[String, (Long, Long)] = Map.empty): Boolean =
+    q78TryCommitEntries(base, version,
+      files.map(f => ManifestEntry(f, stats.get(f))))
+
+  /** Entry-level commit: data files with stats AND deletion vectors,
+    * plus header lines. Headers are `#key\tvalue` lines at the top of
+    * the manifest (parsers skip `#`): every commit records `ts` (epoch
+    * millis — TIMESTAMP AS OF resolves against it; override for
+    * deterministic fixtures), and idempotent writers (the streaming
+    * sink) record `txn\t<appId>\t<epoch>` watermarks. Headers ride
+    * INSIDE the manifest so the atomic publish covers them — same
+    * reason per-file stats do (a sidecar could split-brain under the
+    * CAS). */
+  private[graft] def q78TryCommitEntries(base: String, version: Int,
+      entries: Seq[ManifestEntry],
+      headers: Seq[(String, String)] = Seq.empty): Boolean = {
     val dir = java.nio.file.Paths.get(base, "_manifests")
     java.nio.file.Files.createDirectories(dir)
     val target = dir.resolve(s"v$version.txt")
-    // manifest line: path, optionally followed by the file's key-column
-    // min/max (tab-separated) — stats ride INSIDE the manifest so the
-    // atomic publish covers them (a sidecar could split-brain under the
-    // CAS). Files without stats are always kept by pruned reads.
-    val body = files.sorted.map { f =>
-      stats.get(f) match {
-        case Some((lo, hi)) => s"$f\t$lo\t$hi"
-        case None => f
-      }
-    }.mkString("\n").getBytes("UTF-8")
+    val hdr = if (headers.exists(_._1 == "ts")) headers
+      else ("ts" -> System.currentTimeMillis.toString) +: headers
+    // entry line: path, optionally followed by the file's key-column
+    // min/max (tab-separated; `-` placeholders when a DV'd file has no
+    // stats), optionally followed by the DV path. Files without stats
+    // are always kept by pruned reads.
+    val body = (hdr.map { case (k, v) => s"#$k\t$v" } ++
+      entries.sortBy(_.path).map { e =>
+        (e.stats, e.dv) match {
+          case (None, None) => e.path
+          case (Some((lo, hi)), None) => s"${e.path}\t$lo\t$hi"
+          case (Some((lo, hi)), Some(d)) => s"${e.path}\t$lo\t$hi\t$d"
+          case (None, Some(d)) => s"${e.path}\t-\t-\t$d"
+        }
+      }).mkString("\n").getBytes("UTF-8")
     val tmp = java.nio.file.Files.createTempFile(dir, s".v$version-", ".tmp")
     try {
       java.nio.file.Files.write(tmp, body)
@@ -535,6 +569,16 @@ object Extras5 {
           "(use q78TryCommit + rebase for multi-writer paths)")
   }
 
+  /** Entry-level single-writer commit (fixture builds). */
+  private[graft] def q78CommitEntries(base: String, version: Int,
+      entries: Seq[ManifestEntry],
+      headers: Seq[(String, String)] = Seq.empty): Unit = {
+    if (!q78TryCommitEntries(base, version, entries, headers))
+      throw new IllegalStateException(
+        s"concurrent commit detected: $base v$version already exists " +
+          "(use q78TryCommitEntries + rebase for multi-writer paths)")
+  }
+
   /** Latest committed version, from the manifest listing — O(#versions)
     * driver metadata. */
   private[graft] def q78Latest(base: String): Int = {
@@ -552,16 +596,65 @@ object Extras5 {
 
   /** Manifest entries with their optional key-column (min, max). */
   private[graft] def q78ResolveStats(base: String,
-      version: Int): Seq[(String, Option[(Long, Long)])] = {
+      version: Int): Seq[(String, Option[(Long, Long)])] =
+    q78ResolveEntries(base, version).map(e => (e.path, e.stats))
+
+  /** Full manifest entries: (path, stats, deletion vector). */
+  private[graft] def q78ResolveEntries(base: String,
+      version: Int): Seq[ManifestEntry] = {
     val p = java.nio.file.Paths.get(base, "_manifests", s"v$version.txt")
+    def stats(lo: String, hi: String): Option[(Long, Long)] =
+      if (lo == "-") None else Some((lo.toLong, hi.toLong))
     new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      .split("\n").toSeq.filter(_.nonEmpty)
+      .split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { line =>
         line.split("\t") match {
-          case Array(f, lo, hi) => (f, Some((lo.toLong, hi.toLong)))
-          case _ => (line, None)
+          case Array(f, lo, hi) => ManifestEntry(f, stats(lo, hi))
+          case Array(f, lo, hi, d) => ManifestEntry(f, stats(lo, hi), Some(d))
+          case _ => ManifestEntry(line)
         }
       }
+  }
+
+  /** A version's header fields (`#key\tvalue` manifest lines). */
+  private[graft] def q78CommitHeaders(base: String,
+      version: Int): Map[String, String] = {
+    val p = java.nio.file.Paths.get(base, "_manifests", s"v$version.txt")
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .split("\n").toSeq.filter(_.startsWith("#"))
+      .flatMap { line =>
+        line.drop(1).split("\t", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }
+      }.toMap
+  }
+
+  /** Commit timestamp (epoch millis): the `#ts` header when the commit
+    * recorded one, else the manifest file's mtime (pre-header manifests
+    * — the fallback keeps TIMESTAMP AS OF total over old tables). */
+  private[graft] def q78CommitTime(base: String, version: Int): Long =
+    q78CommitHeaders(base, version).get("ts").map(_.toLong).getOrElse(
+      java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(base, "_manifests", s"v$version.txt")).toMillis)
+
+  /** TIMESTAMP AS OF resolution: the LATEST version committed at or
+    * before `tsMillis` (Delta/Iceberg's timestamp→snapshot rule).
+    * Errors when the timestamp predates the first available commit —
+    * naming the earliest, so the caller can rephrase. O(#versions)
+    * driver metadata. */
+  private[graft] def q78VersionAt(base: String, tsMillis: Long): Int = {
+    val dir = new java.io.File(base, "_manifests")
+    val versions = Option(dir.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => "^v(\\d+)\\.txt$".r.findFirstMatchIn(f.getName)
+        .map(_.group(1).toInt)).sorted
+    if (versions.isEmpty) throw new IllegalStateException(
+      s"no commits under $base")
+    val stamped = versions.map(v => v -> q78CommitTime(base, v))
+    stamped.filter(_._2 <= tsMillis).map(_._1).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"timestamp $tsMillis predates the table's history: earliest " +
+          s"commit is v${stamped.head._1} at ${stamped.head._2}"))
   }
 
   /** Versioned read with stats pruning: only files whose committed

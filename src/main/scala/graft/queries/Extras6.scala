@@ -606,9 +606,13 @@ object Extras6 {
         $"o_orderstatus".as("d_status"), $"o_totalprice".cast(D2).as("d_price"))
     cowMergeCommit(spark, base, 2, ins)
 
-    // VACUUM: retain {v2, v3}, expire {v1}
-    val retained = (2 to 3).flatMap(Extras5.q78Resolve(base, _)).toSet
-    val expired = Extras5.q78Resolve(base, 1)
+    // VACUUM: retain {v2, v3}, expire {v1}. Reference-counted paths
+    // include deletion-vector sidecars — a DV referenced by a retained
+    // manifest is as live as the data file it filters.
+    def livePaths(v: Int): Seq[String] =
+      Extras5.q78ResolveEntries(base, v).flatMap(e => e.path +: e.dv.toList)
+    val retained = (2 to 3).flatMap(livePaths).toSet
+    val expired = livePaths(1)
     val (shared, toDelete) = expired.partition(retained.contains)
     toDelete.foreach(p => java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(p)))

@@ -20,6 +20,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedRe
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -167,6 +168,19 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     make(ident, Some(version.toInt))
 
+  /** TIMESTAMP AS OF <ts> lands here (micros since epoch): resolves to
+    * the latest version committed at or before the timestamp, from the
+    * `#ts` header every commit records — O(#versions) driver metadata,
+    * then identical to a VERSION AS OF read. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val base = if (ident.namespace.isEmpty) liveBaseFor(ident.name) else None
+    base match {
+      case Some(b) =>
+        make(ident, Some(Extras5.q78VersionAt(b, timestamp / 1000L)))
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
+
   /** Registry hit whose table data actually still exists; a persisted
     * entry whose base lost its `_manifests` (scratch cleaned between
     * runs) is dropped lazily and reads as unregistered. */
@@ -215,7 +229,10 @@ class GraftCatalog extends TableCatalog {
     if (liveBaseFor(ident.name).isDefined)
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(Seq(ident.name))
+    // the SQL LOCATION clause arrives URI-qualified (file:/...); the
+    // manifest protocol stores plain absolute paths
     val base = Option(properties.get("location"))
+      .map(l => if (l.startsWith("file:")) new java.net.URI(l).getPath else l)
       .getOrElse(graft.Scratch.dir(s"graft_${ident.name}"))
     val schema = new StructType(columns.map(c =>
       StructField(c.name, c.dataType, c.nullable)))
@@ -271,9 +288,10 @@ private[sources] class GraftTable(tableName: String, val base: String,
   val snapshotVersion: Int = pinned.getOrElse(Extras5.q78Latest(base))
   override def version(): String = snapshotVersion.toString
 
-  /** (path, committed key stats) for this snapshot. */
-  val manifest: Seq[(String, Option[(Long, Long)])] =
-    Extras5.q78ResolveStats(base, snapshotVersion)
+  /** Full manifest entries (path, committed key stats, deletion
+    * vector) for this snapshot. */
+  val manifest: Seq[Extras5.ManifestEntry] =
+    Extras5.q78ResolveEntries(base, snapshotVersion)
 
   override def name(): String = tableName
 
@@ -284,7 +302,7 @@ private[sources] class GraftTable(tableName: String, val base: String,
     if (java.nio.file.Files.exists(sj))
       DataType.fromJson(new String(
         java.nio.file.Files.readAllBytes(sj), "UTF-8")).asInstanceOf[StructType]
-    else GraftParquet.inferSchema(manifest.head._1)
+    else GraftParquet.inferSchema(manifest.head.path)
   }
 
   override def partitioning(): Array[Transform] = Array.empty
@@ -296,7 +314,8 @@ private[sources] class GraftTable(tableName: String, val base: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.STREAMING_WRITE)
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(new MetadataColumn {
@@ -381,18 +400,20 @@ private[sources] class GraftScanBuilder(table: GraftTable,
   override def pushedPredicates(): Array[Predicate] = pushed
 
   override def build(): Scan = {
-    val files = table.manifest.collect {
-      case (f, None) => f
-      case (f, Some((mn, mx))) if mx >= keyLo && mn <= keyHi => f
+    val entries = table.manifest.filter { e =>
+      e.stats match {
+        case None => true
+        case Some((mn, mx)) => mx >= keyLo && mn <= keyHi
+      }
     }
-    val scan = new GraftScan(table, required, files, keyLo, keyHi)
+    val scan = new GraftScan(table, required, entries, keyLo, keyHi)
     owner.foreach(_.configuredScan = scan)
     scan
   }
 }
 
 private[sources] class GraftScan(table: GraftTable, required: StructType,
-    initialFiles: Seq[String],
+    initialEntries: Seq[Extras5.ManifestEntry],
     private[sources] val keyLo: Long = Long.MinValue,
     private[sources] val keyHi: Long = Long.MaxValue)
     extends Scan with Batch
@@ -402,7 +423,10 @@ private[sources] class GraftScan(table: GraftTable, required: StructType,
     * then at runtime by the group-filtering In(_file) subquery. After
     * execution this IS the replaced-files set a COW commit carries
     * against. */
-  @volatile private[sources] var activeFiles: Seq[String] = initialFiles
+  @volatile private[sources] var activeEntries: Seq[Extras5.ManifestEntry] =
+    initialEntries
+
+  private[sources] def activeFiles: Seq[String] = activeEntries.map(_.path)
 
   override def readSchema(): StructType = required
 
@@ -419,7 +443,7 @@ private[sources] class GraftScan(table: GraftTable, required: StructType,
             val keep: Set[String] = p.children.tail.collect {
               case l: Literal[_] => String.valueOf(l.value)
             }.toSet
-            activeFiles = activeFiles.filter(keep)
+            activeEntries = activeEntries.filter(e => keep(e.path))
           case _ => ()
         }
       }
@@ -427,21 +451,30 @@ private[sources] class GraftScan(table: GraftTable, required: StructType,
 
   /** Files split at maxPartitionBytes boundaries — a multi-row-group
     * file fans out across tasks instead of serializing through one;
-    * `_file` rides as a per-split constant. */
-  override def planInputPartitions(): Array[InputPartition] =
+    * `_file` rides as a per-split constant, and a manifest deletion
+    * vector rides on each of its file's splits (those read row-based
+    * with deleted ordinals skipped). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dvByPath = activeEntries.collect {
+      case e if e.dv.isDefined => e.path -> e.dv.get
+    }.toMap
     GraftParquetIO.planSplits(activeFiles,
-      f => Map("_file" -> f)).toArray[InputPartition]
+      f => Map("_file" -> f), dvByPath.get).toArray[InputPartition]
+  }
 
   /** Columnar, projection pushed into the parquet decode; a bounded
     * pushed key range additionally skips row groups on footer stats
-    * (sound: key predicates stay residual in Spark). */
+    * (sound: key predicates stay residual in Spark). A snapshot holding
+    * ANY deletion vector reads row-based as a whole (Spark disallows
+    * mixed-mode partitions within one scan); purge restores columnar. */
   override def createReaderFactory(): PartitionReaderFactory = {
     val bounded = keyLo != Long.MinValue || keyHi != Long.MaxValue
     val keyIsLong = table.schema.fields
       .exists(f => f.name == GraftCatalog.StatsColumn && f.dataType == LongType)
     val range = if (bounded && keyIsLong)
       Some((GraftCatalog.StatsColumn, keyLo, keyHi)) else None
-    new GraftVectorizedReaderFactory(required, Set("_file"), range)
+    new GraftVectorizedReaderFactory(required, Set("_file"), range,
+      anyDv = activeEntries.exists(_.dv.isDefined))
   }
 
   override def description(): String =
@@ -514,16 +547,22 @@ private[sources] class GraftCowWrite(table: GraftTable,
     * anything else asks the caller to re-run against the new snapshot. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val commits = messages.collect { case m: GraftSqlCommit if m.rows > 0 => m }
-    val newFiles = commits.map(_.path).toSeq.sorted
-    val newStats = commits.collect {
-      case m if m.hasKey => m.path -> (m.keyLo, m.keyHi)
-    }.toMap
-    val replaced = Option(op.configuredScan)
+    val newEntries = commits.sortBy(_.path).map { m =>
+      Extras5.ManifestEntry(m.path,
+        if (m.hasKey) Some((m.keyLo, m.keyHi)) else None)
+    }.toSeq
+    // conflict identity is (path, dv): a winner that rewrote a file OR
+    // republished it with a different deletion vector both invalidate
+    // rows this operation computed from the stale snapshot
+    val replacedIds = Option(op.configuredScan)
+      .map(_.activeEntries.map(_.identity).toSet)
+      .getOrElse(table.manifest.map(_.identity).toSet)
+    val replacedPaths = Option(op.configuredScan)
       .map(_.activeFiles.toSet)
-      .getOrElse(table.manifest.map(_._1).toSet)
+      .getOrElse(table.manifest.map(_.path).toSet)
     // everything this operation's snapshot could see — the baseline the
     // added-files check diffs against
-    val snapshotPaths = table.manifest.map(_._1).toSet
+    val snapshotIds = table.manifest.map(_.identity).toSet
     val (scanLo, scanHi) = Option(op.configuredScan)
       .map(s => (s.keyLo, s.keyHi)).getOrElse((Long.MinValue, Long.MaxValue))
     GraftCatalog.commitRaceHook()
@@ -532,17 +571,20 @@ private[sources] class GraftCowWrite(table: GraftTable,
     while (attempts < 10) {
       attempts += 1
       val latest = Extras5.q78Latest(table.base)
-      val cur = Extras5.q78ResolveStats(table.base, latest)
-      val curPaths = cur.map(_._1).toSet
-      if (!replaced.subsetOf(curPaths))
+      val cur = Extras5.q78ResolveEntries(table.base, latest)
+      val curIds = cur.map(_.identity).toSet
+      if (!replacedIds.subsetOf(curIds))
         throw new IllegalStateException(
           s"concurrent write conflict on ${table.name}: " +
-            s"${(replaced -- curPaths).size} of the files this statement " +
-            "rewrote were replaced by another commit; re-run the statement")
-      val added = cur.filterNot { case (f, _) => snapshotPaths(f) }
-      val overlappingAdds = added.filterNot {
-        case (_, Some((mn, mx))) => mx < scanLo || mn > scanHi
-        case (_, None) => false // no stats: cannot prove disjoint
+            s"${(replacedIds -- curIds).size} of the files this statement " +
+            "rewrote were replaced (or DV-republished) by another commit; " +
+            "re-run the statement")
+      val added = cur.filterNot(e => snapshotIds(e.identity))
+      val overlappingAdds = added.filterNot { e =>
+        e.stats match {
+          case Some((mn, mx)) => mx < scanLo || mn > scanHi
+          case None => false // no stats: cannot prove disjoint
+        }
       }
       if (overlappingAdds.nonEmpty)
         throw new IllegalStateException(
@@ -550,10 +592,9 @@ private[sources] class GraftCowWrite(table: GraftTable,
             s"${overlappingAdds.size} file(s) were added by another commit " +
             "inside this statement's key window, so rows computed from the " +
             "stale snapshot could contradict them; re-run the statement")
-      val carried = cur.filterNot { case (f, _) => replaced(f) }
-      val stats = carried.collect { case (f, Some(s)) => f -> s }.toMap ++ newStats
-      if (Extras5.q78TryCommit(table.base, latest + 1,
-          carried.map(_._1) ++ newFiles, stats))
+      val carried = cur.filterNot(e => replacedPaths(e.path))
+      if (Extras5.q78TryCommitEntries(table.base, latest + 1,
+          carried ++ newEntries))
         return
       // lost the CAS to a concurrent commit — loop re-resolves and,
       // if the conflict checks still pass there, rebases the carry
@@ -576,7 +617,10 @@ private[sources] class GraftCowWrite(table: GraftTable,
   * addition — a lost CAS just rebases onto the new manifest and
   * retries), and a truncating overwrite replaces whatever is current
   * AT COMMIT TIME (last-writer-wins, the Hive/Delta overwrite
-  * semantics). */
+  * semantics). Doubles as the STREAMING sink (`writeStream.toTable`):
+  * each epoch is one append commit carrying a `txn` watermark header,
+  * so a replayed epoch (post-crash re-run of the last micro-batch) is
+  * detected and dropped — exactly-once at the table level. */
 private[sources] class GraftAppendWrite(table: GraftTable,
     info: LogicalWriteInfo, replaceAll: Boolean)
     extends Write with BatchWrite {
@@ -586,25 +630,34 @@ private[sources] class GraftAppendWrite(table: GraftTable,
 
   override def toBatch: BatchWrite = this
 
+  override def toStreaming: StreamingWrite = {
+    if (replaceAll) throw new UnsupportedOperationException(
+      "graft streaming writes are append-only (no Complete/overwrite mode)")
+    // idempotence identity: an explicit txnAppId option (the Delta
+    // idempotent-write convention — stable across restarts by the
+    // caller's choice), else the engine-provided query id
+    val appId = Option(info.options.get("txnappid")).getOrElse(info.queryId)
+    new GraftStreamingWrite(table, info.schema(), appId, outDir)
+  }
+
   override def createBatchWriterFactory(
       pinfo: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(info.schema(), outDir)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val commits = messages.collect { case m: GraftSqlCommit if m.rows > 0 => m }
-    val newFiles = commits.map(_.path).toSeq.sorted
-    val newStats = commits.collect {
-      case m if m.hasKey => m.path -> (m.keyLo, m.keyHi)
-    }.toMap
+    val newEntries = commits.sortBy(_.path).map { m =>
+      Extras5.ManifestEntry(m.path,
+        if (m.hasKey) Some((m.keyLo, m.keyHi)) else None)
+    }.toSeq
     var attempts = 0
     while (attempts < 10) {
       attempts += 1
       val latest = Extras5.q78Latest(table.base)
       val cur = if (replaceAll) Seq.empty
-        else Extras5.q78ResolveStats(table.base, latest)
-      val stats = cur.collect { case (f, Some(s)) => f -> s }.toMap ++ newStats
-      if (Extras5.q78TryCommit(table.base, latest + 1,
-          cur.map(_._1) ++ newFiles, stats)) return
+        else Extras5.q78ResolveEntries(table.base, latest)
+      if (Extras5.q78TryCommitEntries(table.base, latest + 1,
+          cur ++ newEntries)) return
     }
     throw new IllegalStateException(
       s"gave up committing to ${table.name} after $attempts CAS attempts")
@@ -620,10 +673,97 @@ private[sources] class GraftAppendWrite(table: GraftTable,
   override def description(): String = s"GraftAppendWrite(${table.name})"
 }
 
+/** Streaming sink: one OCC append commit per epoch, made exactly-once
+  * by a `txn` watermark header (`appId\tepochId`) inside the atomically
+  * published manifest — the Delta txnAppId/txnVersion idempotent-write
+  * shape. Spark re-runs the last in-flight micro-batch after a crash
+  * with the SAME epoch id; the replay finds its (appId, epoch) already
+  * at or below the table's watermark, deletes its staged files, and
+  * commits nothing. */
+private[sources] class GraftStreamingWrite(table: GraftTable,
+    schema: StructType, appId: String, outDir: String)
+    extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      pinfo: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftWriterFactory(schema, outDir)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val commits = messages.collect { case m: GraftSqlCommit if m.rows > 0 => m }
+    val newEntries = commits.sortBy(_.path).map { m =>
+      Extras5.ManifestEntry(m.path,
+        if (m.hasKey) Some((m.keyLo, m.keyHi)) else None)
+    }.toSeq
+    // an empty epoch (trailing trigger with no rows) commits nothing —
+    // versions advance only when data lands
+    if (newEntries.isEmpty) return
+    if (!GraftStreamingCommit.commitEpoch(table.base, appId, epochId, newEntries))
+      // replayed epoch: the first run's commit already carries these
+      // rows — drop the staged duplicates
+      commits.foreach(m => java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(m.path)))
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftSqlCommit(path, _, _, _, _) =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+      case _ => ()
+    }
+}
+
+private[graft] object GraftStreamingCommit {
+
+  /** The writer's committed-epoch watermark: the highest epoch a `txn`
+    * header for `appId` records, scanning manifests latest→1
+    * (O(#versions) driver metadata; expired manifests are skipped). */
+  def lastEpoch(base: String, appId: String): Option[Long] = {
+    val latest = Extras5.q78Latest(base)
+    (latest to 1 by -1).iterator.flatMap { v =>
+      val headers =
+        try Extras5.q78CommitHeaders(base, v)
+        catch { case _: java.nio.file.NoSuchFileException => Map.empty[String, String] }
+      headers.get("txn").flatMap { t =>
+        t.split("\t") match {
+          case Array(a, e) if a == appId => Some(e.toLong)
+          case _ => None
+        }
+      }
+    }.nextOption()
+  }
+
+  /** OCC append of one epoch's files; returns false (commits nothing)
+    * when (appId, epochId) is at or below the watermark — the replay
+    * dedupe. An append never conflicts: a lost CAS rebases onto the new
+    * manifest and retries. */
+  def commitEpoch(base: String, appId: String, epochId: Long,
+      newEntries: Seq[Extras5.ManifestEntry], maxAttempts: Int = 10): Boolean = {
+    if (lastEpoch(base, appId).exists(_ >= epochId)) return false
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      val latest = Extras5.q78Latest(base)
+      val cur = Extras5.q78ResolveEntries(base, latest)
+      if (Extras5.q78TryCommitEntries(base, latest + 1, cur ++ newEntries,
+          Seq("txn" -> s"$appId\t$epochId")))
+        return true
+    }
+    throw new IllegalStateException(
+      s"gave up committing epoch $epochId to $base after $attempts CAS attempts")
+  }
+}
+
 private[sources] class GraftWriterFactory(schema: StructType, dir: String)
-    extends DataWriterFactory {
+    extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(schema, dir, partitionId, taskId)
+  /** Streaming variant: stage each epoch in its own subdirectory so
+    * replayed epochs never collide with the original's files. */
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(schema, s"$dir/epoch-$epochId", partitionId, taskId)
 }
 
 /** Parquet writer on Spark's OWN write support (InternalRow →

@@ -121,8 +121,9 @@ private[graft] object GraftChangeFeed {
 
   /** Resolves a transition endpoint, converting an expired manifest
     * into the retention error (a VACUUM can race a slow consumer). */
-  def resolveOrRetentionError(base: String, version: Int): Seq[String] =
-    try Extras5.q78Resolve(base, version)
+  def resolveOrRetentionError(base: String,
+      version: Int): Seq[Extras5.ManifestEntry] =
+    try Extras5.q78ResolveEntries(base, version)
     catch {
       case e: java.nio.file.NoSuchFileException =>
         val avail = availableVersions(base)
@@ -157,12 +158,12 @@ private[sources] class GraftChangeFeedScan(base: String, schema: StructType,
     * latest] in one shot — the same symmetric-difference partitions the
     * stream plans, resolved once at planning time. */
   override def toBatch: Batch = this
+  private val inner = new GraftChangeFeedStream(base, schema, startingVersion)
   override def planInputPartitions(): Array[InputPartition] =
-    new GraftChangeFeedStream(base, schema, startingVersion)
-      .planInputPartitions(GraftVersionOffset(startingVersion),
-        GraftVersionOffset(endingVersion.getOrElse(Extras5.q78Latest(base))))
+    inner.planInputPartitions(GraftVersionOffset(startingVersion),
+      GraftVersionOffset(endingVersion.getOrElse(Extras5.q78Latest(base))))
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftVectorizedReaderFactory(schema, Set("side", "commit_version"))
+    inner.createReaderFactory()
   override def description(): String = s"GraftChangeFeedScan($base)"
 }
 
@@ -174,6 +175,12 @@ private[graft] case class GraftVersionOffset(v: Int) extends Offset {
 
 private[graft] class GraftChangeFeedStream(base: String,
     schema: StructType, startingVersion: Int) extends MicroBatchStream {
+
+  /** Set by planInputPartitions (which Spark calls before building the
+    * reader factory for the same batch): true when any planned split
+    * carries a deletion vector — the whole batch then reads row-based
+    * (one scan's partitions must agree on columnar vs row). */
+  @volatile private var plannedAnyDv = false
 
   override def initialOffset(): Offset = GraftVersionOffset(startingVersion)
 
@@ -187,23 +194,38 @@ private[graft] class GraftChangeFeedStream(base: String,
 
   /** Byte-split partitions per (file, side, transition) over the
     * symmetric difference of each transition's manifests; (side,
-    * commit_version) ride as per-partition constants. */
+    * commit_version) ride as per-partition constants. Manifest identity
+    * is (path, deletion vector): a commit that only republished a
+    * file's DV shows as that file on BOTH sides — old DV applied on
+    * pre, new DV on post — so the key-level classification downstream
+    * sees exactly the MOR-deleted rows disappear. */
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftVersionOffset].v
     val e = end.asInstanceOf[GraftVersionOffset].v
-    (s + 1 to e).flatMap { v =>
-      val pre = GraftChangeFeed.resolveOrRetentionError(base, v - 1).toSet
-      val post = GraftChangeFeed.resolveOrRetentionError(base, v).toSet
-      def side(files: Set[String], tag: String) =
-        GraftParquetIO.planSplits((files -- (pre intersect post)).toSeq.sorted,
-          _ => Map("side" -> tag, "commit_version" -> v.toLong))
+    val planned = (s + 1 to e).flatMap { v =>
+      val pre = GraftChangeFeed.resolveOrRetentionError(base, v - 1)
+      val post = GraftChangeFeed.resolveOrRetentionError(base, v)
+      val shared = pre.map(_.identity).toSet intersect
+        post.map(_.identity).toSet
+      def side(entries: Seq[graft.queries.Extras5.ManifestEntry], tag: String) = {
+        val changed = entries.filterNot(e2 => shared(e2.identity)).sortBy(_.path)
+        val dvByPath = changed.collect {
+          case en if en.dv.isDefined => en.path -> en.dv.get
+        }.toMap
+        GraftParquetIO.planSplits(changed.map(_.path),
+          _ => Map("side" -> tag, "commit_version" -> v.toLong),
+          dvByPath.get)
+      }
       side(pre, "pre") ++ side(post, "post")
-    }.toArray
+    }
+    plannedAnyDv = planned.exists(_.dv.isDefined)
+    planned.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftVectorizedReaderFactory(schema, Set("side", "commit_version"))
+    new GraftVectorizedReaderFactory(schema, Set("side", "commit_version"),
+      anyDv = plannedAnyDv)
 
   override def stop(): Unit = ()
 }

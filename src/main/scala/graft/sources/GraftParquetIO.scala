@@ -42,9 +42,12 @@ private[graft] object GraftParquetIO {
 
   /** One byte-range slice of one data file. `constants` are the
     * partition-constant columns served without decoding (value is a
-    * String or a Long, matching the column's Spark type). */
+    * String or a Long, matching the column's Spark type); `dv` the
+    * file's deletion-vector sidecar, if the manifest carries one (the
+    * split then reads row-based with deleted ordinals skipped). */
   case class GraftFileSplit(path: String, start: Long, length: Long,
-      constants: Map[String, Any] = Map.empty) extends InputPartition
+      constants: Map[String, Any] = Map.empty,
+      dv: Option[String] = None) extends InputPartition
 
   /** Splits `files` at byte boundaries of at most the session's
     * `spark.sql.files.maxPartitionBytes` — same sizing rule as Spark's
@@ -52,14 +55,16 @@ private[graft] object GraftParquetIO {
     * no footer is opened to plan). Parquet's midpoint rule makes
     * adjacent slices read disjoint, complete row-group sets. */
   def planSplits(files: Seq[String],
-      constantsFor: String => Map[String, Any] = _ => Map.empty): Seq[GraftFileSplit] = {
+      constantsFor: String => Map[String, Any] = _ => Map.empty,
+      dvFor: String => Option[String] = _ => None): Seq[GraftFileSplit] = {
     val target = maxSplitBytes()
     files.flatMap { f =>
       val len = new java.io.File(f).length()
       val consts = constantsFor(f)
-      if (len <= target) Seq(GraftFileSplit(f, 0L, len, consts))
+      val dv = dvFor(f)
+      if (len <= target) Seq(GraftFileSplit(f, 0L, len, consts, dv))
       else (0L until len by target).map { off =>
-        GraftFileSplit(f, off, math.min(target, len - off), consts)
+        GraftFileSplit(f, off, math.min(target, len - off), consts, dv)
       }
     }
   }
@@ -77,40 +82,60 @@ private[graft] object GraftParquetIO {
 /** Reader factory over GraftFileSplit partitions. `required` is the
   * scan's output schema (post column pruning, in requested order);
   * `constantNames` the subset served as partition constants; `keyRange`
-  * an optional (column, lo, hi) pushed as a parquet row-group filter. */
+  * an optional (column, lo, hi) pushed as a parquet row-group filter;
+  * `anyDv` true when ANY planned file carries a deletion vector — the
+  * whole scan then reads row-based (Spark requires every partition of
+  * one scan to agree on columnar vs row), with DV'd splits skipping
+  * their dead ordinals. Purge drops the DVs and restores the fully
+  * columnar scan. */
 private[sources] class GraftVectorizedReaderFactory(required: StructType,
     constantNames: Set[String],
-    keyRange: Option[(String, Long, Long)] = None)
+    keyRange: Option[(String, Long, Long)] = None,
+    anyDv: Boolean = false)
     extends PartitionReaderFactory {
   import GraftParquetIO.GraftFileSplit
 
   private val dataSchema =
     StructType(required.fields.filterNot(f => constantNames(f.name)))
 
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    !anyDv
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] =
     new GraftColumnarReader(partition.asInstanceOf[GraftFileSplit],
       required, dataSchema, keyRange)
 
-  /** Row-based fallback (Spark normally takes the columnar path). */
+  /** Row-based path: DV'd splits skip deleted ordinals (positions are
+    * firstRowIndex + read ordinal, so the inner reader must NOT
+    * row-group-filter — keyRange stays off for them); otherwise a plain
+    * batch→row walk (Spark normally takes the columnar path). */
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val inner = createColumnarReader(partition)
-    new PartitionReader[InternalRow] {
-      private var it: java.util.Iterator[InternalRow] =
-        java.util.Collections.emptyIterator()
-      private var cur: InternalRow = _
-      override def next(): Boolean = {
-        while (!it.hasNext) {
-          if (!inner.next()) return false
-          it = inner.get().rowIterator()
+    val split = partition.asInstanceOf[GraftFileSplit]
+    split.dv match {
+      case Some(dvPath) =>
+        val (firstRow, _) = GraftDv.splitRowRange(
+          split.path, split.start, split.length)
+        new GraftDvRowReader(
+          new GraftColumnarReader(split, required, dataSchema, None),
+          dvPath, firstRow)
+      case None =>
+        val inner = createColumnarReader(partition)
+        new PartitionReader[InternalRow] {
+          private var it: java.util.Iterator[InternalRow] =
+            java.util.Collections.emptyIterator()
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            while (!it.hasNext) {
+              if (!inner.next()) return false
+              it = inner.get().rowIterator()
+            }
+            cur = it.next(); true
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = inner.close()
         }
-        cur = it.next(); true
-      }
-      override def get(): InternalRow = cur
-      override def close(): Unit = inner.close()
     }
   }
 }

@@ -1042,6 +1042,78 @@ object EventsStream {
       .orderBy($"transition", $"change_type")
   }
 
+  // ---------------------------------------------------------------------
+  // st23: NATIVE STREAMING SINK INTO A GRAFT TABLE —
+  // `writeStream.toTable("graft.<t>")` lands every micro-batch as one
+  // optimistic append commit on the manifest protocol (no foreachBatch
+  // glue: the catalog table IS the sink, via DSv2 STREAMING_WRITE).
+  // Exactly-once comes from the commit itself: each epoch's manifest
+  // carries a `txn appId\tepoch` watermark header, so the post-crash
+  // replay of the last in-flight micro-batch (same epoch id) is
+  // detected at commit time and dropped — the Delta txnAppId/txnVersion
+  // idempotent-write shape, pinned mechanically here by re-offering a
+  // committed epoch and checking the version did not advance
+  // (GraftStreamSinkSpec pins the file-level contract: per-epoch
+  // staging dirs, stats on every committed file, watermark scan).
+  // At 100 TB: a micro-batch commit is O(#files) metadata + the batch's
+  // own data files; concurrent batch writers (backfills, compactions)
+  // interleave through the same CAS the SQL paths use.
+  // ---------------------------------------------------------------------
+  def st23(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val D2 = DecimalType(18, 2)
+    graft.sources.GraftCatalog.install(spark)
+    val name = s"sink_${counter.incrementAndGet()}_${System.nanoTime()}"
+    val base = graft.Scratch.dir("st23_table")
+    spark.sql(s"CREATE TABLE graft.$name (o_orderkey BIGINT, " +
+      s"o_orderstatus STRING, price DECIMAL(18,2)) LOCATION '$base'")
+    val src = graft.Scratch.dir("st23_feed")
+    graft.Tables.load(spark, dir, "orders")
+      .filter($"o_orderkey" % 11 === 0)
+      .select($"o_orderkey", $"o_orderstatus",
+        $"o_totalprice".cast(D2).as("price"))
+      .repartition(4)
+      .write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val appId = s"st23_$name"
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream
+      .option("txnAppId", appId)
+      .option("checkpointLocation", graft.Scratch.dir("st23_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .toTable(s"graft.$name")
+    try q.awaitTermination() finally q.stop()
+    val feedFiles = new java.io.File(src).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val latest = graft.queries.Extras5.q78Latest(base)
+    // one commit per feed file on top of CREATE's empty v1
+    val versionsOk = latest == 1 + feedFiles
+    // mechanical replay: re-offer an already-committed epoch — the
+    // watermark must reject it and the version must not advance
+    val replayNoop =
+      !graft.sources.GraftStreamingCommit.commitEpoch(base, appId, 0L,
+        Seq(graft.queries.Extras5.ManifestEntry("replayed-file.parquet"))) &&
+        graft.queries.Extras5.q78Latest(base) == latest
+    spark.sql(s"SELECT * FROM graft.$name")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when($"o_orderstatus" === "F", 1)).as("n_f_status"),
+        sum($"price").cast(DoubleType).as("sum_price"))
+      .withColumn("versions_ok", lit(versionsOk))
+      .withColumn("replay_noop", lit(replayNoop))
+      .select($"n_rows", $"n_f_status", $"sum_price",
+        $"versions_ok", $"replay_noop")
+  }
+
+  private val st23Sql =
+    """SELECT COUNT(*) AS n_rows,
+      |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_f_status,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  TRUE AS versions_ok, TRUE AS replay_noop
+      |FROM orders WHERE o_orderkey % 11 = 0""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "st01_stream_hourly" -> (st01 _),
     "st02_stream_sessionize" -> (st02 _),
@@ -1064,7 +1136,8 @@ object EventsStream {
     "st19_avro_stream_read" -> (st19 _),
     "st20_stream_full_outer_join" -> (st20 _),
     "st21_stream_cdc_merge" -> (st21 _),
-    "st22_stream_change_feed" -> (st22 _))
+    "st22_stream_change_feed" -> (st22 _),
+    "st23_stream_sink_table" -> (st23 _))
 
   private val st02Sql =
     """WITH flagged AS (
@@ -1110,5 +1183,6 @@ object EventsStream {
     "st19_avro_stream_read" -> st19Sql,
     "st20_stream_full_outer_join" -> st20Sql,
     "st21_stream_cdc_merge" -> st21Sql,
-    "st22_stream_change_feed" -> graft.queries.Extras6.q92Sql)
+    "st22_stream_change_feed" -> graft.queries.Extras6.q92Sql,
+    "st23_stream_sink_table" -> st23Sql)
 }

@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the q97/q98 lifecycle contracts the oracle hash cannot see:
+  * timestamp→version resolution rounds DOWN between commits and fails
+  * clearly before history; restore is a metadata-only commit that
+  * leaves every prior version readable; an empty MOR delete is a
+  * no-op, not a commit. */
+class Extras7Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("timestamp resolution: at/between commits rounds down; before history errors") {
+    val base = Extras7.q97Build(spark, sf)
+    def at(h: Double): Long =
+      java.time.Instant.parse("2026-03-01T00:00:00Z")
+        .plusMillis((h * 3600 * 1000).toLong).toEpochMilli
+    assert(Extras5.q78VersionAt(base, at(0)) == 1)   // exactly at commit 1
+    assert(Extras5.q78VersionAt(base, at(1.5)) == 1) // between 1 and 2
+    assert(Extras5.q78VersionAt(base, at(2)) == 2)
+    assert(Extras5.q78VersionAt(base, at(3.9)) == 2)
+    assert(Extras5.q78VersionAt(base, at(4)) == 3)
+    assert(Extras5.q78VersionAt(base, at(1000)) == 3) // far future -> latest
+    val e = intercept[IllegalArgumentException] {
+      Extras5.q78VersionAt(base, at(-1))
+    }
+    assert(e.getMessage.contains("predates"))
+  }
+
+  test("SQL TIMESTAMP AS OF before history fails with the predates error") {
+    graft.sources.GraftCatalog.install(spark)
+    val base = Extras7.q97Build(spark, sf)
+    val name = s"ttspec_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.sources.GraftCatalog.register(name, base)
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ causes(t.getCause)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT COUNT(*) FROM graft.$name " +
+        "TIMESTAMP AS OF '2000-01-01 00:00:00'").collect()
+    }
+    assert(causes(e).exists(_.contains("predates")),
+      s"got: ${causes(e).mkString(" <- ")}")
+  }
+
+  test("restore is one metadata commit; rolled-over versions stay readable") {
+    val base = Extras7.q98Build(spark, sf) // v1, v2 append, v3 = restore(1)
+    val v1 = Extras5.q78ResolveEntries(base, 1)
+    val v3 = Extras5.q78ResolveEntries(base, 3)
+    assert(v3.map(_.path) == v1.map(_.path), "restore re-lists v1's files")
+    assert(Extras5.q78CommitHeaders(base, 3).get("restore").contains("1"))
+    // v2's extra files still exist on disk and resolve (nothing deleted)
+    val v2 = Extras5.q78ResolveEntries(base, 2)
+    assert(v2.size > v1.size)
+    v2.foreach(e => assert(new java.io.File(e.path).exists()))
+    assert(spark.read.parquet(v2.map(_.path): _*).count() >
+      spark.read.parquet(v3.map(_.path): _*).count())
+  }
+
+  test("a MOR delete matching nothing is a no-op, not a commit") {
+    val base = Extras7.q98Build(spark, sf)
+    val before = Extras5.q78Latest(base)
+    val v = Extras7.deleteMorOcc(spark, base, col("o_orderkey") < 0)
+    assert(v == before, "no matches: no new version")
+    assert(Extras5.q78Latest(base) == before)
+  }
+}
