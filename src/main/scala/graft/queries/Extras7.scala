@@ -55,21 +55,20 @@ object Extras7 {
   // concurrency.
   // ---------------------------------------------------------------------
 
-  /** Matching rows' (file, position) pairs under `predicate`, with each
-    * file's EXISTING deletion vector subtracted (already-dead rows must
-    * not be re-listed). Fully distributed: Spark's parquet scan provides
+  /** The snapshot's LIVE rows with their (file, position) identity:
+    * every data column plus `file`/`pos`, existing deletion vectors
+    * subtracted (already-dead rows are invisible, exactly as a reader
+    * sees them). Fully distributed: Spark's parquet scan provides
     * `_metadata.row_index` (file-global ordinals — the same ordinals
     * GraftDvRowReader skips by), and old DVs explode to (file, pos)
     * executor-side. */
-  private def matchedPositions(spark: SparkSession,
-      entries: Seq[Extras5.ManifestEntry],
-      predicate: Column): DataFrame = {
+  private def liveRowsWithPos(spark: SparkSession,
+      entries: Seq[Extras5.ManifestEntry]): DataFrame = {
     import spark.implicits._
     val raw = spark.read.parquet(entries.map(_.path): _*)
-      .filter(predicate)
-      .select(
-        expr("regexp_replace(_metadata.file_path, '^file:/*', '/')").as("file"),
-        col("_metadata.row_index").as("pos"))
+      .withColumn("file",
+        expr("regexp_replace(_metadata.file_path, '^file:/*', '/')"))
+      .withColumn("pos", col("_metadata.row_index"))
     val withDv = entries.collect { case e if e.dv.isDefined => (e.path, e.dv.get) }
     if (withDv.isEmpty) raw
     else {
@@ -78,6 +77,32 @@ object Extras7 {
         .toDF("file", "pos")
       raw.join(old, Seq("file", "pos"), "left_anti")
     }
+  }
+
+  /** Writes merged deletion-vector sidecars for `positions` ((file,
+    * pos) pairs of NEWLY superseded rows): one task per touched file
+    * sorts the fresh ordinals, unions the file's existing sidecar, and
+    * writes the merged DV. Returns file → new sidecar path, O(#touched
+    * files) driver metadata. */
+  private def writeDvSidecars(spark: SparkSession, base: String,
+      entries: Seq[Extras5.ManifestEntry],
+      positions: DataFrame): Map[String, String] = {
+    import spark.implicits._
+    val oldDvByPath = entries.collect {
+      case e if e.dv.isDefined => (e.path, e.dv.get)
+    }.toMap
+    val dvDir = s"$base/dv"
+    positions.select(col("file"), col("pos")).as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (file, it) =>
+        val fresh = it.map(_._2).toArray
+        val old = oldDvByPath.get(file).map(GraftDv.read)
+          .getOrElse(Array.empty[Long])
+        val merged = (fresh ++ old).distinct.sorted
+        val dvPath = s"$dvDir/${java.util.UUID.randomUUID().toString.take(12)}.gdv"
+        GraftDv.write(dvPath, merged)
+        (file, dvPath)
+      }.collect().toMap
   }
 
   /** MERGE-ON-READ DELETE: commits deletion-vector sidecars for every
@@ -101,25 +126,8 @@ object Extras7 {
       val from = Extras5.q78Latest(base)
       val entries = Extras5.q78ResolveEntries(base, from)
       if (entries.isEmpty) return from // empty table: nothing to delete
-      val oldDvByPath = entries.collect {
-        case e if e.dv.isDefined => (e.path, e.dv.get)
-      }.toMap
-      val dvDir = s"$base/dv"
-      // one task per touched file: sort fresh ordinals, union the old
-      // sidecar, write the merged DV (positions per file are bounded by
-      // the file's row count — a 128 MB file's worst case is a few MB)
-      val newDvs: Map[String, String] = matchedPositions(spark, entries, predicate)
-        .as[(String, Long)]
-        .groupByKey(_._1)
-        .mapGroups { (file, it) =>
-          val fresh = it.map(_._2).toArray
-          val old = oldDvByPath.get(file).map(GraftDv.read)
-            .getOrElse(Array.empty[Long])
-          val merged = (fresh ++ old).distinct.sorted
-          val dvPath = s"$dvDir/${java.util.UUID.randomUUID().toString.take(12)}.gdv"
-          GraftDv.write(dvPath, merged)
-          (file, dvPath)
-        }.collect().toMap // O(#touched files) driver metadata
+      val newDvs = writeDvSidecars(spark, base, entries,
+        liveRowsWithPos(spark, entries).filter(predicate))
       if (newDvs.isEmpty) return from
       val touched = entries.filter(e => newDvs.contains(e.path))
       // CAS loop: rebase while every touched identity is stable
@@ -145,6 +153,75 @@ object Extras7 {
     }
     throw new IllegalStateException(
       s"deleteMorOcc: gave up after $maxAttempts attempts on $base")
+  }
+
+  /** MERGE-ON-READ UPSERT, protocol-native: ONE commit carries (a)
+    * deletion-vector sidecars superseding every LIVE row whose key the
+    * delta touches, and (b) appended delta files holding the upserted
+    * rows' new values — no base data file is rewritten, so merge write
+    * cost is O(delta), the MOR half of q88's trade expressed inside the
+    * manifest protocol itself (Iceberg v2 positional deletes + data
+    * files in one snapshot). Readers compose the result automatically
+    * (DV subtraction + the appended files are just manifest entries).
+    * Delta shape: (d_key, d_op, d_status, d_price) — d_op 'D' deletes
+    * a matched key (no-op when unmatched), anything else upserts
+    * (matched rows superseded by the delta's values; unmatched rows
+    * insert). Optimistic concurrency: same identity rules as
+    * deleteMorOcc — stable touched identities rebase, anything else
+    * recomputes; abandoned sidecars and append files are deleted. */
+  private[graft] def mergeMorOcc(spark: SparkSession, base: String,
+      delta: DataFrame, tsMillis: Option[Long] = None,
+      maxAttempts: Int = 10): Int = {
+    import spark.implicits._
+    val headers = tsMillis.map(t => "ts" -> t.toString).toSeq
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      val from = Extras5.q78Latest(base)
+      val entries = Extras5.q78ResolveEntries(base, from)
+      val live = if (entries.isEmpty) null
+        else liveRowsWithPos(spark, entries)
+      // DV every live row the delta's keys touch (updates AND deletes
+      // supersede the base row; the delta is broadcast — it is the
+      // small side by construction)
+      val newDvs = if (live == null) Map.empty[String, String]
+        else writeDvSidecars(spark, base, entries, live
+          .join(broadcast(delta.select($"d_key")),
+            $"o_orderkey" === $"d_key", "left_semi"))
+      // appended rows = every non-delete delta row (matched → the
+      // update's new values; unmatched → the insert). Delete rows of
+      // unmatched keys are no-ops by the same arithmetic.
+      val outDir = s"$base/files-mor-${java.util.UUID.randomUUID().toString.take(8)}"
+      val appended = delta.filter($"d_op" =!= "D")
+        .select($"d_key".as("o_orderkey"), $"d_status".as("o_orderstatus"),
+          $"d_price".as("price"))
+      appended.write.parquet(outDir)
+      val newFiles = parts(outDir)
+      val stats = Extras5.parquetKeyStats(newFiles, "o_orderkey")
+      val newEntries = newFiles.map(f => Extras5.ManifestEntry(f, stats.get(f)))
+      val touched = entries.filter(e => newDvs.contains(e.path))
+      var stable = true
+      while (stable && attempts < maxAttempts) {
+        val now = Extras5.q78Latest(base)
+        val cur = Extras5.q78ResolveEntries(base, now)
+        val curByPath = cur.map(e => e.path -> e).toMap
+        stable = touched.forall(e =>
+          curByPath.get(e.path).exists(_.identity == e.identity))
+        if (stable) {
+          val updated = cur.map(e =>
+            newDvs.get(e.path).fold(e)(d => e.copy(dv = Some(d))))
+          if (Extras5.q78TryCommitEntries(base, now + 1,
+              updated ++ newEntries, headers))
+            return now + 1
+          attempts += 1
+        }
+      }
+      newDvs.values.foreach(p =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+      Extras6.deleteRecursively(outDir)
+    }
+    throw new IllegalStateException(
+      s"mergeMorOcc: gave up after $maxAttempts attempts on $base")
   }
 
   /** PURGE (OPTIMIZE on DV'd files): rewrites every file carrying a
@@ -435,13 +512,310 @@ object Extras7 {
       |SELECT read_as, COUNT(*) AS n_rows, CAST(SUM(p) AS DOUBLE) AS sum_price
       |FROM snaps GROUP BY read_as ORDER BY read_as""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q99: PROTOCOL-NATIVE MERGE-ON-READ UPSERT — q88 demonstrated MOR
+  // with ad-hoc sidecar parquet composed by hand at read time; this is
+  // the real thing: mergeMorOcc commits deletion vectors (superseding
+  // every matched live row) PLUS appended delta files in ONE atomic
+  // manifest version, and the CATALOG READER composes the result with
+  // no query-side glue — `SELECT * FROM graft.t VERSION AS OF 2` just
+  // works (DV subtraction + appended files are both manifest entries).
+  // Write cost O(delta) regardless of how many base files the keys
+  // touch; the read pays the row-based DV path until a purge. Delta
+  // rule (deterministic): keys ≡ 0,1 (mod 15); d_op = DELETE where
+  // o_orderstatus = 'F', else UPSERT at price + 50 (the st21 shape).
+  // Extras7Spec pins the one-commit contract: no base file rewritten,
+  // DVs exactly on matched-key files, appended entries carry stats.
+  // ---------------------------------------------------------------------
+
+  private[queries] def q99Build(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val base = graft.Scratch.dir("q99_table")
+    val orders = Tables.load(spark, dir, "orders")
+    orders.filter($"o_orderkey" % 3 === 0)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice".cast(D2).as("price"))
+      .repartitionByRange(8, $"o_orderkey")
+      .write.parquet(s"$base/files-v1")
+    val v1 = parts(s"$base/files-v1")
+    val stats = Extras5.parquetKeyStats(v1, "o_orderkey")
+    Extras5.q78CommitEntries(base, 1,
+      v1.map(f => Extras5.ManifestEntry(f, stats.get(f))))
+    val delta = orders
+      .filter($"o_orderkey" % 15 <= 1)
+      .select($"o_orderkey".as("d_key"),
+        when($"o_orderstatus" === "F", "D").otherwise("U").as("d_op"),
+        $"o_orderstatus".as("d_status"),
+        ($"o_totalprice".cast(D2) + 50).cast(D2).as("d_price"))
+    mergeMorOcc(spark, base, delta)
+    base
+  }
+
+  def q99(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.GraftCatalog.install(spark)
+    val base = q99Build(spark, dir)
+    val name = s"mm_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.sources.GraftCatalog.register(name, base)
+    def agg(v: Int, label: String): DataFrame =
+      spark.sql(s"SELECT * FROM graft.$name VERSION AS OF $v")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when($"o_orderstatus" === "F", 1)).as("n_f_status"),
+          sum($"price").cast(DoubleType).as("sum_price"))
+        .withColumn("snapshot", lit(label))
+    agg(1, "1_base")
+      .unionByName(agg(2, "2_mor_merged"))
+      .select($"snapshot", $"n_rows", $"n_f_status", $"sum_price")
+      .orderBy($"snapshot")
+  }
+
+  private val q99Sql =
+    """WITH v1 AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |v2 AS (
+      |  -- live rows the delta does not touch (delta keys ≡ 0,1 mod 15;
+      |  -- only ≡ 0 can match v1 since 3 | 15)
+      |  SELECT o_orderstatus, p FROM v1 WHERE o_orderkey % 15 <> 0
+      |  UNION ALL
+      |  -- one arm covers matched updates AND unmatched inserts: every
+      |  -- non-'F' delta row lands at price + 50; 'F' rows delete
+      |  -- (matched) or no-op (unmatched)
+      |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) + 50
+      |  FROM orders
+      |  WHERE o_orderkey % 15 <= 1 AND o_orderstatus <> 'F'),
+      |snaps AS (
+      |  SELECT '1_base' AS snapshot, o_orderstatus, p FROM v1
+      |  UNION ALL SELECT '2_mor_merged', o_orderstatus, p FROM v2)
+      |SELECT snapshot, COUNT(*) AS n_rows,
+      |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_f_status,
+      |  CAST(SUM(p) AS DOUBLE) AS sum_price
+      |FROM snaps GROUP BY snapshot ORDER BY snapshot""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q100: COMMIT HISTORY METADATA TABLE — `graft.<t>.history` (Delta's
+  // DESCRIBE HISTORY / Iceberg's snapshots table): one row per
+  // resolvable version with commit timestamp, file/DV counts, and
+  // restore provenance, all from manifest METADATA (no data file is
+  // opened — instant at any table size). The fixture controls every
+  // commit's #ts header and file count, so the whole table is
+  // hash-checkable: v1 load (2 files), v2 append (4), v3 MOR delete
+  // (4 files + 2 DVs), v4 restore→v1 (2 files, restore_of = 1).
+  // ---------------------------------------------------------------------
+
+  private[queries] def q100Build(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val base = graft.Scratch.dir("q100_table")
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice".cast(D2).as("price"))
+    def slice(m: Int, out: String): Seq[String] = {
+      orders.filter($"o_orderkey" % 3 === m).repartition(2)
+        .write.parquet(s"$base/$out")
+      parts(s"$base/$out")
+    }
+    val f1 = slice(0, "files-v1")
+    Extras5.q78TryCommitEntries(base, 1, f1.map(Extras5.ManifestEntry(_)),
+      Seq("ts" -> q97Ts(0).toString))
+    val f2 = slice(1, "files-v2")
+    Extras5.q78TryCommitEntries(base, 2,
+      (f1 ++ f2).map(Extras5.ManifestEntry(_)),
+      Seq("ts" -> q97Ts(2).toString))
+    deleteMorOcc(spark, base,
+      col("o_orderkey") % 6 === 0, tsMillis = Some(q97Ts(4)))
+    restoreVersion(base, 1, tsMillis = Some(q97Ts(6)))
+    base
+  }
+
+  def q100(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.GraftCatalog.install(spark)
+    val base = q100Build(spark, dir)
+    val name = s"hist_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.sources.GraftCatalog.register(name, base)
+    spark.sql(s"SELECT version, ts_millis, n_files, n_dv_files, restore_of " +
+      s"FROM graft.$name.history ORDER BY version")
+  }
+
+  private val q100Sql =
+    s"""SELECT * FROM (VALUES
+       |  (CAST(1 AS BIGINT), CAST(${q97Ts(0)} AS BIGINT),
+       |   CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+       |  (2, ${q97Ts(2)}, 4, 0, NULL),
+       |  (3, ${q97Ts(4)}, 4, 2, NULL),
+       |  (4, ${q97Ts(6)}, 2, 0, 1))
+       |AS t(version, ts_millis, n_files, n_dv_files, restore_of)
+       |ORDER BY version""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q101: SQL `DELETE FROM` VIA DELETION VECTORS — the statement form
+  // of q96, executed by Spark's OWN delta-based row-level machinery:
+  // on a `graft.delete.mode = 'merge-on-read'` table,
+  // RewriteDeleteFromTable sees the operation's SupportsDelta and
+  // rewrites the DELETE into per-row (row-id) delete records; our row
+  // id is the (`_file`, `_pos`) metadata pair — `_pos` is a
+  // reader-filled file ordinal, the DV coordinate system — and the
+  // commit merges each task's positions into per-file sidecars
+  // published by one CAS. No data file is touched; VERSION AS OF 2
+  // reads the DV-subtracted result, VERSION AS OF 1 the original. A
+  // second DELETE proves sidecar MERGING through the SQL path, and a
+  // COW UPDATE afterwards proves the two row-level modes compose on
+  // one table (the update rewrites DV'd files by reading them
+  // DV-subtracted, drops their DVs). Extras7Spec pins the file-level
+  // contract; q96 pins the API twin.
+  // ---------------------------------------------------------------------
+
+  private[queries] def q101Build(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    graft.sources.GraftCatalog.install(spark)
+    val base = graft.Scratch.dir("q101_table")
+    val name = s"dd_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE graft.$name (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, price DECIMAL(18,2)) " +
+      s"LOCATION '$base' TBLPROPERTIES ('graft.delete.mode' = 'merge-on-read')")
+    Tables.load(spark, dir, "orders")
+      .filter($"o_orderkey" % 3 === 0)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice".cast(D2).as("price"))
+      .createOrReplaceTempView(s"q101_src_$name")
+    spark.sql(s"INSERT INTO graft.$name SELECT * FROM q101_src_$name")
+    spark.sql(s"DELETE FROM graft.$name " +
+      "WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0")
+    spark.sql(s"DELETE FROM graft.$name " +
+      "WHERE o_orderstatus = 'O' AND o_orderkey % 30 = 15")
+    name
+  }
+
+  def q101(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = q101Build(spark, dir)
+    def agg(v: Int, label: String): DataFrame =
+      spark.sql(s"SELECT * FROM graft.$name VERSION AS OF $v")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when($"o_orderstatus" === "F", 1)).as("n_f_status"),
+          sum($"price").cast(DoubleType).as("sum_price"))
+        .withColumn("snapshot", lit(label))
+    agg(2, "1_inserted")
+      .unionByName(agg(3, "2_deleted"))
+      .unionByName(agg(4, "3_deleted_again"))
+      .select($"snapshot", $"n_rows", $"n_f_status", $"sum_price")
+      .orderBy($"snapshot")
+  }
+
+  private val q101Sql = // q96's derivations under the SQL labels
+    """WITH v1 AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS s,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |v2 AS (SELECT k, s, p FROM v1 WHERE NOT (s = 'F' AND k % 2 = 0)),
+      |v3 AS (SELECT k, s, p FROM v2 WHERE NOT (s = 'O' AND k % 30 = 15)),
+      |snaps AS (
+      |  SELECT '1_inserted' AS snapshot, s, p FROM v1
+      |  UNION ALL SELECT '2_deleted', s, p FROM v2
+      |  UNION ALL SELECT '3_deleted_again', s, p FROM v3)
+      |SELECT snapshot, COUNT(*) AS n_rows,
+      |  COUNT(*) FILTER (s = 'F') AS n_f_status,
+      |  CAST(SUM(p) AS DOUBLE) AS sum_price
+      |FROM snaps GROUP BY snapshot ORDER BY snapshot""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q102: SQL MERGE INTO + UPDATE IN MERGE-ON-READ MODE — the full DML
+  // surface under Iceberg's write-mode convention
+  // (graft.merge.mode / graft.update.mode = 'merge-on-read'):
+  // RewriteMergeIntoTable / RewriteUpdateTable see the operation's
+  // SupportsDelta (updates represented as delete + insert) and the
+  // commit lands deletion-vector sidecars PLUS appended delta files in
+  // one CAS — q93's MERGE semantics with zero data-file rewrites, and
+  // an UPDATE stacked on top proves repeated MOR commits compose
+  // (sidecars merge, appends accumulate, reads stay exact). The oracle
+  // is q93's derivation extended by the update arm, so the hash pins
+  // MOR-mode SQL ≡ COW-mode SQL ≡ the API path to the last cent.
+  // ---------------------------------------------------------------------
+
+  private[queries] def q102Build(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    graft.sources.GraftCatalog.install(spark)
+    val base = graft.Scratch.dir("q102_table")
+    val name = s"mq_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE graft.$name (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, price DECIMAL(18,2)) " +
+      s"LOCATION '$base' TBLPROPERTIES (" +
+      "'graft.merge.mode' = 'merge-on-read', " +
+      "'graft.update.mode' = 'merge-on-read')")
+    val orders = Tables.load(spark, dir, "orders")
+    orders.filter($"o_orderkey" % 3 === 0)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice".cast(D2).as("price"))
+      .createOrReplaceTempView(s"q102_src_$name")
+    spark.sql(s"INSERT INTO graft.$name SELECT * FROM q102_src_$name")
+    orders.filter($"o_orderkey" % 30 === 0 || $"o_orderkey" % 30 === 1)
+      .select($"o_orderkey".as("d_key"), $"o_orderstatus".as("d_status"),
+        $"o_totalprice".cast(D2).as("d_price"))
+      .createOrReplaceTempView(s"q102_delta_$name")
+    spark.sql(
+      s"""MERGE INTO graft.$name t USING q102_delta_$name d
+         |ON t.o_orderkey = d.d_key
+         |WHEN MATCHED AND t.o_orderstatus = 'F' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET price = CAST(t.price + 100 AS DECIMAL(18,2))
+         |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, price)
+         |  VALUES (d.d_key, d.d_status, d.d_price)""".stripMargin)
+    spark.sql(s"UPDATE graft.$name " +
+      "SET price = CAST(price + 10 AS DECIMAL(18,2)) WHERE o_orderkey % 10 = 1")
+    name
+  }
+
+  def q102(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = q102Build(spark, dir)
+    def agg(v: Int, label: String): DataFrame =
+      spark.sql(s"SELECT * FROM graft.$name VERSION AS OF $v")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when($"o_orderstatus" === "F", 1)).as("n_f_status"),
+          sum($"price").cast(DoubleType).as("sum_price"))
+        .withColumn("snapshot", lit(label))
+    agg(2, "1_inserted")
+      .unionByName(agg(3, "2_mor_merged"))
+      .unionByName(agg(4, "3_mor_updated"))
+      .select($"snapshot", $"n_rows", $"n_f_status", $"sum_price")
+      .orderBy($"snapshot")
+  }
+
+  private val q102Sql =
+    """WITH v1 AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS s,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |v3 AS (
+      |  SELECT k, s, p FROM v1 WHERE k % 30 <> 0
+      |  UNION ALL
+      |  SELECT k, s, p + 100 FROM v1 WHERE k % 30 = 0 AND s <> 'F'
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2))
+      |  FROM orders WHERE o_orderkey % 30 = 1),
+      |v4 AS (
+      |  SELECT k, s, CASE WHEN k % 10 = 1 THEN p + 10 ELSE p END AS p
+      |  FROM v3),
+      |snaps AS (
+      |  SELECT '1_inserted' AS snapshot, s, p FROM v1
+      |  UNION ALL SELECT '2_mor_merged', s, p FROM v3
+      |  UNION ALL SELECT '3_mor_updated', s, p FROM v4)
+      |SELECT snapshot, COUNT(*) AS n_rows,
+      |  COUNT(*) FILTER (s = 'F') AS n_f_status,
+      |  CAST(SUM(p) AS DOUBLE) AS sum_price
+      |FROM snaps GROUP BY snapshot ORDER BY snapshot""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q96_delete_dv" -> (q96 _),
     "q97_timestamp_as_of" -> (q97 _),
-    "q98_restore_version" -> (q98 _))
+    "q98_restore_version" -> (q98 _),
+    "q99_merge_mor_native" -> (q99 _),
+    "q100_table_history" -> (q100 _),
+    "q101_sql_delete_dv" -> (q101 _),
+    "q102_sql_merge_mor" -> (q102 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q96_delete_dv" -> q96Sql,
     "q97_timestamp_as_of" -> q97Sql,
-    "q98_restore_version" -> q98Sql)
+    "q98_restore_version" -> q98Sql,
+    "q99_merge_mor_native" -> q99Sql,
+    "q100_table_history" -> q100Sql,
+    "q101_sql_delete_dv" -> q101Sql,
+    "q102_sql_merge_mor" -> q102Sql)
 }

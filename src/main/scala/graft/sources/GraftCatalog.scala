@@ -199,15 +199,20 @@ class GraftCatalog extends TableCatalog {
       case Some(base) =>
         new GraftTable(s"$catalogName.${ident.name}", base, version)
       case None =>
-        // `graft.<t>.changes` — the table's streaming change feed (the
+        // `graft.<t>.changes` / `graft.<t>.history` — the table's
+        // streaming change feed and commit-history metadata table (the
         // Iceberg metadata-table addressing convention)
-        val isChanges = ident.name == "changes" &&
+        val isMeta = Set("changes", "history")(ident.name) &&
           ident.namespace.length == 1
-        val baseTable = if (isChanges)
+        val baseTable = if (isMeta)
           liveBaseFor(ident.namespace.head) else None
         baseTable match {
-          case Some(base) => new GraftChangeFeedTable(
-            s"$catalogName.${ident.namespace.head}.changes", base)
+          case Some(base) if ident.name == "changes" =>
+            new GraftChangeFeedTable(
+              s"$catalogName.${ident.namespace.head}.changes", base)
+          case Some(base) =>
+            new GraftHistoryTable(
+              s"$catalogName.${ident.namespace.head}.history", base)
           case None => throw new NoSuchTableException(ident)
         }
     }
@@ -240,6 +245,16 @@ class GraftCatalog extends TableCatalog {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(base, "_schema.json"),
       schema.json.getBytes("UTF-8"))
+    // persist user TBLPROPERTIES (e.g. graft.delete.mode) next to the
+    // schema — engine-reserved keys are not table properties
+    val userProps = scala.jdk.CollectionConverters.MapHasAsScala(properties)
+      .asScala.view.filterKeys(k => !Set("location", "provider", "owner")(k))
+      .toMap
+    if (userProps.nonEmpty) {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      m.writeValue(java.nio.file.Paths.get(base, "_props.json").toFile,
+        scala.jdk.CollectionConverters.MapHasAsJava(userProps).asJava)
+    }
     Extras5.q78Commit(base, 1, Seq.empty)
     GraftCatalog.register(ident.name, base)
     new GraftTable(s"$catalogName.${ident.name}", base, None)
@@ -308,8 +323,9 @@ private[sources] class GraftTable(tableName: String, val base: String,
   override def partitioning(): Array[Transform] = Array.empty
 
   override def properties(): java.util.Map[String, String] =
-    Map("format" -> "parquet", "protocol" -> "graft-manifest",
-      "version" -> snapshotVersion.toString).asJava
+    (persistedProps ++ Map("format" -> "parquet",
+      "protocol" -> "graft-manifest",
+      "version" -> snapshotVersion.toString)).asJava
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -323,7 +339,38 @@ private[sources] class GraftTable(tableName: String, val base: String,
       override def dataType: DataType = StringType
       override def isNullable: Boolean = false
       override def comment: String = "data file the row lives in"
+    }, new MetadataColumn {
+      override def name: String = "_pos"
+      override def dataType: DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment: String =
+        "row position within its data file (the deletion-vector ordinal)"
     })
+
+  /** Table properties persisted at CREATE TABLE (`_props.json`). */
+  lazy val persistedProps: Map[String, String] = {
+    val pj = java.nio.file.Paths.get(base, "_props.json")
+    if (!java.nio.file.Files.exists(pj)) Map.empty
+    else {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper().readValue(
+        pj.toFile, classOf[java.util.Map[String, String]])
+      scala.jdk.CollectionConverters.MapHasAsScala(m).asScala.toMap
+    }
+  }
+
+  /** Row-level execution mode per command: 'copy-on-write' (default —
+    * rewrite touched files) or 'merge-on-read' (deletion vectors +
+    * appended delta files; no data file touched) — the Iceberg
+    * write.delete.mode / write.update.mode / write.merge.mode
+    * convention under graft.* keys. */
+  def rowLevelMode(cmd: RowLevelOperation.Command): String = {
+    val key = cmd match {
+      case RowLevelOperation.Command.DELETE => "graft.delete.mode"
+      case RowLevelOperation.Command.UPDATE => "graft.update.mode"
+      case _ => "graft.merge.mode"
+    }
+    persistedProps.getOrElse(key, "copy-on-write")
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this, None)
@@ -346,17 +393,34 @@ private[sources] class GraftTable(tableName: String, val base: String,
         new GraftAppendWrite(GraftTable.this, info, replaceAll)
     }
 
+  /** Each DML command honors its `graft.<cmd>.mode` table property:
+    * 'copy-on-write' (default) plans the group-based rewrite;
+    * 'merge-on-read' routes through the DELTA-based row-level API
+    * (SupportsDelta) — Spark rewrites the statement into per-row
+    * delete/insert records (updates = delete + insert), and the commit
+    * lands deletion-vector sidecars plus appended delta files, touching
+    * no data file. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
-    () => new GraftCowOperation(this, info.command)
+    () =>
+      if (rowLevelMode(info.command) == "merge-on-read")
+        new GraftMorOperation(this, info.command)
+      else new GraftCowOperation(this, info.command)
 }
 
 // ---------------------------------------------------------------------------
 // Read path
 // ---------------------------------------------------------------------------
 
+/** Seam between a row-level operation and the scan Spark builds for
+  * it: the operation reads the (runtime-filtered) scan at commit time
+  * to learn which files it actually covered. */
+private[sources] trait GraftRowLevelOp {
+  @volatile private[sources] var configuredScan: GraftScan = _
+}
+
 private[sources] class GraftScanBuilder(table: GraftTable,
-    owner: Option[GraftCowOperation])
+    owner: Option[GraftRowLevelOp])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
 
@@ -468,13 +532,18 @@ private[sources] class GraftScan(table: GraftTable, required: StructType,
     * ANY deletion vector reads row-based as a whole (Spark disallows
     * mixed-mode partitions within one scan); purge restores columnar. */
   override def createReaderFactory(): PartitionReaderFactory = {
+    // a scan projecting `_pos` (delta-based DELETE row ids) must read
+    // every row group of its splits — ordinal arithmetic forbids
+    // row-group skipping (manifest-level file pruning stays in force)
+    val posRequested = required.fieldNames.contains("_pos")
     val bounded = keyLo != Long.MinValue || keyHi != Long.MaxValue
     val keyIsLong = table.schema.fields
       .exists(f => f.name == GraftCatalog.StatsColumn && f.dataType == LongType)
-    val range = if (bounded && keyIsLong)
+    val range = if (bounded && keyIsLong && !posRequested)
       Some((GraftCatalog.StatsColumn, keyLo, keyHi)) else None
     new GraftVectorizedReaderFactory(required, Set("_file"), range,
-      anyDv = activeEntries.exists(_.dv.isDefined))
+      anyDv = activeEntries.exists(_.dv.isDefined),
+      posColumn = if (posRequested) Some("_pos") else None)
   }
 
   override def description(): String =
@@ -486,11 +555,8 @@ private[sources] class GraftScan(table: GraftTable, required: StructType,
 // ---------------------------------------------------------------------------
 
 private[sources] class GraftCowOperation(table: GraftTable,
-    cmd: RowLevelOperation.Command) extends RowLevelOperation {
-
-  /** Set when Spark builds the operation's scan; read at commit time to
-    * learn which files the (runtime-filtered) rewrite actually covers. */
-  @volatile private[sources] var configuredScan: GraftScan = _
+    cmd: RowLevelOperation.Command)
+    extends RowLevelOperation with GraftRowLevelOp {
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -611,6 +677,202 @@ private[sources] class GraftCowWrite(table: GraftTable,
     }
 
   override def description(): String = s"GraftCowWrite(${table.name})"
+}
+
+// ---------------------------------------------------------------------------
+// Delta-based DELETE (merge-on-read): deletion vectors through Spark's
+// own SupportsDelta machinery
+// ---------------------------------------------------------------------------
+
+/** DELETE / UPDATE / MERGE on a table whose `graft.<cmd>.mode` is
+  * 'merge-on-read': Spark's row-level rewrites see SupportsDelta and
+  * turn the statement into a stream of per-row records — DELETEs keyed
+  * by this operation's row id (our (`_file`, `_pos`) metadata columns,
+  * the deletion-vector coordinate system; updates are represented as
+  * delete + insert), INSERTs carrying full rows. The scan projects
+  * `_pos` (reader-filled ordinals; row-group skipping disabled for
+  * exactness), runtime group filtering narrows it to candidate files,
+  * existing DVs are subtracted by the read itself (already-dead rows
+  * can never be re-deleted), and the commit publishes per-file sidecars
+  * PLUS appended delta files in one identity-checked CAS — write cost
+  * O(matched + inserted rows), zero data files touched, the SQL twin of
+  * Extras7.deleteMorOcc / mergeMorOcc. */
+private[sources] class GraftMorOperation(table: GraftTable,
+    cmd: RowLevelOperation.Command)
+    extends RowLevelOperation with SupportsDelta with GraftRowLevelOp {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(table, Some(this))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new GraftMorWrite(table, info.schema())
+    }
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column("_file"), Expressions.column("_pos"))
+
+  /** Updates arrive as delete + insert pairs — one writer shape for all
+    * three commands, and the insert half lands in the appended delta
+    * files exactly like a MERGE's NOT MATCHED branch. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty
+
+  override def description(): String = s"GraftMorOperation($cmd)"
+}
+
+/** One task's MOR output: per-file PARTIAL deletion sidecars (ascending
+  * within each partial; several tasks may delete from the same file
+  * when it spans splits) plus, when the task inserted rows, one
+  * appended data file with writer-tracked key stats. */
+private[sources] case class GraftMorCommit(
+    partials: Map[String, String], deleted: Long,
+    appended: Option[GraftSqlCommit]) extends WriterCommitMessage
+
+private[sources] class GraftMorWrite(table: GraftTable,
+    rowSchema: StructType) extends DeltaWrite with DeltaBatchWrite {
+
+  private val outDir = s"${table.base}/files-mor-sql-" +
+    UUID.randomUUID().toString.take(8)
+
+  override def toBatch: DeltaBatchWrite = this
+
+  override def createBatchWriterFactory(
+      pinfo: PhysicalWriteInfo): DeltaWriterFactory =
+    new GraftMorWriterFactory(s"${table.base}/dv", outDir, rowSchema)
+
+  /** Merge every task's partial position lists with each touched
+    * file's existing sidecar, add the tasks' appended delta files, and
+    * publish ONE new manifest version. Same conflict identity as the
+    * API path: a winner that rewrote or re-DV'd a touched file since
+    * this statement's snapshot invalidates the computed positions
+    * (they were derived from that exact (path, dv) state) — abort and
+    * re-run. Sidecar merging is O(total deleted positions) driver
+    * work, bounded per file by the file's row count (the
+    * Delta-DV-commit shape; a larger engine would merge distributed
+    * and carry sidecar references only). */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val commits = messages.collect { case m: GraftMorCommit => m }
+    val byFile: Map[String, Seq[String]] = commits.flatMap(_.partials.toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val newEntries = commits.flatMap(_.appended).filter(_.rows > 0)
+      .sortBy(_.path).map { m =>
+        Extras5.ManifestEntry(m.path,
+          if (m.hasKey) Some((m.keyLo, m.keyHi)) else None)
+      }.toSeq
+    if (byFile.isEmpty && newEntries.isEmpty) return // no-op, not a commit
+    val snapshotIdByPath = table.manifest.map(e => e.path -> e.identity).toMap
+    try {
+      var attempts = 0
+      while (attempts < 10) {
+        attempts += 1
+        val latest = Extras5.q78Latest(table.base)
+        val cur = Extras5.q78ResolveEntries(table.base, latest)
+        val curByPath = cur.map(e => e.path -> e).toMap
+        val stable = byFile.keys.forall(f =>
+          curByPath.get(f).exists(e =>
+            snapshotIdByPath.get(f).contains(e.identity)))
+        if (!stable) throw new IllegalStateException(
+          s"concurrent write conflict on ${table.name}: a file this " +
+            "statement computed positions against was rewritten or " +
+            "re-DV'd by another commit; re-run the statement")
+        val newDvs = byFile.map { case (f, parts) =>
+          val old = curByPath(f).dv.map(GraftDv.read)
+            .getOrElse(Array.empty[Long])
+          val merged = (old ++ parts.flatMap(GraftDv.read(_))).distinct.sorted
+          val dvPath = s"${table.base}/dv/" +
+            s"${UUID.randomUUID().toString.take(12)}.gdv"
+          GraftDv.write(dvPath, merged)
+          f -> dvPath
+        }
+        val updated = cur.map(e =>
+          newDvs.get(e.path).fold(e)(d => e.copy(dv = Some(d))))
+        if (Extras5.q78TryCommitEntries(table.base, latest + 1,
+            updated ++ newEntries))
+          return
+        // lost the CAS: drop this attempt's merged sidecars, re-check
+        // identities against the winner, and retry
+        newDvs.values.foreach(p => java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(p)))
+      }
+      throw new IllegalStateException(
+        s"gave up committing to ${table.name} after 10 CAS attempts")
+    } finally {
+      // partials are staging, never referenced by a manifest
+      byFile.values.flatten.foreach(p =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GraftMorCommit => m }.foreach { m =>
+      m.partials.values.foreach(p => java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(p)))
+      m.appended.foreach(a => java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(a.path)))
+    }
+
+  override def description(): String = s"GraftMorWrite(${table.name})"
+}
+
+/** Top-level (serializable, no outer write reference). */
+private[sources] class GraftMorWriterFactory(dvDir: String,
+    outDir: String, rowSchema: StructType) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] =
+    new GraftMorWriter(dvDir, outDir, rowSchema, partitionId, taskId)
+}
+
+/** Accumulates (file → deleted ordinals) task-side and streams inserted
+  * rows into one appended parquet file (stats-tracked, exactly the
+  * INSERT INTO writer); `commit` stages one partial sidecar per touched
+  * file. Deleted positions per task are bounded by the task's split
+  * row count. */
+private[sources] class GraftMorWriter(dvDir: String, outDir: String,
+    rowSchema: StructType, partitionId: Int, taskId: Long)
+    extends DeltaWriter[InternalRow] {
+
+  private val acc = scala.collection.mutable.HashMap[
+    String, scala.collection.mutable.ArrayBuffer[Long]]()
+  private lazy val inserter =
+    new GraftDataWriter(rowSchema, outDir, partitionId, taskId)
+  private var inserted = false
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    val file = id.getUTF8String(0).toString
+    acc.getOrElseUpdate(file,
+      new scala.collection.mutable.ArrayBuffer[Long]) += id.getLong(1)
+  }
+
+  override def update(metadata: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = throw new IllegalStateException(
+    "updates are represented as delete + insert (representUpdateAsDeleteAndInsert)")
+
+  override def insert(row: InternalRow): Unit = {
+    inserted = true
+    inserter.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val partials = acc.map { case (f, positions) =>
+      val p = s"$dvDir/partial-${UUID.randomUUID().toString.take(12)}.gdv"
+      GraftDv.write(p, positions.toArray.sorted)
+      f -> p
+    }.toMap
+    val appended = if (inserted)
+      Some(inserter.commit().asInstanceOf[GraftSqlCommit]) else None
+    GraftMorCommit(partials,
+      acc.valuesIterator.map(_.size.toLong).sum, appended)
+  }
+
+  override def abort(): Unit = if (inserted) inserter.abort()
+
+  override def close(): Unit = ()
 }
 
 /** INSERT INTO / INSERT OVERWRITE write: appends never conflict (pure

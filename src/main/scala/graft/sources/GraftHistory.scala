@@ -1,0 +1,111 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.queries.Extras5
+
+/** Commit-history metadata table, addressed `graft.<t>.history` (the
+  * Iceberg metadata-table convention; Delta's DESCRIBE HISTORY): one
+  * row per still-resolvable manifest version with its `#ts` commit
+  * timestamp, file/deletion-vector counts, restore provenance, and the
+  * streaming sink's txn watermark. Everything comes from manifest
+  * METADATA — O(#versions × #files) driver-side text, no data file is
+  * ever opened, so the query is instant at any table size.
+  */
+private[sources] class GraftHistoryTable(tableName: String, base: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = tableName
+
+  override def schema(): StructType = GraftHistory.Schema
+
+  override def partitioning(): Array[Transform] = Array.empty
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new GraftHistoryScan(base)
+}
+
+private[graft] object GraftHistory {
+  val Schema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("ts_millis", LongType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_dv_files", LongType, nullable = false),
+    StructField("restore_of", LongType, nullable = true),
+    StructField("txn_app_id", StringType, nullable = true),
+    StructField("txn_epoch", LongType, nullable = true)))
+
+  /** One row per resolvable version, ascending. */
+  def rows(base: String): Seq[InternalRow] = {
+    val dir = new java.io.File(base, "_manifests")
+    val versions = Option(dir.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => "^v(\\d+)\\.txt$".r.findFirstMatchIn(f.getName)
+        .map(_.group(1).toInt)).sorted.toSeq
+    versions.map { v =>
+      val entries = Extras5.q78ResolveEntries(base, v)
+      val headers = Extras5.q78CommitHeaders(base, v)
+      val txn = headers.get("txn").map(_.split("\t", 2))
+      InternalRow(
+        v.toLong,
+        Extras5.q78CommitTime(base, v),
+        entries.size.toLong,
+        entries.count(_.dv.isDefined).toLong,
+        headers.get("restore").map(r => java.lang.Long.valueOf(r.toLong)).orNull,
+        txn.map(t => UTF8String.fromString(t(0))).orNull,
+        txn.flatMap(t => t.lift(1)).map(e =>
+          java.lang.Long.valueOf(e.toLong)).orNull)
+    }
+  }
+}
+
+/** Driver-materialized scan: the history rows ride inside the single
+  * input partition (#versions rows of metadata — trivially bounded). */
+private[sources] class GraftHistoryScan(base: String) extends Scan with Batch {
+
+  override def readSchema(): StructType = GraftHistory.Schema
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // serialize as plain values (InternalRow itself is not serializable
+    // across the task boundary in all cases; UTF8String is)
+    val vals = GraftHistory.rows(base).map(r =>
+      (0 until GraftHistory.Schema.length).map(i =>
+        if (r.isNullAt(i)) null
+        else GraftHistory.Schema(i).dataType match {
+          case LongType => r.getLong(i)
+          case StringType => r.getUTF8String(i)
+          case other => throw new IllegalStateException(s"unexpected $other")
+        }))
+    Array(HistoryPartition(vals))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val it = partition.asInstanceOf[HistoryPartition].rows.iterator
+      new PartitionReader[InternalRow] {
+        private var cur: InternalRow = _
+        override def next(): Boolean = {
+          if (!it.hasNext) false
+          else { cur = InternalRow.fromSeq(it.next()); true }
+        }
+        override def get(): InternalRow = cur
+        override def close(): Unit = ()
+      }
+    }
+
+  override def description(): String = s"GraftHistoryScan($base)"
+}
+
+/** Top-level (no outer reference — the partition ships to executors). */
+private[sources] case class HistoryPartition(rows: Seq[Seq[Any]])
+    extends InputPartition

@@ -86,17 +86,24 @@ private[graft] object GraftParquetIO {
   * `anyDv` true when ANY planned file carries a deletion vector — the
   * whole scan then reads row-based (Spark requires every partition of
   * one scan to agree on columnar vs row), with DV'd splits skipping
-  * their dead ordinals. Purge drops the DVs and restores the fully
-  * columnar scan. */
+  * their dead ordinals (purge drops the DVs and restores the fully
+  * columnar scan); `posColumn` names a synthetic row-POSITION column
+  * (file-global ordinal, the DV coordinate system) filled by the reader
+  * itself — callers must NOT pass keyRange together with posColumn
+  * (row-group skipping would break ordinal arithmetic). */
 private[sources] class GraftVectorizedReaderFactory(required: StructType,
     constantNames: Set[String],
     keyRange: Option[(String, Long, Long)] = None,
-    anyDv: Boolean = false)
+    anyDv: Boolean = false,
+    posColumn: Option[String] = None)
     extends PartitionReaderFactory {
   import GraftParquetIO.GraftFileSplit
 
-  private val dataSchema =
-    StructType(required.fields.filterNot(f => constantNames(f.name)))
+  require(keyRange.isEmpty || posColumn.isEmpty,
+    "keyRange row-group skipping cannot combine with a position column")
+
+  private val dataSchema = StructType(required.fields.filterNot(f =>
+    constantNames(f.name) || posColumn.contains(f.name)))
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
     !anyDv
@@ -104,7 +111,7 @@ private[sources] class GraftVectorizedReaderFactory(required: StructType,
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] =
     new GraftColumnarReader(partition.asInstanceOf[GraftFileSplit],
-      required, dataSchema, keyRange)
+      required, dataSchema, keyRange, posColumn)
 
   /** Row-based path: DV'd splits skip deleted ordinals (positions are
     * firstRowIndex + read ordinal, so the inner reader must NOT
@@ -118,7 +125,7 @@ private[sources] class GraftVectorizedReaderFactory(required: StructType,
         val (firstRow, _) = GraftDv.splitRowRange(
           split.path, split.start, split.length)
         new GraftDvRowReader(
-          new GraftColumnarReader(split, required, dataSchema, None),
+          new GraftColumnarReader(split, required, dataSchema, None, posColumn),
           dvPath, firstRow)
       case None =>
         val inner = createColumnarReader(partition)
@@ -142,10 +149,13 @@ private[sources] class GraftVectorizedReaderFactory(required: StructType,
 
 /** One split's columnar reader: Spark's VectorizedParquetRecordReader
   * over the data columns, with constant columns laid in at their
-  * required positions. */
+  * required positions and an optional synthetic row-POSITION column
+  * (file-global ordinal = the split's first row index + read ordinal,
+  * valid because position-requesting scans never row-group-filter). */
 private[sources] class GraftColumnarReader(split: GraftParquetIO.GraftFileSplit,
     required: StructType, dataSchema: StructType,
-    keyRange: Option[(String, Long, Long)])
+    keyRange: Option[(String, Long, Long)],
+    posColumn: Option[String] = None)
     extends PartitionReader[ColumnarBatch] {
   import GraftParquetIO.Capacity
 
@@ -197,12 +207,25 @@ private[sources] class GraftColumnarReader(split: GraftParquetIO.GraftFileSplit,
   vectorized.enableReturningBatches()
   private val inner: ColumnarBatch = vectorized.resultBatch()
 
+  /** The split's starting file-global row ordinal; advanced batch by
+    * batch when a position column is requested. */
+  private var nextPos: Long =
+    if (posColumn.isEmpty) 0L
+    else GraftDv.splitRowRange(split.path, split.start, split.length)._1
+
+  private val posVector: Option[org.apache.spark.sql.execution.vectorized
+      .OnHeapColumnVector] = posColumn.map(_ =>
+    new org.apache.spark.sql.execution.vectorized.OnHeapColumnVector(
+      Capacity, LongType))
+
   /** Output columns in `required` order: constants as
-    * ConstantColumnVector, data columns by reference to the inner
-    * batch's (stable, reused-per-batch) vectors. */
+    * ConstantColumnVector, the position column as a reader-filled
+    * vector, data columns by reference to the inner batch's (stable,
+    * reused-per-batch) vectors. */
   private val wrapped: ColumnarBatch = {
     val cols: Array[ColumnVector] = required.fields.map { f =>
-      split.constants.get(f.name) match {
+      if (posColumn.contains(f.name)) posVector.get
+      else split.constants.get(f.name) match {
         case Some(v) =>
           val c = new ConstantColumnVector(Capacity, f.dataType)
           v match {
@@ -219,7 +242,16 @@ private[sources] class GraftColumnarReader(split: GraftParquetIO.GraftFileSplit,
     new ColumnarBatch(cols, 0)
   }
 
-  override def next(): Boolean = vectorized.nextBatch()
+  override def next(): Boolean = {
+    val has = vectorized.nextBatch()
+    if (has) posVector.foreach { v =>
+      val n = inner.numRows()
+      var i = 0
+      while (i < n) { v.putLong(i, nextPos + i); i += 1 }
+      nextPos += n
+    }
+    has
+  }
 
   override def get(): ColumnarBatch = {
     wrapped.setNumRows(inner.numRows())

@@ -58,6 +58,35 @@ class Extras7Spec extends SparkSpec {
       spark.read.parquet(v3.map(_.path): _*).count())
   }
 
+  test("MOR merge is ONE commit: base files untouched, DVs on matched files, stats on appends") {
+    val base = Extras7.q99Build(spark, sf)
+    assert(Extras5.q78Latest(base) == 2, "build + merge = exactly two commits")
+    val v1 = Extras5.q78ResolveEntries(base, 1)
+    val v2 = Extras5.q78ResolveEntries(base, 2)
+    val v1Paths = v1.map(_.path).toSet
+    // every base file carries into v2 (never rewritten), byte-identical
+    assert(v1Paths.subsetOf(v2.map(_.path).toSet))
+    // the delta's keys ≡ 0 (mod 15) live in SOME of the 8 range files:
+    // those (and only those) got DVs; appended files carry key stats
+    val (carried, appended) = v2.partition(e => v1Paths(e.path))
+    assert(carried.exists(_.dv.isDefined), "matched files must be DV'd")
+    assert(appended.nonEmpty, "non-'F' delta rows must land as new files")
+    assert(appended.forall(_.dv.isEmpty))
+    assert(appended.forall(_.stats.isDefined),
+      "appended entries commit writer stats like any append")
+    // the composed read equals base-minus-matched plus appends
+    import spark.implicits._
+    graft.sources.GraftCatalog.install(spark)
+    val name = s"mmspec_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.sources.GraftCatalog.register(name, base)
+    val matchedKeys = spark.read.parquet(v1.map(_.path): _*)
+      .filter($"o_orderkey" % 15 === 0).count()
+    val appendedRows = spark.read.parquet(appended.map(_.path): _*).count()
+    val v1Rows = spark.read.parquet(v1.map(_.path): _*).count()
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0) ==
+      v1Rows - matchedKeys + appendedRows)
+  }
+
   test("a MOR delete matching nothing is a no-op, not a commit") {
     val base = Extras7.q98Build(spark, sf)
     val before = Extras5.q78Latest(base)

@@ -203,6 +203,107 @@ class GraftDvSpec extends SparkSpec {
       s"expected a conflict, got: ${causes(e).mkString(" <- ")}")
   }
 
+  test("SQL DELETE on a merge-on-read table writes sidecars via SupportsDelta") {
+    GraftCatalog.install(spark)
+    val base = graft.Scratch.dir("dvspec_sqldel")
+    val name = s"sqldel_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE graft.$name (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, price DECIMAL(18,2)) " +
+      s"LOCATION '$base' TBLPROPERTIES ('graft.delete.mode' = 'merge-on-read')")
+    graft.Tables.load(spark, sf, "orders")
+      .filter($"o_orderkey" % 3 === 0)
+      .select($"o_orderkey", $"o_orderstatus",
+        $"o_totalprice".cast(D2).as("price"))
+      .createOrReplaceTempView(s"src_$name")
+    spark.sql(s"INSERT INTO graft.$name SELECT * FROM src_$name")
+    val v2 = Extras5.q78ResolveEntries(base, 2)
+    val sizes = v2.map(e => e.path -> new java.io.File(e.path).length()).toMap
+    val total = spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0)
+    val expectDel = spark.sql(s"SELECT COUNT(*) FROM graft.$name " +
+      "WHERE o_orderstatus = 'F'").head().getLong(0)
+    assert(expectDel > 0)
+
+    spark.sql(s"DELETE FROM graft.$name WHERE o_orderstatus = 'F'")
+    val v3 = Extras5.q78ResolveEntries(base, 3)
+    // no data file touched: same paths, same bytes, sidecars only
+    assert(v3.map(_.path) == v2.map(_.path))
+    v3.foreach(e => assert(new java.io.File(e.path).length() == sizes(e.path)))
+    val dvTotal = v3.flatMap(_.dv).map(d => GraftDv.read(d).length.toLong).sum
+    assert(dvTotal == expectDel, s"sidecar ordinals $dvTotal != $expectDel")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0) ==
+      total - expectDel)
+    // second DELETE merges into the sidecars through the SQL path too
+    val expectDel2 = spark.sql(s"SELECT COUNT(*) FROM graft.$name " +
+      "WHERE o_orderkey % 10 = 0").head().getLong(0)
+    spark.sql(s"DELETE FROM graft.$name WHERE o_orderkey % 10 = 0")
+    val v4 = Extras5.q78ResolveEntries(base, 4)
+    val dvTotal2 = v4.flatMap(_.dv).map(d => GraftDv.read(d).length.toLong).sum
+    assert(dvTotal2 == expectDel + expectDel2)
+    // a COW UPDATE composes on top: it reads DV-subtracted rows,
+    // rewrites the touched files, and the rewritten files drop their DVs
+    val preCount = spark.sql(s"SELECT COUNT(*) FROM graft.$name")
+      .head().getLong(0)
+    spark.sql(s"UPDATE graft.$name SET price = CAST(price + 1 AS DECIMAL(18,2)) " +
+      "WHERE o_orderkey % 2 = 1")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0) ==
+      preCount, "UPDATE must not resurrect DV-deleted rows")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name " +
+      "WHERE o_orderstatus = 'F'").head().getLong(0) == 0)
+  }
+
+  test("SQL MERGE in merge-on-read mode: sidecars + appended delta files, one commit") {
+    GraftCatalog.install(spark)
+    val base = graft.Scratch.dir("dvspec_mormerge")
+    val name = s"mormerge_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE graft.$name (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, price DECIMAL(18,2)) " +
+      s"LOCATION '$base' TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read')")
+    graft.Tables.load(spark, sf, "orders")
+      .filter($"o_orderkey" % 3 === 0)
+      .select($"o_orderkey", $"o_orderstatus",
+        $"o_totalprice".cast(D2).as("price"))
+      .createOrReplaceTempView(s"src_$name")
+    spark.sql(s"INSERT INTO graft.$name SELECT * FROM src_$name")
+    val v2 = Extras5.q78ResolveEntries(base, 2)
+    val sizes = v2.map(e => e.path -> new java.io.File(e.path).length()).toMap
+    graft.Tables.load(spark, sf, "orders")
+      .filter($"o_orderkey" % 30 <= 1)
+      .select($"o_orderkey".as("d_key"), lit("X").as("d_status"),
+        $"o_totalprice".cast(D2).as("d_price"))
+      .createOrReplaceTempView(s"delta_$name")
+    spark.sql(
+      s"""MERGE INTO graft.$name t USING delta_$name d
+         |ON t.o_orderkey = d.d_key
+         |WHEN MATCHED THEN UPDATE SET price = CAST(t.price + 5 AS DECIMAL(18,2))
+         |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, price)
+         |  VALUES (d.d_key, d.d_status, d.d_price)""".stripMargin)
+    // exactly ONE commit: v3 = v2's files (byte-identical) with DVs on
+    // matched files, plus stats-carrying appended delta files
+    assert(Extras5.q78Latest(base) == 3)
+    val v3 = Extras5.q78ResolveEntries(base, 3)
+    val v2Paths = v2.map(_.path).toSet
+    val (carried, appended) = v3.partition(e => v2Paths(e.path))
+    assert(carried.map(_.path) == v2.map(_.path), "no base file rewritten")
+    carried.foreach(e =>
+      assert(new java.io.File(e.path).length() == sizes(e.path)))
+    assert(carried.exists(_.dv.isDefined), "matched rows superseded via DV")
+    assert(appended.nonEmpty && appended.forall(_.stats.isDefined),
+      "updates' new values + inserts land as stats-carrying appends")
+    // superseded = matched keys; appended rows = matched + inserted
+    val matched = spark.read.parquet(v2.map(_.path): _*)
+      .filter($"o_orderkey" % 30 <= 1).count()
+    val dvTotal = v3.flatMap(_.dv).map(d => GraftDv.read(d).length.toLong).sum
+    assert(dvTotal == matched)
+    val deltaRows = spark.table(s"delta_$name").count()
+    assert(spark.read.parquet(appended.map(_.path): _*).count() == deltaRows)
+    // composed read: count unchanged by updates, grown by inserts
+    val base2 = spark.read.parquet(v2.map(_.path): _*).count()
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0) ==
+      base2 + (deltaRows - matched))
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name " +
+      "WHERE o_orderstatus = 'X'").head().getLong(0) == deltaRows - matched)
+  }
+
   test("vacuum-style reference counting treats live DV sidecars as retained") {
     val base = buildV1("vacuum")
     Extras7.deleteMorOcc(spark, base, col("o_orderstatus") === "F")

@@ -54,6 +54,14 @@ class GraftStreamSinkSpec extends SparkSpec {
     // the table's content equals the feed
     assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0) ==
       spark.read.parquet(src).count())
+    // the history metadata table surfaces the txn watermarks
+    val hist = spark.sql(s"SELECT version, txn_app_id, txn_epoch " +
+      s"FROM graft.$name.history ORDER BY version").collect()
+    assert(hist.length == latest)
+    assert(hist.head.isNullAt(1), "CREATE's commit carries no txn")
+    assert(hist.tail.forall(_.getString(1) == s"app_$name"))
+    assert(hist.tail.map(_.getLong(2)) sameElements
+      hist.tail.map(_.getLong(2)).sorted)
   }
 
   test("a replayed epoch is a no-op; other writers' watermarks don't mask it") {
