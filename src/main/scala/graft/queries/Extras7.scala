@@ -801,6 +801,86 @@ object Extras7 {
       |  CAST(SUM(p) AS DOUBLE) AS sum_price
       |FROM snaps GROUP BY snapshot ORDER BY snapshot""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q103: RENAME / DROP COLUMN EVOLUTION via column mapping — the
+  // boundary the r14 verdict documented ("ADD COLUMN only") removed the
+  // Delta-name-mode way: every logical field may carry a physical
+  // (on-disk) name in the persisted schema's metadata. RENAME changes
+  // only the logical name (old files serve the renamed column with
+  // ZERO rewrites); DROP removes the logical field (bytes stay,
+  // unread); a column ADDED by ALTER gets a FRESH physical name, so
+  // RE-ADDING a dropped name can never resurrect the dropped bytes —
+  // the q103 fixture does exactly that resurrect attempt: rename
+  // price→amount, drop o_orderstatus, re-add o_orderstatus, and the
+  // re-added column must read NULL on every pre-drop row (the oracle
+  // pins it). Time travel composes: VERSION AS OF a pre-evolution
+  // version reads under the CURRENT schema (Iceberg semantics).
+  // ---------------------------------------------------------------------
+
+  private[queries] def q103Build(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    graft.sources.GraftCatalog.install(spark)
+    val base = graft.Scratch.dir("q103_table")
+    val name = s"ev_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE graft.$name (o_orderkey BIGINT, " +
+      s"o_orderstatus STRING, price DECIMAL(18,2)) LOCATION '$base'")
+    val orders = Tables.load(spark, dir, "orders")
+    orders.filter($"o_orderkey" % 3 === 0)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice".cast(D2).as("price"))
+      .createOrReplaceTempView(s"q103_s0_$name")
+    spark.sql(s"INSERT INTO graft.$name SELECT * FROM q103_s0_$name") // v2
+    spark.sql(s"ALTER TABLE graft.$name RENAME COLUMN price TO amount")
+    orders.filter($"o_orderkey" % 3 === 1)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice".cast(D2).as("amount"))
+      .createOrReplaceTempView(s"q103_s1_$name")
+    spark.sql(s"INSERT INTO graft.$name SELECT * FROM q103_s1_$name") // v3
+    spark.sql(s"ALTER TABLE graft.$name DROP COLUMN o_orderstatus")
+    spark.sql(s"ALTER TABLE graft.$name ADD COLUMN o_orderstatus STRING")
+    orders.filter($"o_orderkey" % 3 === 2)
+      .select($"o_orderkey", $"o_totalprice".cast(D2).as("amount"),
+        lit("Z").as("o_orderstatus"))
+      .createOrReplaceTempView(s"q103_s2_$name")
+    spark.sql(s"INSERT INTO graft.$name SELECT * FROM q103_s2_$name") // v4
+    name
+  }
+
+  def q103(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = q103Build(spark, dir)
+    def agg(fromClause: String, label: String): DataFrame =
+      spark.sql(s"SELECT * FROM graft.$name $fromClause")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"amount").cast(DoubleType).as("sum_amount"),
+          count(when($"o_orderstatus".isNull, 1)).as("n_null_status"),
+          count(when($"o_orderstatus" === "Z", 1)).as("n_z"))
+        .withColumn("read_as", lit(label))
+    agg("VERSION AS OF 2", "1_pre_evolution")
+      .unionByName(agg("", "2_final"))
+      .select($"read_as", $"n_rows", $"sum_amount", $"n_null_status", $"n_z")
+      .orderBy($"read_as")
+  }
+
+  private val q103Sql =
+    """WITH src AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders),
+      |snaps AS (
+      |  -- v2 read under the CURRENT schema: renamed amount serves the
+      |  -- old bytes; the re-added o_orderstatus is NULL everywhere
+      |  SELECT '1_pre_evolution' AS read_as, p, CAST(NULL AS VARCHAR) AS s
+      |  FROM src WHERE k % 3 = 0
+      |  UNION ALL SELECT '2_final', p,
+      |    CASE WHEN k % 3 = 2 THEN 'Z' ELSE NULL END
+      |  FROM src),
+      |agg AS (
+      |  SELECT read_as, COUNT(*) AS n_rows,
+      |    CAST(SUM(p) AS DOUBLE) AS sum_amount,
+      |    COUNT(*) FILTER (s IS NULL) AS n_null_status,
+      |    COUNT(*) FILTER (s = 'Z') AS n_z
+      |  FROM snaps GROUP BY read_as)
+      |SELECT read_as, n_rows, sum_amount, n_null_status, n_z
+      |FROM agg ORDER BY read_as""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q96_delete_dv" -> (q96 _),
     "q97_timestamp_as_of" -> (q97 _),
@@ -808,7 +888,8 @@ object Extras7 {
     "q99_merge_mor_native" -> (q99 _),
     "q100_table_history" -> (q100 _),
     "q101_sql_delete_dv" -> (q101 _),
-    "q102_sql_merge_mor" -> (q102 _))
+    "q102_sql_merge_mor" -> (q102 _),
+    "q103_rename_drop_evolution" -> (q103 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q96_delete_dv" -> q96Sql,
@@ -817,5 +898,6 @@ object Extras7 {
     "q99_merge_mor_native" -> q99Sql,
     "q100_table_history" -> q100Sql,
     "q101_sql_delete_dv" -> q101Sql,
-    "q102_sql_merge_mor" -> q102Sql)
+    "q102_sql_merge_mor" -> q102Sql,
+    "q103_rename_drop_evolution" -> q103Sql)
 }

@@ -80,6 +80,38 @@ object GraftCatalog {
     * protocol family's canonical orders shape. */
   val StatsColumn = "o_orderkey"
 
+  /** Column-mapping schema evolution (the Delta 'name mode' shape):
+    * each logical field may carry a `graft.physical` metadata key
+    * naming its on-disk parquet column. RENAME keeps the physical name
+    * (zero file rewrites); DROP removes the logical field (the bytes
+    * stay, unread); a column ADDED by ALTER gets a FRESH physical name
+    * so re-adding a dropped/renamed name can never resurrect old data.
+    * Absent metadata ⇒ physical = logical (tables created before the
+    * mapping, and every CREATE TABLE column). */
+  val PhysicalKey = "graft.physical"
+
+  private[sources] def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  /** logical → physical for the fields that differ. */
+  private[sources] def physicalMap(schema: StructType): Map[String, String] =
+    schema.fields.collect {
+      case f if physicalName(f) != f.name => f.name -> physicalName(f)
+    }.toMap
+
+  /** Rewrites a write schema's field NAMES to their physical form (by
+    * logical-name lookup in the table schema); types/nullability stay
+    * the query's. */
+  private[sources] def physicalize(writeSchema: StructType,
+      tableSchema: StructType): StructType = {
+    val byName = tableSchema.fields.map(f => f.name -> f).toMap
+    StructType(writeSchema.fields.map { f =>
+      StructField(byName.get(f.name).map(physicalName).getOrElse(f.name),
+        f.dataType, f.nullable)
+    })
+  }
+
   def register(name: String, base: String): Unit = {
     tables.put(name, base)
     persist()
@@ -260,26 +292,54 @@ class GraftCatalog extends TableCatalog {
     new GraftTable(s"$catalogName.${ident.name}", base, None)
   }
 
-  /** ALTER TABLE graft.t ADD COLUMN — schema evolution without history
-    * rewrite: the persisted schema widens; files written before the
-    * change simply lack the field and read back as NULL (the
-    * Iceberg/Delta convention). Only top-level, nullable ADD COLUMN is
-    * supported; anything else (drop/rename/retype) would need
-    * field-id tracking this protocol does not carry. */
+  /** ALTER TABLE graft.t ADD / RENAME / DROP COLUMN — schema evolution
+    * without history rewrite, via COLUMN MAPPING (the Delta 'name
+    * mode' shape; see GraftCatalog.PhysicalKey):
+    *  - ADD COLUMN (nullable, top-level): the persisted schema widens
+    *    under a FRESH physical name, so files written before the change
+    *    lack the column and read back NULL — and re-adding a previously
+    *    dropped or renamed name can never resurrect old bytes;
+    *  - RENAME COLUMN: only the LOGICAL name changes — the field keeps
+    *    its physical (on-disk) name, so every existing file serves the
+    *    renamed column with zero rewrites;
+    *  - DROP COLUMN: the logical field disappears (reads stop
+    *    requesting its physical column; the bytes stay until the files
+    *    themselves are rewritten or vacuumed).
+    * Retype remains unsupported and is refused loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val base = liveBaseFor(ident.name)
       .getOrElse(throw new NoSuchTableException(ident))
     val current = new GraftTable(s"$catalogName.${ident.name}", base, None).schema
-    val widened = changes.foldLeft(current) {
+    val evolved = changes.foldLeft(current) {
       case (sch, add: TableChange.AddColumn)
           if add.fieldNames.length == 1 && add.isNullable =>
-        sch.add(StructField(add.fieldNames.head, add.dataType, nullable = true))
+        val physical = s"${add.fieldNames.head}_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        sch.add(StructField(add.fieldNames.head, add.dataType,
+          nullable = true, new MetadataBuilder()
+            .putString(GraftCatalog.PhysicalKey, physical).build()))
+      case (sch, ren: TableChange.RenameColumn) if ren.fieldNames.length == 1 =>
+        val old = ren.fieldNames.head
+        require(sch.fieldNames.contains(old), s"no such column: $old")
+        StructType(sch.fields.map { f =>
+          if (f.name != old) f
+          else StructField(ren.newName, f.dataType, f.nullable,
+            new MetadataBuilder().withMetadata(f.metadata)
+              .putString(GraftCatalog.PhysicalKey,
+                GraftCatalog.physicalName(f)).build())
+        })
+      case (sch, del: TableChange.DeleteColumn) if del.fieldNames.length == 1 =>
+        val gone = del.fieldNames.head
+        require(sch.fieldNames.contains(gone), s"no such column: $gone")
+        require(sch.fields.length > 1, "cannot drop the last column")
+        StructType(sch.fields.filterNot(_.name == gone))
       case (_, other) => throw new UnsupportedOperationException(
-        s"graft tables support only nullable top-level ADD COLUMN, got $other")
+        "graft tables support nullable top-level ADD COLUMN, RENAME " +
+          s"COLUMN, and DROP COLUMN; got $other")
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(base, "_schema.json"),
-      widened.json.getBytes("UTF-8"))
+      evolved.json.getBytes("UTF-8"))
     new GraftTable(s"$catalogName.${ident.name}", base, None)
   }
 
@@ -319,6 +379,9 @@ private[sources] class GraftTable(tableName: String, val base: String,
         java.nio.file.Files.readAllBytes(sj), "UTF-8")).asInstanceOf[StructType]
     else GraftParquet.inferSchema(manifest.head.path)
   }
+
+  /** logical → physical column names (column-mapping evolution). */
+  lazy val physicalOf: Map[String, String] = GraftCatalog.physicalMap(schema)
 
   override def partitioning(): Array[Transform] = Array.empty
 
@@ -540,10 +603,12 @@ private[sources] class GraftScan(table: GraftTable, required: StructType,
     val keyIsLong = table.schema.fields
       .exists(f => f.name == GraftCatalog.StatsColumn && f.dataType == LongType)
     val range = if (bounded && keyIsLong && !posRequested)
-      Some((GraftCatalog.StatsColumn, keyLo, keyHi)) else None
+      Some((table.physicalOf.getOrElse(GraftCatalog.StatsColumn,
+        GraftCatalog.StatsColumn), keyLo, keyHi)) else None
     new GraftVectorizedReaderFactory(required, Set("_file"), range,
       anyDv = activeEntries.exists(_.dv.isDefined),
-      posColumn = if (posRequested) Some("_pos") else None)
+      posColumn = if (posRequested) Some("_pos") else None,
+      physicalOf = table.physicalOf)
   }
 
   override def description(): String =
@@ -588,7 +653,8 @@ private[sources] class GraftCowWrite(table: GraftTable,
 
   override def createBatchWriterFactory(
       pinfo: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(info.schema(), outDir)
+    new GraftWriterFactory(
+      GraftCatalog.physicalize(info.schema(), table.schema), outDir)
 
   /** Commit = optimistic CAS against the manifest protocol. The
     * replaced set is what the operation's scan READ (post runtime
@@ -709,7 +775,8 @@ private[sources] class GraftMorOperation(table: GraftTable,
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        new GraftMorWrite(table, info.schema())
+        new GraftMorWrite(table,
+          GraftCatalog.physicalize(info.schema(), table.schema))
     }
 
   override def rowId(): Array[NamedReference] =
@@ -767,6 +834,10 @@ private[sources] class GraftMorWrite(table: GraftTable,
       }.toSeq
     if (byFile.isEmpty && newEntries.isEmpty) return // no-op, not a commit
     val snapshotIdByPath = table.manifest.map(e => e.path -> e.identity).toMap
+    // same race seam as the COW commit: a spec can interleave a
+    // competing writer between this statement's snapshot and its CAS
+    GraftCatalog.commitRaceHook()
+    GraftCatalog.commitRaceHook = () => ()
     try {
       var attempts = 0
       while (attempts < 10) {
@@ -899,12 +970,14 @@ private[sources] class GraftAppendWrite(table: GraftTable,
     // idempotent-write convention — stable across restarts by the
     // caller's choice), else the engine-provided query id
     val appId = Option(info.options.get("txnappid")).getOrElse(info.queryId)
-    new GraftStreamingWrite(table, info.schema(), appId, outDir)
+    new GraftStreamingWrite(table,
+      GraftCatalog.physicalize(info.schema(), table.schema), appId, outDir)
   }
 
   override def createBatchWriterFactory(
       pinfo: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(info.schema(), outDir)
+    new GraftWriterFactory(
+      GraftCatalog.physicalize(info.schema(), table.schema), outDir)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val commits = messages.collect { case m: GraftSqlCommit if m.rows > 0 => m }

@@ -93,6 +93,16 @@ private[graft] object GraftChangeFeed {
       dataSchema.fields)
   }
 
+  /** Column-mapping (rename/drop evolution) of the underlying table —
+    * the feed's reads translate logical → physical exactly like the
+    * table's own scans. */
+  def physicalOf(base: String): Map[String, String] = {
+    val sj = java.nio.file.Paths.get(base, "_schema.json")
+    if (!java.nio.file.Files.exists(sj)) Map.empty
+    else GraftCatalog.physicalMap(DataType.fromJson(new String(
+      java.nio.file.Files.readAllBytes(sj), "UTF-8")).asInstanceOf[StructType])
+  }
+
   /** Still-resolvable manifest versions, from the `_manifests` listing
     * — O(#versions) driver metadata. */
   private def availableVersions(base: String): Seq[Int] = {
@@ -225,7 +235,8 @@ private[graft] class GraftChangeFeedStream(base: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftVectorizedReaderFactory(schema, Set("side", "commit_version"),
-      anyDv = plannedAnyDv)
+      anyDv = plannedAnyDv,
+      physicalOf = GraftChangeFeed.physicalOf(base))
 
   override def stop(): Unit = ()
 }

@@ -95,15 +95,22 @@ private[sources] class GraftVectorizedReaderFactory(required: StructType,
     constantNames: Set[String],
     keyRange: Option[(String, Long, Long)] = None,
     anyDv: Boolean = false,
-    posColumn: Option[String] = None)
+    posColumn: Option[String] = None,
+    physicalOf: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   import GraftParquetIO.GraftFileSplit
 
   require(keyRange.isEmpty || posColumn.isEmpty,
     "keyRange row-group skipping cannot combine with a position column")
 
+  /** Decode schema in PHYSICAL column names (column-mapping schema
+    * evolution: a renamed column keeps its on-disk name; a re-added
+    * column gets a fresh one — the requested projection is translated
+    * here and translated back positionally in the output batch). */
   private val dataSchema = StructType(required.fields.filterNot(f =>
-    constantNames(f.name) || posColumn.contains(f.name)))
+    constantNames(f.name) || posColumn.contains(f.name))
+    .map(f => StructField(
+      physicalOf.getOrElse(f.name, f.name), f.dataType, f.nullable)))
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
     !anyDv
@@ -111,7 +118,7 @@ private[sources] class GraftVectorizedReaderFactory(required: StructType,
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] =
     new GraftColumnarReader(partition.asInstanceOf[GraftFileSplit],
-      required, dataSchema, keyRange, posColumn)
+      required, dataSchema, keyRange, posColumn, physicalOf)
 
   /** Row-based path: DV'd splits skip deleted ordinals (positions are
     * firstRowIndex + read ordinal, so the inner reader must NOT
@@ -125,7 +132,8 @@ private[sources] class GraftVectorizedReaderFactory(required: StructType,
         val (firstRow, _) = GraftDv.splitRowRange(
           split.path, split.start, split.length)
         new GraftDvRowReader(
-          new GraftColumnarReader(split, required, dataSchema, None, posColumn),
+          new GraftColumnarReader(split, required, dataSchema, None,
+            posColumn, physicalOf),
           dvPath, firstRow)
       case None =>
         val inner = createColumnarReader(partition)
@@ -155,7 +163,8 @@ private[sources] class GraftVectorizedReaderFactory(required: StructType,
 private[sources] class GraftColumnarReader(split: GraftParquetIO.GraftFileSplit,
     required: StructType, dataSchema: StructType,
     keyRange: Option[(String, Long, Long)],
-    posColumn: Option[String] = None)
+    posColumn: Option[String] = None,
+    physicalOf: Map[String, String] = Map.empty)
     extends PartitionReader[ColumnarBatch] {
   import GraftParquetIO.Capacity
 
@@ -236,7 +245,8 @@ private[sources] class GraftColumnarReader(split: GraftParquetIO.GraftFileSplit,
               s"constant column ${f.name}: unsupported value $other")
           }
           c
-        case None => inner.column(dataSchema.fieldIndex(f.name))
+        case None => inner.column(dataSchema.fieldIndex(
+          physicalOf.getOrElse(f.name, f.name)))
       }
     }
     new ColumnarBatch(cols, 0)

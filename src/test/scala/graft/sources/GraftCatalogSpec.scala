@@ -151,9 +151,9 @@ class GraftCatalogSpec extends SparkSpec {
     // schema, old files -> NULL — the Iceberg convention)
     assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name VERSION AS OF 2")
       .head().getLong(0) == 1)
-    // unsupported changes refuse loudly instead of corrupting
+    // unsupported changes (retype) refuse loudly instead of corrupting
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE graft.$name DROP COLUMN note")
+      spark.sql(s"ALTER TABLE graft.$name ALTER COLUMN note TYPE BIGINT")
     }
     // the change feed survives evolution: pre-evolution transitions
     // read under the widened schema with NULL for the new column

@@ -304,6 +304,37 @@ class GraftDvSpec extends SparkSpec {
       "WHERE o_orderstatus = 'X'").head().getLong(0) == deltaRows - matched)
   }
 
+  test("a racing DV republish conflicts a MOR DELETE too (positions are snapshot-bound)") {
+    GraftCatalog.install(spark)
+    val base = graft.Scratch.dir("dvspec_morrace")
+    val name = s"morrace_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE graft.$name (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, price DECIMAL(18,2)) " +
+      s"LOCATION '$base' TBLPROPERTIES ('graft.delete.mode' = 'merge-on-read')")
+    graft.Tables.load(spark, sf, "orders")
+      .filter($"o_orderkey" % 3 === 0)
+      .select($"o_orderkey", $"o_orderstatus",
+        $"o_totalprice".cast(D2).as("price"))
+      .createOrReplaceTempView(s"src_$name")
+    spark.sql(s"INSERT INTO graft.$name SELECT * FROM src_$name")
+    // the interleaved writer re-DVs the same files between the SQL
+    // DELETE's snapshot and its CAS: the DELETE's positions were
+    // computed against the old (path, dv) identity and must not commit
+    GraftCatalog.commitRaceHook = () => {
+      Extras7.deleteMorOcc(spark, base,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 4 === 0)
+      ()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ causes(t.getCause)
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM graft.$name WHERE o_orderstatus = 'F'")
+    }
+    assert(causes(e).exists(_.contains("concurrent write conflict")),
+      s"expected a conflict, got: ${causes(e).mkString(" <- ")}")
+  }
+
   test("vacuum-style reference counting treats live DV sidecars as retained") {
     val base = buildV1("vacuum")
     Extras7.deleteMorOcc(spark, base, col("o_orderstatus") === "F")

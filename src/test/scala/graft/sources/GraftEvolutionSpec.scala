@@ -1,0 +1,98 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.queries.Extras5
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pins the column-mapping evolution contract (q103) the oracle hash
+  * cannot see: a rename rewrites NOTHING (physical names on disk are
+  * unchanged; old files serve the renamed column), a re-added dropped
+  * name gets a fresh physical column (old bytes cannot resurrect), and
+  * the change feed reads pre-rename transitions under the current
+  * logical schema. */
+class GraftEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def footerFields(path: String): Seq[String] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      r.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
+    } finally r.close()
+  }
+
+  test("rename rewrites nothing; re-added dropped column cannot resurrect old bytes") {
+    GraftCatalog.install(spark)
+    val base = graft.Scratch.dir("evspec_table")
+    val name = s"ev_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE graft.$name (o_orderkey BIGINT, " +
+      s"o_orderstatus STRING, price DECIMAL(18,2)) LOCATION '$base'")
+    graft.Tables.load(spark, sf, "orders")
+      .filter($"o_orderkey" % 3 === 0)
+      .select($"o_orderkey", $"o_orderstatus",
+        $"o_totalprice".cast(DecimalType(18, 2)).as("price"))
+      .createOrReplaceTempView(s"src_$name")
+    spark.sql(s"INSERT INTO graft.$name SELECT * FROM src_$name")
+    val v2 = Extras5.q78ResolveEntries(base, 2)
+    val sumBefore = spark.sql(
+      s"SELECT CAST(SUM(price) AS DOUBLE) FROM graft.$name").head().getDouble(0)
+
+    spark.sql(s"ALTER TABLE graft.$name RENAME COLUMN price TO amount")
+    // nothing on disk changed: same files, physical column still 'price'
+    assert(Extras5.q78ResolveEntries(base, 2).map(_.path) == v2.map(_.path))
+    assert(footerFields(v2.head.path).contains("price"))
+    // the renamed column serves the old bytes
+    assert(spark.sql(s"SELECT CAST(SUM(amount) AS DOUBLE) FROM graft.$name")
+      .head().getDouble(0) == sumBefore)
+    intercept[Exception] { // old name is gone
+      spark.sql(s"SELECT price FROM graft.$name").collect()
+    }
+
+    // drop + re-add the same name: the re-added column must be NULL on
+    // every old row even though the old physical bytes still exist
+    spark.sql(s"ALTER TABLE graft.$name DROP COLUMN o_orderstatus")
+    assert(!spark.table(s"graft.$name").columns.contains("o_orderstatus"))
+    spark.sql(s"ALTER TABLE graft.$name ADD COLUMN o_orderstatus STRING")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name " +
+      "WHERE o_orderstatus IS NOT NULL").head().getLong(0) == 0,
+      "re-added column must not resurrect dropped bytes")
+    // new writes land the re-added column under a FRESH physical name
+    spark.sql(s"INSERT INTO graft.$name " +
+      "SELECT o_orderkey + 1000000, CAST(price AS DECIMAL(18,2)), 'Z' " +
+      s"FROM src_$name LIMIT 5")
+    val v5 = Extras5.q78ResolveEntries(base, Extras5.q78Latest(base))
+    val newFile = v5.map(_.path).filterNot(v2.map(_.path).toSet).head
+    val fields = footerFields(newFile)
+    assert(!fields.contains("o_orderstatus"),
+      s"re-added column must use a fresh physical name, footer: $fields")
+    assert(fields.exists(_.startsWith("o_orderstatus_")))
+    assert(fields.contains("price"), "renamed column keeps its physical name")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name " +
+      "WHERE o_orderstatus = 'Z'").head().getLong(0) == 5)
+
+    // stats pruning survives the rename (physical key column unchanged)
+    assert(v5.forall(_.stats.isDefined))
+  }
+
+  test("the change feed serves pre-rename transitions under the current schema") {
+    GraftCatalog.install(spark)
+    val base = graft.Scratch.dir("evspec_cdf")
+    val name = s"evcdf_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE graft.$name (o_orderkey BIGINT, " +
+      s"price DECIMAL(18,2)) LOCATION '$base'")
+    graft.Tables.load(spark, sf, "orders")
+      .filter($"o_orderkey" % 30 === 0)
+      .select($"o_orderkey", $"o_totalprice".cast(DecimalType(18, 2)).as("price"))
+      .createOrReplaceTempView(s"src_$name")
+    spark.sql(s"INSERT INTO graft.$name SELECT * FROM src_$name")
+    spark.sql(s"ALTER TABLE graft.$name RENAME COLUMN price TO amount")
+    val feed = spark.sql(
+      s"SELECT side, commit_version, amount FROM graft.$name.changes")
+    assert(feed.filter($"commit_version" === 2 && $"amount".isNotNull)
+      .count() > 0, "pre-rename transition rows serve the renamed column")
+  }
+}
