@@ -113,9 +113,12 @@ object Bench {
     // brotli encode/decode path every round with native interleave).
     // BenchMergeSpec's compact-line bound re-asserted with this set.
     // Still blind after r15 (landed after the dev bench, no line
-    // budget left): q99_merge_mor_native, q100_table_history — r16
-    // should baseline them; q100 is pure driver metadata (expect
-    // sub-second), q99 composes q96's DV write + an append.
+    // budget left): q99_merge_mor_native, q100_table_history,
+    // q101_sql_delete_dv, q102_sql_merge_mor,
+    // q103_rename_drop_evolution — r16 should baseline them (rotate
+    // out entries per the usual rules); q100 is pure driver metadata
+    // (expect sub-second), q99/q101/q102 compose q96's DV write + an
+    // append, q103 is three small inserts + two aggregate reads.
     "q96_delete_dv", "q97_timestamp_as_of", "q98_restore_version",
     "st23_stream_sink_table")
 

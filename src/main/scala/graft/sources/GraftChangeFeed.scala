@@ -184,7 +184,9 @@ private[graft] case class GraftVersionOffset(v: Int) extends Offset {
 }
 
 private[graft] class GraftChangeFeedStream(base: String,
-    schema: StructType, startingVersion: Int) extends MicroBatchStream {
+    schema: StructType, startingVersion: Int) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
   /** Set by planInputPartitions (which Spark calls before building the
     * reader factory for the same batch): true when any planned split
@@ -192,10 +194,32 @@ private[graft] class GraftChangeFeedStream(base: String,
     * (one scan's partitions must agree on columnar vs row). */
   @volatile private var plannedAnyDv = false
 
+  /** Trigger.AvailableNow contract: versions committed AFTER the query
+    * starts are not served by this run — the offset ceiling is pinned
+    * once, up front (without this, Spark falls back to
+    * single-batch execution with a warning). */
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(Extras5.q78Latest(base))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission control: one manifest TRANSITION per micro-batch —
+    * commits are the natural batch boundary (each transition's
+    * classification is wholly contained in its batch), and a restart
+    * resumes at a committed version, never mid-transition. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftVersionOffset].v
+    val ceiling = availableNowCap.getOrElse(Extras5.q78Latest(base))
+    GraftVersionOffset(math.max(s, math.min(s + 1, ceiling)))
+  }
+
   override def initialOffset(): Offset = GraftVersionOffset(startingVersion)
 
   override def latestOffset(): Offset =
-    GraftVersionOffset(math.max(startingVersion, Extras5.q78Latest(base)))
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control form")
 
   override def deserializeOffset(json: String): Offset =
     GraftVersionOffset(json.toInt)
