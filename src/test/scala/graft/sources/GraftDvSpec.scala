@@ -335,6 +335,37 @@ class GraftDvSpec extends SparkSpec {
       s"expected a conflict, got: ${causes(e).mkString(" <- ")}")
   }
 
+  test("SQL MOR DELETE row ids stay exact under tiny splits over multi-row-group files") {
+    GraftCatalog.install(spark)
+    // multi-row-group single data file, registered as a MOR-delete table
+    val base = buildV1("sqlsplit", blockSize = Some(2048))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(base, "_props.json"),
+      """{"graft.delete.mode":"merge-on-read"}""".getBytes("UTF-8"))
+    val name = register(base)
+    val v1 = Extras5.q78ResolveEntries(base, 1)
+    val expect = spark.read.parquet(v1.map(_.path): _*)
+      .filter($"o_orderkey" % 7 =!= 0)
+      .agg(count(lit(1)), sum($"o_orderkey")).head()
+    val toDelete = spark.read.parquet(v1.map(_.path): _*)
+      .filter($"o_orderkey" % 7 === 0).count()
+    // tiny split target: the DELETE's _pos-projecting scan fans the one
+    // file across many splits; each split's ordinals must start at its
+    // row groups' true first row index or the sidecar kills wrong rows
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+    try {
+      spark.sql(s"DELETE FROM graft.$name WHERE o_orderkey % 7 = 0")
+      val v2 = Extras5.q78ResolveEntries(base, 2)
+      assert(v2.map(_.path) == v1.map(_.path), "no data file touched")
+      assert(v2.flatMap(_.dv).map(d => GraftDv.read(d).length.toLong).sum
+        == toDelete)
+      val got = spark.sql(
+        s"SELECT COUNT(*), SUM(o_orderkey) FROM graft.$name").head()
+      assert(got == expect,
+        "split-positioned DELETE must kill exactly the matched rows")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", "128MB")
+  }
+
   test("vacuum-style reference counting treats live DV sidecars as retained") {
     val base = buildV1("vacuum")
     Extras7.deleteMorOcc(spark, base, col("o_orderstatus") === "F")
