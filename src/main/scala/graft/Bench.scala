@@ -20,10 +20,19 @@ object Bench {
     * vs r14's 7.087 (r13: 6.231), core9 4.477 vs 5.101 (r13: 4.161) —
     * the uniform r14 +14% receded with placement on byte-identical
     * headline code, confirming host noise per the SURVEY §6 doctrine.
-    * q01 settled at 0.931 vs r13's 0.799 (+16%, untouched code, parent
-    * canary 0.172 = mildly contended parent window); not a bisect
-    * trigger at a receding total, but r16 should re-read q01 at its own
-    * canary before calling the residual real. */
+    * LEDGER (r15 judge item 8): the OFFICIAL graded BENCH_r15 read
+    * 6.816 s total / core9 4.765 / q01 1.051 at the SAME nominal
+    * canary 0.151 — dev and official bracket the true value; both
+    * anchors recorded so r16's reads have the pair. q01's residual vs
+    * r13's 0.799 is +16% (dev) to +32% (official) on untouched code —
+    * r16 re-read below.
+    *
+    * r16 CLEAN-JVM RE-READS (r15 judge item 2): dedicated
+    * single-query fresh-JVM runs (tools/BenchOne, the S11Diag
+    * pattern) at nominal canary — see the r16 ledger lines appended
+    * after the runs, pinning whether q01's residual and the sf1 block's
+    * s05 10.39 s / g01 13.82 s ×10 readings were parked-child draws or
+    * real. */
   val headline: Seq[String] = Seq(
     "q01_pricing_summary", "q02_selective_filter", "q03_bcast_join",
     "q04_multiway_join", "q07_topk_per_group", "q09_global_topk",
@@ -34,10 +43,10 @@ object Bench {
     * BenchGateSpec can cross-check every name against the registry —
     * a renamed query would otherwise report -1 and silently shrink the
     * measured surface. */
-  val opNames: Seq[String] = Seq("d06_dup_clusters",
+  val opNames: Seq[String] = Seq(
     "s05_knn_join",
     "t11_bm25_score",
-    "t18_decontaminate", "s08_semdedup",
+    "t18_decontaminate",
     "s09_ann_ivfpq", "s11_knn_join_scaled",
     "d09_substring_dedup",
     // streaming representatives (r9 advice item 5): the `.bro` landing
@@ -88,9 +97,7 @@ object Bench {
     // t25 note: its number is a COMPOSITE — t25 runs t24's full
     // training internally before applying, so ~6s of its median IS
     // t24; read it as the train+apply pipeline, not the apply alone.
-    "q91_vacuum_expire",
-    "st21_stream_cdc_merge", "s15_nprobe_sweep",
-    "t26_gopher_rules", "q93_sql_merge_catalog",
+    "s15_nprobe_sweep",
     // r15: first baselines for the r14 blind families — the stats-
     // pruned versioned read, the SQL table lifecycle, and the streaming
     // change feed (all three now ride the vectorized catalog leaf I/O,
@@ -112,15 +119,28 @@ object Bench {
     // baseline 0.52s; the dedicated codec block measures the same
     // brotli encode/decode path every round with native interleave).
     // BenchMergeSpec's compact-line bound re-asserted with this set.
-    // Still blind after r15 (landed after the dev bench, no line
-    // budget left): q99_merge_mor_native, q100_table_history,
-    // q101_sql_delete_dv, q102_sql_merge_mor,
-    // q103_rename_drop_evolution — r16 should baseline them (rotate
-    // out entries per the usual rules); q100 is pure driver metadata
-    // (expect sub-second), q99/q101/q102 compose q96's DV write + an
-    // append, q103 is three small inserts + two aggregate reads.
     "q96_delete_dv", "q97_timestamp_as_of", "q98_restore_version",
-    "st23_stream_sink_table")
+    "st23_stream_sink_table",
+    // r16 ROTATION: first baselines for the five r15-blind families
+    // (q99-q103, exactly as the r15 ledger planned) plus the new CALL-
+    // procedures gate q104 benched in its OWN round (it composes a MOR
+    // delete + CALL purge + SQL insert + CALL restore + CALL vacuum —
+    // its median prices the whole SQL maintenance surface). Budget
+    // funded by rotating OUT six entries, each with ≥2 judged
+    // baselines and surviving family coverage: d06 (r12-r15 flat;
+    // d03/d09 keep dedup, and d06 stays MEASURED at ×10 in the sf1
+    // block), s08 (r12-r15 flat; s02/s05/s09/s14/s15 keep ANN, s08
+    // also stays in the sf1 block), st21 (r14-r15 flat at the
+    // micro-batch floor ~3.5s; st22/st23 keep streaming-lakehouse and
+    // ride the same per-epoch OCC commit machinery), q93 (r14-r15;
+    // q95 keeps the catalog-SQL path and q102 is the same MERGE
+    // rewrite in MOR mode), q91 (r14-r15; q104 runs a reference-
+    // counted vacuum through CALL every round), t26 (r14-r15 flat;
+    // t11/t18/t24 keep text). q100 is pure driver metadata (expect
+    // sub-second); q99/q101/q102 compose q96's DV write + an append.
+    "q99_merge_mor_native", "q100_table_history", "q101_sql_delete_dv",
+    "q102_sql_merge_mor", "q103_rename_drop_evolution",
+    "q104_maintenance_call")
 
   /** The x10 scale block's query set — ONE definition shared by the
     * sf1 child's warm-up loop and sf1Bench's measured loop, so the

@@ -26,6 +26,7 @@ object SparkEntry {
       graft.queries.Extras5.queries ++
       graft.queries.Extras6.queries ++
       graft.queries.Extras7.queries ++
+      graft.queries.Extras8.queries ++
       graft.queries.CodecQueries.queries ++
       graft.ops.TextOps.queries ++
       graft.ops.Dedup.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
       graft.queries.Extras5.oracle ++
       graft.queries.Extras6.oracle ++
       graft.queries.Extras7.oracle ++
+      graft.queries.Extras8.oracle ++
       graft.queries.CodecQueries.oracle ++
       graft.ops.TextOps.oracle ++
       graft.ops.Dedup.oracle ++

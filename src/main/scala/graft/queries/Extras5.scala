@@ -493,14 +493,14 @@ object Extras5 {
   }
 
   /** Commit `files` as manifest `v$version` — optimistic CAS on the
-    * version number. The full manifest is staged to a temp name, then
-    * PUBLISHED by an atomic exclusive create of the final name (hard
-    * link on local/HDFS-like stores; an object store would use a
-    * conditional PUT / If-None-Match): a reader never sees a partial
-    * manifest, and of two concurrent writers racing to `v{n+1}`
-    * exactly one wins — the loser gets `false` and must rebase onto
-    * the new current version and retry (see Extras6.cowMergeCommitOcc
-    * for the COW conflict-resolution loop). */
+    * version number. The full manifest is staged, then PUBLISHED by
+    * `GraftFs.putIfAbsent`'s per-scheme atomic no-overwrite primitive
+    * (hard link locally, rename-NONE on HDFS; see GraftFs for the
+    * object-store contract): a reader never sees a partial manifest,
+    * and of two concurrent writers racing to `v{n+1}` exactly one wins
+    * — the loser gets `false` and must rebase onto the new current
+    * version and retry (see Extras6.cowMergeCommitOcc for the COW
+    * conflict-resolution loop). */
   private[graft] def q78TryCommit(base: String, version: Int,
       files: Seq[String],
       stats: Map[String, (Long, Long)] = Map.empty): Boolean =
@@ -519,9 +519,6 @@ object Extras5 {
   private[graft] def q78TryCommitEntries(base: String, version: Int,
       entries: Seq[ManifestEntry],
       headers: Seq[(String, String)] = Seq.empty): Boolean = {
-    val dir = java.nio.file.Paths.get(base, "_manifests")
-    java.nio.file.Files.createDirectories(dir)
-    val target = dir.resolve(s"v$version.txt")
     val hdr = if (headers.exists(_._1 == "ts")) headers
       else ("ts" -> System.currentTimeMillis.toString) +: headers
     // entry line: path, optionally followed by the file's key-column
@@ -537,25 +534,7 @@ object Extras5 {
           case (None, Some(d)) => s"${e.path}\t-\t-\t$d"
         }
       }).mkString("\n").getBytes("UTF-8")
-    val tmp = java.nio.file.Files.createTempFile(dir, s".v$version-", ".tmp")
-    try {
-      java.nio.file.Files.write(tmp, body)
-      try { java.nio.file.Files.createLink(target, tmp); true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-        case _: UnsupportedOperationException =>
-          // FS without hard links: exclusive-create fallback (O_EXCL is
-          // still atomic for the race; publish is no longer all-or-
-          // nothing, acceptable only off the object-store path)
-          try {
-            java.nio.file.Files.write(target, body,
-              java.nio.file.StandardOpenOption.CREATE_NEW)
-            true
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException => false
-          }
-      }
-    } finally java.nio.file.Files.deleteIfExists(tmp)
+    graft.sources.GraftFs.putIfAbsent(s"$base/_manifests/v$version.txt", body)
   }
 
   /** Single-writer commit: CAS that treats losing the race as a bug.
@@ -582,12 +561,9 @@ object Extras5 {
   /** Latest committed version, from the manifest listing — O(#versions)
     * driver metadata. */
   private[graft] def q78Latest(base: String): Int = {
-    val dir = new java.io.File(base, "_manifests")
-    val vs = Option(dir.listFiles()).getOrElse(Array.empty)
-      .flatMap { f =>
-        val m = "^v(\\d+)\\.txt$".r.findFirstMatchIn(f.getName)
-        m.map(_.group(1).toInt)
-      }
+    val vs = graft.sources.GraftFs.listNames(s"$base/_manifests")
+      .flatMap(n => "^v(\\d+)\\.txt$".r.findFirstMatchIn(n)
+        .map(_.group(1).toInt))
     if (vs.isEmpty) 0 else vs.max
   }
 
@@ -602,10 +578,9 @@ object Extras5 {
   /** Full manifest entries: (path, stats, deletion vector). */
   private[graft] def q78ResolveEntries(base: String,
       version: Int): Seq[ManifestEntry] = {
-    val p = java.nio.file.Paths.get(base, "_manifests", s"v$version.txt")
     def stats(lo: String, hi: String): Option[(Long, Long)] =
       if (lo == "-") None else Some((lo.toLong, hi.toLong))
-    new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    graft.sources.GraftFs.readString(s"$base/_manifests/v$version.txt")
       .split("\n").toSeq.filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { line =>
         line.split("\t") match {
@@ -619,8 +594,7 @@ object Extras5 {
   /** A version's header fields (`#key\tvalue` manifest lines). */
   private[graft] def q78CommitHeaders(base: String,
       version: Int): Map[String, String] = {
-    val p = java.nio.file.Paths.get(base, "_manifests", s"v$version.txt")
-    new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    graft.sources.GraftFs.readString(s"$base/_manifests/v$version.txt")
       .split("\n").toSeq.filter(_.startsWith("#"))
       .flatMap { line =>
         line.drop(1).split("\t", 2) match {
@@ -635,8 +609,7 @@ object Extras5 {
     * — the fallback keeps TIMESTAMP AS OF total over old tables). */
   private[graft] def q78CommitTime(base: String, version: Int): Long =
     q78CommitHeaders(base, version).get("ts").map(_.toLong).getOrElse(
-      java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(base, "_manifests", s"v$version.txt")).toMillis)
+      graft.sources.GraftFs.mtime(s"$base/_manifests/v$version.txt"))
 
   /** TIMESTAMP AS OF resolution: the LATEST version committed at or
     * before `tsMillis` (Delta/Iceberg's timestamp→snapshot rule).
@@ -644,9 +617,8 @@ object Extras5 {
     * naming the earliest, so the caller can rephrase. O(#versions)
     * driver metadata. */
   private[graft] def q78VersionAt(base: String, tsMillis: Long): Int = {
-    val dir = new java.io.File(base, "_manifests")
-    val versions = Option(dir.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => "^v(\\d+)\\.txt$".r.findFirstMatchIn(f.getName)
+    val versions = graft.sources.GraftFs.listNames(s"$base/_manifests")
+      .flatMap(n => "^v(\\d+)\\.txt$".r.findFirstMatchIn(n)
         .map(_.group(1).toInt)).sorted
     if (versions.isEmpty) throw new IllegalStateException(
       s"no commits under $base")
@@ -697,9 +669,9 @@ object Extras5 {
   }
 
   private def q78Parts(dir: String): Seq[String] =
-    new java.io.File(dir).listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .map(_.getAbsolutePath).toSeq
+    graft.sources.GraftFs.list(dir)
+      .filter { case (n, _, _) => n.startsWith("part-") && n.endsWith(".parquet") }
+      .map(_._2)
 
   /** Runs the three commits and returns the table root. */
   private[queries] def q78Table(spark: SparkSession, dir: String): String = {

@@ -68,9 +68,9 @@ object Extras6 {
       cowNew: Seq[String])
 
   private def parts(dir: String): Seq[String] =
-    new java.io.File(dir).listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .map(_.getAbsolutePath).toSeq.sorted
+    graft.sources.GraftFs.list(dir)
+      .filter { case (n, _, _) => n.startsWith("part-") && n.endsWith(".parquet") }
+      .map(_._2).sorted
 
   /** `input_file_name()` returns a `file:` URI; manifest entries are
     * plain absolute paths — normalize to the latter. */
@@ -244,7 +244,7 @@ object Extras6 {
     // PLAN: q58's first-fit over the real listing (metadata DataFrame;
     // the constant part key stands in for the table-partition column a
     // partitioned table would window by)
-    val listing = v1Files.map(p => (p, new java.io.File(p).length()))
+    val listing = v1Files.map(p => (p, graft.sources.GraftFs.length(p)))
       .toDF("path", "bytes")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"part").orderBy($"path")
@@ -271,11 +271,10 @@ object Extras6 {
           .drop("p")
           .repartition(multi.length, $"bin")
           .write.partitionBy("bin").parquet(s"$base/compact-v2")
-        new java.io.File(s"$base/compact-v2").listFiles()
-          .filter(_.getName.startsWith("bin="))
-          .flatMap(d => d.listFiles().filter(f =>
-            f.getName.startsWith("part-") && f.getName.endsWith(".parquet")))
-          .map(_.getAbsolutePath).toSeq.sorted
+        graft.sources.GraftFs.list(s"$base/compact-v2")
+          .filter { case (n, _, isDir) => isDir && n.startsWith("bin=") }
+          .flatMap { case (_, p, _) => parts(p) }
+          .sorted
       }
     val committed = compactionCommitOcc(base,
       inputs = multi.flatMap(_._2), outputs = compactedFiles,
@@ -467,16 +466,8 @@ object Extras6 {
       s"cowMergeCommitOcc: gave up after $maxAttempts attempts on $base")
   }
 
-  private[graft] def deleteRecursively(dir: String): Unit = {
-    def loop(d: java.io.File): Unit = {
-      Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (f.isDirectory) loop(f)
-        else java.nio.file.Files.deleteIfExists(f.toPath)
-      }
-      java.nio.file.Files.deleteIfExists(d.toPath)
-    }
-    loop(new java.io.File(dir))
-  }
+  private[graft] def deleteRecursively(dir: String): Unit =
+    graft.sources.GraftFs.deleteRecursively(dir)
 
   /** Compaction commit with optimistic concurrency (q89's layout
     * rewrite racing real writers): CAS at latest+1; on a lost race, if
@@ -614,10 +605,8 @@ object Extras6 {
     val retained = (2 to 3).flatMap(livePaths).toSet
     val expired = livePaths(1)
     val (shared, toDelete) = expired.partition(retained.contains)
-    toDelete.foreach(p => java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(p)))
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(base, "_manifests", "v1.txt"))
+    toDelete.foreach(graft.sources.GraftFs.deleteIfExists)
+    graft.sources.GraftFs.deleteIfExists(s"$base/_manifests/v1.txt")
     Q91State(base, toDelete, shared)
   }
 
@@ -815,12 +804,10 @@ object Extras6 {
     // pattern, instead of 8 filtered scans of the table
     sliced.repartition($"slice")
       .write.partitionBy("slice").parquet(s"$base/slices")
-    val files = new java.io.File(s"$base/slices").listFiles()
-      .filter(_.getName.startsWith("slice="))
-      .sortBy(_.getName)
-      .flatMap(d => d.listFiles().filter(f =>
-        f.getName.startsWith("part-") && f.getName.endsWith(".parquet")))
-      .map(_.getAbsolutePath).toSeq
+    val files = graft.sources.GraftFs.list(s"$base/slices")
+      .filter { case (n, _, isDir) => isDir && n.startsWith("slice=") }
+      .sortBy(_._1)
+      .flatMap { case (_, p, _) => parts(p) }
     val stats = Extras5.parquetKeyStats(files, "o_orderkey")
     Extras5.q78Commit(base, 1, files, stats)
     val (lo, hi) = (mn + span * 3 / 16, mn + span * 5 / 16)

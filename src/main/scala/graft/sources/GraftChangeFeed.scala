@@ -66,10 +66,31 @@ private[sources] class GraftChangeFeedTable(tableName: String, base: String)
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_READ)
 
+  /** Bounds arrive as versions or TIMESTAMPS (r16): a
+    * `startingTimestamp` resolves to the latest version committed at
+    * or before it (the q97 `#ts` rule), composing with the exclusive
+    * startingVersion semantics to mean "changes committed AFTER this
+    * instant"; one earlier than the table's history starts from the
+    * earliest available version (the whole feed). `endingTimestamp`
+    * resolves the same way (transitions up to that version,
+    * inclusive). Mixing a version and a timestamp for the same bound
+    * is refused — no silent precedence. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val startingVersion = Option(options.get("startingversion"))
-      .map(_.toInt).getOrElse(1)
-    val endingVersion = Option(options.get("endingversion")).map(_.toInt)
+    val sv = Option(options.get("startingversion"))
+    val st = Option(options.get("startingtimestamp"))
+    require(sv.isEmpty || st.isEmpty,
+      "specify startingVersion OR startingTimestamp, not both")
+    val startingVersion = sv.map(_.toInt)
+      .orElse(st.map(s => GraftChangeFeed.startVersionAt(
+        base, GraftChangeFeed.tsOptionMillis(s))))
+      .getOrElse(1)
+    val ev = Option(options.get("endingversion"))
+    val et = Option(options.get("endingtimestamp"))
+    require(ev.isEmpty || et.isEmpty,
+      "specify endingVersion OR endingTimestamp, not both")
+    val endingVersion = ev.map(_.toInt)
+      .orElse(et.map(s => Extras5.q78VersionAt(
+        base, GraftChangeFeed.tsOptionMillis(s))))
     GraftChangeFeed.requireResolvable(base, startingVersion)
     new GraftChangeFeedScanBuilder(base, schema, startingVersion, endingVersion)
   }
@@ -80,11 +101,10 @@ private[graft] object GraftChangeFeed {
     * (the persisted schema when the table has one — so an ALTERed
     * table's feed carries the widened shape — else footer inference). */
   def schemaFor(base: String): StructType = {
-    val sj = java.nio.file.Paths.get(base, "_schema.json")
+    val sj = s"$base/_schema.json"
     val dataSchema =
-      if (java.nio.file.Files.exists(sj))
-        DataType.fromJson(new String(
-          java.nio.file.Files.readAllBytes(sj), "UTF-8")).asInstanceOf[StructType]
+      if (GraftFs.exists(sj))
+        DataType.fromJson(GraftFs.readString(sj)).asInstanceOf[StructType]
       else GraftParquet.inferSchema(
         Extras5.q78ResolveStats(base, Extras5.q78Latest(base)).head._1)
     StructType(
@@ -97,20 +117,43 @@ private[graft] object GraftChangeFeed {
     * the feed's reads translate logical → physical exactly like the
     * table's own scans. */
   def physicalOf(base: String): Map[String, String] = {
-    val sj = java.nio.file.Paths.get(base, "_schema.json")
-    if (!java.nio.file.Files.exists(sj)) Map.empty
-    else GraftCatalog.physicalMap(DataType.fromJson(new String(
-      java.nio.file.Files.readAllBytes(sj), "UTF-8")).asInstanceOf[StructType])
+    val sj = s"$base/_schema.json"
+    if (!GraftFs.exists(sj)) Map.empty
+    else GraftCatalog.physicalMap(
+      DataType.fromJson(GraftFs.readString(sj)).asInstanceOf[StructType])
   }
+
+  /** A timestamp scan option: epoch millis (all digits) or a
+    * `yyyy-MM-dd HH:mm:ss[.SSS]` literal rendered in the session time
+    * zone (the same convention SQL TIMESTAMP AS OF parses under). */
+  private[sources] def tsOptionMillis(raw: String): Long =
+    if (raw.nonEmpty && raw.forall(_.isDigit)) raw.toLong
+    else {
+      val zone = java.time.ZoneId.of(org.apache.spark.sql.SparkSession
+        .active.conf.get("spark.sql.session.timeZone"))
+      java.time.LocalDateTime.parse(raw,
+        java.time.format.DateTimeFormatter.ofPattern(
+          "yyyy-MM-dd HH:mm:ss[.SSS]"))
+        .atZone(zone).toInstant.toEpochMilli
+    }
+
+  /** startingTimestamp → exclusive startingVersion: the latest version
+    * committed at or before the instant ("changes after this time");
+    * an instant predating the first available commit starts from the
+    * earliest version — i.e. the entire available feed. */
+  private[sources] def startVersionAt(base: String, tsMillis: Long): Int =
+    try Extras5.q78VersionAt(base, tsMillis)
+    catch {
+      case _: IllegalArgumentException =>
+        availableVersions(base).headOption.getOrElse(1)
+    }
 
   /** Still-resolvable manifest versions, from the `_manifests` listing
     * — O(#versions) driver metadata. */
-  private def availableVersions(base: String): Seq[Int] = {
-    val dir = new java.io.File(base, "_manifests")
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => "^v(\\d+)\\.txt$".r.findFirstMatchIn(f.getName)
-        .map(_.group(1).toInt)).toSeq.sorted
-  }
+  private def availableVersions(base: String): Seq[Int] =
+    GraftFs.listNames(s"$base/_manifests")
+      .flatMap(n => "^v(\\d+)\\.txt$".r.findFirstMatchIn(n)
+        .map(_.group(1).toInt)).sorted
 
   /** Fails fast with a clear retention message when `version` does not
     * resolve — the Delta startingVersion-out-of-retention contract

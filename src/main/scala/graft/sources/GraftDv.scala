@@ -34,20 +34,20 @@ private[graft] object GraftDv {
 
   private val Magic = Array[Byte]('G', 'D', 'V', '1')
 
-  /** Writes `positions` (must be ascending) as a DV sidecar. */
+  /** Writes `positions` (must be ascending) as a DV sidecar — via
+    * GraftFs, so sidecars land wherever the table lives (runs
+    * executor-side from MOR writer tasks). */
   def write(path: String, positions: Array[Long]): Unit = {
-    val p = java.nio.file.Paths.get(path)
-    java.nio.file.Files.createDirectories(p.getParent)
     val buf = java.nio.ByteBuffer.allocate(8 + 8 * positions.length)
     buf.put(Magic)
     buf.putInt(positions.length)
     positions.foreach(buf.putLong)
-    java.nio.file.Files.write(p, buf.array())
+    GraftFs.writeBytes(path, buf.array())
   }
 
   /** Reads a DV sidecar back as the ascending position array. */
   def read(path: String): Array[Long] = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val bytes = GraftFs.readBytes(path)
     val buf = java.nio.ByteBuffer.wrap(bytes)
     val magic = new Array[Byte](4)
     buf.get(magic)
@@ -59,30 +59,60 @@ private[graft] object GraftDv {
     out
   }
 
-  /** (first row index, row count) of the row groups a byte-range split
-    * covers — parquet-mr's MIDPOINT rule (a row group belongs to the
-    * split containing startingPos + compressedSize/2), so adjacent
-    * splits partition the file's rows exactly. Footer-only metadata;
-    * positions within a split are firstRowIndex + read ordinal, valid
-    * because the DV read path never row-group-filters. */
-  def splitRowRange(path: String, start: Long, length: Long): (Long, Long) = {
-    val in = HadoopInputFile.fromPath(new HPath(path), new Configuration())
+  /** Row-group layout (startingPos, compressedSize, rowCount) from ONE
+    * footer read — split planning derives every split's row range from
+    * this single read instead of each reader re-opening the footer
+    * (r15 ADVICE: under tiny maxPartitionBytes that was O(splits)
+    * redundant footer I/O). */
+  def rowGroups(path: String): Seq[(Long, Long, Long)] = {
+    val in = HadoopInputFile.fromPath(new HPath(path), GraftFs.hadoopConf)
     val reader = ParquetFileReader.open(in)
     try {
       import scala.jdk.CollectionConverters._
-      var rowsBefore = 0L
-      var first = -1L
-      var n = 0L
-      reader.getFooter.getBlocks.asScala.foreach { b =>
-        val mid = b.getStartingPos + b.getCompressedSize / 2
-        if (mid >= start && mid < start + length) {
-          if (first < 0) first = rowsBefore
-          n += b.getRowCount
-        }
-        rowsBefore += b.getRowCount
-      }
-      (math.max(first, 0L), n)
+      reader.getFooter.getBlocks.asScala.toSeq
+        .map(b => (b.getStartingPos, b.getCompressedSize, b.getRowCount))
     } finally reader.close()
+  }
+
+  /** (first row index, row count) of the row groups a byte-range split
+    * covers — parquet-mr's MIDPOINT rule (a row group belongs to the
+    * split containing startingPos + compressedSize/2), so adjacent
+    * splits partition the file's rows exactly. Pure function over a
+    * footer's `rowGroups`; positions within a split are firstRowIndex
+    * + read ordinal, valid because the DV read path never
+    * row-group-filters. */
+  def splitRangeOf(groups: Seq[(Long, Long, Long)], start: Long,
+      length: Long): (Long, Long) = {
+    var rowsBefore = 0L
+    var first = -1L
+    var n = 0L
+    groups.foreach { case (pos, size, rows) =>
+      val mid = pos + size / 2
+      if (mid >= start && mid < start + length) {
+        if (first < 0) first = rowsBefore
+        n += rows
+      }
+      rowsBefore += rows
+    }
+    (math.max(first, 0L), n)
+  }
+
+  /** One-shot form (one footer read); readers only fall back to this
+    * when planning did not stamp the split's rowRange. */
+  def splitRowRange(path: String, start: Long, length: Long): (Long, Long) =
+    splitRangeOf(rowGroups(path), start, length)
+
+  /** Executor-side sidecar cache: DV files are immutable once written
+    * (every merge/commit writes a FRESH UUID path), so splits of the
+    * same file share one parse instead of each re-reading the sidecar.
+    * Bounded: cleared wholesale past 64 entries (sidecars are small;
+    * this is a working-set cache, not a store). */
+  private val dvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  def readCached(path: String): Array[Long] = {
+    if (dvCache.size > 64) dvCache.clear()
+    dvCache.computeIfAbsent(path, read(_))
   }
 }
 
@@ -97,7 +127,7 @@ private[sources] class GraftDvRowReader(
     inner: GraftColumnarReader, dvPath: String,
     firstRowIndex: Long) extends PartitionReader[InternalRow] {
 
-  private val dv: Array[Long] = GraftDv.read(dvPath)
+  private val dv: Array[Long] = GraftDv.readCached(dvPath)
   // advance past positions that precede this split
   private var dvPtr = {
     var i = 0

@@ -46,10 +46,9 @@ private[graft] object GraftHistory {
 
   /** One row per resolvable version, ascending. */
   def rows(base: String): Seq[InternalRow] = {
-    val dir = new java.io.File(base, "_manifests")
-    val versions = Option(dir.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => "^v(\\d+)\\.txt$".r.findFirstMatchIn(f.getName)
-        .map(_.group(1).toInt)).sorted.toSeq
+    val versions = GraftFs.listNames(s"$base/_manifests")
+      .flatMap(n => "^v(\\d+)\\.txt$".r.findFirstMatchIn(n)
+        .map(_.group(1).toInt)).sorted
     versions.map { v =>
       val entries = Extras5.q78ResolveEntries(base, v)
       val headers = Extras5.q78CommitHeaders(base, v)

@@ -44,27 +44,41 @@ private[graft] object GraftParquetIO {
     * partition-constant columns served without decoding (value is a
     * String or a Long, matching the column's Spark type); `dv` the
     * file's deletion-vector sidecar, if the manifest carries one (the
-    * split then reads row-based with deleted ordinals skipped). */
+    * split then reads row-based with deleted ordinals skipped);
+    * `rowRange` the split's (first file-global row ordinal, row count),
+    * computed ONCE at planning time for splits that need ordinal
+    * arithmetic (DV subtraction, `_pos` projection) — readers share it
+    * instead of each re-opening the parquet footer (r15 ADVICE). */
   case class GraftFileSplit(path: String, start: Long, length: Long,
       constants: Map[String, Any] = Map.empty,
-      dv: Option[String] = None) extends InputPartition
+      dv: Option[String] = None,
+      rowRange: Option[(Long, Long)] = None) extends InputPartition
 
   /** Splits `files` at byte boundaries of at most the session's
     * `spark.sql.files.maxPartitionBytes` — same sizing rule as Spark's
-    * own FilePartition planning (driver-side file-length metadata only;
-    * no footer is opened to plan). Parquet's midpoint rule makes
-    * adjacent slices read disjoint, complete row-group sets. */
+    * own FilePartition planning (driver-side file-length metadata
+    * only). Parquet's midpoint rule makes adjacent slices read
+    * disjoint, complete row-group sets. Files with a DV (or for which
+    * `needRowRange` holds — `_pos` scans) get their splits' row ranges
+    * stamped here from ONE footer read per file, shared by however
+    * many splits the file fans out into. */
   def planSplits(files: Seq[String],
       constantsFor: String => Map[String, Any] = _ => Map.empty,
-      dvFor: String => Option[String] = _ => None): Seq[GraftFileSplit] = {
+      dvFor: String => Option[String] = _ => None,
+      needRowRange: String => Boolean = _ => false): Seq[GraftFileSplit] = {
     val target = maxSplitBytes()
     files.flatMap { f =>
-      val len = new java.io.File(f).length()
+      val len = GraftFs.length(f)
       val consts = constantsFor(f)
       val dv = dvFor(f)
-      if (len <= target) Seq(GraftFileSplit(f, 0L, len, consts, dv))
+      val groups = if (dv.isDefined || needRowRange(f))
+        Some(GraftDv.rowGroups(f)) else None
+      def rr(off: Long, l: Long) = groups.map(GraftDv.splitRangeOf(_, off, l))
+      if (len <= target)
+        Seq(GraftFileSplit(f, 0L, len, consts, dv, rr(0L, len)))
       else (0L until len by target).map { off =>
-        GraftFileSplit(f, off, math.min(target, len - off), consts, dv)
+        val l = math.min(target, len - off)
+        GraftFileSplit(f, off, l, consts, dv, rr(off, l))
       }
     }
   }
@@ -129,8 +143,8 @@ private[sources] class GraftVectorizedReaderFactory(required: StructType,
     val split = partition.asInstanceOf[GraftFileSplit]
     split.dv match {
       case Some(dvPath) =>
-        val (firstRow, _) = GraftDv.splitRowRange(
-          split.path, split.start, split.length)
+        val firstRow = split.rowRange.map(_._1).getOrElse(
+          GraftDv.splitRowRange(split.path, split.start, split.length)._1)
         new GraftDvRowReader(
           new GraftColumnarReader(split, required, dataSchema, None,
             posColumn, physicalOf),
@@ -220,7 +234,8 @@ private[sources] class GraftColumnarReader(split: GraftParquetIO.GraftFileSplit,
     * batch when a position column is requested. */
   private var nextPos: Long =
     if (posColumn.isEmpty) 0L
-    else GraftDv.splitRowRange(split.path, split.start, split.length)._1
+    else split.rowRange.map(_._1).getOrElse(
+      GraftDv.splitRowRange(split.path, split.start, split.length)._1)
 
   private val posVector: Option[org.apache.spark.sql.execution.vectorized
       .OnHeapColumnVector] = posColumn.map(_ =>

@@ -94,4 +94,52 @@ class Extras7Spec extends SparkSpec {
     assert(v == before, "no matches: no new version")
     assert(Extras5.q78Latest(base) == before)
   }
+
+  test("mergeMorOcc is generic: a part-keyed table with its own delta shape") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val base = graft.Scratch.dir("morgen_table")
+    val part = graft.Tables.load(spark, sf, "part")
+      .select($"p_partkey",
+        $"p_retailprice".cast(DecimalType(18, 2)).as("price"))
+    part.repartitionByRange(4, $"p_partkey").write.parquet(s"$base/files-v1")
+    val v1 = graft.sources.GraftFs.list(s"$base/files-v1")
+      .filter { case (n, _, _) => n.startsWith("part-") && n.endsWith(".parquet") }
+      .map(_._2).sorted
+    val stats = Extras5.parquetKeyStats(v1, "p_partkey")
+    Extras5.q78CommitEntries(base, 1,
+      v1.map(f => Extras5.ManifestEntry(f, stats.get(f))))
+    // delta keyed by p_partkey with its own op column name: delete
+    // keys ≡ 0 (mod 10), upsert keys ≡ 1 (mod 10) at price + 7
+    val delta = part
+      .filter($"p_partkey" % 10 <= 1)
+      .select($"p_partkey",
+        when($"p_partkey" % 10 === 0, "D").otherwise("U").as("verb"),
+        ($"price" + 7).cast(DecimalType(18, 2)).as("price"))
+    val v = Extras7.mergeMorOcc(spark, base, delta,
+      keyColumn = "p_partkey", opColumn = "verb")
+    assert(v == 2)
+    val v2 = Extras5.q78ResolveEntries(base, 2)
+    val v1Set = v1.toSet
+    val (carried, appended) = v2.partition(e => v1Set(e.path))
+    assert(carried.map(_.path).toSet == v1Set, "no base file rewritten")
+    assert(carried.exists(_.dv.isDefined) && appended.nonEmpty)
+    assert(appended.forall(_.stats.isDefined),
+      "appended entries carry p_partkey stats")
+    // read composes: all base rows minus matched keys plus upsert rows
+    graft.sources.GraftCatalog.install(spark)
+    val name = s"morgen_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.sources.GraftCatalog.register(name, base)
+    val nBase = part.count()
+    val nMatched = part.filter($"p_partkey" % 10 <= 1).count()
+    val nUpsert = part.filter($"p_partkey" % 10 === 1).count()
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0) ==
+      nBase - nMatched + nUpsert)
+    // an upserted row serves the delta's new price
+    val k = part.filter($"p_partkey" % 10 === 1).agg(min($"p_partkey"))
+      .head().getLong(0)
+    val oldP = part.filter($"p_partkey" === k)
+      .select($"price".cast(DoubleType)).head().getDouble(0)
+    assert(spark.sql(s"SELECT CAST(price AS DOUBLE) FROM graft.$name " +
+      s"WHERE p_partkey = $k").head().getDouble(0) == oldP + 7)
+  }
 }

@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.sources.{GraftCatalog, GraftFs}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Pins the SQL CALL maintenance contract (q104) the oracle hash
+  * cannot see: procedure result rows report what happened, vacuum
+  * reference-counts across retained versions (restore-re-listed files
+  * survive), compaction bin-packs with stats preserved and skips DV'd
+  * files, and bad targets/modes fail with clear messages. */
+class Extras8Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(tag: String, mod: Int = 3): (String, String) = {
+    GraftCatalog.install(spark)
+    val base = graft.Scratch.dir(s"x8_$tag")
+    graft.Tables.load(spark, sf, "orders")
+      .filter($"o_orderkey" % mod === 0)
+      .select($"o_orderkey", $"o_orderstatus",
+        $"o_totalprice".cast(DecimalType(18, 2)).as("price"))
+      .repartitionByRange(8, $"o_orderkey")
+      .write.parquet(s"$base/files-v1")
+    val v1 = GraftFs.list(s"$base/files-v1")
+      .filter { case (n, _, _) => n.startsWith("part-") && n.endsWith(".parquet") }
+      .map(_._2).sorted
+    val stats = Extras5.parquetKeyStats(v1, "o_orderkey")
+    Extras5.q78CommitEntries(base, 1,
+      v1.map(f => Extras5.ManifestEntry(f, stats.get(f))))
+    val name = s"x8${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
+    GraftCatalog.register(name, base)
+    (name, base)
+  }
+
+  test("CALL restore reports (restored_to, committed_version) and commits") {
+    val (name, base) = freshTable("rs")
+    spark.sql(s"INSERT INTO graft.$name SELECT o_orderkey + 1000000, " +
+      "o_orderstatus, price FROM graft.${name} VERSION AS OF 1".replace(
+        "${name}", name))
+    assert(Extras5.q78Latest(base) == 2)
+    val r = spark.sql(s"CALL graft.system.restore('$name', 1)").head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L)
+    assert(Extras5.q78ResolveEntries(base, 3).map(_.path) ==
+      Extras5.q78ResolveEntries(base, 1).map(_.path))
+  }
+
+  test("CALL vacuum deletes only unreferenced files; restore-listed files survive") {
+    val (name, base) = freshTable("vac")
+    // v2: COW delete rewrites the touched files (v1 originals die with v1)
+    spark.sql(s"DELETE FROM graft.$name WHERE o_orderstatus = 'F'")
+    val v1Only = Extras5.q78Resolve(base, 1).toSet --
+      Extras5.q78Resolve(base, 2).toSet
+    assert(v1Only.nonEmpty, "the COW delete must rewrite some files")
+    val rowsV2 = spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0)
+    val r = spark.sql(s"CALL graft.system.vacuum('$name', 2)").head()
+    assert(r.getLong(1) == 1L, "exactly v1 expired")
+    assert(r.getLong(0) == v1Only.size.toLong,
+      s"deleted ${r.getLong(0)} files, expected ${v1Only.size}")
+    v1Only.foreach(p => assert(!GraftFs.exists(p), s"$p must be deleted"))
+    // the current snapshot is untouched
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0) == rowsV2)
+    intercept[Exception] { Extras5.q78ResolveEntries(base, 1) }
+    // refusing to expire everything
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.system.vacuum('$name', 99)").collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(e).contains("every version"))
+  }
+
+  test("CALL optimize('t','compact') bin-packs small files, preserves stats, skips DV'd") {
+    val (name, base) = freshTable("cp")
+    // one file gets a DV: compaction must leave it alone
+    Extras7.deleteMorOcc(spark, base,
+      col("o_orderkey") === spark.sql(
+        s"SELECT MIN(o_orderkey) FROM graft.$name").head().getLong(0))
+    val v2 = Extras5.q78ResolveEntries(base, 2)
+    val dvd = v2.filter(_.dv.isDefined).map(_.path)
+    assert(dvd.size == 1)
+    val rows = spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0)
+    val r = spark.sql(
+      s"CALL graft.system.optimize('$name', 'compact', ${64L * 1024 * 1024})").head()
+    assert(r.getString(0) == "compact" && r.getLong(1) == 3L)
+    val v3 = Extras5.q78ResolveEntries(base, 3)
+    // the 7 small DV-less files packed into one; the DV'd file carried
+    assert(v3.size == 2, s"expected DV'd + 1 compacted, got ${v3.size}")
+    assert(v3.exists(e => dvd.contains(e.path) && e.dv.isDefined))
+    val packed = v3.filterNot(e => dvd.contains(e.path)).head
+    assert(packed.stats.isDefined, "compacted output keeps union stats")
+    val inputStats = v2.filterNot(_.dv.isDefined).flatMap(_.stats)
+    assert(packed.stats.contains(
+      (inputStats.map(_._1).min, inputStats.map(_._2).max)))
+    // rows identical (compaction is layout-only)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0) == rows)
+    // nothing left to compact: no-op returns the current version
+    val r2 = spark.sql(
+      s"CALL graft.system.optimize('$name', 'compact', ${64L * 1024 * 1024})").head()
+    assert(r2.getLong(1) == 3L, "no multi-file bin: no new commit")
+  }
+
+  test("CALL optimize purge (default mode) folds DVs; bad mode/table error clearly") {
+    val (name, base) = freshTable("pg")
+    Extras7.deleteMorOcc(spark, base, col("o_orderstatus") === "F")
+    assert(Extras5.q78ResolveEntries(base, 2).exists(_.dv.isDefined))
+    val rows = spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0)
+    val r = spark.sql(s"CALL graft.system.optimize('$name')").head()
+    assert(r.getString(0) == "purge" && r.getLong(1) == 3L)
+    assert(Extras5.q78ResolveEntries(base, 3).forall(_.dv.isEmpty))
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0) == rows)
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    val badMode = intercept[Exception] {
+      spark.sql(s"CALL graft.system.optimize('$name', 'defrag')").collect()
+    }
+    assert(msgs(badMode).contains("purge"))
+    val badTable = intercept[Exception] {
+      spark.sql("CALL graft.system.vacuum('no_such_table_xyz', 1)").collect()
+    }
+    assert(msgs(badTable).contains("not found"))
+    val badProc = intercept[Exception] {
+      spark.sql(s"CALL graft.system.frobnicate('$name')").collect()
+    }
+    assert(msgs(badProc).contains("no procedure"))
+  }
+}

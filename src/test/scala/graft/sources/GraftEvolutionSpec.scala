@@ -95,4 +95,38 @@ class GraftEvolutionSpec extends SparkSpec {
     assert(feed.filter($"commit_version" === 2 && $"amount".isNotNull)
       .count() > 0, "pre-rename transition rows serve the renamed column")
   }
+
+  test("stats pruning refuses a rebound o_orderkey (r15 ADVICE: no unsound skipping)") {
+    GraftCatalog.install(spark)
+    val base = graft.Scratch.dir("evspec_prune")
+    val name = s"evpr_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE graft.$name (o_orderkey BIGINT, " +
+      s"other_key BIGINT) LOCATION '$base'")
+    // four single-file commits with DISJOINT o_orderkey ranges and
+    // ANTI-correlated other_key values — the adversarial layout: after
+    // the rename swap, pruning on the old stats would skip exactly the
+    // files the predicate's rows live in
+    (0 until 4).foreach { b =>
+      spark.sql(s"INSERT INTO graft.$name SELECT id AS o_orderkey, " +
+        s"3999 - id AS other_key FROM range(${b * 1000}, ${b * 1000 + 1000})")
+    }
+    // manifest carries o_orderkey stats; a key predicate prunes (sanity)
+    assert(Extras5.q78ResolveEntries(base, 5).forall(_.stats.isDefined))
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM graft.$name WHERE o_orderkey < 1000")
+      .head().getLong(0) == 1000L)
+    // rebind the NAME o_orderkey onto different bytes
+    spark.sql(s"ALTER TABLE graft.$name RENAME COLUMN o_orderkey TO okey")
+    spark.sql(s"ALTER TABLE graft.$name RENAME COLUMN other_key TO o_orderkey")
+    // rows with (new) o_orderkey < 1000 are the OLD okey range
+    // [3000, 4000) — whose file's committed o_orderkey stats are
+    // [3000, 3999]. Unsound pruning would skip that file and return 0.
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM graft.$name WHERE o_orderkey < 1000")
+      .head().getLong(0) == 1000L,
+      "predicate on a rebound column name must not prune on stale stats")
+    // and the values really are the swapped column's
+    assert(spark.sql(s"SELECT MIN(okey) FROM graft.$name " +
+      "WHERE o_orderkey < 10").head().getLong(0) == 3990L)
+  }
 }

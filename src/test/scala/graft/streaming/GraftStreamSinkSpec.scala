@@ -90,4 +90,74 @@ class GraftStreamSinkSpec extends SparkSpec {
     assert(GraftStreamingCommit.lastEpoch(base, "appB").contains(7L))
     assert(GraftStreamingCommit.lastEpoch(base, "appC").isEmpty)
   }
+
+  /** Appends a foreign (txn-less) commit carrying the current files. */
+  private def foreignCommit(base: String): Unit = {
+    val latest = Extras5.q78Latest(base)
+    assert(Extras5.q78TryCommitEntries(base, latest + 1,
+      Extras5.q78ResolveEntries(base, latest) :+
+        Extras5.ManifestEntry(s"foreign-$latest.parquet")))
+  }
+
+  test("watermark lookup is incremental: foreign interleave costs O(new), steady state O(1)") {
+    val base = graft.Scratch.dir("sinkspec_incr")
+    Extras5.q78Commit(base, 1, Seq.empty)
+    GraftStreamingCommit.resetCacheForTest()
+    assert(GraftStreamingCommit.commitEpoch(base, "appI", 0L,
+      Seq(Extras5.ManifestEntry("e0.parquet"))))
+    // a busy foreign writer lands 30 commits between our epochs
+    (1 to 30).foreach(_ => foreignCommit(base))
+    val r0 = GraftStreamingCommit.headerReads.get()
+    assert(GraftStreamingCommit.commitEpoch(base, "appI", 1L,
+      Seq(Extras5.ManifestEntry("e1.parquet"))))
+    val interleaved = GraftStreamingCommit.headerReads.get() - r0
+    assert(interleaved <= 32,
+      s"must scan only the 30 new versions once, read $interleaved headers")
+    // steady state (no foreign interleave): the cache frontier is the
+    // committed version — zero header reads for the next epoch
+    val r1 = GraftStreamingCommit.headerReads.get()
+    assert(GraftStreamingCommit.commitEpoch(base, "appI", 2L,
+      Seq(Extras5.ManifestEntry("e2.parquet"))))
+    val steady = GraftStreamingCommit.headerReads.get() - r1
+    assert(steady == 0, s"steady-state epoch commit read $steady headers")
+    // a second interleave wave costs its own delta, not the history
+    (1 to 30).foreach(_ => foreignCommit(base))
+    val r2 = GraftStreamingCommit.headerReads.get()
+    assert(GraftStreamingCommit.commitEpoch(base, "appI", 3L,
+      Seq(Extras5.ManifestEntry("e3.parquet"))))
+    val wave2 = GraftStreamingCommit.headerReads.get() - r2
+    assert(wave2 <= 32, s"second wave must not rescan history, read $wave2")
+  }
+
+  test("a zombie twin replaying the same epoch cannot double-commit (CAS re-check)") {
+    val base = graft.Scratch.dir("sinkspec_zombie")
+    Extras5.q78Commit(base, 1, Seq.empty)
+    assert(GraftStreamingCommit.commitEpoch(base, "appZ", 0L,
+      Seq(Extras5.ManifestEntry("z0.parquet"))))
+    // the r15 ADVICE race: both drivers of the same app pass the
+    // initial replay check for epoch 1; the twin commits fully between
+    // our check and our CAS attempt. Clearing the cache afterwards
+    // models the twin living in ANOTHER JVM — our re-check must catch
+    // it from the manifests alone.
+    var fired = false
+    GraftStreamingCommit.casRaceHook = () => {
+      if (!fired) {
+        fired = true
+        assert(GraftStreamingCommit.commitEpoch(base, "appZ", 1L,
+          Seq(Extras5.ManifestEntry("z1-twin.parquet"))))
+        GraftStreamingCommit.resetCacheForTest()
+      }
+    }
+    try {
+      assert(!GraftStreamingCommit.commitEpoch(base, "appZ", 1L,
+        Seq(Extras5.ManifestEntry("z1-ours.parquet"))),
+        "the CAS loser must see the twin's watermark and drop the epoch")
+    } finally GraftStreamingCommit.casRaceHook = () => ()
+    val latest = Extras5.q78Latest(base)
+    val epoch1Commits = (1 to latest).flatMap(v =>
+      Extras5.q78CommitHeaders(base, v).get("txn")).count(_ == "appZ\t1")
+    assert(epoch1Commits == 1, s"epoch 1 committed $epoch1Commits times")
+    assert(Extras5.q78ResolveEntries(base, latest).map(_.path)
+      .count(_.startsWith("z1")) == 1, "exactly one epoch-1 file set lands")
+  }
 }

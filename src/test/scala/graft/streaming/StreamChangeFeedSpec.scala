@@ -158,4 +158,55 @@ class StreamChangeFeedSpec extends SparkSpec {
     assert(parts.filter(sideOf(_) == "post").map(_.path).toSet == post -- shared)
     assert(parts.forall(_.constants("commit_version") == 2L))
   }
+
+  test("startingTimestamp addresses the feed identically to its version twin (r16)") {
+    // q97's fixture commits v1/v2/v3 at controlled #ts headers
+    // (2026-03-01T00:00Z + 0h/2h/4h)
+    val base = graft.queries.Extras7.q97Build(spark, sf)
+    GraftCatalog.install(spark)
+    val name = s"cdfts_${java.util.UUID.randomUUID().toString.take(8)}"
+    GraftCatalog.register(name, base)
+    def millisAt(h: Int): Long =
+      java.time.Instant.parse("2026-03-01T00:00:00Z")
+        .plusSeconds(h * 3600L).toEpochMilli
+    def versions(df: DataFrame): Seq[Long] =
+      df.select($"commit_version").distinct().as[Long].collect().toSeq.sorted
+    // a timestamp between v1 and v2 resolves to v1 (exclusive): the
+    // feed serves transitions 1→2 and 2→3 — same as startingVersion=1
+    val byVersion = spark.read.option("startingVersion", "1")
+      .table(s"graft.$name.changes")
+    val byTs = spark.read
+      .option("startingTimestamp", millisAt(1).toString)
+      .table(s"graft.$name.changes")
+    assert(versions(byTs) == versions(byVersion))
+    assert(byTs.count() == byVersion.count() && byTs.count() > 0)
+    // at v2's exact commit instant: changes AFTER v2 → only 2→3
+    assert(versions(spark.read
+      .option("startingTimestamp", millisAt(2).toString)
+      .table(s"graft.$name.changes")) == Seq(3L))
+    // predating history: the whole available feed
+    assert(versions(spark.read
+      .option("startingTimestamp", millisAt(-48).toString)
+      .table(s"graft.$name.changes")) == Seq(2L, 3L))
+    // endingTimestamp bounds inclusively at its resolved version
+    assert(versions(spark.read
+      .option("endingTimestamp", millisAt(2).toString)
+      .table(s"graft.$name.changes")) == Seq(2L))
+    // a timestamp literal in the session time zone parses identically
+    val lit = java.time.Instant.ofEpochMilli(millisAt(1))
+      .atZone(java.time.ZoneId.of("UTC")).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(versions(spark.read.option("startingTimestamp", lit)
+      .table(s"graft.$name.changes")) == versions(byVersion))
+    // mixing version and timestamp bounds is refused
+    val e = intercept[Exception] {
+      spark.read.option("startingVersion", "1")
+        .option("startingTimestamp", millisAt(1).toString)
+        .table(s"graft.$name.changes").collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(e).contains("not both"))
+  }
 }
