@@ -647,7 +647,7 @@ object Extras5 {
     * path already paid for these stats, a commit just records them. */
   private[graft] def parquetKeyStats(files: Seq[String],
       column: String): Map[String, (Long, Long)] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = new org.apache.hadoop.conf.Configuration(graft.sources.GraftFs.hadoopConf)
     files.flatMap { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new org.apache.hadoop.fs.Path(f), conf)

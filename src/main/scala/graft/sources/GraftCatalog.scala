@@ -1203,7 +1203,7 @@ private[sources] class GraftDataWriter(schema: StructType, dir: String,
 
   private lazy val writer = {
     GraftFs.mkdirs(dir)
-    val conf = new Configuration()
+    val conf = new Configuration(GraftFs.hadoopConf)
     ParquetWriteSupport.setSchema(schema, conf)
     // ParquetWriteSupport.init / SparkToParquetSchemaConverter read
     // these keys WITHOUT defaults — pin the session defaults
@@ -1264,7 +1264,7 @@ private[sources] object GraftParquet {
     * all the protocol family writes (Spark encodes DECIMAL(<=18,s) as
     * annotated INT64, strings as annotated BINARY). */
   def inferSchema(samplePath: String): StructType = {
-    val in = HadoopInputFile.fromPath(new HPath(samplePath), new Configuration())
+    val in = HadoopInputFile.fromPath(new HPath(samplePath), new Configuration(GraftFs.hadoopConf))
     val reader = ParquetFileReader.open(in)
     try {
       val msg = reader.getFooter.getFileMetaData.getSchema

@@ -273,4 +273,29 @@ private[graft] object GraftFs {
 
   /** File names under `dir` (non-recursive), empty when missing. */
   def listNames(dir: String): Seq[String] = list(dir).map(_._1)
+
+  /** Lengths for a batch of paths: ONE listing call per distinct
+    * parent directory instead of one stat per file. At 100 TB a
+    * snapshot's files live in a bounded number of staging directories,
+    * so split planning costs O(#dirs) metadata round-trips against an
+    * object store instead of O(#files) — minutes become milliseconds.
+    * Local paths keep per-file stats (a local stat IS one syscall).
+    * Paths missing from their parent's listing fall back to a direct
+    * stat (0 when absent, matching `length`). */
+  def lengths(paths: Seq[String]): Map[String, Long] =
+    if (paths.isEmpty) Map.empty
+    else if (paths.forall(localFast)) paths.map(p => p -> length(p)).toMap
+    else {
+      val byParent = paths.groupBy(p => new HPath(p).getParent)
+      byParent.iterator.flatMap { case (parent, children) =>
+        val listed: Map[String, Long] =
+          try fs(parent).listStatus(parent)
+            .map(s => s.getPath.getName -> s.getLen).toMap
+          catch { case _: FileNotFoundException => Map.empty }
+        children.map { c =>
+          val n = new HPath(c).getName
+          c -> listed.getOrElse(n, length(c))
+        }
+      }.toMap
+    }
 }

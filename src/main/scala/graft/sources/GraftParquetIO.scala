@@ -67,8 +67,10 @@ private[graft] object GraftParquetIO {
       dvFor: String => Option[String] = _ => None,
       needRowRange: String => Boolean = _ => false): Seq[GraftFileSplit] = {
     val target = maxSplitBytes()
+    // batched: one listing per distinct parent dir, not a stat per file
+    val lens = GraftFs.lengths(files)
     files.flatMap { f =>
-      val len = GraftFs.length(f)
+      val len = lens(f)
       val consts = constantsFor(f)
       val dv = dvFor(f)
       val groups = if (dv.isDefined || needRowRange(f))
@@ -183,7 +185,7 @@ private[sources] class GraftColumnarReader(split: GraftParquetIO.GraftFileSplit,
   import GraftParquetIO.Capacity
 
   private val vectorized = {
-    val conf = new Configuration()
+    val conf = new Configuration(GraftFs.hadoopConf)
     conf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
       classOf[ParquetReadSupport].getName)
     conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, dataSchema.json)

@@ -60,6 +60,11 @@ class GraftFsSpec extends SparkSpec {
     intercept[java.nio.file.NoSuchFileException] {
       GraftFs.readBytes(s"$dir/nope.txt")
     }
+    // batched lengths (one listing per parent dir) agree with per-file
+    // stats, mixed hit/miss
+    GraftFs.writeBytes(s"$dir/b.txt", "abc".getBytes("UTF-8"))
+    assert(GraftFs.lengths(Seq(s"$dir/a.txt", s"$dir/b.txt", s"$dir/nope.txt"))
+      == Map(s"$dir/a.txt" -> 6L, s"$dir/b.txt" -> 3L, s"$dir/nope.txt" -> 0L))
     GraftFs.deleteIfExists(s"$dir/a.txt")
     assert(!GraftFs.exists(s"$dir/a.txt"))
   }
