@@ -76,9 +76,17 @@ object GraftCatalog {
   private val tables = new java.util.concurrent.ConcurrentHashMap[String, String]()
   @volatile private var warehouse: String = "spark-warehouse/graft-catalog"
 
-  /** The key column whose per-file stats commits record; fixed for the
-    * protocol family's canonical orders shape. */
+  /** DEFAULT key column whose per-file stats commits record — the
+    * protocol family's canonical orders shape. Per-table override: the
+    * `graft.stats.column` table property (TBLPROPERTIES at CREATE,
+    * persisted in `_props.json`) names any integral column; writers
+    * track its min/max, scans prune manifests and row groups on it,
+    * and the commit-conflict key window follows it (r16 — the stats
+    * machinery is no longer fixture-shaped). */
   val StatsColumn = "o_orderkey"
+
+  /** Table-property key selecting the stats column. */
+  val StatsColumnKey = "graft.stats.column"
 
   /** Column-mapping schema evolution (the Delta 'name mode' shape):
     * each logical field may carry a `graft.physical` metadata key
@@ -431,6 +439,19 @@ private[sources] class GraftTable(tableName: String, val base: String,
     }
   }
 
+  /** The table's stats/key column (LOGICAL name): the
+    * `graft.stats.column` property when set, else the protocol default.
+    * Writers track this column's min/max per file, scans prune on it,
+    * and the row-level commit's conflict key window is expressed in
+    * it. */
+  lazy val statsColumn: String = persistedProps.getOrElse(
+    GraftCatalog.StatsColumnKey, GraftCatalog.StatsColumn)
+
+  /** The stats column's on-disk (physical) name under column-mapping
+    * evolution — what writers index and row-group filters reference. */
+  lazy val physicalStatsColumn: String =
+    physicalOf.getOrElse(statsColumn, statsColumn)
+
   /** Row-level execution mode per command: 'copy-on-write' (default —
     * rewrite touched files) or 'merge-on-read' (deletion vectors +
     * appended delta files; no data file touched) — the Iceberg
@@ -514,10 +535,11 @@ private[sources] class GraftScanBuilder(table: GraftTable,
     * field maps onto the physical StatsColumn. */
   private val statsColumnPrunable: Boolean = {
     val fields = table.schema.fields
-    fields.find(_.name == GraftCatalog.StatsColumn)
-      .exists(f => GraftCatalog.physicalName(f) == GraftCatalog.StatsColumn) &&
-      !fields.exists(f => f.name != GraftCatalog.StatsColumn &&
-        GraftCatalog.physicalName(f) == GraftCatalog.StatsColumn)
+    val sc = table.statsColumn
+    fields.find(_.name == sc)
+      .exists(f => GraftCatalog.physicalName(f) == sc) &&
+      !fields.exists(f => f.name != sc &&
+        GraftCatalog.physicalName(f) == sc)
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -531,7 +553,7 @@ private[sources] class GraftScanBuilder(table: GraftTable,
       (p.name, p.children) match {
         case (op, Array(r: NamedReference, l: Literal[_]))
             if statsColumnPrunable &&
-              r.fieldNames.sameElements(Array(GraftCatalog.StatsColumn)) =>
+              r.fieldNames.sameElements(Array(table.statsColumn)) =>
           val lit = l.value match {
             case n: Number => Some(n.longValue)
             case _ => None
@@ -634,10 +656,9 @@ private[sources] class GraftScan(table: GraftTable, required: StructType,
     val posRequested = required.fieldNames.contains("_pos")
     val bounded = keyLo != Long.MinValue || keyHi != Long.MaxValue
     val keyIsLong = table.schema.fields
-      .exists(f => f.name == GraftCatalog.StatsColumn && f.dataType == LongType)
+      .exists(f => f.name == table.statsColumn && f.dataType == LongType)
     val range = if (bounded && keyIsLong && !posRequested)
-      Some((table.physicalOf.getOrElse(GraftCatalog.StatsColumn,
-        GraftCatalog.StatsColumn), keyLo, keyHi)) else None
+      Some((table.physicalStatsColumn, keyLo, keyHi)) else None
     new GraftVectorizedReaderFactory(required, Set("_file"), range,
       anyDv = activeEntries.exists(_.dv.isDefined),
       posColumn = if (posRequested) Some("_pos") else None,
@@ -687,7 +708,8 @@ private[sources] class GraftCowWrite(table: GraftTable,
   override def createBatchWriterFactory(
       pinfo: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(
-      GraftCatalog.physicalize(info.schema(), table.schema), outDir)
+      GraftCatalog.physicalize(info.schema(), table.schema), outDir,
+      table.physicalStatsColumn)
 
   /** Commit = optimistic CAS against the manifest protocol. The
     * replaced set is what the operation's scan READ (post runtime
@@ -844,7 +866,8 @@ private[sources] class GraftMorWrite(table: GraftTable,
 
   override def createBatchWriterFactory(
       pinfo: PhysicalWriteInfo): DeltaWriterFactory =
-    new GraftMorWriterFactory(s"${table.base}/dv", outDir, rowSchema)
+    new GraftMorWriterFactory(s"${table.base}/dv", outDir, rowSchema,
+      table.physicalStatsColumn)
 
   /** Merge every task's partial position lists with each touched
     * file's existing sidecar, add the tasks' appended delta files, and
@@ -922,10 +945,11 @@ private[sources] class GraftMorWrite(table: GraftTable,
 
 /** Top-level (serializable, no outer write reference). */
 private[sources] class GraftMorWriterFactory(dvDir: String,
-    outDir: String, rowSchema: StructType) extends DeltaWriterFactory {
+    outDir: String, rowSchema: StructType,
+    statsCol: String) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
-    new GraftMorWriter(dvDir, outDir, rowSchema, partitionId, taskId)
+    new GraftMorWriter(dvDir, outDir, rowSchema, partitionId, taskId, statsCol)
 }
 
 /** Accumulates (file → deleted ordinals) task-side and streams inserted
@@ -934,13 +958,14 @@ private[sources] class GraftMorWriterFactory(dvDir: String,
   * file. Deleted positions per task are bounded by the task's split
   * row count. */
 private[sources] class GraftMorWriter(dvDir: String, outDir: String,
-    rowSchema: StructType, partitionId: Int, taskId: Long)
+    rowSchema: StructType, partitionId: Int, taskId: Long,
+    statsCol: String)
     extends DeltaWriter[InternalRow] {
 
   private val acc = scala.collection.mutable.HashMap[
     String, scala.collection.mutable.ArrayBuffer[Long]]()
   private lazy val inserter =
-    new GraftDataWriter(rowSchema, outDir, partitionId, taskId)
+    new GraftDataWriter(rowSchema, outDir, partitionId, taskId, statsCol)
   private var inserted = false
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
@@ -1006,7 +1031,8 @@ private[sources] class GraftAppendWrite(table: GraftTable,
   override def createBatchWriterFactory(
       pinfo: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(
-      GraftCatalog.physicalize(info.schema(), table.schema), outDir)
+      GraftCatalog.physicalize(info.schema(), table.schema), outDir,
+      table.physicalStatsColumn)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val commits = messages.collect { case m: GraftSqlCommit if m.rows > 0 => m }
@@ -1050,7 +1076,7 @@ private[sources] class GraftStreamingWrite(table: GraftTable,
 
   override def createStreamingWriterFactory(
       pinfo: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GraftWriterFactory(schema, outDir)
+    new GraftWriterFactory(schema, outDir, table.physicalStatsColumn)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -1166,27 +1192,32 @@ private[graft] object GraftStreamingCommit {
   }
 }
 
-private[sources] class GraftWriterFactory(schema: StructType, dir: String)
+private[sources] class GraftWriterFactory(schema: StructType, dir: String,
+    statsCol: String = GraftCatalog.StatsColumn)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(schema, dir, partitionId, taskId)
+    new GraftDataWriter(schema, dir, partitionId, taskId, statsCol)
   /** Streaming variant: stage each epoch in its own subdirectory so
     * replayed epochs never collide with the original's files. */
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(schema, s"$dir/epoch-$epochId", partitionId, taskId)
+    new GraftDataWriter(schema, s"$dir/epoch-$epochId", partitionId, taskId,
+      statsCol)
 }
 
 /** Parquet writer on Spark's OWN write support (InternalRow →
   * parquet pages directly, the exact binary shape `spark.write.parquet`
   * emits — no per-row example-Group object materialization); tracks the
-  * stats column's min/max so the commit records per-file stats without
-  * any post-hoc footer read. */
+  * stats column's min/max (`statsCol` — the table's configured stats
+  * column in PHYSICAL form) so the commit records per-file stats
+  * without any post-hoc footer read. */
 private[sources] class GraftDataWriter(schema: StructType, dir: String,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long,
+    statsCol: String = GraftCatalog.StatsColumn)
+    extends DataWriter[InternalRow] {
 
   private val path = s"$dir/part-$partitionId-$taskId.parquet"
-  private val keyIdx = schema.fieldNames.indexOf(GraftCatalog.StatsColumn)
+  private val keyIdx = schema.fieldNames.indexOf(statsCol)
   // commits record Long-semantics key stats; widen integral key types,
   // disable tracking for anything else (a non-integral StatsColumn must
   // not crash the write — the file just commits stats-less)

@@ -93,14 +93,17 @@ private[graft] object GraftProcedures {
         "their dead rows; 'compact' bin-packs small files"
 
     override protected def run(input: InternalRow): InternalRow = {
-      val base = baseOf(input.getUTF8String(0).toString)
+      val tableName = input.getUTF8String(0).toString
+      val base = baseOf(tableName)
       val mode = input.getUTF8String(1).toString
       val spark = SparkSession.active
       val committed = mode match {
         case "purge" =>
-          // stats survive only for the protocol's stats column, and
-          // only when the table actually carries it as a long
-          val statsCol = Some(GraftCatalog.StatsColumn).filter { c =>
+          // stats survive under the TABLE's configured stats column
+          // (graft.stats.column, physical form), and only when the
+          // current manifest actually carries stats to preserve
+          val statsCol = Some(new GraftTable(
+              s"graft.$tableName", base, None).physicalStatsColumn).filter { _ =>
             try Extras5.q78ResolveEntries(base, Extras5.q78Latest(base))
               .exists(_.stats.isDefined)
             catch { case scala.util.control.NonFatal(_) => false }

@@ -254,4 +254,37 @@ class GraftCatalogSpec extends SparkSpec {
     val full = new GraftScanBuilder(table, None).build().asInstanceOf[GraftScan]
     assert(full.planInputPartitions().length == table.manifest.size)
   }
+
+  test("graft.stats.column property: writers track it, scans prune on it (r16)") {
+    GraftCatalog.install(spark)
+    val base = graft.Scratch.dir("statscol")
+    val name = s"sc_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE graft.$name (k BIGINT, v STRING) " +
+      s"LOCATION '$base' TBLPROPERTIES ('graft.stats.column'='k')")
+    (0 until 4).foreach(b => spark.sql(
+      s"INSERT INTO graft.$name SELECT id AS k, CAST(id AS STRING) AS v " +
+        s"FROM range(${b * 1000}, ${b * 1000 + 1000})"))
+    // every committed file carries k-stats (no o_orderkey in sight)
+    assert(Extras5.q78ResolveEntries(base, 5).forall(_.stats.isDefined),
+      "writers must track the configured stats column")
+    val cat = new GraftCatalog()
+    cat.initialize("graft", CaseInsensitiveStringMap.empty())
+    val table = cat.loadTable(Identifier.of(Array.empty, name))
+      .asInstanceOf[GraftTable]
+    assert(table.statsColumn == "k")
+    // a point predicate on k prunes the manifest statically
+    import org.apache.spark.sql.connector.expressions.{Expressions => E}
+    val builder = new GraftScanBuilder(table, None)
+    builder.pushPredicates(Array(
+      new Predicate("=", Array(E.column("k"),
+        E.literal(java.lang.Long.valueOf(5L))))))
+    val planned = builder.build().asInstanceOf[GraftScan].planInputPartitions()
+    assert(planned.length < table.manifest.size,
+      s"k=5 lookup should prune, opened ${planned.length}/${table.manifest.size}")
+    // answers stay exact through the pruned path
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name WHERE k < 1000")
+      .head().getLong(0) == 1000L)
+    assert(spark.sql(s"SELECT v FROM graft.$name WHERE k = 2500")
+      .head().getString(0) == "2500")
+  }
 }
