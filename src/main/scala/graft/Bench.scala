@@ -63,11 +63,12 @@ object Bench {
     "t18_decontaminate", "s08_semdedup",
     "s09_ann_ivfpq", "s11_knn_join_scaled",
     "d09_substring_dedup",
-    // streaming representatives (r9 advice item 5): the `.bro` landing
-    // zone ingest, the dual-watermark stream-stream join, and the
-    // stateful dedup — each entry times the full micro-batch drain, so
-    // a streaming-engine regression is visible round over round
-    "st06_stream_bro_ingest", "st07_stream_stream_join",
+    // streaming representatives (r9 advice item 5): the dual-watermark
+    // stream-stream join and the stateful dedup, timing full
+    // micro-batch drains (st06 rotated out r16: seven flat r9-r15
+    // baselines, and the dedicated codec block prices the same brotli
+    // encode/decode path with native interleave every round)
+    "st07_stream_stream_join",
     // r12: the composed incremental-ingest pipeline — index build +
     // delta probe in one number; its regression baseline guards the
     // standing-index composition, not any single op
@@ -168,7 +169,10 @@ object Bench {
     // the MOR fixture build; re-read in r17 before calling it real.
     "q99_merge_mor_native", "q100_table_history", "q101_sql_delete_dv",
     "q102_sql_merge_mor", "q103_rename_drop_evolution",
-    "q104_maintenance_call")
+    "q104_maintenance_call",
+    // late-r16 family benched in its own round: type-widening evolution
+    // (two inserts + two metadata-only ALTERs + mixed-physical reads)
+    "q105_type_widening")
 
   /** The x10 scale block's query set — ONE definition shared by the
     * sf1 child's warm-up loop and sf1Bench's measured loop, so the

@@ -231,9 +231,84 @@ object Extras8 {
       |  TRUE AS expired_unreadable
       |FROM snaps GROUP BY snapshot ORDER BY snapshot""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q105: TYPE WIDENING — the last refused-retype boundary closed for
+  // the LOSSLESS upcasts (Delta's type-widening shape):
+  //   v1: CREATE TABLE (o_orderkey INT, price DECIMAL(12,2))
+  //   v2: INSERT the keys ≡ 0 (mod 3) slice (narrow types on disk)
+  //   ALTER COLUMN o_orderkey TYPE BIGINT; price TYPE DECIMAL(18,2)
+  //   v3: INSERT a slice whose keys/prices only FIT the widened types
+  //       (k + 10^10 — unrepresentable as INT32)
+  // The result reads the pre-widening snapshot THROUGH the widened
+  // schema (old INT32/DECIMAL(12,2) pages upcast at decode — Spark's
+  // ParquetVectorUpdater promotion paths; no file rewritten) plus the
+  // full mixed-physical-type table. Lossy retypes stay refused
+  // (Extras8Spec pins the refusal and the zero-rewrite contract).
+  // ---------------------------------------------------------------------
+
+  private[queries] def q105Build(spark: SparkSession,
+      dir: String): (String, String) = {
+    import spark.implicits._
+    graft.sources.GraftCatalog.install(spark)
+    val base = graft.Scratch.dir("q105_table")
+    val name = s"tw_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE graft.$name (o_orderkey INT, " +
+      s"price DECIMAL(12,2)) LOCATION '$base'")
+    val orders = Tables.load(spark, dir, "orders")
+    orders.filter($"o_orderkey" % 3 === 0)
+      .select($"o_orderkey".cast(IntegerType).as("o_orderkey"),
+        $"o_totalprice".cast(DecimalType(12, 2)).as("price"))
+      .createOrReplaceTempView(s"q105_a_$name")
+    spark.sql(s"INSERT INTO graft.$name SELECT * FROM q105_a_$name") // v2
+    spark.sql(s"ALTER TABLE graft.$name ALTER COLUMN o_orderkey TYPE BIGINT")
+    spark.sql(s"ALTER TABLE graft.$name ALTER COLUMN price TYPE DECIMAL(18,2)")
+    orders.filter($"o_orderkey" % 3 === 1)
+      .select(($"o_orderkey" + lit(10000000000L)).as("o_orderkey"),
+        ($"o_totalprice".cast(DecimalType(18, 2)) +
+          lit(BigDecimal("10000000000.00"))).cast(DecimalType(18, 2)).as("price"))
+      .createOrReplaceTempView(s"q105_b_$name")
+    spark.sql(s"INSERT INTO graft.$name SELECT * FROM q105_b_$name") // v3
+    (name, base)
+  }
+
+  def q105(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (name, _) = q105Build(spark, dir)
+    def agg(fromClause: String, label: String): DataFrame =
+      spark.sql(s"SELECT * FROM graft.$name $fromClause")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_orderkey").as("sum_k"),
+          sum($"price").cast(DoubleType).as("sum_price"))
+        .withColumn("read_as", lit(label))
+    agg("VERSION AS OF 2", "1_pre_widen_upcast")
+      .unionByName(agg("", "2_full"))
+      .select($"read_as", $"n_rows", $"sum_k", $"sum_price")
+      .orderBy($"read_as")
+  }
+
+  private val q105Sql =
+    """WITH a AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS p
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |b AS (
+      |  SELECT o_orderkey + 10000000000 AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 10000000000.00
+      |      AS DECIMAL(18,2)) AS p
+      |  FROM orders WHERE o_orderkey % 3 = 1),
+      |snaps AS (
+      |  SELECT '1_pre_widen_upcast' AS read_as, k, CAST(p AS DECIMAL(18,2)) AS p
+      |  FROM a
+      |  UNION ALL SELECT '2_full', k, CAST(p AS DECIMAL(18,2)) FROM a
+      |  UNION ALL SELECT '2_full', k, p FROM b)
+      |SELECT read_as, COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(SUM(p) AS DOUBLE) AS sum_price
+      |FROM snaps GROUP BY read_as ORDER BY read_as""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
-    "q104_maintenance_call" -> (q104 _))
+    "q104_maintenance_call" -> (q104 _),
+    "q105_type_widening" -> (q105 _))
 
   val oracle: ListMap[String, String] = ListMap(
-    "q104_maintenance_call" -> q104Sql)
+    "q104_maintenance_call" -> q104Sql,
+    "q105_type_widening" -> q105Sql)
 }

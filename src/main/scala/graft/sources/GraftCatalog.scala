@@ -326,7 +326,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     *  - DROP COLUMN: the logical field disappears (reads stop
     *    requesting its physical column; the bytes stay until the files
     *    themselves are rewritten or vacuumed).
-    * Retype remains unsupported and is refused loudly. */
+    *  - ALTER COLUMN TYPE: LOSSLESS widenings only (INT→BIGINT,
+    *    FLOAT→DOUBLE, same-scale DECIMAL precision growth) — old
+    *    files keep their narrower physical type, the vectorized decode
+    *    upcasts; lossy retypes are refused loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val base = liveBaseFor(ident.name)
       .getOrElse(throw new NoSuchTableException(ident))
@@ -354,9 +357,36 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         require(sch.fieldNames.contains(gone), s"no such column: $gone")
         require(sch.fields.length > 1, "cannot drop the last column")
         StructType(sch.fields.filterNot(_.name == gone))
+      case (sch, up: TableChange.UpdateColumnType)
+          if up.fieldNames.length == 1 =>
+        // TYPE WIDENING (r16 — closes the refused-retype boundary for
+        // the LOSSLESS upcasts; Delta's type-widening shape): the
+        // persisted schema widens, old files keep their narrower
+        // physical type, and the vectorized reader upcasts at decode
+        // (Spark's ParquetVectorUpdater INT32→INT64 / FLOAT→DOUBLE /
+        // same-scale decimal-precision paths). Anything lossy is still
+        // refused loudly.
+        val nm = up.fieldNames.head
+        val f = sch.fields.find(_.name == nm).getOrElse(
+          throw new IllegalArgumentException(s"no such column: $nm"))
+        val safe = (f.dataType, up.newDataType) match {
+          case (IntegerType, LongType) => true
+          case (FloatType, DoubleType) => true
+          case (d1: DecimalType, d2: DecimalType) =>
+            d2.scale == d1.scale && d2.precision > d1.precision
+          case _ => false
+        }
+        if (!safe) throw new UnsupportedOperationException(
+          s"unsupported retype of $nm: ${f.dataType.simpleString} -> " +
+            s"${up.newDataType.simpleString} (safe widenings only: " +
+            "INT->BIGINT, FLOAT->DOUBLE, DECIMAL(p,s)->DECIMAL(p',s) " +
+            "with p' > p)")
+        StructType(sch.fields.map(x =>
+          if (x.name != nm) x else x.copy(dataType = up.newDataType)))
       case (_, other) => throw new UnsupportedOperationException(
         "graft tables support nullable top-level ADD COLUMN, RENAME " +
-          s"COLUMN, and DROP COLUMN; got $other")
+          s"COLUMN, DROP COLUMN, and widening ALTER COLUMN TYPE; " +
+          s"got $other")
     }
     GraftFs.writeBytes(s"$base/_schema.json", evolved.json.getBytes("UTF-8"))
     new GraftTable(s"$catalogName.${ident.name}", base, None)

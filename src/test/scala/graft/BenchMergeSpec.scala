@@ -70,9 +70,10 @@ class BenchMergeSpec extends AnyFunSuite {
       codec, "/root/testdata/sf0.1")
     assert(line.length <= 1900, s"compact line ${line.length} B > 1900")
     // and it must carry streaming representatives (r10 verdict #1) —
-    // st10 rotated out in r14 (st17 keeps stateful stream dedup)
-    Seq("st06_stream_bro_ingest", "st07_stream_stream_join",
-      "st17_dedup_within_watermark").foreach(n => assert(line.contains(n), n))
+    // st10 rotated out in r14, st06 in r16 (st07/st17 keep stream
+    // joins + stateful dedup; the codec block prices the brotli path)
+    Seq("st07_stream_stream_join", "st17_dedup_within_watermark",
+      "st22_stream_change_feed").foreach(n => assert(line.contains(n), n))
   }
 
   test("sf1 two-child merge: per-entry min sec, ratio recomputed, order kept") {

@@ -124,4 +124,46 @@ class Extras8Spec extends SparkSpec {
     }
     assert(msgs(badProc).contains("no procedure"))
   }
+
+  test("type widening rewrites nothing; lossy retypes stay refused (q105)") {
+    val (name, base) = Extras8.q105Build(spark, sf)
+    // the ALTERs committed no manifest version and rewrote no file:
+    // v2's files serve both the pre- and post-widening reads
+    val v2 = Extras5.q78ResolveEntries(base, 2)
+    assert(Extras5.q78Latest(base) == 3)
+    assert(Extras5.q78ResolveEntries(base, 3).map(_.path)
+      .toSet.intersect(v2.map(_.path).toSet) == v2.map(_.path).toSet,
+      "widening must not rewrite existing files")
+    // both physical generations carry key stats (int widened at track)
+    assert(Extras5.q78ResolveEntries(base, 3).forall(_.stats.isDefined))
+    // the narrow-file read upcasts: values identical to the narrow read
+    val narrow = spark.read.parquet(v2.map(_.path): _*)
+      .agg(sum(col("o_orderkey").cast("long"))).head().getLong(0)
+    assert(spark.sql(
+      s"SELECT SUM(o_orderkey) FROM graft.$name VERSION AS OF 2")
+      .head().getLong(0) == narrow)
+    // key predicates stay exact across the mixed physical types: the
+    // widened-range rows are exactly the post-ALTER insert
+    val full = spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0)
+    val old = spark.sql(s"SELECT COUNT(*) FROM graft.$name VERSION AS OF 2")
+      .head().getLong(0)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name " +
+      "WHERE o_orderkey > 10000000000").head().getLong(0) == full - old)
+    // refusals, both layers: a LOSSY retype dies in Spark's analyzer
+    // (canUpCast gate) before reaching the catalog...
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    val lossy = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$name ALTER COLUMN o_orderkey TYPE INT")
+    }
+    assert(msgs(lossy).contains("NOT_SUPPORTED_CHANGE_COLUMN"))
+    // ...and an upcast the analyzer allows but our decode ladder does
+    // not (INT→DOUBLE crosses the int/float families) is refused by
+    // the catalog with the allowed ladder in the message
+    spark.sql(s"ALTER TABLE graft.$name ADD COLUMN j INT")
+    val unsupported = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$name ALTER COLUMN j TYPE DOUBLE")
+    }
+    assert(msgs(unsupported).contains("safe widenings only"))
+  }
 }
