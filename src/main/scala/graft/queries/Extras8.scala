@@ -52,17 +52,57 @@ object Extras8 {
   // Protocol-level maintenance (the functions CALL delegates to)
   // ---------------------------------------------------------------------
 
+  // ----- version TAGS (Iceberg-style named refs; r16) -----------------
+
+  /** Creates an IMMUTABLE named ref to `version` — one file per tag
+    * under `_refs/`, published by the protocol CAS, so two racing
+    * creates of the same name have exactly one winner and a tag can
+    * never be silently repointed (drop + recreate is the explicit
+    * path). The target must resolve at creation time. */
+  private[graft] def createTag(base: String, name: String,
+      version: Int): Unit = {
+    require(name.nonEmpty && !name.forall(_.isDigit),
+      s"tag name must be non-numeric (got '$name')")
+    Extras5.q78ResolveEntries(base, version) // throws if unresolvable
+    if (!GraftFs.putIfAbsent(s"$base/_refs/$name.txt",
+        version.toString.getBytes("UTF-8")))
+      throw new IllegalStateException(
+        s"tag '$name' already exists on $base (tags are immutable; " +
+          "DROP it first to repoint)")
+  }
+
+  /** Drops a tag; returns whether it existed. */
+  private[graft] def dropTag(base: String, name: String): Boolean = {
+    val p = s"$base/_refs/$name.txt"
+    val existed = GraftFs.exists(p)
+    GraftFs.deleteIfExists(p)
+    existed
+  }
+
+  private[graft] def resolveTag(base: String, name: String): Option[Int] =
+    try Some(GraftFs.readString(s"$base/_refs/$name.txt").trim.toInt)
+    catch { case _: java.nio.file.NoSuchFileException => None }
+
+  private[graft] def tags(base: String): Map[String, Int] =
+    GraftFs.listNames(s"$base/_refs").filter(_.endsWith(".txt"))
+      .flatMap(n => resolveTag(base, n.stripSuffix(".txt"))
+        .map(n.stripSuffix(".txt") -> _)).toMap
+
   /** Expires every version `< retainFrom`: deletes the expired
     * manifests and every file (data or DV sidecar) no RETAINED version
-    * references. Returns (#files deleted, #versions expired). Never a
-    * commit — like Delta's VACUUM, retention changes what HISTORY
-    * resolves, not what the table currently is. */
+    * references. A TAGGED version never expires (the Iceberg
+    * retention rule): its manifest and everything it references stay
+    * until the tag is dropped. Returns (#files deleted, #versions
+    * expired). Never a commit — like Delta's VACUUM, retention changes
+    * what HISTORY resolves, not what the table currently is. */
   private[graft] def vacuumRetain(base: String,
       retainFrom: Int): (Long, Long) = {
     val versions = GraftFs.listNames(s"$base/_manifests")
       .flatMap(n => "^v(\\d+)\\.txt$".r.findFirstMatchIn(n)
         .map(_.group(1).toInt)).sorted
-    val (expired, retained) = versions.partition(_ < retainFrom)
+    val tagged = tags(base).values.toSet
+    val (expired, retained) =
+      versions.partition(v => v < retainFrom && !tagged(v))
     require(retained.nonEmpty,
       s"vacuum would expire every version of $base (retainFrom=$retainFrom, " +
         s"latest=v${versions.lastOption.getOrElse(0)})")
@@ -304,11 +344,96 @@ object Extras8 {
       |  CAST(SUM(p) AS DOUBLE) AS sum_price
       |FROM snaps GROUP BY read_as ORDER BY read_as""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q106: VERSION TAGS — immutable named refs (Iceberg's tag shape):
+  //   v1: orders keys ≡ 0 (mod 3) with stats; CALL create_tag 'initial'
+  //   v2: SQL INSERT of the keys ≡ 1 slice
+  //   v3: SQL COW DELETE of the slice's 'F' rows (rewrites only the
+  //       files holding matches — the v2-only originals)
+  //   CALL vacuum(retain_from = 3): v2 expires and its superseded
+  //   originals are deleted, but v1 — BELOW the floor — survives via
+  //   the tag, still readable as VERSION AS OF 'initial'.
+  // The hash pins tag-addressed ≡ version-addressed reads and that the
+  // tag actually protected v1 through the vacuum. Extras8Spec pins the
+  // CAS immutability (duplicate tag fails), drop-then-vacuum expiry,
+  // and the file-level refcount.
+  // ---------------------------------------------------------------------
+
+  private[queries] def q106Build(spark: SparkSession,
+      dir: String): (String, String) = {
+    import spark.implicits._
+    graft.sources.GraftCatalog.install(spark)
+    val base = graft.Scratch.dir("q106_table")
+    val orders = Tables.load(spark, dir, "orders")
+    orders.filter($"o_orderkey" % 3 === 0)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice".cast(D2).as("price"))
+      .repartitionByRange(4, $"o_orderkey")
+      .write.parquet(s"$base/files-v1")
+    val v1 = parts(s"$base/files-v1")
+    val stats = Extras5.parquetKeyStats(v1, "o_orderkey")
+    Extras5.q78CommitEntries(base, 1,
+      v1.map(f => Extras5.ManifestEntry(f, stats.get(f))))
+    val name = s"tg_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.sources.GraftCatalog.register(name, base)
+    spark.sql(s"CALL graft.system.create_tag('$name', 'initial', 1)")
+    orders.filter($"o_orderkey" % 3 === 1)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice".cast(D2).as("price"))
+      .createOrReplaceTempView(s"q106_src_$name")
+    spark.sql(s"INSERT INTO graft.$name SELECT * FROM q106_src_$name") // v2
+    spark.sql(s"DELETE FROM graft.$name " +
+      "WHERE o_orderkey % 3 = 1 AND o_orderstatus = 'F'") // v3
+    spark.sql(s"CALL graft.system.vacuum('$name', 3)")
+    (name, base)
+  }
+
+  def q106(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (name, base) = q106Build(spark, dir)
+    val v2Gone =
+      try { Extras5.q78Resolve(base, 2).isEmpty }
+      catch { case scala.util.control.NonFatal(_) => true }
+    def agg(fromClause: String, label: String): DataFrame =
+      spark.sql(s"SELECT * FROM graft.$name $fromClause")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when($"o_orderstatus" === "F", 1)).as("n_f_status"),
+          sum($"price").cast(DoubleType).as("sum_price"))
+        .withColumn("read_as", lit(label))
+    agg("VERSION AS OF 'initial'", "1_tagged")
+      .unionByName(agg("VERSION AS OF 1", "2_v1_twin"))
+      .unionByName(agg("", "3_latest"))
+      .withColumn("untagged_expired", lit(v2Gone))
+      .select($"read_as", $"n_rows", $"n_f_status", $"sum_price",
+        $"untagged_expired")
+      .orderBy($"read_as")
+  }
+
+  private val q106Sql =
+    """WITH a AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS s,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |latest AS (
+      |  SELECT k, s, p FROM a
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2))
+      |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderstatus <> 'F'),
+      |snaps AS (
+      |  SELECT '1_tagged' AS read_as, s, p FROM a
+      |  UNION ALL SELECT '2_v1_twin', s, p FROM a
+      |  UNION ALL SELECT '3_latest', s, p FROM latest)
+      |SELECT read_as, COUNT(*) AS n_rows,
+      |  COUNT(*) FILTER (s = 'F') AS n_f_status,
+      |  CAST(SUM(p) AS DOUBLE) AS sum_price,
+      |  TRUE AS untagged_expired
+      |FROM snaps GROUP BY read_as ORDER BY read_as""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q104_maintenance_call" -> (q104 _),
-    "q105_type_widening" -> (q105 _))
+    "q105_type_widening" -> (q105 _),
+    "q106_version_tags" -> (q106 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q104_maintenance_call" -> q104Sql,
-    "q105_type_widening" -> q105Sql)
+    "q105_type_widening" -> q105Sql,
+    "q106_version_tags" -> q106Sql)
 }

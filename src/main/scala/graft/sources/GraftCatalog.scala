@@ -216,9 +216,21 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def loadTable(ident: Identifier): Table = make(ident, None)
 
-  /** VERSION AS OF <v> lands here. */
+  /** VERSION AS OF <v> lands here — a version NUMBER, or a TAG name
+    * (`VERSION AS OF 'v1_release'`, the Iceberg ref-addressing shape)
+    * resolved through the table's `_refs/` directory. */
   override def loadTable(ident: Identifier, version: String): Table =
-    make(ident, Some(version.toInt))
+    if (version.forall(_.isDigit)) make(ident, Some(version.toInt))
+    else {
+      val base = (if (ident.namespace.isEmpty) liveBaseFor(ident.name)
+        else None).getOrElse(throw new NoSuchTableException(ident))
+      val v = graft.queries.Extras8.resolveTag(base, version).getOrElse(
+        throw new IllegalArgumentException(
+          s"no such tag '$version' on ${ident.name} (tags: " +
+            s"${graft.queries.Extras8.tags(base).keys.toSeq.sorted
+              .mkString(", ")})"))
+      make(ident, Some(v))
+    }
 
   /** TIMESTAMP AS OF <ts> lands here (micros since epoch): resolves to
     * the latest version committed at or before the timestamp, from the

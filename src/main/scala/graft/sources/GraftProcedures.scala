@@ -33,12 +33,15 @@ private[graft] object GraftProcedures {
 
   val Namespace: Array[String] = Array("system")
 
-  def names: Seq[String] = Seq("optimize", "vacuum", "restore")
+  def names: Seq[String] =
+    Seq("optimize", "vacuum", "restore", "create_tag", "drop_tag")
 
   def load(name: String): UnboundProcedure = name match {
     case "optimize" => OptimizeProc
     case "vacuum" => VacuumProc
     case "restore" => RestoreProc
+    case "create_tag" => CreateTagProc
+    case "drop_tag" => DropTagProc
     case other => throw new UnsupportedOperationException(
       s"graft catalog has no procedure system.$other " +
         s"(available: ${names.mkString(", ")})")
@@ -139,6 +142,47 @@ private[graft] object GraftProcedures {
       val (files, versions) = Extras8.vacuumRetain(base, input.getInt(1))
       InternalRow(files, versions)
     }
+  }
+
+  /** CREATE TAG: an immutable named ref to a version (`VERSION AS OF
+    * '<tag>'` reads it; VACUUM never expires a tagged version). CAS-
+    * protected — a duplicate name fails instead of repointing. */
+  private object CreateTagProc extends GraftProc("create_tag",
+    Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("tag", StringType).build(),
+      ProcedureParameter.in("version", IntegerType).build()),
+    StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))) {
+
+    override def description(): String =
+      "Create an immutable named ref to a version of a graft table"
+
+    override protected def run(input: InternalRow): InternalRow = {
+      val base = baseOf(input.getUTF8String(0).toString)
+      val tag = input.getUTF8String(1).toString
+      val v = input.getInt(2)
+      Extras8.createTag(base, tag, v)
+      InternalRow(UTF8String.fromString(tag), v.toLong)
+    }
+  }
+
+  /** DROP TAG: removes the ref; the version becomes expirable again. */
+  private object DropTagProc extends GraftProc("drop_tag",
+    Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("tag", StringType).build()),
+    StructType(Seq(
+      StructField("existed", BooleanType, nullable = false)))) {
+
+    override def description(): String =
+      "Drop a named ref from a graft table"
+
+    override protected def run(input: InternalRow): InternalRow =
+      InternalRow(Extras8.dropTag(
+        baseOf(input.getUTF8String(0).toString),
+        input.getUTF8String(1).toString))
   }
 
   /** RESTORE: one metadata-only commit re-listing the target version's

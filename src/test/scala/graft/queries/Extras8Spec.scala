@@ -166,4 +166,45 @@ class Extras8Spec extends SparkSpec {
     }
     assert(msgs(unsupported).contains("safe widenings only"))
   }
+
+  test("tags: immutable CAS, vacuum protection, drop re-exposes (q106)") {
+    val (name, base) = Extras8.q106Build(spark, sf)
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    // the vacuum expired exactly the untagged v2 and deleted only its
+    // superseded originals (v1's files survive via the tag AND via v3)
+    intercept[Exception] { Extras5.q78ResolveEntries(base, 2) }
+    assert(Extras5.q78ResolveEntries(base, 1).nonEmpty, "tagged v1 resolves")
+    Extras5.q78ResolveEntries(base, 1).foreach(e =>
+      assert(GraftFs.exists(e.path), s"tag-protected file deleted: ${e.path}"))
+    // tag-addressed read == version-addressed read
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name VERSION AS OF 'initial'")
+      .head().getLong(0) ==
+      spark.sql(s"SELECT COUNT(*) FROM graft.$name VERSION AS OF 1")
+        .head().getLong(0))
+    // tags are immutable: duplicate create fails with one winner
+    val dup = intercept[Exception] {
+      spark.sql(s"CALL graft.system.create_tag('$name', 'initial', 3)").collect()
+    }
+    assert(msgs(dup).contains("already exists"))
+    // unknown tags name the available ones
+    val unk = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.$name VERSION AS OF 'nope'").collect()
+    }
+    assert(msgs(unk).contains("no such tag") && msgs(unk).contains("initial"))
+    // numeric tag names are refused (they would shadow version numbers)
+    val num = intercept[Exception] {
+      spark.sql(s"CALL graft.system.create_tag('$name', '7', 1)").collect()
+    }
+    assert(msgs(num).contains("non-numeric"))
+    // drop re-exposes the version to retention: the next vacuum expires v1
+    assert(spark.sql(s"CALL graft.system.drop_tag('$name', 'initial')")
+      .head().getBoolean(0))
+    spark.sql(s"CALL graft.system.vacuum('$name', 3)")
+    intercept[Exception] { Extras5.q78ResolveEntries(base, 1) }
+    // but files v3 still references survive the expiry (refcount)
+    Extras5.q78ResolveEntries(base, 3).foreach(e =>
+      assert(GraftFs.exists(e.path)))
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0) > 0)
+  }
 }
