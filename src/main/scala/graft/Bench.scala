@@ -172,10 +172,12 @@ object Bench {
     "q104_maintenance_call",
     // late-r16 family benched in its own round: type-widening evolution
     // (two inserts + two metadata-only ALTERs + mixed-physical reads).
-    // q106 (version tags) stays BLIND this round — the compact-line
-    // byte budget is at its bound and q106's cost family (CALL
-    // maintenance: tag CAS + vacuum + a COW delete) is priced by q104;
-    // r17 should baseline it under the usual rotation rules.
+    // q106 (version tags) and st24 (streaming table read) stay BLIND
+    // this round — the compact-line byte budget is at its bound; their
+    // cost families are priced by q104 (CALL maintenance: tag CAS +
+    // vacuum + a COW delete) and st22 (the same version-transition →
+    // splits → micro-batch-drain machinery). r17 should baseline both
+    // under the usual rotation rules.
     "q105_type_widening")
 
   /** The x10 scale block's query set — ONE definition shared by the

@@ -452,6 +452,7 @@ private[sources] class GraftTable(tableName: String, val base: String,
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE)
@@ -509,7 +510,7 @@ private[sources] class GraftTable(tableName: String, val base: String,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(this, None)
+    new GraftScanBuilder(this, None, options)
 
   /** INSERT INTO (append) / INSERT OVERWRITE (truncating overwrite) —
     * both commit through the same optimistic CAS as the merge path. */
@@ -556,7 +557,8 @@ private[sources] trait GraftRowLevelOp {
 }
 
 private[sources] class GraftScanBuilder(table: GraftTable,
-    owner: Option[GraftRowLevelOp])
+    owner: Option[GraftRowLevelOp],
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
 
@@ -626,7 +628,7 @@ private[sources] class GraftScanBuilder(table: GraftTable,
         case Some((mn, mx)) => mx >= keyLo && mn <= keyHi
       }
     }
-    val scan = new GraftScan(table, required, entries, keyLo, keyHi)
+    val scan = new GraftScan(table, required, entries, keyLo, keyHi, options)
     owner.foreach(_.configuredScan = scan)
     scan
   }
@@ -635,9 +637,21 @@ private[sources] class GraftScanBuilder(table: GraftTable,
 private[sources] class GraftScan(table: GraftTable, required: StructType,
     initialEntries: Seq[Extras5.ManifestEntry],
     private[sources] val keyLo: Long = Long.MinValue,
-    private[sources] val keyHi: Long = Long.MaxValue)
+    private[sources] val keyHi: Long = Long.MaxValue,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends Scan with Batch
     with SupportsRuntimeV2Filtering {
+
+  /** `spark.readStream.table("graft.t")` — appends-only streaming
+    * source over manifest versions (see GraftTableStream; options:
+    * startingVersion exclusive, skipChangeCommits). */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read
+      .streaming.MicroBatchStream = {
+    val sv = Option(options.get("startingversion")).map(_.toInt).getOrElse(0)
+    val skip = Option(options.get("skipchangecommits")).exists(_.toBoolean)
+    new GraftTableStream(table.base, required, sv, skip, table.physicalOf)
+  }
 
   /** Narrowed twice: statically by key-stats pruning (in the builder),
     * then at runtime by the group-filtering In(_file) subquery. After

@@ -1114,6 +1114,70 @@ object EventsStream {
       |  TRUE AS versions_ok, TRUE AS replay_noop
       |FROM orders WHERE o_orderkey % 11 = 0""".stripMargin
 
+  /** st24 — STREAMING READS FROM A CATALOG TABLE (r16): the table
+    * itself as a streaming SOURCE (`spark.readStream.table("graft.t")`
+    * — Delta's streaming-source shape; the r14 change feed serves
+    * diffs, this serves the table's appends): offsets are manifest
+    * versions, one commit per micro-batch, a fresh subscriber replays
+    * history-as-appends then follows. The fixture lands three INSERT
+    * commits on a CREATEd table and drains with Trigger.AvailableNow,
+    * accumulating PER-BATCH aggregates (exact decimal sums, so the
+    * result is independent of batch boundaries); the hash pins the
+    * drained stream ≡ the table's batch content. Non-append commits
+    * fail the stream (or are skipped wholesale under
+    * skipChangeCommits) — StreamTableReadSpec pins that contract plus
+    * resume-without-re-emission. */
+  def st24(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val D2 = DecimalType(18, 2)
+    graft.sources.GraftCatalog.install(spark)
+    val name = s"tread_${counter.incrementAndGet()}_${System.nanoTime()}"
+    val base = graft.Scratch.dir("st24_table")
+    spark.sql(s"CREATE TABLE graft.$name (o_orderkey BIGINT, " +
+      s"o_orderstatus STRING, price DECIMAL(18,2)) LOCATION '$base'")
+    val orders = graft.Tables.load(spark, dir, "orders")
+    (0 to 2).foreach { m =>
+      orders.filter($"o_orderkey" % 3 === m)
+        .select($"o_orderkey", $"o_orderstatus",
+          $"o_totalprice".cast(D2).as("price"))
+        .createOrReplaceTempView(s"st24_src_${m}_$name")
+      spark.sql(s"INSERT INTO graft.$name SELECT * FROM st24_src_${m}_$name")
+    }
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, java.math.BigDecimal)]()
+    val q = spark.readStream.table(s"graft.$name")
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val r = b.agg(count(lit(1)), count(when($"o_orderstatus" === "F", 1)),
+          sum($"price")).head()
+        if (r.getLong(0) > 0)
+          acc.add((r.getLong(0), r.getLong(1), r.getDecimal(2)))
+        ()
+      }
+      .option("checkpointLocation", graft.Scratch.dir("st24_ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val batches = acc.asScala.toSeq
+    // one non-empty batch per INSERT commit (the admission contract)
+    val batchesOk = batches.size == 3
+    spark.createDataset(batches).toDF("n", "f", "p")
+      .agg(sum($"n").as("n_rows"), sum($"f").as("n_f_status"),
+        sum($"p".cast(D2)).cast(DoubleType).as("sum_price"))
+      .withColumn("one_batch_per_commit", lit(batchesOk))
+      .select($"n_rows", $"n_f_status", $"sum_price",
+        $"one_batch_per_commit")
+  }
+
+  private val st24Sql =
+    """SELECT COUNT(*) AS n_rows,
+      |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_f_status,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  TRUE AS one_batch_per_commit
+      |FROM orders""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "st01_stream_hourly" -> (st01 _),
     "st02_stream_sessionize" -> (st02 _),
@@ -1137,7 +1201,8 @@ object EventsStream {
     "st20_stream_full_outer_join" -> (st20 _),
     "st21_stream_cdc_merge" -> (st21 _),
     "st22_stream_change_feed" -> (st22 _),
-    "st23_stream_sink_table" -> (st23 _))
+    "st23_stream_sink_table" -> (st23 _),
+    "st24_stream_table_read" -> (st24 _))
 
   private val st02Sql =
     """WITH flagged AS (
@@ -1184,5 +1249,6 @@ object EventsStream {
     "st20_stream_full_outer_join" -> st20Sql,
     "st21_stream_cdc_merge" -> st21Sql,
     "st22_stream_change_feed" -> graft.queries.Extras6.q92Sql,
-    "st23_stream_sink_table" -> st23Sql)
+    "st23_stream_sink_table" -> st23Sql,
+    "st24_stream_table_read" -> st24Sql)
 }
