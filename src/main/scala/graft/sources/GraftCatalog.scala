@@ -644,11 +644,29 @@ private[sources] class GraftScan(table: GraftTable, required: StructType,
 
   /** `spark.readStream.table("graft.t")` — appends-only streaming
     * source over manifest versions (see GraftTableStream; options:
-    * startingVersion exclusive, skipChangeCommits). */
+    * startingVersion exclusive OR startingTimestamp — resolved by the
+    * q97 `#ts` rounding rule like the change feed's — and
+    * skipChangeCommits). */
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read
       .streaming.MicroBatchStream = {
-    val sv = Option(options.get("startingversion")).map(_.toInt).getOrElse(0)
+    val svOpt = Option(options.get("startingversion"))
+    val stOpt = Option(options.get("startingtimestamp"))
+    require(svOpt.isEmpty || stOpt.isEmpty,
+      "specify startingVersion OR startingTimestamp, not both")
+    val sv = svOpt.map(_.toInt)
+      .orElse(stOpt.map { s =>
+        val ts = GraftChangeFeed.tsOptionMillis(s)
+        GraftChangeFeed.startVersionAt(table.base, ts) match {
+          // an instant predating the table's history replays from the
+          // start (v1 = full-content batch); a vacuumed head can only
+          // replay appends after its earliest surviving version
+          case v if Extras5.q78CommitTime(table.base, v) > ts =>
+            if (v == 1) 0 else v
+          case v => v
+        }
+      })
+      .getOrElse(0)
     val skip = Option(options.get("skipchangecommits")).exists(_.toBoolean)
     new GraftTableStream(table.base, required, sv, skip, table.physicalOf)
   }

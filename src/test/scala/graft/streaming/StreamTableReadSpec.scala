@@ -110,4 +110,28 @@ class StreamTableReadSpec extends SparkSpec {
     assert(got.head == spark.sql(s"SELECT COUNT(*) FROM graft.$name " +
       "WHERE o_orderkey % 4 = 1").head().getLong(0))
   }
+
+  test("startingTimestamp addresses the stream like its version twin") {
+    val (name, base) = freshTable("ts")
+    insertSlice(name, 0); insertSlice(name, 1) // v2, v3
+    val t2 = Extras5.q78CommitTime(base, 2)
+    // at v2's commit instant: appends AFTER it → only v3's rows
+    val after2 = drain(name, graft.Scratch.dir("str_ckpt_t1"),
+      Map("startingTimestamp" -> t2.toString))
+    assert(after2 == drain(name, graft.Scratch.dir("str_ckpt_t2"),
+      Map("startingVersion" -> "2")))
+    // predating history: the full replay, batch per commit
+    val all = drain(name, graft.Scratch.dir("str_ckpt_t3"),
+      Map("startingTimestamp" -> "1"))
+    assert(all.size == 2 && all.sum ==
+      spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0))
+    // both bounds at once is refused
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    val e = intercept[Exception] {
+      drain(name, graft.Scratch.dir("str_ckpt_t4"),
+        Map("startingTimestamp" -> "1", "startingVersion" -> "1"))
+    }
+    assert(msgs(e).contains("not both"))
+  }
 }
