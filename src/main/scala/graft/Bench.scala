@@ -173,11 +173,13 @@ object Bench {
     // late-r16 family benched in its own round: type-widening evolution
     // (two inserts + two metadata-only ALTERs + mixed-physical reads).
     // q106 (version tags) and st24 (streaming table read) stay BLIND
-    // this round — the compact-line byte budget is at its bound; their
-    // cost families are priced by q104 (CALL maintenance: tag CAS +
-    // vacuum + a COW delete) and st22 (the same version-transition →
-    // splits → micro-batch-drain machinery). r17 should baseline both
-    // under the usual rotation rules.
+    // in the graded line this round — the compact-line byte budget is
+    // at its bound; their cost families are priced by q104 (CALL
+    // maintenance: tag CAS + vacuum + a COW delete) and st22 (the same
+    // version-transition → splits → micro-batch-drain machinery), and
+    // clean-JVM BenchOne first-reads exist for r17 to anchor against:
+    // at canary 0.157, q105 0.80, q106 1.23, st24 1.65. r17 should
+    // baseline q106/st24 under the usual rotation rules.
     "q105_type_widening")
 
   /** The x10 scale block's query set — ONE definition shared by the
