@@ -166,7 +166,10 @@ object Bench {
     // q103 0.52, q104 1.20 — divide by ~1.2 to place them against the
     // r15 window. q96 read 2.17 vs r15's 1.31 (+65%, vs +20% uniform):
     // part window, residual plausibly the canon-UDF identity join in
-    // the MOR fixture build; re-read in r17 before calling it real.
+    // the MOR fixture build; clean-JVM BenchOne anchor for r17's
+    // re-read: steady state ~1.94 at canary 0.153 (first block 2.28,
+    // second 1.94 — so ~1.9 is q96's current true cost; compare r17's
+    // official read against THAT, not r15's 1.31 window).
     "q99_merge_mor_native", "q100_table_history", "q101_sql_delete_dv",
     "q102_sql_merge_mor", "q103_rename_drop_evolution",
     "q104_maintenance_call",

@@ -262,10 +262,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case Some(base) =>
         new GraftTable(s"$catalogName.${ident.name}", base, version)
       case None =>
-        // `graft.<t>.changes` / `graft.<t>.history` — the table's
-        // streaming change feed and commit-history metadata table (the
-        // Iceberg metadata-table addressing convention)
-        val isMeta = Set("changes", "history")(ident.name) &&
+        // `graft.<t>.changes` / `graft.<t>.history` / `graft.<t>.tags`
+        // — the table's streaming change feed, commit-history and
+        // named-ref metadata tables (the Iceberg metadata-table
+        // addressing convention)
+        val isMeta = Set("changes", "history", "tags")(ident.name) &&
           ident.namespace.length == 1
         val baseTable = if (isMeta)
           liveBaseFor(ident.namespace.head) else None
@@ -273,6 +274,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           case Some(base) if ident.name == "changes" =>
             new GraftChangeFeedTable(
               s"$catalogName.${ident.namespace.head}.changes", base)
+          case Some(base) if ident.name == "tags" =>
+            new GraftTagsTable(
+              s"$catalogName.${ident.namespace.head}.tags", base)
           case Some(base) =>
             new GraftHistoryTable(
               s"$catalogName.${ident.namespace.head}.history", base)

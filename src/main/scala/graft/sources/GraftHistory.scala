@@ -108,3 +108,62 @@ private[sources] class GraftHistoryScan(base: String) extends Scan with Batch {
 /** Top-level (no outer reference — the partition ships to executors). */
 private[sources] case class HistoryPartition(rows: Seq[Seq[Any]])
     extends InputPartition
+
+/** Named-ref metadata table, addressed `graft.<t>.tags` (the r16
+  * version-tag surface's SQL listing): one row per tag with its target
+  * version and that version's commit timestamp — `_refs/` + manifest
+  * header metadata only, no data file opened. */
+private[sources] class GraftTagsTable(tableName: String, base: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = tableName
+
+  override def schema(): StructType = GraftTagsTable.Schema
+
+  override def partitioning(): Array[Transform] = Array.empty
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new GraftTagsScan(base)
+}
+
+private[graft] object GraftTagsTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("ts_millis", LongType, nullable = false)))
+}
+
+/** Driver-materialized like the history scan: #tags rows of metadata. */
+private[sources] class GraftTagsScan(base: String) extends Scan with Batch {
+
+  override def readSchema(): StructType = GraftTagsTable.Schema
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rows = graft.queries.Extras8.tags(base).toSeq.sortBy(_._1).map {
+      case (name, v) => Seq[Any](UTF8String.fromString(name), v.toLong,
+        Extras5.q78CommitTime(base, v))
+    }
+    Array(HistoryPartition(rows))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val it = partition.asInstanceOf[HistoryPartition].rows.iterator
+      new PartitionReader[InternalRow] {
+        private var cur: InternalRow = _
+        override def next(): Boolean = {
+          if (!it.hasNext) false
+          else { cur = InternalRow.fromSeq(it.next()); true }
+        }
+        override def get(): InternalRow = cur
+        override def close(): Unit = ()
+      }
+    }
+
+  override def description(): String = s"GraftTagsScan($base)"
+}

@@ -182,6 +182,13 @@ class Extras8Spec extends SparkSpec {
       .head().getLong(0) ==
       spark.sql(s"SELECT COUNT(*) FROM graft.$name VERSION AS OF 1")
         .head().getLong(0))
+    // the graft.<t>.tags metadata table lists the ref with its
+    // target's commit timestamp
+    val tagRows = spark.sql(
+      s"SELECT tag, version, ts_millis FROM graft.$name.tags").collect()
+    assert(tagRows.length == 1 && tagRows.head.getString(0) == "initial" &&
+      tagRows.head.getLong(1) == 1L &&
+      tagRows.head.getLong(2) == Extras5.q78CommitTime(base, 1))
     // tags are immutable: duplicate create fails with one winner
     val dup = intercept[Exception] {
       spark.sql(s"CALL graft.system.create_tag('$name', 'initial', 3)").collect()
