@@ -54,6 +54,17 @@ object Extras8 {
 
   // ----- version TAGS (Iceberg-style named refs; r16) -----------------
 
+  /** Tag names are path COMPONENTS of `_refs/<name>.txt`: a safe
+    * charset (no '/', no '\', nothing URI-special) is required so a
+    * SQL-reachable CALL create_tag/drop_tag can never write or delete
+    * outside `_refs/` (r16 ADVICE: path traversal), and so every tag
+    * the resolver accepts is one tags() lists — vacuum protection and
+    * resolvability stay in lockstep. Numeric names are refused
+    * separately (they would shadow VERSION AS OF numbers). */
+  private[graft] def validTagName(name: String): Boolean =
+    name.nonEmpty && !name.forall(_.isDigit) &&
+      name.matches("[A-Za-z0-9._-]+")
+
   /** Creates an IMMUTABLE named ref to `version` — one file per tag
     * under `_refs/`, published by the protocol CAS, so two racing
     * creates of the same name have exactly one winner and a tag can
@@ -61,8 +72,9 @@ object Extras8 {
     * path). The target must resolve at creation time. */
   private[graft] def createTag(base: String, name: String,
       version: Int): Unit = {
-    require(name.nonEmpty && !name.forall(_.isDigit),
-      s"tag name must be non-numeric (got '$name')")
+    require(validTagName(name),
+      s"tag name must be non-numeric and match [A-Za-z0-9._-]+ " +
+        s"(got '$name')")
     Extras5.q78ResolveEntries(base, version) // throws if unresolvable
     if (!GraftFs.putIfAbsent(s"$base/_refs/$name.txt",
         version.toString.getBytes("UTF-8")))
@@ -71,17 +83,24 @@ object Extras8 {
           "DROP it first to repoint)")
   }
 
-  /** Drops a tag; returns whether it existed. */
+  /** Drops a tag; returns whether it existed. An invalid name never
+    * touches the filesystem (no traversal via DROP either). */
   private[graft] def dropTag(base: String, name: String): Boolean = {
+    if (!validTagName(name)) return false
     val p = s"$base/_refs/$name.txt"
     val existed = GraftFs.exists(p)
     GraftFs.deleteIfExists(p)
     existed
   }
 
+  /** None for names createTag could never have written — so a
+    * traversal-shaped `VERSION AS OF '<tag>'` can't resolve a file
+    * outside `_refs/` that vacuum protection would then ignore. */
   private[graft] def resolveTag(base: String, name: String): Option[Int] =
-    try Some(GraftFs.readString(s"$base/_refs/$name.txt").trim.toInt)
-    catch { case _: java.nio.file.NoSuchFileException => None }
+    if (!validTagName(name)) None
+    else
+      try Some(GraftFs.readString(s"$base/_refs/$name.txt").trim.toInt)
+      catch { case _: java.nio.file.NoSuchFileException => None }
 
   private[graft] def tags(base: String): Map[String, Int] =
     GraftFs.listNames(s"$base/_refs").filter(_.endsWith(".txt"))
@@ -101,11 +120,20 @@ object Extras8 {
       .flatMap(n => "^v(\\d+)\\.txt$".r.findFirstMatchIn(n)
         .map(_.group(1).toInt)).sorted
     val tagged = tags(base).values.toSet
+    // a floor above the CURRENT version is refused outright (r16
+    // ADVICE: previously a tagged older version satisfied the
+    // nonEmpty guard while the HEAD manifest was deleted — the table
+    // silently rolled back to the tag; vacuum changes what HISTORY
+    // resolves, never what the table currently is)
+    val head = versions.lastOption.getOrElse(0)
+    require(retainFrom <= head,
+      s"vacuum would expire every version of $base up to and including " +
+        s"the current one (retainFrom=$retainFrom, latest=v$head)")
     val (expired, retained) =
       versions.partition(v => v < retainFrom && !tagged(v))
     require(retained.nonEmpty,
       s"vacuum would expire every version of $base (retainFrom=$retainFrom, " +
-        s"latest=v${versions.lastOption.getOrElse(0)})")
+        s"latest=v$head)")
     if (expired.isEmpty) return (0L, 0L)
     def refs(v: Int): Seq[String] =
       Extras5.q78ResolveEntries(base, v).flatMap(e => e.path +: e.dv.toList)

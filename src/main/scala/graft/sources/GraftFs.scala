@@ -39,23 +39,47 @@ import org.apache.spark.sql.SparkSession
   * retention/vacuum handling upstream has one exception to map.
   *
   * Runs driver-side AND executor-side (DV sidecar reads): the Hadoop
-  * conf comes from the active session when one exists in the JVM,
-  * else from classpath defaults (`core-site.xml` — the standard
-  * executor configuration path), cached after first touch.
+  * conf comes from the active session when one exists in the JVM —
+  * derived FRESH per Hadoop-branch call (`newHadoopConf()` is one
+  * Configuration copy, ~0.2 ms against metadata I/O that is itself
+  * RPC-bound on any non-local store), so credentials or
+  * `fs.<scheme>.impl` registrations configured AFTER the first
+  * protocol I/O are always visible (r16 ADVICE: the old first-touch
+  * cache made late session configuration silently invisible). The HOT
+  * local fast path never derives a conf: `fs.defaultFS` locality is
+  * memoized per session instance. Where no session exists (executor
+  * task threads), the most recent session-derived conf serves (local
+  * mode shares the JVM; real executors read sidecars under the same
+  * defaults they scan data with), falling back to classpath defaults
+  * (`core-site.xml`) loaded once.
   */
 private[graft] object GraftFs {
 
-  @volatile private var cachedConf: Configuration = _
+  @volatile private var cachedDefaultConf: Configuration = _
+  /** Most recent session-derived conf — the no-session fallback. */
+  @volatile private var lastSessionConf: Configuration = _
+  /** Per-session memo of "is fs.defaultFS local?" (hot-path check). */
+  @volatile private var defaultFsLocalMemo: (AnyRef, Boolean) = _
 
-  def hadoopConf: Configuration = {
-    var c = cachedConf
-    if (c == null) {
-      c = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-        .map(_.sessionState.newHadoopConf())
-        .getOrElse(new Configuration())
-      cachedConf = c
-    }
-    c
+  private def session: Option[SparkSession] =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+
+  def hadoopConf: Configuration = session match {
+    case Some(s) =>
+      val c = s.sessionState.newHadoopConf()
+      lastSessionConf = c
+      c
+    case None =>
+      val last = lastSessionConf
+      if (last != null) last
+      else {
+        var c = cachedDefaultConf
+        if (c == null) {
+          c = new Configuration()
+          cachedDefaultConf = c
+        }
+        c
+      }
   }
 
   /** Scheme-less absolute path on a local default FS → nio fast path.
@@ -63,8 +87,15 @@ private[graft] object GraftFs {
     * are cluster paths and take the Hadoop branch.) */
   private def localFast(path: String): Boolean =
     !path.contains(":/") && {
-      val d = hadoopConf.get("fs.defaultFS", "file:///")
-      d.startsWith("file:")
+      val sess = session.orNull
+      val memo = defaultFsLocalMemo
+      if (sess != null && memo != null && (memo._1 eq sess)) memo._2
+      else {
+        val isLocal =
+          hadoopConf.get("fs.defaultFS", "file:///").startsWith("file:")
+        if (sess != null) defaultFsLocalMemo = (sess, isLocal)
+        isLocal
+      }
     }
 
   private def nio(path: String): java.nio.file.Path =
@@ -109,7 +140,18 @@ private[graft] object GraftFs {
   def mtime(path: String): Long =
     if (localFast(path))
       java.nio.file.Files.getLastModifiedTime(nio(path)).toMillis
-    else fs(new HPath(path)).getFileStatus(new HPath(path)).getModificationTime
+    else {
+      val p = new HPath(path)
+      try fs(p).getFileStatus(p).getModificationTime
+      catch {
+        // uniform missing-file contract (class doc): a ts-header-less
+        // manifest racing a vacuum must surface the SAME exception type
+        // upstream retention handling maps for every backend
+        case e: FileNotFoundException =>
+          throw new java.nio.file.NoSuchFileException(path).initCause(e)
+            .asInstanceOf[java.nio.file.NoSuchFileException]
+      }
+    }
 
   def readBytes(path: String): Array[Byte] =
     if (localFast(path)) java.nio.file.Files.readAllBytes(nio(path))
@@ -173,13 +215,18 @@ private[graft] object GraftFs {
         val fc = FileContext.getFileContext(p.toUri, hadoopConf)
         fc.rename(tmp, p, Options.Rename.OVERWRITE)
       } catch {
-        case _: Exception =>
+        // ONLY capability gaps fall back (r16 ADVICE: swallowing every
+        // exception turned a genuinely failed rename into a silently
+        // deleted/stale registry); a real rename failure propagates
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException |
+            _: UnsupportedOperationException =>
           // stores without FileContext overwrite-rename: delete + rename
           // (readers may observe a brief absence — registry readers
           // treat a missing file as empty and reload)
           f.delete(p, false)
-          f.rename(tmp, p)
-          ()
+          if (!f.rename(tmp, p))
+            throw new java.io.IOException(
+              s"writeAtomicReplace: fallback rename failed: $tmp -> $path")
       }
     }
 

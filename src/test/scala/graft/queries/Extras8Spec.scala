@@ -214,4 +214,48 @@ class Extras8Spec extends SparkSpec {
       assert(GraftFs.exists(e.path)))
     assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0) > 0)
   }
+
+  test("vacuum with a floor above latest refuses even when an older version is tagged") {
+    // r16 ADVICE: a tagged older version used to satisfy the
+    // retained-nonEmpty guard while the HEAD manifest was deleted —
+    // the table silently rolled back to the tag
+    val (name, base) = freshTable("hd")
+    spark.sql(s"CALL graft.system.create_tag('$name', 'keep', 1)")
+    spark.sql(s"INSERT INTO graft.$name VALUES (999999999, 'O', " +
+      "CAST(1 AS DECIMAL(18,2)))") // v2 = HEAD
+    val headRows = spark.sql(s"SELECT COUNT(*) FROM graft.$name")
+      .head().getLong(0)
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.system.vacuum('$name', 99)").collect()
+    }
+    assert(msgs(e).contains("every version"))
+    // HEAD untouched: v2 still the current version with all its rows
+    assert(Extras5.q78Latest(base) == 2)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name")
+      .head().getLong(0) == headRows)
+  }
+
+  test("traversal-shaped tag names are rejected at create/drop/resolve") {
+    val (name, base) = freshTable("tn")
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    Seq("../escape", "a/b", "a\\b", "", "x y").foreach { bad =>
+      val e = intercept[Exception] {
+        spark.sql(s"CALL graft.system.create_tag('$name', " +
+          s"'${bad.replace("\\", "\\\\")}', 1)").collect()
+      }
+      assert(msgs(e).contains("tag name"), s"'$bad' must be refused")
+      assert(!Extras8.dropTag(base, bad), s"dropTag('$bad') must be a no-op")
+      assert(Extras8.resolveTag(base, bad).isEmpty)
+    }
+    // nothing escaped _refs/: the table dir has no stray artifacts and
+    // a traversal-shaped VERSION AS OF errors as an unknown tag
+    assert(!GraftFs.exists(s"$base/escape.txt"))
+    val unk = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.$name VERSION AS OF '../escape'").collect()
+    }
+    assert(msgs(unk).contains("no such tag"))
+  }
 }

@@ -36,13 +36,16 @@ class GraftMockAbstractFs(uri: java.net.URI,
 class GraftMockFsSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Arms ONLY the session's Hadoop configuration — the normal Spark
+    * way to register a scheme. GraftFs derives its conf session-fresh
+    * (r16 ADVICE fix), so a registration made after other suites
+    * already did protocol I/O is still visible with no direct arming
+    * of GraftFs internals. */
   private lazy val armed: Unit = {
-    Seq(GraftFs.hadoopConf, spark.sparkContext.hadoopConfiguration)
-      .foreach { c =>
-        c.set("fs.graftmock.impl", classOf[GraftMockFileSystem].getName)
-        c.set("fs.AbstractFileSystem.graftmock.impl",
-          classOf[GraftMockAbstractFs].getName)
-      }
+    val c = spark.sparkContext.hadoopConfiguration
+    c.set("fs.graftmock.impl", classOf[GraftMockFileSystem].getName)
+    c.set("fs.AbstractFileSystem.graftmock.impl",
+      classOf[GraftMockAbstractFs].getName)
   }
 
   private def mockDir(tag: String): String = {
