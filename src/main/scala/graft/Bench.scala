@@ -132,7 +132,7 @@ object Bench {
     // baseline 0.52s; the dedicated codec block measures the same
     // brotli encode/decode path every round with native interleave).
     // BenchMergeSpec's compact-line bound re-asserted with this set.
-    "q96_delete_dv", "q97_timestamp_as_of", "q98_restore_version",
+    "q96_delete_dv",
     "st23_stream_sink_table",
     // r16 ROTATION: first baselines for the five r15-blind families
     // (q99-q103, exactly as the r15 ledger planned) plus the new CALL-
@@ -183,7 +183,28 @@ object Bench {
     // clean-JVM BenchOne first-reads exist for r17 to anchor against:
     // at canary 0.157, q105 0.80, q106 1.23, st24 1.65. r17 should
     // baseline q106/st24 under the usual rotation rules.
-    "q105_type_widening")
+    "q105_type_widening",
+    // r17 ROTATION: q106 (version tags) and st24 (streaming table
+    // read) get their first official baselines, exactly as the r16
+    // ledger planned (clean-JVM first-reads above are the anchors).
+    // Budget funded by rotating OUT two entries with ≥2 judged
+    // baselines and surviving family coverage: q97_timestamp_as_of
+    // (r15+r16; pure metadata resolution — q100 prices header reads
+    // and timestamp rounding rides the same q78CommitTime path every
+    // round) and q98_restore_version (r15+r16; q104 executes CALL
+    // restore inside its composed maintenance run every round). The
+    // NEW r17 families stay BLIND this round per the usual one-round
+    // lag: q107 multi-column stats (cost family priced by q94 — the
+    // same manifest-pruned vectorized read with one extra footer
+    // column tracked at write) and q108 partition transforms (priced
+    // by q95's catalog lifecycle + the fan-out cost is bounded by the
+    // clustered shuffle q83 already prices); r18 should baseline
+    // q107/q108 under the same rotation rules. Schema-versioning cost
+    // note for r17 reads: every catalog commit now writes/carries a
+    // `#schema` header (one extra small-header read per commit
+    // attempt) and CREATE adds one content-addressed schema file —
+    // watch q95/q101-q105 for a small uniform +, not a regression.
+    "q106_version_tags", "st24_stream_table_read")
 
   /** The x10 scale block's query set — ONE definition shared by the
     * sf1 child's warm-up loop and sf1Bench's measured loop, so the

@@ -487,10 +487,65 @@ object Extras5 {
     * — two writers disagreeing about a file's live rows must conflict
     * even though neither touched its bytes. */
   private[graft] case class ManifestEntry(path: String,
-      stats: Option[(Long, Long)] = None, dv: Option[String] = None) {
+      stats: Option[(Long, Long)] = None, dv: Option[String] = None,
+      colStats: Map[String, (Long, Long)] = Map.empty,
+      partValues: Map[String, String] = Map.empty) {
     /** Conflict identity for OCC checks: path + the DV generation. */
     def identity: String = dv.fold(path)(d => path + "\u0000" + d)
   }
+
+  /** Serialized per-column stats (the manifest line's 5th field):
+    * `name=lo:hi;...`, names URL-encoded so the `=:;` separators and
+    * tabs/newlines can never collide with a column name. Keys are
+    * PHYSICAL column names (stable across RENAME evolution), so pruning
+    * that resolves a predicate's logical name through the column
+    * mapping is structurally sound: these stats follow the bytes, not
+    * the name — the r15 rename-rebind hazard cannot arise. */
+  private def encodeColStats(cs: Map[String, (Long, Long)]): String =
+    cs.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+      s"${java.net.URLEncoder.encode(c, "UTF-8")}=$lo:$hi"
+    }.mkString(";")
+
+  /** Serialized partition values (the manifest line's 6th field):
+    * `key=value;...`, both sides URL-encoded, `key=` alone for NULL.
+    * Keys are the partition spec's transform output names
+    * (`o_orderstatus`, `days.o_orderdate`); values are the transform
+    * results rendered canonically (identity → the value's string form,
+    * date transforms → the ordinal) — what partition pruning compares
+    * literals against. */
+  private def encodePartValues(pv: Map[String, String]): String =
+    pv.toSeq.sortBy(_._1).map { case (k, v) =>
+      val ek = java.net.URLEncoder.encode(k, "UTF-8")
+      if (v == null) s"$ek=" else s"$ek=v${java.net.URLEncoder.encode(v, "UTF-8")}"
+    }.mkString(";")
+
+  private def decodePartValues(s: String): Map[String, String] =
+    if (s == "-" || s.isEmpty) Map.empty
+    else s.split(";").iterator.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) =>
+          val key = java.net.URLDecoder.decode(k, "UTF-8")
+          if (v.isEmpty) Some(key -> null)
+          else if (v.startsWith("v"))
+            Some(key -> java.net.URLDecoder.decode(v.drop(1), "UTF-8"))
+          else None
+        case _ => None
+      }
+    }.toMap
+
+  private def decodeColStats(s: String): Map[String, (Long, Long)] =
+    if (s == "-" || s.isEmpty) Map.empty
+    else s.split(";").iterator.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(c, v) => v.split(":", 2) match {
+          case Array(lo, hi) =>
+            Some(java.net.URLDecoder.decode(c, "UTF-8") ->
+              (lo.toLong, hi.toLong))
+          case _ => None
+        }
+        case _ => None
+      }
+    }.toMap
 
   /** Commit `files` as manifest `v$version` — optimistic CAS on the
     * version number. The full manifest is staged, then PUBLISHED by
@@ -519,19 +574,42 @@ object Extras5 {
   private[graft] def q78TryCommitEntries(base: String, version: Int,
       entries: Seq[ManifestEntry],
       headers: Seq[(String, String)] = Seq.empty): Boolean = {
-    val hdr = if (headers.exists(_._1 == "ts")) headers
+    val stamped = if (headers.exists(_._1 == "ts")) headers
       else ("ts" -> System.currentTimeMillis.toString) +: headers
+    // schema header CARRIES FORWARD automatically: a data commit on a
+    // schema-versioned table keeps the previous version's `#schema`
+    // unless the caller (ALTER TABLE, CREATE TABLE) supplies a new one
+    // — one extra small-header read per attempt, the same cost class
+    // as the resolve the commit loop already paid. Tables without
+    // schema headers (API-built fixtures) carry nothing.
+    val hdr =
+      if (stamped.exists(_._1 == graft.sources.GraftSchemas.Header) ||
+          version <= 1) stamped
+      else stamped ++ (
+        try q78CommitHeaders(base, version - 1)
+          .get(graft.sources.GraftSchemas.Header)
+          .map(graft.sources.GraftSchemas.Header -> _)
+        catch { case _: java.nio.file.NoSuchFileException => None })
     // entry line: path, optionally followed by the file's key-column
     // min/max (tab-separated; `-` placeholders when a DV'd file has no
     // stats), optionally followed by the DV path. Files without stats
     // are always kept by pruned reads.
     val body = (hdr.map { case (k, v) => s"#$k\t$v" } ++
       entries.sortBy(_.path).map { e =>
-        (e.stats, e.dv) match {
+        val ks = e.stats.map { case (lo, hi) => s"$lo\t$hi" }.getOrElse("-\t-")
+        if (e.partValues.nonEmpty)
+          // 6-field form (partitioned table; `-` placeholders keep the
+          // arity-dispatched parser unambiguous)
+          s"${e.path}\t$ks\t${e.dv.getOrElse("-")}\t" +
+            s"${if (e.colStats.nonEmpty) encodeColStats(e.colStats) else "-"}\t" +
+            encodePartValues(e.partValues)
+        else if (e.colStats.nonEmpty)
+          // 5-field form (multi-column stats)
+          s"${e.path}\t$ks\t${e.dv.getOrElse("-")}\t${encodeColStats(e.colStats)}"
+        else (e.stats, e.dv) match {
           case (None, None) => e.path
-          case (Some((lo, hi)), None) => s"${e.path}\t$lo\t$hi"
-          case (Some((lo, hi)), Some(d)) => s"${e.path}\t$lo\t$hi\t$d"
-          case (None, Some(d)) => s"${e.path}\t-\t-\t$d"
+          case (_, None) => s"${e.path}\t$ks"
+          case (_, Some(d)) => s"${e.path}\t$ks\t$d"
         }
       }).mkString("\n").getBytes("UTF-8")
     graft.sources.GraftFs.putIfAbsent(s"$base/_manifests/v$version.txt", body)
@@ -586,6 +664,11 @@ object Extras5 {
         line.split("\t") match {
           case Array(f, lo, hi) => ManifestEntry(f, stats(lo, hi))
           case Array(f, lo, hi, d) => ManifestEntry(f, stats(lo, hi), Some(d))
+          case Array(f, lo, hi, d, cs) => ManifestEntry(f, stats(lo, hi),
+            if (d == "-") None else Some(d), decodeColStats(cs))
+          case Array(f, lo, hi, d, cs, pv) => ManifestEntry(f, stats(lo, hi),
+            if (d == "-") None else Some(d), decodeColStats(cs),
+            decodePartValues(pv))
           case _ => ManifestEntry(line)
         }
       }

@@ -876,8 +876,14 @@ object Extras7 {
   // the q103 fixture does exactly that resurrect attempt: rename
   // price→amount, drop o_orderstatus, re-add o_orderstatus, and the
   // re-added column must read NULL on every pre-drop row (the oracle
-  // pins it). Time travel composes: VERSION AS OF a pre-evolution
-  // version reads under the CURRENT schema (Iceberg semantics).
+  // pins it). Time travel composes two ways (r17 — schema lives inside
+  // the commit protocol, GraftSchemas): by default VERSION AS OF reads
+  // a snapshot under ITS OWN schema (the Delta semantics —
+  // GraftEvolutionSpec pins a pre-DROP snapshot serving the dropped
+  // column); with spark.graft.timetravel.schema=latest it projects the
+  // old data under the CURRENT schema (the backfill shape) — which is
+  // what this gate reads, so '1_pre_evolution' serves the renamed
+  // amount and a NULL re-added o_orderstatus over pre-evolution rows.
   // ---------------------------------------------------------------------
 
   private[queries] def q103Build(spark: SparkSession, dir: String): String = {
@@ -917,7 +923,14 @@ object Extras7 {
           count(when($"o_orderstatus".isNull, 1)).as("n_null_status"),
           count(when($"o_orderstatus" === "Z", 1)).as("n_z"))
         .withColumn("read_as", lit(label))
-    agg("VERSION AS OF 2", "1_pre_evolution")
+    // latest-schema projection over the pre-evolution snapshot (the
+    // conf applies at analysis time — loadTable captures the mode)
+    val pre =
+      try {
+        spark.conf.set(graft.sources.GraftSchemas.TimeTravelConf, "latest")
+        agg("VERSION AS OF 2", "1_pre_evolution")
+      } finally spark.conf.unset(graft.sources.GraftSchemas.TimeTravelConf)
+    pre
       .unionByName(agg("", "2_final"))
       .select($"read_as", $"n_rows", $"sum_amount", $"n_null_status", $"n_z")
       .orderBy($"read_as")

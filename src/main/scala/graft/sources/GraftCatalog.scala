@@ -88,6 +88,15 @@ object GraftCatalog {
   /** Table-property key selecting the stats column. */
   val StatsColumnKey = "graft.stats.column"
 
+  /** Table-property key selecting MULTIPLE stats columns
+    * (comma-separated logical names; r17 — the Delta
+    * dataSkippingStatsColumns shape). Writers track min/max for every
+    * named integral column, commits record them per file keyed by
+    * PHYSICAL name, and scans prune manifests on ALL of them — a range
+    * predicate on a second, non-key column skips files too. The FIRST
+    * name doubles as the table's key/conflict-window column. */
+  val StatsColumnsKey = "graft.stats.columns"
+
   /** Column-mapping schema evolution (the Delta 'name mode' shape):
     * each logical field may carry a `graft.physical` metadata key
     * naming its on-disk parquet column. RENAME keeps the physical name
@@ -145,6 +154,11 @@ object GraftCatalog {
     * deterministically interleave a competing commit. */
   @volatile private[graft] var commitRaceHook: () => Unit = () => ()
 
+  /** Test seam: fired once inside ALTER TABLE, between resolving the
+    * current schema and the CAS attempt — lets a spec interleave a
+    * racing ALTER deterministically (exactly one must win). */
+  @volatile private[graft] var alterRaceHook: () => Unit = () => ()
+
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Rewrites the registry file atomically (temp + rename). */
@@ -167,13 +181,34 @@ object GraftCatalog {
         classOf[java.util.Map[String, String]])
       var dropped = false
       loaded.forEach { (k, v) =>
-        if (GraftFs.isDirectory(s"$v/_manifests"))
-          tables.putIfAbsent(k, v)
+        val live =
+          try GraftFs.isDirectory(s"$v/_manifests")
+          catch {
+            // the base's scheme is not resolvable in THIS session
+            // (missing fs.<scheme>.impl or credentials): keep the
+            // registration — a session that can reach the store
+            // resolves it, and a read here surfaces the store's own
+            // error instead of silently dropping the table (r17)
+            case _: Exception => true
+          }
+        if (live) tables.putIfAbsent(k, v)
         else dropped = true
       }
       if (dropped) persist()
     }
   }
+
+  /** The graft scan's post-pruning file count inside `df`'s physical
+    * plan — how gates/specs observe manifest pruning exactly
+    * (None: no graft scan in the plan). */
+  private[graft] def scannedFileCount(
+      df: org.apache.spark.sql.DataFrame): Option[Int] =
+    // the optimized LOGICAL plan (post V2ScanRelationPushDown) already
+    // holds the built scan — no AQE wrapping to see through
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources
+          .v2.DataSourceV2ScanRelation => r.scan
+    }.collectFirst { case g: GraftScan => g.activeFiles.size }
 
   /** Idempotently binds catalog name `graft` in the session. */
   def install(spark: SparkSession): Unit =
@@ -258,7 +293,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * runs) is dropped lazily and reads as unregistered. */
   private def liveBaseFor(name: String): Option[String] =
     GraftCatalog.baseFor(name).flatMap { base =>
-      if (GraftFs.isDirectory(s"$base/_manifests")) Some(base)
+      val live =
+        try GraftFs.isDirectory(s"$base/_manifests")
+        catch { case _: Exception => true } // unreachable store: let the
+          // table's own I/O surface the real error, never NoSuchTable
+      if (live) Some(base)
       else { GraftCatalog.unregister(name); None }
     }
 
@@ -268,7 +307,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val direct = if (ident.namespace.isEmpty) liveBaseFor(ident.name) else None
     direct match {
       case Some(base) =>
-        new GraftTable(s"$catalogName.${ident.name}", base, version)
+        // time-travel schema mode: the version's own schema (default,
+        // the Delta semantics) or the LATEST schema projected over the
+        // old data (spark.graft.timetravel.schema=latest — the classic
+        // Iceberg/backfill shape q103 pins)
+        val latestSchema = version.isDefined &&
+          SparkSession.getActiveSession
+            .flatMap(_.conf.getOption(GraftSchemas.TimeTravelConf))
+            .contains("latest")
+        new GraftTable(s"$catalogName.${ident.name}", base, version,
+          latestSchema)
       case None =>
         // `graft.<t>.changes` / `graft.<t>.history` / `graft.<t>.tags`
         // — the table's streaming change feed, commit-history and
@@ -303,9 +351,6 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def createTable(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      "graft tables do not take PARTITIONED BY: layout is file-level " +
-        "(sorted/compacted files + per-file stats), not directory-level")
     if (liveBaseFor(ident.name).isDefined)
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(Seq(ident.name))
@@ -320,6 +365,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       .getOrElse(graft.Scratch.dir(s"graft_${ident.name}"))
     val schema = new StructType(columns.map(c =>
       StructField(c.name, c.dataType, c.nullable)))
+    // PARTITIONED BY (r17): identity/days/months transforms, persisted
+    // as a table property; partition VALUES ride each manifest entry
+    // (the Iceberg shape — no Hive directory coupling)
+    val partSpec = GraftPartitions.fromTransforms(partitions.toSeq, schema)
     GraftFs.mkdirs(base)
     // atomic replace (not plain write): a concurrent reader must never
     // parse a torn schema/props file (r16 judge item)
@@ -329,13 +378,23 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // schema — engine-reserved keys are not table properties
     val userProps = scala.jdk.CollectionConverters.MapHasAsScala(properties)
       .asScala.view.filterKeys(k => !Set("location", "provider", "owner")(k))
-      .toMap
+      .toMap ++ (if (partSpec.isEmpty) Map.empty else Map(
+        GraftPartitions.SpecKey -> GraftPartitions.renderSpec(partSpec)))
     if (userProps.nonEmpty) {
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
       GraftFs.writeAtomicReplace(s"$base/_props.json", m.writeValueAsBytes(
         scala.jdk.CollectionConverters.MapHasAsJava(userProps).asJava))
     }
-    Extras5.q78Commit(base, 1, Seq.empty)
+    // v1 carries the schema INSIDE the commit protocol (content-
+    // addressed `_schemas/` file named by a `#schema` header, carried
+    // forward by every subsequent commit); `_schema.json` above is the
+    // latest-schema MIRROR (change-feed serving schema + pre-versioning
+    // fallback)
+    val schemaId = GraftSchemas.write(base, schema)
+    if (!Extras5.q78TryCommitEntries(base, 1, Seq.empty,
+        Seq(GraftSchemas.Header -> schemaId)))
+      throw new IllegalStateException(
+        s"concurrent CREATE TABLE detected at $base (v1 already exists)")
     GraftCatalog.register(ident.name, base)
     new GraftTable(s"$catalogName.${ident.name}", base, None)
   }
@@ -356,12 +415,102 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     *  - ALTER COLUMN TYPE: LOSSLESS widenings only (INT→BIGINT,
     *    FLOAT→DOUBLE, same-scale DECIMAL precision growth) — old
     *    files keep their narrower physical type, the vectorized decode
-    *    upcasts; lossy retypes are refused loudly. */
+    *    upcasts; lossy retypes are refused loudly.
+    *
+    * An ALTER is a COMMIT (r17): the evolved schema publishes as a new
+    * manifest version (same entry list, new `#schema` header) through
+    * the optimistic CAS. Losing the race to a DATA commit rebases (the
+    * evolution re-applies on the winner's entries — appends and
+    * row-level changes are schema-disjoint from a column-mapping
+    * evolution); losing to another SCHEMA change is an explicit
+    * concurrent-schema-change error, never last-writer-wins. Time
+    * travel then resolves each version under ITS OWN schema (see
+    * GraftSchemas). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val base = liveBaseFor(ident.name)
       .getOrElse(throw new NoSuchTableException(ident))
-    val current = new GraftTable(s"$catalogName.${ident.name}", base, None).schema
-    val evolved = changes.foldLeft(current) {
+    var attempts = 0
+    while (attempts < 10) {
+      attempts += 1
+      val latest = Extras5.q78Latest(base)
+      val table = new GraftTable(s"$catalogName.${ident.name}", base,
+        Some(latest))
+      val current = table.schema
+      // partition columns key the spec and every committed tuple:
+      // their names and types are immutable
+      val partCols = table.partitionSpec.map(_.column).toSet
+      changes.foreach {
+        case c: TableChange.RenameColumn
+            if c.fieldNames.headOption.exists(partCols) =>
+          throw new UnsupportedOperationException(
+            s"cannot rename partition column ${c.fieldNames.head}")
+        case c: TableChange.DeleteColumn
+            if c.fieldNames.headOption.exists(partCols) =>
+          throw new UnsupportedOperationException(
+            s"cannot drop partition column ${c.fieldNames.head}")
+        case c: TableChange.UpdateColumnType
+            if c.fieldNames.headOption.exists(partCols) =>
+          throw new UnsupportedOperationException(
+            s"cannot retype partition column ${c.fieldNames.head}")
+        case _ => ()
+      }
+      val evolved = evolve(current, changes)
+      val id = GraftSchemas.write(base, evolved)
+      // reset BEFORE firing: the hook may itself run a competing ALTER
+      val hook = GraftCatalog.alterRaceHook
+      GraftCatalog.alterRaceHook = () => ()
+      hook()
+      val entries = Extras5.q78ResolveEntries(base, latest)
+      if (Extras5.q78TryCommitEntries(base, latest + 1, entries,
+          Seq(GraftSchemas.Header -> id))) {
+        // latest-schema mirror (change-feed serving schema +
+        // pre-versioning fallback) follows the committed change
+        GraftFs.writeAtomicReplace(s"$base/_schema.json",
+          evolved.json.getBytes("UTF-8"))
+        // stats-column properties track LOGICAL names: a rename
+        // rewrites them so skipping keeps following the same bytes
+        // (colStats manifest keys are physical and never move)
+        val renames = changes.collect {
+          case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
+            r.fieldNames.head -> r.newName
+        }.toMap
+        if (renames.nonEmpty) {
+          val props = table.persistedProps
+          val rewritten = props.map {
+            case (GraftCatalog.StatsColumnKey, v) =>
+              GraftCatalog.StatsColumnKey -> renames.getOrElse(v, v)
+            case (GraftCatalog.StatsColumnsKey, v) =>
+              GraftCatalog.StatsColumnsKey -> v.split(",").map(_.trim)
+                .map(c => renames.getOrElse(c, c)).mkString(",")
+            case kv => kv
+          }
+          if (rewritten != props) {
+            val m = new com.fasterxml.jackson.databind.ObjectMapper()
+            GraftFs.writeAtomicReplace(s"$base/_props.json",
+              m.writeValueAsBytes(scala.jdk.CollectionConverters
+                .MapHasAsJava(rewritten).asJava))
+          }
+        }
+        return new GraftTable(s"$catalogName.${ident.name}", base, None)
+      }
+      // CAS lost: a winner that changed the SCHEMA conflicts (this
+      // ALTER was computed against a stale schema); a data commit
+      // (schema header unchanged) rebases via the loop
+      val winnerSchema = GraftSchemas.schemaAt(base, latest + 1)
+      if (!winnerSchema.forall(_ == current))
+        throw new IllegalStateException(
+          s"concurrent schema change on ${ident.name}: another ALTER " +
+            s"committed v${latest + 1} while this one was computed " +
+            s"against v$latest; re-run the statement")
+    }
+    throw new IllegalStateException(
+      s"gave up committing ALTER to ${ident.name} after $attempts CAS attempts")
+  }
+
+  /** Applies the supported TableChanges to `current` (pure). */
+  private def evolve(current: StructType,
+      changes: Seq[TableChange]): StructType =
+    changes.foldLeft(current) {
       case (sch, add: TableChange.AddColumn)
           if add.fieldNames.length == 1 && add.isNullable =>
         val physical = s"${add.fieldNames.head}_" +
@@ -415,10 +564,6 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           s"COLUMN, DROP COLUMN, and widening ALTER COLUMN TYPE; " +
           s"got $other")
     }
-    GraftFs.writeAtomicReplace(s"$base/_schema.json",
-      evolved.json.getBytes("UTF-8"))
-    new GraftTable(s"$catalogName.${ident.name}", base, None)
-  }
 
   override def dropTable(ident: Identifier): Boolean =
     GraftCatalog.unregister(ident.name).isDefined
@@ -429,9 +574,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
 /** One resolved snapshot of a registered table. `pinned` = VERSION AS
   * OF; otherwise the latest version AT LOAD TIME (a query sees one
-  * consistent snapshot even if writers commit while it runs). */
+  * consistent snapshot even if writers commit while it runs).
+  * `latestSchema` selects latest-schema projection over a pinned
+  * version's data (spark.graft.timetravel.schema=latest); the default
+  * resolves the schema AS OF the snapshot (see GraftSchemas). */
 private[sources] class GraftTable(tableName: String, val base: String,
-    pinned: Option[Int])
+    pinned: Option[Int], latestSchema: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -447,19 +595,35 @@ private[sources] class GraftTable(tableName: String, val base: String,
 
   override def name(): String = tableName
 
-  /** Footer inference from the first live file; tables created via SQL
-    * CREATE TABLE persist their schema (an empty table has no footer). */
+  /** Schema resolution ladder: the snapshot's OWN schema (its
+    * manifest's `#schema` header through `_schemas/` — every catalog
+    * table commit carries one, so VERSION/TIMESTAMP AS OF reads a
+    * pre-DROP snapshot WITH the dropped column and a pre-widening one
+    * narrow), else the `_schema.json` mirror (pre-versioning
+    * manifests), else footer inference from the first live file
+    * (API-built fixture tables). `latestSchema` swaps the first rung
+    * for the CURRENT version's schema — old data projected under the
+    * evolved schema, the backfill shape. */
   override lazy val schema: StructType = {
-    val sj = s"$base/_schema.json"
-    if (GraftFs.exists(sj))
-      DataType.fromJson(GraftFs.readString(sj)).asInstanceOf[StructType]
-    else GraftParquet.inferSchema(manifest.head.path)
+    val schemaVersion =
+      if (latestSchema) Extras5.q78Latest(base) else snapshotVersion
+    GraftSchemas.schemaAt(base, schemaVersion).getOrElse {
+      val sj = s"$base/_schema.json"
+      if (GraftFs.exists(sj))
+        DataType.fromJson(GraftFs.readString(sj)).asInstanceOf[StructType]
+      else GraftParquet.inferSchema(manifest.head.path)
+    }
   }
 
   /** logical → physical column names (column-mapping evolution). */
   lazy val physicalOf: Map[String, String] = GraftCatalog.physicalMap(schema)
 
-  override def partitioning(): Array[Transform] = Array.empty
+  /** The persisted partition transform spec (empty: unpartitioned). */
+  lazy val partitionSpec: Seq[GraftPartitions.PartField] =
+    GraftPartitions.parseSpec(persistedProps.get(GraftPartitions.SpecKey))
+
+  override def partitioning(): Array[Transform] =
+    GraftPartitions.toTransforms(partitionSpec)
 
   override def properties(): java.util.Map[String, String] =
     (persistedProps ++ Map("format" -> "parquet",
@@ -471,6 +635,7 @@ private[sources] class GraftTable(tableName: String, val base: String,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE)
 
   override def metadataColumns(): Array[MetadataColumn] =
@@ -498,18 +663,32 @@ private[sources] class GraftTable(tableName: String, val base: String,
     }
   }
 
-  /** The table's stats/key column (LOGICAL name): the
-    * `graft.stats.column` property when set, else the protocol default.
-    * Writers track this column's min/max per file, scans prune on it,
-    * and the row-level commit's conflict key window is expressed in
-    * it. */
-  lazy val statsColumn: String = persistedProps.getOrElse(
-    GraftCatalog.StatsColumnKey, GraftCatalog.StatsColumn)
+  /** The table's stats columns (LOGICAL names): `graft.stats.columns`
+    * when set (r17, multi-column skipping), else the single
+    * `graft.stats.column`, else the protocol default. Writers track
+    * each named integral column's min/max per file; scans prune
+    * manifests on all of them. */
+  lazy val statsColumns: Seq[String] =
+    persistedProps.get(GraftCatalog.StatsColumnsKey)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .getOrElse(Seq(persistedProps.getOrElse(
+        GraftCatalog.StatsColumnKey, GraftCatalog.StatsColumn)))
+
+  /** The table's KEY column (first stats column): drives the legacy
+    * single-stats manifest field, row-group filters, and the row-level
+    * commit's conflict key window. */
+  lazy val statsColumn: String = statsColumns.head
 
   /** The stats column's on-disk (physical) name under column-mapping
     * evolution — what writers index and row-group filters reference. */
   lazy val physicalStatsColumn: String =
     physicalOf.getOrElse(statsColumn, statsColumn)
+
+  /** All stats columns in physical form (writer tracking + colStats
+    * manifest keys). */
+  lazy val physicalStatsColumns: Seq[String] =
+    statsColumns.map(c => physicalOf.getOrElse(c, c))
 
   /** Row-level execution mode per command: 'copy-on-write' (default —
     * rewrite touched files) or 'merge-on-read' (deletion vectors +
@@ -528,22 +707,95 @@ private[sources] class GraftTable(tableName: String, val base: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this, None, options)
 
-  /** INSERT INTO (append) / INSERT OVERWRITE (truncating overwrite) —
-    * both commit through the same optimistic CAS as the merge path. */
+  /** INSERT INTO (append) / INSERT OVERWRITE — truncating overwrite,
+    * partition-scoped static overwrite (equality predicates on
+    * identity partition columns), or DYNAMIC overwrite (replace
+    * exactly the partitions the job wrote — q83's semantics inside the
+    * manifest protocol; enable with
+    * spark.sql.sources.partitionOverwriteMode=dynamic). All commit
+    * through the same optimistic CAS as the merge path. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsOverwriteV2 {
+    new WriteBuilder with SupportsOverwriteV2 with SupportsDynamicOverwrite {
       private var replaceAll = false
+      private var dynamicParts = false
+      private var staticParts: Map[String, String] = Map.empty
       override def truncate(): WriteBuilder = { replaceAll = true; this }
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        if (partitionSpec.isEmpty) throw new UnsupportedOperationException(
+          s"dynamic partition overwrite needs a PARTITIONED BY table")
+        dynamicParts = true; this
+      }
       override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
         val alwaysTrue = predicates.isEmpty ||
           predicates.forall(_.name == "ALWAYS_TRUE")
-        if (!alwaysTrue) throw new UnsupportedOperationException(
-          "graft tables support only full INSERT OVERWRITE " +
-            "(use MERGE/UPDATE/DELETE for row-level changes)")
-        replaceAll = true; this
+        if (alwaysTrue) { replaceAll = true; return this }
+        // partition-scoped static overwrite: every predicate must
+        // reduce to equalities on identity partition columns. The
+        // PARTITION (c='x') clause arrives as the null-safe-equality
+        // expansion — `(c IS NOT NULL AND 'x' IS NOT NULL AND c = 'x')
+        // OR (c IS NULL AND 'x' IS NULL)` — so extraction is
+        // structural: IS-NOT-NULL guards are neutral under AND, and an
+        // OR branch requiring a non-null LITERAL to be null is
+        // statically false and drops away.
+        val byCol = partitionSpec.collect {
+          case f @ GraftPartitions.PartField("identity", c) => c -> f
+        }.toMap
+        def staticallyFalse(q: Predicate): Boolean = q.name match {
+          case "IS_NULL" => q.children match {
+            case Array(l: Literal[_]) => l.value != null
+            case _ => false
+          }
+          case "AND" => q.children.exists {
+            case qq: Predicate => staticallyFalse(qq)
+            case _ => false
+          }
+          case _ => false
+        }
+        def equalities(q: Predicate): Option[Seq[(String, Any)]] =
+          q.name match {
+            case "=" | "<=>" => q.children match {
+              case Array(r: NamedReference, l: Literal[_])
+                  if r.fieldNames.length == 1 =>
+                Some(Seq(r.fieldNames.head -> l.value))
+              case _ => None
+            }
+            case "IS_NOT_NULL" => Some(Seq.empty) // neutral guard
+            case "AND" =>
+              val parts = q.children.toSeq.map {
+                case qq: Predicate => equalities(qq)
+                case _ => None
+              }
+              if (parts.forall(_.isDefined)) Some(parts.flatMap(_.get))
+              else None
+            case "OR" => q.children.toSeq match {
+              case Seq(a: Predicate, b: Predicate) =>
+                if (staticallyFalse(b)) equalities(a)
+                else if (staticallyFalse(a)) equalities(b)
+                else None
+              case _ => None
+            }
+            case _ => None
+          }
+        val parsed = predicates.toSeq.map(p => equalities(p).flatMap { eqs =>
+          val rendered = eqs.map { case (c, v) =>
+            byCol.get(c).flatMap(f =>
+              GraftPartitions.renderLiteral(f, v).map(f.outName -> _))
+          }
+          if (rendered.nonEmpty && rendered.forall(_.isDefined))
+            Some(rendered.flatten)
+          else None
+        })
+        if (parsed.exists(_.isEmpty)) throw new UnsupportedOperationException(
+          "graft tables support INSERT OVERWRITE of the full table or " +
+            "of identity-partition slices (equality predicates on " +
+            "partition columns); use MERGE/UPDATE/DELETE for row-level " +
+            s"changes. Got: ${predicates.mkString(", ")}")
+        staticParts = parsed.flatten.flatten.toMap
+        this
       }
       override def build(): Write =
-        new GraftAppendWrite(GraftTable.this, info, replaceAll)
+        new GraftAppendWrite(GraftTable.this, info, replaceAll,
+          dynamicParts, staticParts)
     }
 
   /** Each DML command honors its `graft.<cmd>.mode` table property:
@@ -582,6 +834,34 @@ private[sources] class GraftScanBuilder(table: GraftTable,
   private var keyLo: Long = Long.MinValue
   private var keyHi: Long = Long.MaxValue
   private var pushed: Array[Predicate] = Array.empty
+  // per-PHYSICAL-column windows from predicates on any configured
+  // stats column (r17 multi-column skipping): colStats manifest keys
+  // are physical names, so resolving a predicate's logical name
+  // through the column mapping is rename-sound by construction — the
+  // stats follow the bytes, not the name
+  private val colWindows =
+    scala.collection.mutable.HashMap[String, (Long, Long)]()
+  private def narrowCol(phys: String, lo: Long, hi: Long): Unit = {
+    val (l0, h0) = colWindows.getOrElse(phys, (Long.MinValue, Long.MaxValue))
+    colWindows(phys) = (math.max(l0, lo), math.min(h0, hi))
+  }
+
+  // PARTITION pruning state (r17): equality/IN keep-sets and ordinal
+  // windows per transform output name — applied BEFORE stats pruning
+  // (the first knife). Entries without a tuple for a constrained key
+  // (pre-partitioning files, MOR delta appends) are always kept.
+  private val partByCol: Map[String, GraftPartitions.PartField] =
+    table.partitionSpec.map(f => f.column -> f).toMap
+  private val partKeep =
+    scala.collection.mutable.HashMap[String, Set[String]]()
+  private val partWindows =
+    scala.collection.mutable.HashMap[String, (Long, Long)]()
+  private def keepPart(out: String, vals: Set[String]): Unit =
+    partKeep(out) = partKeep.get(out).map(_ intersect vals).getOrElse(vals)
+  private def narrowPart(out: String, lo: Long, hi: Long): Unit = {
+    val (l0, h0) = partWindows.getOrElse(out, (Long.MinValue, Long.MaxValue))
+    partWindows(out) = (math.max(l0, lo), math.min(h0, hi))
+  }
 
   /** Committed manifest stats (and the writer's tracking) describe the
     * PHYSICAL column named StatsColumn. A predicate arrives on the
@@ -610,25 +890,84 @@ private[sources] class GraftScanBuilder(table: GraftTable,
     * still filtered exactly by Spark), so this is always sound. */
   override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
     predicates.foreach { p =>
+      // partition pruning: equality / IN keep-sets, plus ordinal
+      // windows for range predicates over day/month transforms and
+      // numeric identity partitions
+      (p.name, p.children) match {
+        case ("=", Array(r: NamedReference, l: Literal[_]))
+            if r.fieldNames.length == 1 &&
+              partByCol.contains(r.fieldNames.head) =>
+          val f = partByCol(r.fieldNames.head)
+          GraftPartitions.renderLiteral(f, l.value).foreach { v =>
+            keepPart(f.outName, Set(v))
+            pushed :+= p
+          }
+        case ("IN", children)
+            if children.length >= 2 &&
+              children.head.isInstanceOf[NamedReference] &&
+              children.head.asInstanceOf[NamedReference]
+                .fieldNames.length == 1 &&
+              partByCol.contains(children.head
+                .asInstanceOf[NamedReference].fieldNames.head) =>
+          val f = partByCol(children.head
+            .asInstanceOf[NamedReference].fieldNames.head)
+          val vals = children.tail.toSeq.collect {
+            case l: Literal[_] => GraftPartitions.renderLiteral(f, l.value)
+          }
+          if (vals.nonEmpty && vals.forall(_.isDefined)) {
+            keepPart(f.outName, vals.flatten.toSet)
+            pushed :+= p
+          }
+        case (op @ (">=" | ">" | "<=" | "<"),
+            Array(r: NamedReference, l: Literal[_]))
+            if r.fieldNames.length == 1 &&
+              partByCol.contains(r.fieldNames.head) =>
+          val f = partByCol(r.fieldNames.head)
+          GraftPartitions.renderLiteral(f, l.value)
+            .flatMap(_.toLongOption).foreach { n =>
+              // day/month ordinals are MONOTONE in their column, so a
+              // range on the column is a range on the ordinal; > and <
+              // stay INCLUSIVE at the ordinal level (several values
+              // share one day — never skip the boundary day)
+              op match {
+                case ">=" | ">" => narrowPart(f.outName, n, Long.MaxValue)
+                case "<=" | "<" => narrowPart(f.outName, Long.MinValue, n)
+              }
+              pushed :+= p
+            }
+        case _ => ()
+      }
       (p.name, p.children) match {
         case (op, Array(r: NamedReference, l: Literal[_]))
-            if statsColumnPrunable &&
-              r.fieldNames.sameElements(Array(table.statsColumn)) =>
+            if r.fieldNames.length == 1 &&
+              table.statsColumns.contains(r.fieldNames.head) =>
+          val logical = r.fieldNames.head
           val lit = l.value match {
             case n: Number => Some(n.longValue)
             case _ => None
           }
           lit.foreach { n =>
-            op match {
-              case "=" => keyLo = math.max(keyLo, n); keyHi = math.min(keyHi, n)
-              case ">=" => keyLo = math.max(keyLo, n)
-              case ">" => keyLo = math.max(keyLo, n + 1)
-              case "<=" => keyHi = math.min(keyHi, n)
-              case "<" => keyHi = math.min(keyHi, n - 1)
-              case _ => ()
+            val (lo, hi) = op match {
+              case "=" => (n, n)
+              case ">=" => (n, Long.MaxValue)
+              case ">" => (n + 1, Long.MaxValue)
+              case "<=" => (Long.MinValue, n)
+              case "<" => (Long.MinValue, n - 1)
+              case _ => (Long.MinValue, Long.MaxValue)
+            }
+            if (lo != Long.MinValue || hi != Long.MaxValue) {
+              // per-column map window (physical key; rename-sound)
+              narrowCol(table.physicalOf.getOrElse(logical, logical), lo, hi)
+              // legacy single-stats window + row-group filter: only for
+              // the key column, only while its logical name still IS
+              // the physical stats column (the r15 rename guard)
+              if (statsColumnPrunable && logical == table.statsColumn) {
+                keyLo = math.max(keyLo, lo)
+                keyHi = math.min(keyHi, hi)
+              }
+              pushed :+= p
             }
           }
-          if (lit.isDefined) pushed :+= p
         case _ => ()
       }
     }
@@ -639,10 +978,27 @@ private[sources] class GraftScanBuilder(table: GraftTable,
 
   override def build(): Scan = {
     val entries = table.manifest.filter { e =>
-      e.stats match {
+      // partition pruning first (exact tuple matches — the first
+      // knife); a NULL tuple value fails every pushed predicate here
+      // (equality/range literals never match null)
+      val partOk =
+        partKeep.forall { case (k, allowed) =>
+          e.partValues.get(k).forall(v => v != null && allowed(v))
+        } &&
+        partWindows.forall { case (k, (lo, hi)) =>
+          e.partValues.get(k).forall(v => v != null &&
+            v.toLongOption.forall(n => n >= lo && n <= hi))
+        }
+      val keyOk = e.stats match {
         case None => true
         case Some((mn, mx)) => mx >= keyLo && mn <= keyHi
       }
+      // every constrained column must intersect; files without stats
+      // for a column are always kept (pruning is never unsound)
+      val colsOk = colWindows.forall { case (phys, (lo, hi)) =>
+        e.colStats.get(phys).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }
+      partOk && keyOk && colsOk
     }
     val scan = new GraftScan(table, required, entries, keyLo, keyHi, options)
     owner.foreach(_.configuredScan = scan)
@@ -684,7 +1040,13 @@ private[sources] class GraftScan(table: GraftTable, required: StructType,
       })
       .getOrElse(0)
     val skip = Option(options.get("skipchangecommits")).exists(_.toBoolean)
-    new GraftTableStream(table.base, required, sv, skip, table.physicalOf)
+    // within-commit admission control (r17): a giant backfill commit
+    // drains across bounded micro-batches instead of one giant batch
+    val maxFiles = Option(options.get("maxfilespertrigger")).map(_.toInt)
+    require(maxFiles.forall(_ > 0),
+      s"maxFilesPerTrigger must be positive, got ${maxFiles.get}")
+    new GraftTableStream(table.base, required, sv, skip, table.physicalOf,
+      maxFiles)
   }
 
   /** Narrowed twice: statically by key-stats pruning (in the builder),
@@ -700,10 +1062,29 @@ private[sources] class GraftScan(table: GraftTable, required: StructType,
 
   override def toBatch: Batch = this
 
-  override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("_file"))
+  /** Runtime filtering attributes: `_file` when the scan reads it
+    * (row-level operation group filtering), plus every IDENTITY
+    * partition source column the scan reads — Spark's PartitionPruning
+    * rule then injects DYNAMIC partition pruning for selective joins
+    * against a partitioned graft table (the star-join-over-a-
+    * date-partitioned-fact shape: at 100 TB the runtime IN-filter on
+    * the partition column drops whole partitions before any data I/O).
+    * Only columns present in the scan output are advertised — the rule
+    * resolves these against the output and would fail otherwise. */
+  override def filterAttributes(): Array[NamedReference] = {
+    val file = if (required.fieldNames.contains("_file"))
+      Seq(Expressions.column("_file")) else Seq.empty
+    val parts = table.partitionSpec.collect {
+      case GraftPartitions.PartField("identity", c)
+          if required.fieldNames.contains(c) => Expressions.column(c)
+    }
+    (file ++ parts).toArray
+  }
 
-  override def filter(predicates: Array[Predicate]): Unit =
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val partByCol = table.partitionSpec.collect {
+      case f @ GraftPartitions.PartField("identity", c) => c -> f
+    }.toMap
     predicates.foreach { p =>
       if (p.name == "IN" && p.children.nonEmpty) {
         p.children.head match {
@@ -712,10 +1093,27 @@ private[sources] class GraftScan(table: GraftTable, required: StructType,
               case l: Literal[_] => String.valueOf(l.value)
             }.toSet
             activeEntries = activeEntries.filter(e => keep(e.path))
+          case r: NamedReference
+              if r.fieldNames.length == 1 &&
+                partByCol.contains(r.fieldNames.head) =>
+            // dynamic partition pruning: keep entries whose tuple is in
+            // the runtime value set (tuple-less entries always kept —
+            // sound for pre-partitioning files and MOR delta appends)
+            val f = partByCol(r.fieldNames.head)
+            val vals = p.children.tail.collect {
+              case l: Literal[_] => GraftPartitions.renderLiteral(f, l.value)
+            }
+            if (vals.nonEmpty && vals.forall(_.isDefined)) {
+              val keep = vals.flatten.toSet
+              activeEntries = activeEntries.filter(e =>
+                e.partValues.get(f.outName).forall(v =>
+                  v != null && keep(v)))
+            }
           case _ => ()
         }
       }
     }
+  }
 
   /** Files split at maxPartitionBytes boundaries — a multi-row-group
     * file fans out across tasks instead of serializing through one;
@@ -784,7 +1182,43 @@ private[sources] class GraftCowOperation(table: GraftTable,
 }
 
 private[sources] case class GraftSqlCommit(path: String, rows: Long,
-    keyLo: Long, keyHi: Long, hasKey: Boolean) extends WriterCommitMessage
+    keyLo: Long, keyHi: Long, hasKey: Boolean,
+    colStats: Map[String, (Long, Long)] = Map.empty,
+    partValues: Map[String, String] = Map.empty)
+    extends WriterCommitMessage
+
+/** A fan-out (partitioned) task's commit: one file per partition
+  * tuple the task saw. */
+private[sources] case class GraftMultiCommit(commits: Seq[GraftSqlCommit])
+    extends WriterCommitMessage
+
+private[sources] object GraftCommits {
+  /** Flattens task messages to non-empty file commits. */
+  def flat(messages: Array[WriterCommitMessage]): Seq[GraftSqlCommit] =
+    messages.toSeq.flatMap {
+      case m: GraftSqlCommit => Seq(m)
+      case GraftMultiCommit(cs) => cs
+      case _ => Seq.empty
+    }.filter(_.rows > 0)
+
+  def entriesOf(commits: Seq[GraftSqlCommit]): Seq[graft.queries.Extras5.ManifestEntry] =
+    commits.sortBy(_.path).map { m =>
+      graft.queries.Extras5.ManifestEntry(m.path,
+        if (m.hasKey) Some((m.keyLo, m.keyHi)) else None,
+        colStats = m.colStats, partValues = m.partValues)
+    }
+
+  def deleteAll(messages: Array[WriterCommitMessage]): Unit =
+    flatIncludingEmpty(messages).foreach(m => GraftFs.deleteIfExists(m.path))
+
+  private def flatIncludingEmpty(
+      messages: Array[WriterCommitMessage]): Seq[GraftSqlCommit] =
+    messages.toSeq.flatMap {
+      case m: GraftSqlCommit => Seq(m)
+      case GraftMultiCommit(cs) => cs
+      case _ => Seq.empty
+    }
+}
 
 private[sources] class GraftCowWrite(table: GraftTable,
     op: GraftCowOperation, info: LogicalWriteInfo)
@@ -799,7 +1233,7 @@ private[sources] class GraftCowWrite(table: GraftTable,
       pinfo: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(
       GraftCatalog.physicalize(info.schema(), table.schema), outDir,
-      table.physicalStatsColumn)
+      table.physicalStatsColumns, table.partitionSpec)
 
   /** Commit = optimistic CAS against the manifest protocol. The
     * replaced set is what the operation's scan READ (post runtime
@@ -823,11 +1257,7 @@ private[sources] class GraftCowWrite(table: GraftTable,
     * Losing to a disjoint writer rebases the carried list and retries;
     * anything else asks the caller to re-run against the new snapshot. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val commits = messages.collect { case m: GraftSqlCommit if m.rows > 0 => m }
-    val newEntries = commits.sortBy(_.path).map { m =>
-      Extras5.ManifestEntry(m.path,
-        if (m.hasKey) Some((m.keyLo, m.keyHi)) else None)
-    }.toSeq
+    val newEntries = GraftCommits.entriesOf(GraftCommits.flat(messages))
     // conflict identity is (path, dv): a winner that rewrote a file OR
     // republished it with a different deletion vector both invalidate
     // rows this operation computed from the stale snapshot
@@ -881,11 +1311,7 @@ private[sources] class GraftCowWrite(table: GraftTable,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case GraftSqlCommit(path, _, _, _, _) =>
-        GraftFs.deleteIfExists(path)
-      case _ => ()
-    }
+    GraftCommits.deleteAll(messages)
 
   override def description(): String = s"GraftCowWrite(${table.name})"
 }
@@ -957,7 +1383,7 @@ private[sources] class GraftMorWrite(table: GraftTable,
   override def createBatchWriterFactory(
       pinfo: PhysicalWriteInfo): DeltaWriterFactory =
     new GraftMorWriterFactory(s"${table.base}/dv", outDir, rowSchema,
-      table.physicalStatsColumn)
+      table.physicalStatsColumns)
 
   /** Merge every task's partial position lists with each touched
     * file's existing sidecar, add the tasks' appended delta files, and
@@ -976,7 +1402,8 @@ private[sources] class GraftMorWrite(table: GraftTable,
     val newEntries = commits.flatMap(_.appended).filter(_.rows > 0)
       .sortBy(_.path).map { m =>
         Extras5.ManifestEntry(m.path,
-          if (m.hasKey) Some((m.keyLo, m.keyHi)) else None)
+          if (m.hasKey) Some((m.keyLo, m.keyHi)) else None,
+          colStats = m.colStats)
       }.toSeq
     if (byFile.isEmpty && newEntries.isEmpty) return // no-op, not a commit
     val snapshotIdByPath = table.manifest.map(e => e.path -> e.identity).toMap
@@ -1036,10 +1463,10 @@ private[sources] class GraftMorWrite(table: GraftTable,
 /** Top-level (serializable, no outer write reference). */
 private[sources] class GraftMorWriterFactory(dvDir: String,
     outDir: String, rowSchema: StructType,
-    statsCol: String) extends DeltaWriterFactory {
+    statsCols: Seq[String]) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
-    new GraftMorWriter(dvDir, outDir, rowSchema, partitionId, taskId, statsCol)
+    new GraftMorWriter(dvDir, outDir, rowSchema, partitionId, taskId, statsCols)
 }
 
 /** Accumulates (file → deleted ordinals) task-side and streams inserted
@@ -1049,13 +1476,13 @@ private[sources] class GraftMorWriterFactory(dvDir: String,
   * row count. */
 private[sources] class GraftMorWriter(dvDir: String, outDir: String,
     rowSchema: StructType, partitionId: Int, taskId: Long,
-    statsCol: String)
+    statsCols: Seq[String])
     extends DeltaWriter[InternalRow] {
 
   private val acc = scala.collection.mutable.HashMap[
     String, scala.collection.mutable.ArrayBuffer[Long]]()
   private lazy val inserter =
-    new GraftDataWriter(rowSchema, outDir, partitionId, taskId, statsCol)
+    new GraftDataWriter(rowSchema, outDir, partitionId, taskId, statsCols)
   private var inserted = false
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
@@ -1099,11 +1526,31 @@ private[sources] class GraftMorWriter(dvDir: String, outDir: String,
   * so a replayed epoch (post-crash re-run of the last micro-batch) is
   * detected and dropped — exactly-once at the table level. */
 private[sources] class GraftAppendWrite(table: GraftTable,
-    info: LogicalWriteInfo, replaceAll: Boolean)
-    extends Write with BatchWrite {
+    info: LogicalWriteInfo, replaceAll: Boolean,
+    dynamicParts: Boolean = false,
+    staticParts: Map[String, String] = Map.empty)
+    extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
   private val outDir = s"${table.base}/files-sql-${info.queryId.take(8)}-" +
     UUID.randomUUID().toString.take(8)
+
+  /** Partitioned writes CLUSTER by the partition source columns so a
+    * tuple lands in one task (one output file per partition per job,
+    * not per task); unpartitioned writes keep the query's layout. */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    if (table.partitionSpec.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        table.partitionSpec
+          .map(f => Expressions.column(f.column): org.apache.spark.sql
+            .connector.expressions.Expression).toArray)
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
 
   override def toBatch: BatchWrite = this
 
@@ -1122,20 +1569,29 @@ private[sources] class GraftAppendWrite(table: GraftTable,
       pinfo: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(
       GraftCatalog.physicalize(info.schema(), table.schema), outDir,
-      table.physicalStatsColumn)
+      table.physicalStatsColumns, table.partitionSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val commits = messages.collect { case m: GraftSqlCommit if m.rows > 0 => m }
-    val newEntries = commits.sortBy(_.path).map { m =>
-      Extras5.ManifestEntry(m.path,
-        if (m.hasKey) Some((m.keyLo, m.keyHi)) else None)
-    }.toSeq
+    val newEntries = GraftCommits.entriesOf(GraftCommits.flat(messages))
+    // replacement scope: everything (truncate), the statically-named
+    // partitions, or — dynamic mode — exactly the tuples this job
+    // wrote; entries WITHOUT partition tuples (pre-partitioning files,
+    // MOR delta appends) are never considered part of a partition
+    val writtenTuples = newEntries.map(_.partValues).filter(_.nonEmpty).toSet
+    def replaced(e: Extras5.ManifestEntry): Boolean =
+      replaceAll ||
+        (staticParts.nonEmpty && staticParts.forall { case (k, v) =>
+          e.partValues.get(k).contains(v) }) ||
+        (dynamicParts && e.partValues.nonEmpty &&
+          writtenTuples(e.partValues))
     var attempts = 0
     while (attempts < 10) {
       attempts += 1
       val latest = Extras5.q78Latest(table.base)
-      val cur = if (replaceAll) Seq.empty
+      val cur =
+        if (replaceAll) Seq.empty
         else Extras5.q78ResolveEntries(table.base, latest)
+          .filterNot(replaced)
       if (Extras5.q78TryCommitEntries(table.base, latest + 1,
           cur ++ newEntries)) return
     }
@@ -1144,11 +1600,7 @@ private[sources] class GraftAppendWrite(table: GraftTable,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case GraftSqlCommit(path, _, _, _, _) =>
-        GraftFs.deleteIfExists(path)
-      case _ => ()
-    }
+    GraftCommits.deleteAll(messages)
 
   override def description(): String = s"GraftAppendWrite(${table.name})"
 }
@@ -1166,14 +1618,15 @@ private[sources] class GraftStreamingWrite(table: GraftTable,
 
   override def createStreamingWriterFactory(
       pinfo: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GraftWriterFactory(schema, outDir, table.physicalStatsColumn)
+    new GraftWriterFactory(schema, outDir, table.physicalStatsColumns)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val commits = messages.collect { case m: GraftSqlCommit if m.rows > 0 => m }
     val newEntries = commits.sortBy(_.path).map { m =>
       Extras5.ManifestEntry(m.path,
-        if (m.hasKey) Some((m.keyLo, m.keyHi)) else None)
+        if (m.hasKey) Some((m.keyLo, m.keyHi)) else None,
+        colStats = m.colStats)
     }.toSeq
     // an empty epoch (trailing trigger with no rows) commits nothing —
     // versions advance only when data lands
@@ -1186,11 +1639,7 @@ private[sources] class GraftStreamingWrite(table: GraftTable,
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case GraftSqlCommit(path, _, _, _, _) =>
-        GraftFs.deleteIfExists(path)
-      case _ => ()
-    }
+    GraftCommits.deleteAll(messages)
 }
 
 private[graft] object GraftStreamingCommit {
@@ -1283,16 +1732,52 @@ private[graft] object GraftStreamingCommit {
 }
 
 private[sources] class GraftWriterFactory(schema: StructType, dir: String,
-    statsCol: String = GraftCatalog.StatsColumn)
+    statsCols: Seq[String] = Seq(GraftCatalog.StatsColumn),
+    partSpec: Seq[GraftPartitions.PartField] = Seq.empty)
     extends DataWriterFactory with StreamingDataWriterFactory {
+  private def mk(d: String, partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    if (partSpec.isEmpty)
+      new GraftDataWriter(schema, d, partitionId, taskId, statsCols)
+    else
+      new GraftPartitionedDataWriter(schema, d, partitionId, taskId,
+        statsCols, partSpec)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(schema, dir, partitionId, taskId, statsCol)
+    mk(dir, partitionId, taskId)
   /** Streaming variant: stage each epoch in its own subdirectory so
     * replayed epochs never collide with the original's files. */
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(schema, s"$dir/epoch-$epochId", partitionId, taskId,
-      statsCol)
+    mk(s"$dir/epoch-$epochId", partitionId, taskId)
+}
+
+/** FAN-OUT writer for partitioned tables: one inner GraftDataWriter —
+  * one file — per partition tuple the task sees (the Iceberg fanout
+  * shape; with the write's clustered distribution a tuple lands in one
+  * task, so the table gets one file per partition per job). Each
+  * file's commit carries its tuple for the manifest. */
+private[sources] class GraftPartitionedDataWriter(schema: StructType,
+    dir: String, partitionId: Int, taskId: Long, statsCols: Seq[String],
+    spec: Seq[GraftPartitions.PartField]) extends DataWriter[InternalRow] {
+
+  private val eval = GraftPartitions.evaluator(spec, schema)
+  private val writers =
+    scala.collection.mutable.LinkedHashMap[Map[String, String], GraftDataWriter]()
+
+  override def write(row: InternalRow): Unit = {
+    val pv = eval(row)
+    writers.getOrElseUpdate(pv,
+      new GraftDataWriter(schema, dir, partitionId, taskId, statsCols,
+        fileSuffix = s"-p${writers.size}")).write(row)
+  }
+
+  override def commit(): WriterCommitMessage =
+    GraftMultiCommit(writers.toSeq.map { case (pv, w) =>
+      w.commit().asInstanceOf[GraftSqlCommit].copy(partValues = pv)
+    })
+
+  override def abort(): Unit = writers.values.foreach(_.abort())
+  override def close(): Unit = writers.values.foreach(_.close())
 }
 
 /** Parquet writer on Spark's OWN write support (InternalRow →
@@ -1303,24 +1788,36 @@ private[sources] class GraftWriterFactory(schema: StructType, dir: String,
   * without any post-hoc footer read. */
 private[sources] class GraftDataWriter(schema: StructType, dir: String,
     partitionId: Int, taskId: Long,
-    statsCol: String = GraftCatalog.StatsColumn)
+    statsCols: Seq[String] = Seq(GraftCatalog.StatsColumn),
+    fileSuffix: String = "")
     extends DataWriter[InternalRow] {
 
-  private val path = s"$dir/part-$partitionId-$taskId.parquet"
-  private val keyIdx = schema.fieldNames.indexOf(statsCol)
-  // commits record Long-semantics key stats; widen integral key types,
-  // disable tracking for anything else (a non-integral StatsColumn must
-  // not crash the write — the file just commits stats-less)
-  private val keyGet: Option[InternalRow => Long] =
-    if (keyIdx < 0) None
-    else schema.fields(keyIdx).dataType match {
-      case LongType => Some(r => r.getLong(keyIdx))
-      case IntegerType => Some(r => r.getInt(keyIdx).toLong)
+  private val path = s"$dir/part-$partitionId-$taskId$fileSuffix.parquet"
+  // one tracker per configured INTEGRAL stats column present in the
+  // write schema (Long semantics; a non-integral or missing column
+  // just commits stats-less for that column — never crashes the
+  // write). The FIRST configured column is the table key: it feeds the
+  // legacy single-stats manifest field and the conflict window; every
+  // tracked column (key included) lands in the per-column stats map.
+  private final class Tracker(val name: String, val idx: Int,
+      val get: InternalRow => Long) {
+    var lo: Long = Long.MaxValue
+    var hi: Long = Long.MinValue
+  }
+  private val trackers: Array[Tracker] = statsCols.distinct.toArray.flatMap { c =>
+    val idx = schema.fieldNames.indexOf(c)
+    if (idx < 0) None
+    else schema.fields(idx).dataType match {
+      case LongType =>
+        Some(new Tracker(c, idx, r => r.getLong(idx)))
+      case IntegerType =>
+        Some(new Tracker(c, idx, r => r.getInt(idx).toLong))
       case _ => None
     }
+  }
+  private val keyTracker: Option[Tracker] =
+    statsCols.headOption.flatMap(k => trackers.find(_.name == k))
   private var rows = 0L
-  private var keyLo = Long.MaxValue
-  private var keyHi = Long.MinValue
 
   private lazy val writer = {
     GraftFs.mkdirs(dir)
@@ -1347,11 +1844,15 @@ private[sources] class GraftDataWriter(schema: StructType, dir: String,
   }
 
   override def write(row: InternalRow): Unit = {
-    keyGet.foreach { g =>
-      if (!row.isNullAt(keyIdx)) {
-        val k = g(row)
-        keyLo = math.min(keyLo, k); keyHi = math.max(keyHi, k)
+    var i = 0
+    while (i < trackers.length) {
+      val t = trackers(i)
+      if (!row.isNullAt(t.idx)) {
+        val k = t.get(row)
+        if (k < t.lo) t.lo = k
+        if (k > t.hi) t.hi = k
       }
+      i += 1
     }
     rows += 1
     writer.write(row)
@@ -1363,8 +1864,19 @@ private[sources] class GraftDataWriter(schema: StructType, dir: String,
       // never opened (lazy) or opened empty: leave no file behind
       GraftFs.deleteIfExists(path)
     }
-    GraftSqlCommit(path, rows, keyLo, keyHi,
-      keyGet.isDefined && rows > 0 && keyLo <= keyHi)
+    val colStats =
+      if (rows == 0) Map.empty[String, (Long, Long)]
+      else trackers.iterator.filter(t => t.lo <= t.hi)
+        .map(t => t.name -> (t.lo, t.hi)).toMap
+    val key = keyTracker.filter(t => rows > 0 && t.lo <= t.hi)
+    GraftSqlCommit(path, rows,
+      key.map(_.lo).getOrElse(Long.MaxValue),
+      key.map(_.hi).getOrElse(Long.MinValue),
+      key.isDefined,
+      // the key column already rides the legacy field; the map carries
+      // it too only when MORE columns are configured (keeps single-
+      // column tables' manifests byte-identical to pre-r17)
+      if (colStats.size <= 1 && key.isDefined) Map.empty else colStats)
   }
 
   override def abort(): Unit = {

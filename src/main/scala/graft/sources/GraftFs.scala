@@ -29,9 +29,12 @@ import org.apache.spark.sql.SparkSession
   *    HDFS-like stores use write-temp + `FileContext.rename(…,
   *    Rename.NONE)`, which is atomic-no-overwrite on HDFS (the
   *    HDFSLogStore recipe). Object stores without an atomic
-  *    no-overwrite primitive need a conditional PUT (S3
-  *    If-None-Match) or an external coordinator — same documented
-  *    boundary as Delta's S3SingleDriverLogStore.
+  *    no-overwrite rename register a CONDITIONAL-PUT `CasStore`
+  *    under `spark.hadoop.graft.cas.<scheme>.impl` (S3
+  *    If-None-Match, GCS generation-match, or an external
+  *    coordinator — the pluggable form of Delta's per-store
+  *    LogStore; `GraftCasStoreSpec` pins the exactly-one-winner
+  *    contract through an in-memory implementation).
   *
   * All methods take plain path STRINGS (the protocol stores strings in
   * manifests); a missing file surfaces uniformly as
@@ -230,17 +233,53 @@ private[graft] object GraftFs {
       }
     }
 
+  /** Pluggable per-scheme CONDITIONAL-PUT (r17 — the documented
+    * object-store CAS boundary made a config point): stores whose
+    * rename is not atomic-no-overwrite (S3 before If-None-Match
+    * support, GCS via generation-match, etcd/DynamoDB coordinators)
+    * register an implementation under
+    * `spark.hadoop.graft.cas.<scheme>.impl` (a Hadoop conf key, so it
+    * propagates like any store credential); `putIfAbsent` for that
+    * scheme then delegates to it instead of the staged
+    * `FileContext.rename(Rename.NONE)` publish. Implementations must
+    * guarantee: of N concurrent callers for one path, exactly one
+    * returns true, and a reader never observes a partial object.
+    * Instances are resolved once per class and cached (they should be
+    * stateless beyond connection pools). */
+  trait CasStore {
+    def putIfAbsent(path: String, bytes: Array[Byte]): Boolean
+  }
+
+  private val casStores =
+    new java.util.concurrent.ConcurrentHashMap[String, CasStore]()
+
+  private def casStoreFor(path: String): Option[CasStore] = {
+    val scheme = new HPath(path).toUri.getScheme
+    if (scheme == null || scheme == "file") None
+    else Option(hadoopConf.get(s"graft.cas.$scheme.impl")).map { cls =>
+      casStores.computeIfAbsent(cls, c =>
+        Class.forName(c).getDeclaredConstructor().newInstance()
+          .asInstanceOf[CasStore])
+    }
+  }
+
   /** THE protocol CAS: publish `bytes` at `path` iff nothing is there;
     * of N concurrent callers exactly one returns true. Local: stage to
     * a temp name, hard-link to the target (atomic, all-or-nothing;
     * O_EXCL exclusive-create fallback where links are unsupported).
     * Hadoop: stage + `FileContext.rename(…, Rename.NONE)` — atomic
-    * no-overwrite on HDFS. See the object-store caveat in the
-    * class doc. */
+    * no-overwrite on HDFS — unless the scheme registered a
+    * conditional-PUT CasStore (see above), which takes the publish
+    * verbatim. */
   def putIfAbsent(path: String, bytes: Array[Byte]): Boolean =
     if (localFast(path) || path.startsWith("file:"))
       nioPutIfAbsent(localPathOf(path), bytes)
-    else {
+    else casStoreFor(path) match {
+      case Some(store) => store.putIfAbsent(path, bytes)
+      case None => hadoopPutIfAbsent(path, bytes)
+    }
+
+  private def hadoopPutIfAbsent(path: String, bytes: Array[Byte]): Boolean = {
       val p = new HPath(path)
       val f = fs(p)
       f.mkdirs(p.getParent)

@@ -100,6 +100,43 @@ class Extras8Spec extends SparkSpec {
     assert(r2.getLong(1) == 3L, "no multi-file bin: no new commit")
   }
 
+  test("compact executes as ONE job regardless of bin count (r17)") {
+    GraftCatalog.install(spark)
+    val base = graft.Scratch.dir("x8_onejob")
+    graft.Tables.load(spark, sf, "orders")
+      .select($"o_orderkey", $"o_totalprice".cast(DecimalType(18, 2)).as("price"))
+      .repartition(18, $"o_orderkey")
+      .write.parquet(s"$base/files-v1")
+    val v1 = GraftFs.list(s"$base/files-v1")
+      .filter { case (n, _, _) => n.startsWith("part-") && n.endsWith(".parquet") }
+      .map(_._2).sorted
+    val stats = Extras5.parquetKeyStats(v1, "o_orderkey")
+    Extras5.q78CommitEntries(base, 1,
+      v1.map(f => Extras5.ManifestEntry(f, stats.get(f))))
+    val rows = spark.read.parquet(v1: _*).count()
+    // target ≈ 3 files per bin → ~4 multi-file bins
+    val target = GraftFs.lengths(v1).values.max * 3 + 1
+    spark.sparkContext.setJobGroup("x8_onejob", "compact", false)
+    val committed =
+      try Extras8.compactSmallFiles(spark, base, target)
+      finally spark.sparkContext.clearJobGroup()
+    assert(committed.contains(2))
+    val v2 = Extras5.q78ResolveEntries(base, 2)
+    val nBins = v2.size
+    assert(nBins >= 6 && nBins < v1.size,
+      s"expected a multi-bin layout, got $nBins bins from ${v1.size} files")
+    // one output per bin, union stats preserved, rows identical
+    assert(v2.forall(_.stats.isDefined))
+    assert(spark.read.parquet(v2.map(_.path): _*).count() == rows)
+    // the execution is O(1) jobs, not O(bins): broadcast build +
+    // shuffle stage(s) + write — never a job per bin
+    val jobs = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("x8_onejob").length
+    assert(jobs > 0 && jobs < nBins && jobs <= 5,
+      s"compaction ran $jobs jobs for $nBins bins — must be one " +
+        "tag-shuffle-write job, not a job per bin")
+  }
+
   test("CALL optimize purge (default mode) folds DVs; bad mode/table error clearly") {
     val (name, base) = freshTable("pg")
     Extras7.deleteMorOcc(spark, base, col("o_orderstatus") === "F")
@@ -127,15 +164,26 @@ class Extras8Spec extends SparkSpec {
 
   test("type widening rewrites nothing; lossy retypes stay refused (q105)") {
     val (name, base) = Extras8.q105Build(spark, sf)
-    // the ALTERs committed no manifest version and rewrote no file:
-    // v2's files serve both the pre- and post-widening reads
+    // the ALTERs are metadata-only COMMITS (r17 — schema rides the
+    // protocol): v3/v4 re-list v2's entries verbatim, rewrite no file,
+    // and the final insert lands at v5
     val v2 = Extras5.q78ResolveEntries(base, 2)
-    assert(Extras5.q78Latest(base) == 3)
-    assert(Extras5.q78ResolveEntries(base, 3).map(_.path)
+    assert(Extras5.q78Latest(base) == 5)
+    assert(Extras5.q78ResolveEntries(base, 3).map(_.path) == v2.map(_.path))
+    assert(Extras5.q78ResolveEntries(base, 4).map(_.path) == v2.map(_.path))
+    assert(Extras5.q78ResolveEntries(base, 5).map(_.path)
       .toSet.intersect(v2.map(_.path).toSet) == v2.map(_.path).toSet,
       "widening must not rewrite existing files")
     // both physical generations carry key stats (int widened at track)
-    assert(Extras5.q78ResolveEntries(base, 3).forall(_.stats.isDefined))
+    assert(Extras5.q78ResolveEntries(base, 5).forall(_.stats.isDefined))
+    // the pre-widening snapshot reads NARROW (its own schema)
+    import org.apache.spark.sql.types.{IntegerType, DecimalType}
+    val preWiden = spark.sql(s"SELECT * FROM graft.$name VERSION AS OF 2")
+    assert(preWiden.schema("o_orderkey").dataType == IntegerType)
+    assert(preWiden.schema("price").dataType == DecimalType(12, 2))
+    // ...and the post-widening snapshot wide
+    assert(spark.table(s"graft.$name").schema("o_orderkey").dataType ==
+      org.apache.spark.sql.types.LongType)
     // the narrow-file read upcasts: values identical to the narrow read
     val narrow = spark.read.parquet(v2.map(_.path): _*)
       .agg(sum(col("o_orderkey").cast("long"))).head().getLong(0)

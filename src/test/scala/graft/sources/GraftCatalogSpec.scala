@@ -137,8 +137,10 @@ class GraftCatalogSpec extends SparkSpec {
     val base = GraftCatalog.baseFor(name).get
     val filesBefore = Extras5.q78Resolve(base, 2)
     spark.sql(s"ALTER TABLE graft.$name ADD COLUMN note STRING")
-    // no rewrite: same manifest version, same files on disk
-    assert(Extras5.q78Latest(base) == 2)
+    // the ALTER is a metadata-only COMMIT (r17): v3 re-lists v2's
+    // files verbatim — nothing on disk rewritten
+    assert(Extras5.q78Latest(base) == 3)
+    assert(Extras5.q78Resolve(base, 3) == filesBefore)
     assert(Extras5.q78Resolve(base, 2) == filesBefore)
     spark.sql(s"INSERT INTO graft.$name VALUES " +
       "(2, 'F', CAST(2 AS DECIMAL(18,2)), 'new-era')")
@@ -147,10 +149,12 @@ class GraftCatalogSpec extends SparkSpec {
     assert(rows.length == 2)
     assert(rows(0).isNullAt(1), "pre-evolution row reads NULL for the new column")
     assert(rows(1).getString(1) == "new-era")
-    // time travel to the pre-evolution version still works (current
-    // schema, old files -> NULL — the Iceberg convention)
+    // time travel to the pre-evolution version reads its OWN schema
+    // (r17: no note column there — the Delta convention)
     assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name VERSION AS OF 2")
       .head().getLong(0) == 1)
+    assert(!spark.sql(s"SELECT * FROM graft.$name VERSION AS OF 2")
+      .columns.contains("note"))
     // unsupported changes (retype) refuse loudly instead of corrupting
     intercept[Exception] {
       spark.sql(s"ALTER TABLE graft.$name ALTER COLUMN note TYPE BIGINT")
@@ -161,7 +165,7 @@ class GraftCatalogSpec extends SparkSpec {
       s"FROM graft.$name.changes ORDER BY commit_version, o_orderkey").collect()
     assert(feed.exists(r => r.getLong(1) == 2 && r.isNullAt(3)),
       "pre-evolution feed rows carry NULL for the added column")
-    assert(feed.exists(r => r.getLong(1) == 3 && r.getString(3) == "new-era"))
+    assert(feed.exists(r => r.getLong(1) == 4 && r.getString(3) == "new-era"))
   }
 
   test("big files split into multiple partitions; every row read exactly once") {
@@ -253,6 +257,57 @@ class GraftCatalogSpec extends SparkSpec {
     // and the full unpruned scan sees all files
     val full = new GraftScanBuilder(table, None).build().asInstanceOf[GraftScan]
     assert(full.planInputPartitions().length == table.manifest.size)
+  }
+
+  test("graft.stats.columns: SQL writers track all, scans prune the second column (r17)") {
+    GraftCatalog.install(spark)
+    val base = graft.Scratch.dir("mcstats_table")
+    val name = s"mc_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE graft.$name (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, price DECIMAL(18,2)) " +
+      s"LOCATION '$base' TBLPROPERTIES " +
+      "('graft.stats.columns' = 'o_orderkey,o_custkey')")
+    // four single-file commits: o_custkey ranges DISJOINT per file,
+    // o_orderkey ranges overlapping everywhere (so only second-column
+    // stats can prune anything)
+    (0 until 4).foreach { b =>
+      spark.sql(s"INSERT INTO graft.$name " +
+        s"SELECT id % 100, ${b * 1000} + id, CAST(1 AS DECIMAL(18,2)) " +
+        "FROM range(0, 1000, 1, 1)")
+    }
+    val entries = Extras5.q78ResolveEntries(base, 5)
+    assert(entries.size == 4)
+    assert(entries.forall(e => e.colStats.keySet == Set("o_orderkey", "o_custkey")),
+      s"both columns tracked, got ${entries.map(_.colStats.keySet)}")
+    assert(entries.forall(_.stats.isDefined), "legacy key stats still recorded")
+    // a range predicate on the SECOND column prunes to exactly one file
+    val probe = spark.sql(
+      s"SELECT * FROM graft.$name WHERE o_custkey BETWEEN 2100 AND 2200")
+    assert(GraftCatalog.scannedFileCount(probe).contains(1),
+      s"expected 1 file, scanned ${GraftCatalog.scannedFileCount(probe)}")
+    assert(probe.count() == 101)
+    // key-column ranges overlap: a key predicate alone keeps all files
+    val keyProbe = spark.sql(
+      s"SELECT * FROM graft.$name WHERE o_orderkey < 10")
+    assert(GraftCatalog.scannedFileCount(keyProbe).contains(4))
+    assert(keyProbe.count() == 400)
+    // RENAME SOUNDNESS, structurally: colStats keys are PHYSICAL names
+    // and the stats-columns property follows renames, so after an
+    // adversarial name SWAP skipping still follows the right bytes
+    spark.sql(s"ALTER TABLE graft.$name RENAME COLUMN o_custkey TO ck")
+    spark.sql(s"ALTER TABLE graft.$name RENAME COLUMN o_orderkey TO o_custkey")
+    // the rebound name (old key bytes, overlapping): nothing pruned,
+    // every row found
+    val rebound = spark.sql(
+      s"SELECT * FROM graft.$name WHERE o_custkey < 10")
+    assert(GraftCatalog.scannedFileCount(rebound).contains(4))
+    assert(rebound.count() == 400,
+      "rebound-name predicate must not lose rows to stale stats")
+    // the renamed second column still prunes exactly (stats followed it)
+    val renamed = spark.sql(
+      s"SELECT * FROM graft.$name WHERE ck BETWEEN 2100 AND 2200")
+    assert(GraftCatalog.scannedFileCount(renamed).contains(1))
+    assert(renamed.count() == 101)
   }
 
   test("graft.stats.column property: writers track it, scans prune on it (r16)") {

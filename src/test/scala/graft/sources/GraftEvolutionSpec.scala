@@ -78,6 +78,85 @@ class GraftEvolutionSpec extends SparkSpec {
     assert(v5.forall(_.stats.isDefined))
   }
 
+  test("time travel resolves the schema AS OF the version (r17: schema in the protocol)") {
+    GraftCatalog.install(spark)
+    val base = graft.Scratch.dir("evspec_asof")
+    val name = s"evao_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE graft.$name (o_orderkey BIGINT, " +
+      s"o_orderstatus STRING, price DECIMAL(18,2)) LOCATION '$base'")
+    graft.Tables.load(spark, sf, "orders")
+      .filter($"o_orderkey" % 30 === 0)
+      .select($"o_orderkey", $"o_orderstatus",
+        $"o_totalprice".cast(DecimalType(18, 2)).as("price"))
+      .createOrReplaceTempView(s"src_$name")
+    spark.sql(s"INSERT INTO graft.$name SELECT * FROM src_$name") // v2
+    val statusCount = spark.sql(s"SELECT COUNT(*) FROM graft.$name " +
+      "WHERE o_orderstatus IS NOT NULL").head().getLong(0)
+    assert(statusCount > 0)
+    spark.sql(s"ALTER TABLE graft.$name RENAME COLUMN price TO amount") // v3
+    spark.sql(s"ALTER TABLE graft.$name DROP COLUMN o_orderstatus") // v4
+    // the PRE-DROP snapshot reads back WITH the dropped column — real
+    // values, not NULLs — and under the pre-rename name
+    val pre = spark.sql(s"SELECT * FROM graft.$name VERSION AS OF 2")
+    assert(pre.columns.toSeq == Seq("o_orderkey", "o_orderstatus", "price"))
+    assert(pre.filter($"o_orderstatus".isNotNull).count() == statusCount,
+      "pre-DROP snapshot must serve the dropped column's values")
+    // the post-rename pre-drop snapshot (v3) serves amount + status
+    val v3 = spark.sql(s"SELECT * FROM graft.$name VERSION AS OF 3")
+    assert(v3.columns.toSeq == Seq("o_orderkey", "o_orderstatus", "amount"))
+    // the current table has neither price nor o_orderstatus
+    assert(spark.table(s"graft.$name").columns.toSeq ==
+      Seq("o_orderkey", "amount"))
+    // latest-schema projection over old data (the q103 backfill shape)
+    spark.conf.set(GraftSchemas.TimeTravelConf, "latest")
+    try {
+      val proj = spark.sql(s"SELECT * FROM graft.$name VERSION AS OF 2")
+      assert(proj.columns.toSeq == Seq("o_orderkey", "amount"))
+      assert(proj.agg(sum($"amount")).head().getDecimal(0) ==
+        pre.agg(sum($"price")).head().getDecimal(0))
+    } finally spark.conf.unset(GraftSchemas.TimeTravelConf)
+    // TIMESTAMP AS OF resolves the same way: the v2 commit's instant
+    // reads v2's schema
+    val ts = Extras5.q78CommitTime(base, 2)
+    val zone = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+    val lit = java.time.Instant.ofEpochMilli(ts).atZone(zone).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(spark.sql(s"SELECT * FROM graft.$name TIMESTAMP AS OF '$lit'")
+      .columns.toSeq == Seq("o_orderkey", "o_orderstatus", "price"))
+  }
+
+  test("racing ALTERs serialize through the CAS: exactly one winner") {
+    GraftCatalog.install(spark)
+    val base = graft.Scratch.dir("evspec_race")
+    val name = s"evrc_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE graft.$name (o_orderkey BIGINT, " +
+      s"o_orderstatus STRING, price DECIMAL(18,2)) LOCATION '$base'")
+    // interleave a competing ALTER between the outer ALTER's schema
+    // computation and its CAS attempt
+    GraftCatalog.alterRaceHook = () =>
+      spark.sql(s"ALTER TABLE graft.$name RENAME COLUMN o_orderstatus TO st")
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$name RENAME COLUMN price TO amount")
+    }
+    assert(msgs(e).contains("concurrent schema change"),
+      s"racing ALTER must conflict explicitly, got: ${msgs(e)}")
+    // exactly the inner ALTER won — never last-writer-wins
+    assert(spark.table(s"graft.$name").columns.toSeq ==
+      Seq("o_orderkey", "st", "price"))
+    // but an ALTER racing a DATA commit rebases and succeeds
+    GraftCatalog.alterRaceHook = () =>
+      spark.sql(s"INSERT INTO graft.$name VALUES " +
+        "(1, 'O', CAST(1 AS DECIMAL(18,2)))")
+    spark.sql(s"ALTER TABLE graft.$name RENAME COLUMN price TO amount")
+    assert(spark.table(s"graft.$name").columns.toSeq ==
+      Seq("o_orderkey", "st", "amount"))
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0) == 1,
+      "the interleaved insert must survive the rebased ALTER")
+  }
+
   test("the change feed serves pre-rename transitions under the current schema") {
     GraftCatalog.install(spark)
     val base = graft.Scratch.dir("evspec_cdf")

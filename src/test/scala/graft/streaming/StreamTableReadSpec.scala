@@ -70,6 +70,55 @@ class StreamTableReadSpec extends SparkSpec {
       "WHERE o_orderkey % 4 = 2").head().getLong(0))
   }
 
+  /** One-batch drain (Trigger.Once): lets a test stop MID-COMMIT under
+    * maxFilesPerTrigger and resume from the partial offset. */
+  private def drainOne(name: String, ckpt: String,
+      options: Map[String, String]): Seq[Long] = {
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    var r = spark.readStream
+    options.foreach { case (k, v) => r = r.option(k, v) }
+    val q = r.table(s"graft.$name")
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val n = b.count(); if (n > 0) acc.add(n); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.Once()).start()
+    try q.awaitTermination() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    acc.asScala.toSeq
+  }
+
+  test("maxFilesPerTrigger bounds batches within one commit; mid-commit restart never re-emits (r17)") {
+    val (name, base) = freshTable("mft")
+    // ONE commit holding 5 files — the giant-backfill shape
+    graft.Tables.load(spark, sf, "orders").filter($"o_orderkey" % 4 === 0)
+      .select($"o_orderkey", $"o_orderstatus",
+        $"o_totalprice".cast(DecimalType(18, 2)).as("price"))
+      .repartition(5)
+      .createOrReplaceTempView(s"src_${name}_big")
+    spark.sql(s"INSERT INTO graft.$name SELECT * FROM src_${name}_big")
+    assert(Extras5.q78ResolveEntries(base, 2).size == 5,
+      "fixture must land 5 files in one commit")
+    val total = spark.sql(s"SELECT COUNT(*) FROM graft.$name")
+      .head().getLong(0)
+    // the commit drains across ceil(5/2) = 3 bounded batches
+    val ckpt = graft.Scratch.dir("str_mft_ckpt")
+    val batches = drain(name, ckpt, Map("maxFilesPerTrigger" -> "2"))
+    assert(batches.size == 3, s"expected 3 bounded batches, got $batches")
+    assert(batches.sum == total)
+    assert(drain(name, ckpt, Map("maxFilesPerTrigger" -> "2")).isEmpty)
+    // restart MID-COMMIT: one bounded batch, stop, resume — exactly the
+    // remaining rows arrive, none twice
+    val ckpt2 = graft.Scratch.dir("str_mft_ckpt2")
+    val first = drainOne(name, ckpt2, Map("maxFilesPerTrigger" -> "2"))
+    assert(first.size == 1 && first.head < total,
+      s"Trigger.Once must serve one bounded batch, got $first")
+    val rest = drain(name, ckpt2, Map("maxFilesPerTrigger" -> "2"))
+    assert(first.sum + rest.sum == total,
+      "mid-commit resume must serve exactly the remainder")
+  }
+
   test("a non-append commit fails the stream and points at the change feed") {
     val (name, _) = freshTable("fail")
     insertSlice(name, 0)
