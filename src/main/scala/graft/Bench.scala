@@ -223,7 +223,12 @@ object Bench {
     // column tracked at write) and q108 partition transforms (priced
     // by q95's catalog lifecycle + the fan-out cost is bounded by the
     // clustered shuffle q83 already prices); r18 should baseline
-    // q107/q108 under the same rotation rules. Schema-versioning cost
+    // q107/q108 under the same rotation rules — clean-JVM BenchOne
+    // first-reads to anchor against: at canary 0.156,
+    // q107 2.345 (the fixture's 8-slice partitionBy write dominates;
+    // the pruned read itself is manifest metadata) and q108 1.591
+    // (CREATE + clustered insert + dynamic overwrite + two
+    // plan-introspected reads). Schema-versioning cost
     // note for r17 reads: every catalog commit now writes/carries a
     // `#schema` header (one extra small-header read per commit
     // attempt) and CREATE adds one content-addressed schema file —

@@ -71,6 +71,31 @@ class Extras5Spec extends SparkSpec {
     assert(v2.intersect(v3).nonEmpty, "untouched files must carry over")
   }
 
+  test("manifest entries round-trip all field arities incl. adversarial names/values") {
+    val base = graft.Scratch.dir("manifest_rt")
+    val entries = Seq(
+      Extras5.ManifestEntry("/p/plain.parquet"),
+      Extras5.ManifestEntry("/p/stats.parquet", Some((-5L, 10L))),
+      Extras5.ManifestEntry("/p/dv.parquet", Some((1L, 2L)), Some("/p/d.gdv")),
+      Extras5.ManifestEntry("/p/dvnostats.parquet", None, Some("/p/e.gdv")),
+      // 5-field: per-column stats under names holding every separator
+      Extras5.ManifestEntry("/p/cols.parquet", Some((0L, 9L)), None,
+        Map("a=b" -> (1L, 2L), "c;d" -> (3L, 4L), "e:f" -> (5L, 6L),
+          "naïve col" -> (-1L, 1L))),
+      // 6-field: partition tuples with nasty keys/values and a NULL
+      Extras5.ManifestEntry("/p/parts.parquet", None, Some("/p/f.gdv"),
+        Map("k" -> (7L, 8L)),
+        Map("days.ts" -> "20100", "src=x;y" -> "a b=c;d", "nullv" -> null)),
+      Extras5.ManifestEntry("/p/partsonly.parquet",
+        partValues = Map("s" -> "-")))
+    Extras5.q78CommitEntries(base, 1, entries)
+    val back = Extras5.q78ResolveEntries(base, 1)
+    assert(back.toSet == entries.toSet,
+      s"round-trip mismatch:\n${back.mkString("\n")}")
+    // headers coexist with every arity
+    assert(Extras5.q78CommitHeaders(base, 1).contains("ts"))
+  }
+
   test("g01: BFS levels are disjoint and the frontier stays within the graph") {
     val rows = Extras5.g01(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
