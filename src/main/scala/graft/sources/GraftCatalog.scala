@@ -1000,7 +1000,8 @@ private[sources] class GraftScanBuilder(table: GraftTable,
       }
       partOk && keyOk && colsOk
     }
-    val scan = new GraftScan(table, required, entries, keyLo, keyHi, options)
+    val scan = new GraftScan(table, required, entries, keyLo, keyHi,
+      colWindows.toMap, options)
     owner.foreach(_.configuredScan = scan)
     scan
   }
@@ -1010,6 +1011,7 @@ private[sources] class GraftScan(table: GraftTable, required: StructType,
     initialEntries: Seq[Extras5.ManifestEntry],
     private[sources] val keyLo: Long = Long.MinValue,
     private[sources] val keyHi: Long = Long.MaxValue,
+    colWindows: Map[String, (Long, Long)] = Map.empty,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends Scan with Batch
     with SupportsRuntimeV2Filtering {
@@ -1132,22 +1134,34 @@ private[sources] class GraftScan(table: GraftTable, required: StructType,
       needRowRange = _ => posRequested).toArray[InputPartition]
   }
 
-  /** Columnar, projection pushed into the parquet decode; a bounded
-    * pushed key range additionally skips row groups on footer stats
-    * (sound: key predicates stay residual in Spark). A snapshot holding
-    * ANY deletion vector reads row-based as a whole (Spark disallows
+  /** Columnar, projection pushed into the parquet decode; EVERY pushed
+    * stats-column window additionally skips row groups on footer stats
+    * inside kept files (r17 — not just the key column; sound: the
+    * predicates stay residual in Spark, and windows are keyed by
+    * PHYSICAL name so they always describe the on-disk bytes). Files
+    * predating a column or holding a narrower physical type fall back
+    * to an unfiltered read inside the factory. A snapshot holding ANY
+    * deletion vector reads row-based as a whole (Spark disallows
     * mixed-mode partitions within one scan); purge restores columnar. */
   override def createReaderFactory(): PartitionReaderFactory = {
     // a scan projecting `_pos` (delta-based DELETE row ids) must read
     // every row group of its splits — ordinal arithmetic forbids
     // row-group skipping (manifest-level file pruning stays in force)
     val posRequested = required.fieldNames.contains("_pos")
-    val bounded = keyLo != Long.MinValue || keyHi != Long.MaxValue
-    val keyIsLong = table.schema.fields
-      .exists(f => f.name == table.statsColumn && f.dataType == LongType)
-    val range = if (bounded && keyIsLong && !posRequested)
-      Some((table.physicalStatsColumn, keyLo, keyHi)) else None
-    new GraftVectorizedReaderFactory(required, Set("_file"), range,
+    val ranges: Seq[(String, Long, Long, Boolean)] =
+      if (posRequested) Seq.empty
+      else {
+        val typeByPhysical = table.schema.fields
+          .map(f => GraftCatalog.physicalName(f) -> f.dataType).toMap
+        colWindows.toSeq.sortBy(_._1).flatMap { case (phys, (lo, hi)) =>
+          typeByPhysical.get(phys) match {
+            case Some(LongType) => Some((phys, lo, hi, true))
+            case Some(IntegerType) => Some((phys, lo, hi, false))
+            case _ => None
+          }
+        }
+      }
+    new GraftVectorizedReaderFactory(required, Set("_file"), ranges,
       anyDv = activeEntries.exists(_.dv.isDefined),
       posColumn = if (posRequested) Some("_pos") else None,
       physicalOf = table.physicalOf)

@@ -97,26 +97,29 @@ private[graft] object GraftParquetIO {
 
 /** Reader factory over GraftFileSplit partitions. `required` is the
   * scan's output schema (post column pruning, in requested order);
-  * `constantNames` the subset served as partition constants; `keyRange`
-  * an optional (column, lo, hi) pushed as a parquet row-group filter;
-  * `anyDv` true when ANY planned file carries a deletion vector — the
-  * whole scan then reads row-based (Spark requires every partition of
-  * one scan to agree on columnar vs row), with DV'd splits skipping
-  * their dead ordinals (purge drops the DVs and restores the fully
-  * columnar scan); `posColumn` names a synthetic row-POSITION column
-  * (file-global ordinal, the DV coordinate system) filled by the reader
-  * itself — callers must NOT pass keyRange together with posColumn
-  * (row-group skipping would break ordinal arithmetic). */
+  * `constantNames` the subset served as partition constants;
+  * `keyRanges` the pushed (physical column, lo, hi, isLong) windows —
+  * ALL of them become one AND-ed parquet row-group filter (r17:
+  * secondary stats columns skip row groups inside kept files too, not
+  * just the key column); `anyDv` true when ANY planned file carries a
+  * deletion vector — the whole scan then reads row-based (Spark
+  * requires every partition of one scan to agree on columnar vs row),
+  * with DV'd splits skipping their dead ordinals (purge drops the DVs
+  * and restores the fully columnar scan); `posColumn` names a
+  * synthetic row-POSITION column (file-global ordinal, the DV
+  * coordinate system) filled by the reader itself — callers must NOT
+  * pass keyRanges together with posColumn (row-group skipping would
+  * break ordinal arithmetic). */
 private[sources] class GraftVectorizedReaderFactory(required: StructType,
     constantNames: Set[String],
-    keyRange: Option[(String, Long, Long)] = None,
+    keyRanges: Seq[(String, Long, Long, Boolean)] = Seq.empty,
     anyDv: Boolean = false,
     posColumn: Option[String] = None,
     physicalOf: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   import GraftParquetIO.GraftFileSplit
 
-  require(keyRange.isEmpty || posColumn.isEmpty,
+  require(keyRanges.isEmpty || posColumn.isEmpty,
     "keyRange row-group skipping cannot combine with a position column")
 
   /** Decode schema in PHYSICAL column names (column-mapping schema
@@ -134,7 +137,7 @@ private[sources] class GraftVectorizedReaderFactory(required: StructType,
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] =
     new GraftColumnarReader(partition.asInstanceOf[GraftFileSplit],
-      required, dataSchema, keyRange, posColumn, physicalOf)
+      required, dataSchema, keyRanges, posColumn, physicalOf)
 
   /** Row-based path: DV'd splits skip deleted ordinals (positions are
     * firstRowIndex + read ordinal, so the inner reader must NOT
@@ -148,7 +151,7 @@ private[sources] class GraftVectorizedReaderFactory(required: StructType,
         val firstRow = split.rowRange.map(_._1).getOrElse(
           GraftDv.splitRowRange(split.path, split.start, split.length)._1)
         new GraftDvRowReader(
-          new GraftColumnarReader(split, required, dataSchema, None,
+          new GraftColumnarReader(split, required, dataSchema, Seq.empty,
             posColumn, physicalOf),
           dvPath, firstRow)
       case None =>
@@ -178,7 +181,7 @@ private[sources] class GraftVectorizedReaderFactory(required: StructType,
   * valid because position-requesting scans never row-group-filter). */
 private[sources] class GraftColumnarReader(split: GraftParquetIO.GraftFileSplit,
     required: StructType, dataSchema: StructType,
-    keyRange: Option[(String, Long, Long)],
+    keyRanges: Seq[(String, Long, Long, Boolean)] = Seq.empty,
     posColumn: Option[String] = None,
     physicalOf: Map[String, String] = Map.empty)
     extends PartitionReader[ColumnarBatch] {
@@ -201,14 +204,31 @@ private[sources] class GraftColumnarReader(split: GraftParquetIO.GraftFileSplit,
     conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
     conf.setBoolean(SQLConf.PARQUET_IGNORE_VARIANT_ANNOTATION.key, false)
     conf.setBoolean(SQLConf.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION.key, false)
-    // a pushed key range skips row groups on footer stats inside the
-    // kept files (the predicates stay residual in Spark — pruning here
-    // is purely an I/O reduction); guarded below against files that
-    // predate the column (schema evolution)
-    keyRange.foreach { case (col, lo, hi) =>
-      ParquetInputFormat.setFilterPredicate(conf, FilterApi.and(
-        FilterApi.gtEq(FilterApi.longColumn(col), java.lang.Long.valueOf(lo)),
-        FilterApi.ltEq(FilterApi.longColumn(col), java.lang.Long.valueOf(hi))))
+    // pushed column windows skip row groups on footer stats inside the
+    // kept files — ALL constrained stats columns AND-ed into one
+    // parquet filter (the predicates stay residual in Spark — pruning
+    // here is purely an I/O reduction); guarded below against files
+    // that predate a column or hold a narrower physical type (schema
+    // evolution / type widening)
+    if (keyRanges.nonEmpty) {
+      val preds = keyRanges.map { case (col, lo, hi, isLong) =>
+        if (isLong) FilterApi.and(
+          FilterApi.gtEq(FilterApi.longColumn(col), java.lang.Long.valueOf(lo)),
+          FilterApi.ltEq(FilterApi.longColumn(col), java.lang.Long.valueOf(hi)))
+        else {
+          // saturate to int32: the result is a SUPERSET of the true
+          // window's int-representable part (an empty true window makes
+          // any skipping safe), so row-group pruning stays sound
+          def sat(v: Long): Int =
+            math.min(math.max(v, Int.MinValue.toLong), Int.MaxValue.toLong).toInt
+          FilterApi.and(
+            FilterApi.gtEq(FilterApi.intColumn(col),
+              java.lang.Integer.valueOf(sat(lo))),
+            FilterApi.ltEq(FilterApi.intColumn(col),
+              java.lang.Integer.valueOf(sat(hi))))
+        }
+      }
+      ParquetInputFormat.setFilterPredicate(conf, preds.reduce(FilterApi.and))
     }
     val fileSplit = new FileSplit(new HPath(split.path), split.start,
       split.length, Array.empty[String])
@@ -220,9 +240,11 @@ private[sources] class GraftColumnarReader(split: GraftParquetIO.GraftFileSplit,
     }
     try open(conf)
     catch {
-      case _: IllegalArgumentException if keyRange.isDefined =>
-        // the filter column is absent from this (pre-evolution) file:
-        // retry without the row-group filter — never wrong, just unpruned
+      case _: IllegalArgumentException if keyRanges.nonEmpty =>
+        // a filter column is absent from this (pre-evolution) file or
+        // holds a narrower physical type (pre-widening INT32 under a
+        // BIGINT window): retry without the row-group filter — never
+        // wrong, just unpruned
         conf.unset(ParquetInputFormat.FILTER_PREDICATE)
         open(conf)
     }
