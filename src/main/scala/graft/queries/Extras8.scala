@@ -684,17 +684,72 @@ object Extras8 {
       |FROM final
       |ORDER BY snapshot""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q109: THE `graft.<t>.files` METADATA TABLE (Iceberg's files table)
+  // — the SQL window into layout: one row per current-snapshot manifest
+  // entry with size, key stats, per-column-stats count, DV flag and the
+  // rendered partition tuple, all driver-side metadata (one batched
+  // listing for sizes, no data file opened). The fixture is a
+  // status-partitioned table with multi-column stats configured, so the
+  // gate pins the files table AGREEING with both r17 features: exactly
+  // one file per partition tuple, every file carrying key stats and a
+  // two-column stats map, no DVs. At 100 TB this is how an operator
+  // audits what pruning sees and what compaction would bin — without
+  // touching a byte of data.
+  // ---------------------------------------------------------------------
+
+  private[queries] def q109Build(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    graft.sources.GraftCatalog.install(spark)
+    val base = graft.Scratch.dir("q109_table")
+    val name = s"fm_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE graft.$name (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_custkey BIGINT) " +
+      s"PARTITIONED BY (o_orderstatus) LOCATION '$base' " +
+      "TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey,o_custkey')")
+    Tables.load(spark, dir, "orders")
+      .filter($"o_orderkey" % 3 === 0)
+      .select($"o_orderkey", $"o_orderstatus", $"o_custkey")
+      .createOrReplaceTempView(s"q109_src_$name")
+    spark.sql(s"INSERT INTO graft.$name SELECT * FROM q109_src_$name")
+    name
+  }
+
+  def q109(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = q109Build(spark, dir)
+    spark.sql(
+      s"""SELECT partition, COUNT(*) AS n_files,
+         |  COUNT(CASE WHEN key_lo IS NOT NULL THEN 1 END) AS n_with_key,
+         |  CAST(SUM(n_col_stats) AS BIGINT) AS n_col_stats,
+         |  COUNT(CASE WHEN has_dv THEN 1 END) AS n_dv,
+         |  COUNT(CASE WHEN size_bytes > 0 THEN 1 END) AS n_sized
+         |FROM graft.$name.files GROUP BY partition
+         |ORDER BY partition""".stripMargin)
+  }
+
+  private val q109Sql =
+    """SELECT 'o_orderstatus=' || s AS partition,
+      |  CAST(1 AS BIGINT) AS n_files, CAST(1 AS BIGINT) AS n_with_key,
+      |  CAST(2 AS BIGINT) AS n_col_stats, CAST(0 AS BIGINT) AS n_dv,
+      |  CAST(1 AS BIGINT) AS n_sized
+      |FROM (SELECT DISTINCT o_orderstatus AS s FROM orders
+      |  WHERE o_orderkey % 3 = 0)
+      |ORDER BY partition""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q104_maintenance_call" -> (q104 _),
     "q105_type_widening" -> (q105 _),
     "q106_version_tags" -> (q106 _),
     "q107_multicol_stats" -> (q107 _),
-    "q108_partitioned_table" -> (q108 _))
+    "q108_partitioned_table" -> (q108 _),
+    "q109_files_metadata" -> (q109 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q104_maintenance_call" -> q104Sql,
     "q105_type_widening" -> q105Sql,
     "q106_version_tags" -> q106Sql,
     "q107_multicol_stats" -> q107Sql,
-    "q108_partitioned_table" -> q108Sql)
+    "q108_partitioned_table" -> q108Sql,
+    "q109_files_metadata" -> q109Sql)
 }

@@ -318,11 +318,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         new GraftTable(s"$catalogName.${ident.name}", base, version,
           latestSchema)
       case None =>
-        // `graft.<t>.changes` / `graft.<t>.history` / `graft.<t>.tags`
-        // — the table's streaming change feed, commit-history and
-        // named-ref metadata tables (the Iceberg metadata-table
+        // `graft.<t>.changes` / `.history` / `.tags` / `.files` — the
+        // table's streaming change feed, commit-history, named-ref and
+        // live-files metadata tables (the Iceberg metadata-table
         // addressing convention)
-        val isMeta = Set("changes", "history", "tags")(ident.name) &&
+        val isMeta = Set("changes", "history", "tags", "files")(ident.name) &&
           ident.namespace.length == 1
         val baseTable = if (isMeta)
           liveBaseFor(ident.namespace.head) else None
@@ -333,6 +333,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           case Some(base) if ident.name == "tags" =>
             new GraftTagsTable(
               s"$catalogName.${ident.namespace.head}.tags", base)
+          case Some(base) if ident.name == "files" =>
+            new GraftFilesTable(
+              s"$catalogName.${ident.namespace.head}.files", base)
           case Some(base) =>
             new GraftHistoryTable(
               s"$catalogName.${ident.namespace.head}.history", base)

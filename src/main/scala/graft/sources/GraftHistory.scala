@@ -167,3 +167,81 @@ private[sources] class GraftTagsScan(base: String) extends Scan with Batch {
 
   override def description(): String = s"GraftTagsScan($base)"
 }
+
+/** Live-files metadata table, addressed `graft.<t>.files` (Iceberg's
+  * `files` metadata table): one row per CURRENT-snapshot manifest
+  * entry with its size, key stats, per-column-stats count, deletion-
+  * vector flag, and rendered partition tuple — manifest metadata plus
+  * ONE batched listing per parent directory for sizes; no data file is
+  * opened. The SQL window into layout decisions: what pruning sees,
+  * what compaction would bin, which files still carry DVs. */
+private[sources] class GraftFilesTable(tableName: String, base: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = tableName
+
+  override def schema(): StructType = GraftFilesTable.Schema
+
+  override def partitioning(): Array[Transform] = Array.empty
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new GraftFilesScan(base)
+}
+
+private[graft] object GraftFilesTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("key_lo", LongType, nullable = true),
+    StructField("key_hi", LongType, nullable = true),
+    StructField("n_col_stats", LongType, nullable = false),
+    StructField("has_dv", BooleanType, nullable = false),
+    StructField("partition", StringType, nullable = true)))
+}
+
+/** Driver-materialized like the history scan: #files rows of metadata. */
+private[sources] class GraftFilesScan(base: String) extends Scan with Batch {
+
+  override def readSchema(): StructType = GraftFilesTable.Schema
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val entries = Extras5.q78ResolveEntries(base, Extras5.q78Latest(base))
+    val sizes = GraftFs.lengths(entries.map(_.path))
+    val rows = entries.sortBy(_.path).map { e =>
+      val part =
+        if (e.partValues.isEmpty) null
+        else UTF8String.fromString(e.partValues.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=${if (v == null) "null" else v}" }
+          .mkString(";"))
+      Seq[Any](UTF8String.fromString(e.path),
+        sizes.getOrElse(e.path, 0L),
+        e.stats.map(s => java.lang.Long.valueOf(s._1)).orNull,
+        e.stats.map(s => java.lang.Long.valueOf(s._2)).orNull,
+        e.colStats.size.toLong,
+        java.lang.Boolean.valueOf(e.dv.isDefined),
+        part)
+    }
+    Array(HistoryPartition(rows))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val it = partition.asInstanceOf[HistoryPartition].rows.iterator
+      new PartitionReader[InternalRow] {
+        private var cur: InternalRow = _
+        override def next(): Boolean = {
+          if (!it.hasNext) false
+          else { cur = InternalRow.fromSeq(it.next()); true }
+        }
+        override def get(): InternalRow = cur
+        override def close(): Unit = ()
+      }
+    }
+
+  override def description(): String = s"GraftFilesScan($base)"
+}

@@ -193,5 +193,14 @@ class GraftPartitionSpec extends SparkSpec {
     assert(spark.sql(s"SELECT k, v FROM graft.$name WHERE s = 'a' ORDER BY k")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((1L, 100L), (3L, 30L)))
+    // the graft.<t>.files metadata table shows the same picture: two
+    // tupled files (the DV'd 'a' base + 'b'), one partition-less delta
+    val files = spark.sql(s"SELECT partition, has_dv, size_bytes " +
+      s"FROM graft.$name.files ORDER BY partition NULLS LAST").collect()
+    assert(files.length == 3)
+    assert(files(0).getString(0) == "s=a" && files(0).getBoolean(1))
+    assert(files(1).getString(0) == "s=b" && !files(1).getBoolean(1))
+    assert(files(2).isNullAt(0) && !files(2).getBoolean(1))
+    assert(files.forall(_.getLong(2) > 0L))
   }
 }
