@@ -432,6 +432,46 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val base = liveBaseFor(ident.name)
       .getOrElse(throw new NoSuchTableException(ident))
+    // property changes (SET/UNSET TBLPROPERTIES) are not schema
+    // changes: they fold into the atomically-replaced _props.json
+    // (last-writer-wins, like table properties everywhere); column
+    // changes continue into the schema-commit CAS below
+    val (propChanges, colChanges) = changes.partition {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+      case _ => false
+    }
+    if (propChanges.nonEmpty) {
+      val table0 = new GraftTable(s"$catalogName.${ident.name}", base, None)
+      val reserved = Set("location", "provider", "owner",
+        GraftPartitions.SpecKey)
+      val updated = propChanges.foldLeft(table0.persistedProps) {
+        case (props, set: TableChange.SetProperty) =>
+          require(!reserved(set.property),
+            s"table property '${set.property}' is engine-managed and " +
+              "cannot be altered")
+          if (Set(GraftCatalog.StatsColumnKey,
+              GraftCatalog.StatsColumnsKey)(set.property)) {
+            val cols = set.value.split(",").map(_.trim).filter(_.nonEmpty)
+            val missing = cols.filterNot(table0.schema.fieldNames.contains)
+            require(missing.isEmpty,
+              s"${set.property} names unknown column(s): " +
+                s"${missing.mkString(", ")}")
+          }
+          props + (set.property -> set.value)
+        case (props, rm: TableChange.RemoveProperty) =>
+          require(!reserved(rm.property),
+            s"table property '${rm.property}' is engine-managed and " +
+              "cannot be altered")
+          props - rm.property
+        case (props, _) => props
+      }
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      GraftFs.writeAtomicReplace(s"$base/_props.json", m.writeValueAsBytes(
+        scala.jdk.CollectionConverters.MapHasAsJava(updated).asJava))
+      if (colChanges.isEmpty)
+        return new GraftTable(s"$catalogName.${ident.name}", base, None)
+    }
+    val changes2 = colChanges
     var attempts = 0
     while (attempts < 10) {
       attempts += 1
@@ -442,7 +482,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       // partition columns key the spec and every committed tuple:
       // their names and types are immutable
       val partCols = table.partitionSpec.map(_.column).toSet
-      changes.foreach {
+      changes2.foreach {
         case c: TableChange.RenameColumn
             if c.fieldNames.headOption.exists(partCols) =>
           throw new UnsupportedOperationException(
@@ -457,7 +497,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             s"cannot retype partition column ${c.fieldNames.head}")
         case _ => ()
       }
-      val evolved = evolve(current, changes)
+      val evolved = evolve(current, changes2)
       val id = GraftSchemas.write(base, evolved)
       // reset BEFORE firing: the hook may itself run a competing ALTER
       val hook = GraftCatalog.alterRaceHook
@@ -473,7 +513,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         // stats-column properties track LOGICAL names: a rename
         // rewrites them so skipping keeps following the same bytes
         // (colStats manifest keys are physical and never move)
-        val renames = changes.collect {
+        val renames = changes2.collect {
           case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
             r.fieldNames.head -> r.newName
         }.toMap

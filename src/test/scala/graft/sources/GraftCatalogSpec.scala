@@ -310,6 +310,52 @@ class GraftCatalogSpec extends SparkSpec {
     assert(renamed.count() == 101)
   }
 
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES: modes and stats columns change post-create (r17)") {
+    GraftCatalog.install(spark)
+    val base = graft.Scratch.dir("setprops_table")
+    val name = s"sp_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE graft.$name (k BIGINT, s STRING, " +
+      s"v BIGINT) LOCATION '$base'")
+    spark.sql(s"INSERT INTO graft.$name SELECT id, 'x', id FROM range(0, 50, 1, 1)")
+    // switch DELETE to merge-on-read AFTER create: the next delete
+    // writes sidecars instead of rewriting
+    spark.sql(s"ALTER TABLE graft.$name SET TBLPROPERTIES " +
+      "('graft.delete.mode' = 'merge-on-read')")
+    spark.sql(s"DELETE FROM graft.$name WHERE k < 10")
+    val v3 = Extras5.q78ResolveEntries(base, 3)
+    assert(v3.exists(_.dv.isDefined), "post-SET delete must be MOR")
+    assert(v3.map(_.path) == Extras5.q78ResolveEntries(base, 2).map(_.path),
+      "no data file rewritten")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0) == 40L)
+    // switch stats columns post-create: the next insert tracks both
+    spark.sql(s"ALTER TABLE graft.$name SET TBLPROPERTIES " +
+      "('graft.stats.columns' = 'k,v')")
+    spark.sql(s"INSERT INTO graft.$name SELECT id, 'y', id FROM range(100, 150, 1, 1)")
+    val newest = Extras5.q78ResolveEntries(base, 4)
+      .filterNot(v3.map(_.path).toSet contains _.path)
+    assert(newest.nonEmpty && newest.forall(_.colStats.keySet == Set("k", "v")))
+    // UNSET restores copy-on-write
+    spark.sql(s"ALTER TABLE graft.$name UNSET TBLPROPERTIES ('graft.delete.mode')")
+    spark.sql(s"DELETE FROM graft.$name WHERE k = 100")
+    assert(Extras5.q78ResolveEntries(base, 5)
+      .filterNot(e => Extras5.q78ResolveEntries(base, 4).map(_.identity)
+        .contains(e.identity)).forall(_.dv.isEmpty),
+      "post-UNSET delete rewrites (COW) — no new DVs")
+    // engine-managed and unknown-column properties refuse loudly
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    val res = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$name SET TBLPROPERTIES " +
+        "('graft.partition.spec' = 'identity(s)')")
+    }
+    assert(msgs(res).contains("engine-managed"))
+    val unk = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$name SET TBLPROPERTIES " +
+        "('graft.stats.columns' = 'k,nope')")
+    }
+    assert(msgs(unk).contains("unknown column"))
+  }
+
   test("graft.stats.column property: writers track it, scans prune on it (r16)") {
     GraftCatalog.install(spark)
     val base = graft.Scratch.dir("statscol")
