@@ -737,13 +737,72 @@ object Extras8 {
       |  WHERE o_orderkey % 3 = 0)
       |ORDER BY partition""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q110: ATOMIC CTAS / RTAS / TRUNCATE (r17 — StagingTableCatalog):
+  //   v1: CREATE TABLE AS SELECT (orders keys ≡ 0 mod 3) — data and
+  //       existence are ONE commit (the staged write publishes v1 WITH
+  //       the rows; no create-then-append window)
+  //   v2: REPLACE TABLE AS SELECT (keys ≡ 1, reshaped schema) — one
+  //       CAS commit; v1 stays readable UNDER ITS OWN SCHEMA (the
+  //       schema-versioning composition)
+  //   v3: TRUNCATE TABLE — a metadata-only version
+  //   v4: INSERT — the table lives on
+  // All four versions aggregate side by side; labels pin the version
+  // arithmetic (4 versions total — atomicity is visible in the count).
+  // ---------------------------------------------------------------------
+
+  private[queries] def q110Build(spark: SparkSession,
+      dir: String): (String, String) = {
+    import spark.implicits._
+    graft.sources.GraftCatalog.install(spark)
+    val name = s"ct_${java.util.UUID.randomUUID().toString.take(8)}"
+    Tables.load(spark, dir, "orders")
+      .createOrReplaceTempView(s"q110_src_$name")
+    spark.sql(s"CREATE TABLE graft.$name AS " +
+      s"SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS p " +
+      s"FROM q110_src_$name WHERE o_orderkey % 3 = 0") // v1
+    spark.sql(s"REPLACE TABLE graft.$name AS " +
+      s"SELECT o_orderkey AS k2, o_orderstatus AS s2 " +
+      s"FROM q110_src_$name WHERE o_orderkey % 3 = 1") // v2
+    spark.sql(s"TRUNCATE TABLE graft.$name") // v3
+    spark.sql(s"INSERT INTO graft.$name VALUES (42, 'Z')") // v4
+    val base = graft.sources.GraftCatalog.baseFor(name).get
+    (name, base)
+  }
+
+  def q110(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (name, base) = q110Build(spark, dir)
+    val nVersions = Extras5.q78Latest(base).toLong
+    def cnt(v: Int): Long =
+      spark.sql(s"SELECT COUNT(*) FROM graft.$name VERSION AS OF $v")
+        .head().getLong(0)
+    // v1 under its ORIGINAL schema (sum of p exists only there)
+    val v1SumP = spark.sql(
+      s"SELECT CAST(SUM(p) AS DOUBLE) FROM graft.$name VERSION AS OF 1")
+      .head().getDouble(0)
+    Seq((nVersions, cnt(1), v1SumP, cnt(2), cnt(3), cnt(4)))
+      .toDF("n_versions", "v1_rows", "v1_sum_p", "v2_rows",
+        "v3_rows", "v4_rows")
+  }
+
+  private val q110Sql =
+    """SELECT CAST(4 AS BIGINT) AS n_versions,
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0) AS v1_rows,
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |   FROM orders WHERE o_orderkey % 3 = 0) AS v1_sum_p,
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 1) AS v2_rows,
+      |  CAST(0 AS BIGINT) AS v3_rows,
+      |  CAST(1 AS BIGINT) AS v4_rows""".stripMargin
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q104_maintenance_call" -> (q104 _),
     "q105_type_widening" -> (q105 _),
     "q106_version_tags" -> (q106 _),
     "q107_multicol_stats" -> (q107 _),
     "q108_partitioned_table" -> (q108 _),
-    "q109_files_metadata" -> (q109 _))
+    "q109_files_metadata" -> (q109 _),
+    "q110_atomic_ctas" -> (q110 _))
 
   val oracle: ListMap[String, String] = ListMap(
     "q104_maintenance_call" -> q104Sql,
@@ -751,5 +810,6 @@ object Extras8 {
     "q106_version_tags" -> q106Sql,
     "q107_multicol_stats" -> q107Sql,
     "q108_partitioned_table" -> q108Sql,
-    "q109_files_metadata" -> q109Sql)
+    "q109_files_metadata" -> q109Sql,
+    "q110_atomic_ctas" -> q110Sql)
 }

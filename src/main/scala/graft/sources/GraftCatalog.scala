@@ -134,13 +134,21 @@ object GraftCatalog {
     persist()
   }
 
+  /** Registration that LOSES to an existing name (atomic CTAS: of two
+    * racing creates exactly one registers). */
+  private[sources] def registerNew(name: String, base: String): Boolean = {
+    val won = tables.putIfAbsent(name, base) == null
+    if (won) persist()
+    won
+  }
+
   private[sources] def unregister(name: String): Option[String] = {
     val prev = Option(tables.remove(name))
     if (prev.isDefined) persist()
     prev
   }
 
-  private[sources] def baseFor(name: String): Option[String] =
+  private[graft] def baseFor(name: String): Option[String] =
     Option(tables.get(name))
 
   private[sources] def names: Seq[String] = tables.keys.asScala.toSeq
@@ -216,8 +224,54 @@ object GraftCatalog {
       spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
 }
 
-class GraftCatalog extends TableCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog
+    with StagingTableCatalog {
   private var catalogName: String = "graft"
+
+  /** ATOMIC CTAS/RTAS (r17): Spark routes CREATE/REPLACE TABLE AS
+    * SELECT through these when the catalog stages — the data write and
+    * the table's existence commit together (see GraftStagedTable). */
+  private def mkStaged(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo,
+      existingBase: Option[String]): StagedTable = {
+    val props = info.properties()
+    val schema = new StructType(info.columns().map(c =>
+      StructField(c.name, c.dataType, c.nullable)))
+    val partSpec =
+      GraftPartitions.fromTransforms(info.partitions().toSeq, schema)
+    val base = existingBase.getOrElse(
+      Option(props.get("location")).map(GraftFs.localPathOf)
+        .getOrElse(graft.Scratch.dir(s"graft_${ident.name}")))
+    val createdBase = existingBase.isEmpty && !GraftFs.exists(base)
+    val userProps = scala.jdk.CollectionConverters.MapHasAsScala(props)
+      .asScala.view.filterKeys(k => !Set("location", "provider", "owner")(k))
+      .toMap
+    new GraftStagedTable(s"$catalogName.${ident.name}", base, createdBase,
+      replaceExisting = existingBase.isDefined, schema, partSpec, userProps,
+      ident.name)
+  }
+
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable = {
+    if (liveBaseFor(ident.name).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(Seq(ident.name))
+    mkStaged(ident, info, None)
+  }
+
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable = {
+    val base = liveBaseFor(ident.name)
+      .getOrElse(throw new NoSuchTableException(ident))
+    mkStaged(ident, info, Some(base))
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable =
+    liveBaseFor(ident.name) match {
+      case Some(base) => mkStaged(ident, info, Some(base))
+      case None => mkStaged(ident, info, None)
+    }
 
   /** `CALL graft.system.<proc>(...)` — maintenance at the SQL boundary
     * (optimize/vacuum/restore; see GraftProcedures). */
@@ -624,7 +678,23 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 private[sources] class GraftTable(tableName: String, val base: String,
     pinned: Option[Int], latestSchema: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsRowLevelOperations with SupportsMetadataColumns {
+    with SupportsRowLevelOperations with SupportsMetadataColumns
+    with TruncatableTable {
+
+  /** SQL TRUNCATE TABLE: one empty-entry-list commit — instant at any
+    * size, history stays time-travelable (truncation is a version,
+    * not file deletion; vacuum reclaims the bytes later). */
+  override def truncateTable(): Boolean = {
+    var attempts = 0
+    while (attempts < 10) {
+      attempts += 1
+      val latest = Extras5.q78Latest(base)
+      if (Extras5.q78TryCommitEntries(base, latest + 1, Seq.empty))
+        return true
+    }
+    throw new IllegalStateException(
+      s"gave up truncating $tableName after $attempts CAS attempts")
+  }
 
   /** Snapshot version (shadows Table.version()'s String default —
     * callers wanting the trait's form use versionString). */

@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.util.UUID
+
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+
+import graft.queries.Extras5
+
+/** ATOMIC CTAS / RTAS (r17): the staged-table half of
+  * `StagingTableCatalog`. Spark's AtomicCreate/ReplaceTableAsSelect
+  * writes THROUGH this table and only then calls
+  * `commitStagedChanges()` — so the data write and the table's
+  * existence commit together:
+  *
+  *  - CREATE: data files land under an UNREGISTERED base; the staged
+  *    commit publishes v1 = the written entries (schema header
+  *    included) and registers the name — a failed query leaves no
+  *    half-created table (abort deletes everything it staged);
+  *  - REPLACE: the staged write's BatchWrite.commit only STASHES the
+  *    entries; `commitStagedChanges()` publishes ONE CAS commit whose
+  *    entry list is exactly the staged files under the NEW schema —
+  *    concurrent readers of the old table never see a torn state, the
+  *    old versions stay time-travelable (REPLACE is one more commit,
+  *    not history surgery), and a lost race to a concurrent writer
+  *    simply retries the CAS (the staged data replaces whatever is
+  *    current — RTAS semantics are last-writer-wins on content).
+  *
+  * The write path is the ordinary append machinery (stats-tracking
+  * writers, partition fan-out under a clustered distribution), so a
+  * partitioned CTAS lands one file per tuple with manifest-carried
+  * tuples exactly like an INSERT. */
+private[sources] class GraftStagedTable(tableName: String, base: String,
+    createdBase: Boolean, replaceExisting: Boolean,
+    stagedSchema: StructType, partSpec: Seq[GraftPartitions.PartField],
+    userProps: Map[String, String], registryName: String)
+    extends StagedTable with SupportsWrite {
+
+  GraftFs.mkdirs(base)
+
+  @volatile private var stagedEntries: Seq[Extras5.ManifestEntry] = Seq.empty
+  @volatile private var stagedDirs: List[String] = Nil
+
+  private val statsCols: Seq[String] =
+    userProps.get(GraftCatalog.StatsColumnsKey)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .getOrElse(Seq(userProps.getOrElse(
+        GraftCatalog.StatsColumnKey, GraftCatalog.StatsColumn)))
+
+  override def name(): String = tableName
+  override def schema(): StructType = stagedSchema
+  override def partitioning(): Array[Transform] =
+    GraftPartitions.toTransforms(partSpec)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // the staged write IS the replacement — truncation is implied
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new StagedWrite(info)
+    }
+
+  private class StagedWrite(info: LogicalWriteInfo) extends Write
+      with BatchWrite with RequiresDistributionAndOrdering {
+
+    private val outDir =
+      s"$base/files-sql-staged-${UUID.randomUUID().toString.take(8)}"
+
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution =
+      if (partSpec.isEmpty)
+        org.apache.spark.sql.connector.distributions.Distributions
+          .unspecified()
+      else
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          partSpec.map(f => Expressions.column(f.column)
+            : org.apache.spark.sql.connector.expressions.Expression).toArray)
+
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      Array.empty
+
+    override def toBatch: BatchWrite = this
+
+    override def createBatchWriterFactory(
+        pinfo: PhysicalWriteInfo): DataWriterFactory =
+      new GraftWriterFactory(
+        GraftCatalog.physicalize(info.schema(), stagedSchema), outDir,
+        statsCols, partSpec)
+
+    /** STASH only — publication happens in commitStagedChanges(). */
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      stagedEntries = GraftCommits.entriesOf(GraftCommits.flat(messages))
+      stagedDirs ::= outDir
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      GraftCommits.deleteAll(messages)
+
+    override def description(): String = s"GraftStagedWrite($tableName)"
+  }
+
+  override def commitStagedChanges(): Unit = {
+    // persist schema/props exactly like CREATE TABLE (mirror + content-
+    // addressed schema file; engine partition spec rides the props)
+    GraftFs.writeAtomicReplace(s"$base/_schema.json",
+      stagedSchema.json.getBytes("UTF-8"))
+    val allProps = userProps ++ (if (partSpec.isEmpty) Map.empty else Map(
+      GraftPartitions.SpecKey -> GraftPartitions.renderSpec(partSpec)))
+    if (allProps.nonEmpty || replaceExisting) {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      GraftFs.writeAtomicReplace(s"$base/_props.json", m.writeValueAsBytes(
+        scala.jdk.CollectionConverters.MapHasAsJava(allProps).asJava))
+    }
+    val schemaId = GraftSchemas.write(base, stagedSchema)
+    if (!replaceExisting) {
+      if (!Extras5.q78TryCommitEntries(base, 1, stagedEntries,
+          Seq(GraftSchemas.Header -> schemaId)))
+        throw new IllegalStateException(
+          s"concurrent CREATE detected at $base (v1 already exists)")
+      if (!GraftCatalog.registerNew(registryName, base)) {
+        abortStagedChanges()
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(Seq(registryName))
+      }
+    } else {
+      var attempts = 0
+      var done = false
+      while (!done && attempts < 10) {
+        attempts += 1
+        val latest = Extras5.q78Latest(base)
+        done = Extras5.q78TryCommitEntries(base, latest + 1, stagedEntries,
+          Seq(GraftSchemas.Header -> schemaId))
+      }
+      if (!done) throw new IllegalStateException(
+        s"gave up committing REPLACE to $tableName after 10 CAS attempts")
+    }
+  }
+
+  override def abortStagedChanges(): Unit = {
+    stagedDirs.foreach(d =>
+      try graft.queries.Extras6.deleteRecursively(d)
+      catch { case _: Exception => () })
+    if (createdBase)
+      try GraftFs.deleteRecursively(base) catch { case _: Exception => () }
+  }
+}
