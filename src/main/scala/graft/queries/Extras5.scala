@@ -576,20 +576,23 @@ object Extras5 {
       headers: Seq[(String, String)] = Seq.empty): Boolean = {
     val stamped = if (headers.exists(_._1 == "ts")) headers
       else ("ts" -> System.currentTimeMillis.toString) +: headers
-    // schema header CARRIES FORWARD automatically: a data commit on a
-    // schema-versioned table keeps the previous version's `#schema`
-    // unless the caller (ALTER TABLE, CREATE TABLE) supplies a new one
-    // — one extra small-header read per attempt, the same cost class
-    // as the resolve the commit loop already paid. Tables without
-    // schema headers (API-built fixtures) carry nothing.
+    // schema AND props headers CARRY FORWARD automatically: a data
+    // commit on a versioned table keeps the previous version's
+    // `#schema`/`#props` unless the caller (ALTER TABLE, CREATE TABLE,
+    // SET TBLPROPERTIES, RTAS) supplies new ones — one small-header
+    // read per attempt, the same cost class as the resolve the commit
+    // loop already paid. Tables without these headers (API-built
+    // fixtures) carry nothing.
+    val carriedKeys =
+      Seq(graft.sources.GraftSchemas.Header, graft.sources.GraftProps.Header)
+        .filterNot(k => stamped.exists(_._1 == k))
     val hdr =
-      if (stamped.exists(_._1 == graft.sources.GraftSchemas.Header) ||
-          version <= 1) stamped
+      if (carriedKeys.isEmpty || version <= 1) stamped
       else stamped ++ (
-        try q78CommitHeaders(base, version - 1)
-          .get(graft.sources.GraftSchemas.Header)
-          .map(graft.sources.GraftSchemas.Header -> _)
-        catch { case _: java.nio.file.NoSuchFileException => None })
+        try {
+          val prev = q78CommitHeaders(base, version - 1)
+          carriedKeys.flatMap(k => prev.get(k).map(k -> _))
+        } catch { case _: java.nio.file.NoSuchFileException => Seq.empty })
     // entry line: path, optionally followed by the file's key-column
     // min/max (tab-separated; `-` placeholders when a DV'd file has no
     // stats), optionally followed by the DV path. Files without stats

@@ -285,20 +285,43 @@ object Extras7 {
         dvd.map(e => (metadataPathOf(e.path), e.dv.get)))
       .flatMap { case (f, d) => GraftDv.read(d).map(p => (f, p)) }
       .toDF("file", "pos")
-    // live rows = DV'd files minus their dead ordinals; coalesce keeps
-    // one output per input file without a shuffle. The (file, pos)
+    // live rows = DV'd files minus their dead ordinals. The (file, pos)
     // identity joins the RAW metadata column against metadata-form
     // manifest paths (UDF-free scan); the row-count reconciliation
     // below makes a silently-missed anti-join (which would resurrect
-    // deleted rows) impossible to commit.
-    spark.read.parquet(dvd.map(_.path): _*)
+    // deleted rows) impossible to commit. PARTITIONED tables (any input
+    // carrying a tuple, r17 ADVICE) rewrite per tuple GROUP — one
+    // output per partition, tagged via a broadcast path→group map and
+    // written partitionBy in ONE job — so the purged file stays
+    // attributable to its partition; unpartitioned tables keep the
+    // shuffle-free coalesce (one output per input).
+    val live = spark.read.parquet(dvd.map(_.path): _*)
       .withColumn("file", col("_metadata.file_path"))
       .withColumn("pos", col("_metadata.row_index"))
       .join(dvPairs, Seq("file", "pos"), "left_anti")
-      .drop("file", "pos")
-      .coalesce(dvd.size)
-      .write.parquet(outDir)
-    val outputs = parts(outDir)
+    val groups: Seq[(Map[String, String], Seq[Extras5.ManifestEntry])] =
+      if (dvd.forall(_.partValues.isEmpty)) Seq.empty
+      else dvd.groupBy(_.partValues).toSeq
+        .sortBy(_._1.toSeq.sorted.mkString(" "))
+    if (groups.isEmpty)
+      live.drop("file", "pos").coalesce(dvd.size).write.parquet(outDir)
+    else {
+      val pathToGrp = groups.zipWithIndex.flatMap { case ((_, es), i) =>
+        es.map(e => (metadataPathOf(e.path), i))
+      }.toDF("file", "grp")
+      live.join(broadcast(pathToGrp), Seq("file"))
+        .drop("file", "pos")
+        .repartition(groups.size, $"grp")
+        .write.partitionBy("grp").parquet(outDir)
+    }
+    val outByGrp: Map[Int, Seq[String]] =
+      if (groups.isEmpty) Map.empty
+      else graft.sources.GraftFs.list(outDir)
+        .collect { case (n, p, true) if n.startsWith("grp=") =>
+          n.stripPrefix("grp=").toInt -> parts(p) }
+        .toMap
+    val outputs =
+      if (groups.isEmpty) parts(outDir) else outByGrp.values.flatten.toSeq
     // exact reconciliation, O(#files) footer metadata + O(deleted)
     // sidecar reads: output rows == input rows − dead positions
     val inputRows = dvd.map(e => GraftDv.rowGroups(e.path).map(_._3).sum).sum
@@ -313,7 +336,12 @@ object Extras7 {
     }
     val stats = statsColumn.map(Extras5.parquetKeyStats(outputs, _))
       .getOrElse(Map.empty)
-    val newEntries = outputs.map(f => Extras5.ManifestEntry(f, stats.get(f)))
+    val tupleOf: Map[String, Map[String, String]] =
+      groups.zipWithIndex.flatMap { case ((tuple, _), i) =>
+        outByGrp.getOrElse(i, Seq.empty).map(_ -> tuple)
+      }.toMap
+    val newEntries = outputs.map(f => Extras5.ManifestEntry(f, stats.get(f),
+      partValues = tupleOf.getOrElse(f, Map.empty)))
     val dvdIds = dvd.map(_.identity).toSet
     var attempts = 0
     while (attempts < maxAttempts) {

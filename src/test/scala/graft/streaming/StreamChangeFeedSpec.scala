@@ -132,7 +132,7 @@ class StreamChangeFeedSpec extends SparkSpec {
     // a transition expiring MID-STREAM (planInputPartitions hitting a
     // vacuumed endpoint) reports the same retention contract
     val stream = new GraftChangeFeedStream(base,
-      GraftChangeFeed.schemaFor(base), 1)
+      GraftChangeFeed.schemaFor(base), 1, GraftChangeFeed.physicalOf(base))
     val e2 = intercept[Exception] {
       stream.planInputPartitions(GraftVersionOffset(0), GraftVersionOffset(2))
     }
@@ -142,7 +142,7 @@ class StreamChangeFeedSpec extends SparkSpec {
   test("a transition's partitions are exactly the manifests' symmetric difference") {
     val base = Extras6.q92Build(spark, sf)
     val stream = new GraftChangeFeedStream(base,
-      GraftChangeFeed.schemaFor(base), 1)
+      GraftChangeFeed.schemaFor(base), 1, GraftChangeFeed.physicalOf(base))
     val parts = stream.planInputPartitions(
       GraftVersionOffset(1), GraftVersionOffset(2))
       .map(_.asInstanceOf[graft.sources.GraftParquetIO.GraftFileSplit])
