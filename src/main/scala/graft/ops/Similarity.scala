@@ -879,24 +879,51 @@ object Similarity {
     cents = spark.createDataFrame(
       spark.sparkContext.parallelize(cents.collect().toIndexedSeq, 1),
       cents.schema)
-    val corpus = ivfAssign(qe, cents).materialize
+    def tm[A](l: String)(f: => A): A = {
+      if (!sys.env.contains("GRAFT_S15_PROF")) f
+      else { val t0 = System.nanoTime(); val x = f
+        println(f"[s15-phase] $l ${(System.nanoTime() - t0) / 1e9}%6.2f"); x }
+    }
+    val corpus = tm("corpus")(ivfAssign(qe, cents).materialize)
     val q = queriesSubset(spark, dir).withColumn("qq", ivfQuant($"q_emb"))
     val wProbe = Window.partitionBy($"q_id").orderBy($"dist".asc, $"cluster".asc)
     val qranks = q.crossJoin(broadcast(cents))
       .withColumn("dist", sqDist($"qq", $"m"))
       .withColumn("pr", row_number().over(wProbe))
       .select($"q_id", $"q_emb", $"cluster", $"pr")
-      .materialize
-    val exact = s01(spark, dir).select($"q_id", $"vec_id").materialize
+      .filter($"pr" <= S15Sweep.max)
+    val exact = tm("exact")(s01(spark, dir).select($"q_id", $"vec_id").materialize)
     val nExact = exact.count()
+    // ONE corpus join at the widest arm (r18, guide §1.2 "remove
+    // unnecessary passes"): a corpus vector belongs to exactly one
+    // cluster and probe lists are unique per (q_id, cluster), so a
+    // candidate scored once carries its cluster's probe rank `pr` and
+    // arm np's candidate set is EXACTLY {pr <= np} — the sweep's
+    // monotone nesting made executable. The old loop re-joined the
+    // corpus and re-ran the ranking per arm (4 joins, 8 actions);
+    // this computes every arm from one materialized candidate frame,
+    // so sweep cost ∝ candidates(max nprobe), not Σ over arms.
+    val cand = tm("cand")(corpus.join(broadcast(qranks), Seq("cluster"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id", $"pr",
+        VectorOps.cosineSim(spark, $"embedding", $"q_emb").as("cosine"))
+      .materialize)
+    val prCounts = tm("prCounts")(cand.groupBy($"pr").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+    // per-arm top-5: explode each candidate into the arms that include
+    // it (pr <= np), rank within (arm, query) under the same
+    // (cosine desc, vec_id asc) order the per-arm loop used
+    val armed = cand.select($"q_id", $"vec_id", $"cosine",
+      explode(filter(array(S15Sweep.map(lit): _*), np => np >= $"pr"))
+        .as("np"))
+    val hitByArm = tm("hits")(GraftPlans.topKPerKey(armed, Seq("np", "q_id"),
+        Seq(("cosine", false), ("vec_id", true)), 5)
+      .join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy($"np").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
     val rows = S15Sweep.map { np =>
-      val probes = qranks.filter($"pr" <= np).select($"q_id", $"q_emb", $"cluster")
-      val cand = corpus.join(broadcast(probes), Seq("cluster"))
-        .filter($"vec_id" =!= $"q_id")
-      val nCand = cand.count()
-      val topk = top5(cand.select($"q_id", $"vec_id",
-        VectorOps.cosineSim(spark, $"embedding", $"q_emb").as("cosine")))
-      val nHits = topk.join(exact, Seq("q_id", "vec_id"), "left_semi").count()
+      val nCand = prCounts.collect { case (pr, n) if pr <= np => n }.sum
+      val nHits = hitByArm.getOrElse(np, 0L)
       (np.toLong, nCand, nHits, nHits.toDouble / nExact)
     }
     rows.toDF("nprobe", "n_candidates", "n_hits", "recall_at_5")

@@ -37,18 +37,82 @@ object EventsStream {
   }
 
   /** Drain a streaming DF through a memory sink synchronously and
-    * return the settled table (the oracle-gate scaffolding). */
-  private def drain(df: DataFrame, mode: String): DataFrame = {
+    * return the settled table (the oracle-gate scaffolding).
+    *
+    * `adaptiveBytes >= 0` turns on SCALE-ADAPTIVE STATE PARTITIONING
+    * (r18, guide §2: derive partitioning from input size, never from a
+    * constant tuned for one deployment): stateful streaming operators
+    * pin `spark.sql.shuffle.partitions` at query start as their
+    * state-store partition count — AQE never coalesces a stateful
+    * stage — so the session default (= core count, the cluster-shaped
+    * value) costs one task + one state-store commit per partition per
+    * micro-batch even when the whole input is a few MB (a stream-stream
+    * join pays FOUR stores per partition). partitions =
+    * clamp(ceil(bytes / target), 1, defaultParallelism): saturates to
+    * every core at scale, collapses to a handful of stores on small
+    * inputs. target = spark.graft.stream.targetPartitionBytes
+    * (default 32 MiB). Emitted rows are partition-count-invariant
+    * (watermarks are global, per-key state never straddles partitions,
+    * and every emission here is a per-key aggregate or key projection)
+    * — the oracle gates pin that. */
+  private def drain(df: DataFrame, mode: String,
+      adaptiveBytes: Long = -1L): DataFrame = {
     val spark = df.sparkSession
     val name = s"st_out_${counter.incrementAndGet()}"
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    def run(): Unit = {
+      val q = df.writeStream.outputMode(mode).format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    if (adaptiveBytes < 0L) run()
+    else withAdaptivePartitions(spark, adaptiveBytes)(run())
     spark.table(name)
   }
 
+  /** Run `f` with `spark.sql.shuffle.partitions` derived from `bytes`
+    * (restored afterwards) — the adaptive scope `drain` uses, exposed
+    * so custom drains (st22's foreachBatch change-feed classifier) get
+    * the same scale-adaptive partitioning. */
+  private def withAdaptivePartitions[A](spark: SparkSession,
+      bytes: Long)(f: => A): A = {
+    val target = spark.conf
+      .getOption("spark.graft.stream.targetPartitionBytes")
+      .flatMap(_.toLongOption).getOrElse(32L << 20)
+    val n = adaptiveStatePartitions(bytes,
+      spark.sparkContext.defaultParallelism, target)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** clamp(ceil(bytes / targetBytes), 1, parallelism) — the state
+    * partition count for a stream whose input is `bytes` on disk. */
+  private[streaming] def adaptiveStatePartitions(bytes: Long,
+      parallelism: Int, targetBytes: Long): Int =
+    math.max(1L, math.min(math.max(1, parallelism).toLong,
+      (bytes + targetBytes - 1) / math.max(1L, targetBytes))).toInt
+
+  /** Total on-disk bytes under `paths` (files or directories,
+    * recursive) — the drain's scale signal. */
+  private def inputBytes(paths: String*): Long = {
+    def sz(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.map(sz).sum).getOrElse(0L)
+      else f.length()
+    paths.map(p => sz(new java.io.File(p))).sum
+  }
+
+  private def eventsBytes(dir: String): Long =
+    inputBytes(s"$dir/events.parquet")
+
   def st01(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    drain(StreamOps.hourlyCounts(eventsSource(spark, dir)), "complete")
+    drain(StreamOps.hourlyCounts(eventsSource(spark, dir)), "complete",
+      eventsBytes(dir))
       .select(date_format($"window.start", "yyyy-MM-dd HH:00:00").as("hour_bucket"),
         $"event_type", $"n_events")
       .orderBy($"hour_bucket", $"event_type")
@@ -70,7 +134,8 @@ object EventsStream {
     * oracle-checked: batch sessionization filtered by that predicate. */
   def st02(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    drain(StreamOps.sessionCounts(eventsSource(spark, dir)), "append")
+    drain(StreamOps.sessionCounts(eventsSource(spark, dir)), "append",
+      eventsBytes(dir))
       .select(date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
         $"user_id", $"n_events")
       .orderBy($"user_id", $"session_start")
@@ -99,7 +164,8 @@ object EventsStream {
       .select($"user_id", $"event_type", $"value",
         unix_micros($"ts").as("ts_us"))
       .as[Ev]
-    drain(StreamOps.userProfiles(evs).toDF(), "update").orderBy("user_id")
+    drain(StreamOps.userProfiles(evs).toDF(), "update", eventsBytes(dir))
+      .orderBy("user_id")
   }
 
   private val st03Sql =
@@ -119,7 +185,8 @@ object EventsStream {
     * overlap factor (window/slide) multiplies state, not input. */
   def st04(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    drain(StreamOps.slidingCounts(eventsSource(spark, dir)), "complete")
+    drain(StreamOps.slidingCounts(eventsSource(spark, dir)), "complete",
+      eventsBytes(dir))
       .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
         $"event_type", $"n_events")
       .orderBy($"window_start", $"event_type")
@@ -152,7 +219,7 @@ object EventsStream {
     val stream = StreamOps.enrichedTypeCounts(
       eventsSource(spark, dir).select($"event_id", $"user_id", $"event_type"),
       profile)
-    drain(stream, "complete")
+    drain(stream, "complete", eventsBytes(dir))
       .select($"event_type", $"n_events", $"sum_user_total")
       .orderBy($"event_type")
   }
@@ -189,7 +256,7 @@ object EventsStream {
     // (no countDistinct here: distinct aggregation is unsupported on
     // streaming DataFrames — use approx_count_distinct in production)
     val stream = StreamOps.typeStats(spark.readStream.schema(schema).json(tmp))
-    drain(stream, "complete")
+    drain(stream, "complete", inputBytes(tmp))
       .select($"event_type", $"n_events", $"user_id_sum", $"min_value", $"max_value")
       .orderBy($"event_type")
   }
@@ -217,7 +284,7 @@ object EventsStream {
     val joined = StreamOps.purchaseClickJoin(
       eventsSource(spark, dir).filter($"event_type" === "purchase"),
       eventsSource(spark, dir).filter($"event_type" === "click"))
-    drain(joined, "append")
+    drain(joined, "append", 2 * eventsBytes(dir))
       .select($"p_id".as("purchase_id"), $"c_id".as("click_id"))
       .orderBy($"purchase_id", $"click_id")
   }
@@ -229,7 +296,7 @@ object EventsStream {
     val joined = StreamOps.purchaseClickLeftJoin(
       eventsSource(spark, dir).filter($"event_type" === "purchase"),
       eventsSource(spark, dir).filter($"event_type" === "click"))
-    drain(joined, "append")
+    drain(joined, "append", 2 * eventsBytes(dir))
       .select($"p_id".as("purchase_id"), $"p_ts", $"c_id".as("click_id"))
   }
 
@@ -291,7 +358,7 @@ object EventsStream {
     val joined = StreamOps.purchaseClickFullJoin(
       eventsSource(spark, dir).filter($"event_type" === "purchase"),
       eventsSource(spark, dir).filter($"event_type" === "click"))
-    drain(joined, "append")
+    drain(joined, "append", 2 * eventsBytes(dir))
       .select($"p_id".as("purchase_id"), $"c_id".as("click_id"))
       .orderBy($"purchase_id", $"click_id")
   }
@@ -354,7 +421,8 @@ object EventsStream {
     // scope the conf to this query and restore afterwards.
     val prev = spark.conf.getOption(ProviderConf)
     spark.conf.set(ProviderConf, RocksDbProvider)
-    try drain(StreamOps.modalTypeProfiles(stream).toDF(), "update")
+    try drain(StreamOps.modalTypeProfiles(stream).toDF(), "update",
+      inputBytes(src))
     finally prev match {
       case Some(v) => spark.conf.set(ProviderConf, v)
       case None => spark.conf.unset(ProviderConf)
@@ -418,7 +486,8 @@ object EventsStream {
     val prev = spark.conf.getOption(ProviderConf)
     spark.conf.set(ProviderConf, RocksDbProvider)
     val drained =
-      try drain(StreamOps.inactivityProfiles(evs).toDF(), "append")
+      try drain(StreamOps.inactivityProfiles(evs).toDF(), "append",
+        eventsBytes(dir))
       finally prev match {
         case Some(v) => spark.conf.set(ProviderConf, v)
         case None => spark.conf.unset(ProviderConf)
@@ -473,7 +542,8 @@ object EventsStream {
         import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
         drain(stream.groupByKey(_.user_id)
           .transformWithState(new ModalTypeWarmStartProcessor,
-            TimeMode.None(), OutputMode.Update(), init).toDF(), "update")
+            TimeMode.None(), OutputMode.Update(), init).toDF(), "update",
+          inputBytes(src))
       } finally prev match {
         case Some(v) => spark.conf.set(ProviderConf, v)
         case None => spark.conf.unset(ProviderConf)
@@ -516,7 +586,8 @@ object EventsStream {
     * so it is oracle-checked like st02. */
   def st08(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    drain(StreamOps.hourlyCounts(eventsSource(spark, dir)), "append")
+    drain(StreamOps.hourlyCounts(eventsSource(spark, dir)), "append",
+      eventsBytes(dir))
       .select(date_format($"window.start", "yyyy-MM-dd HH:00:00").as("hour_bucket"),
         $"event_type", $"n_events")
       .orderBy($"hour_bucket", $"event_type")
@@ -541,7 +612,8 @@ object EventsStream {
     * close predicate. */
   def st09(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    drain(StreamOps.slidingCounts(eventsSource(spark, dir)), "append")
+    drain(StreamOps.slidingCounts(eventsSource(spark, dir)), "append",
+      eventsBytes(dir))
       .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
         $"event_type", $"n_events")
       .orderBy($"window_start", $"event_type")
@@ -570,7 +642,8 @@ object EventsStream {
     * no watermark filter. */
   def st10(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    drain(StreamOps.dedupKeys(eventsSource(spark, dir)), "append")
+    drain(StreamOps.dedupKeys(eventsSource(spark, dir)), "append",
+      eventsBytes(dir))
       .select(date_format($"ts_hour", "yyyy-MM-dd HH:00:00").as("hour_bucket"),
         $"user_id", $"event_type")
       .orderBy($"hour_bucket", $"user_id", $"event_type")
@@ -715,7 +788,7 @@ object EventsStream {
     val stream = spark.readStream.format("graft.sources.AvroDataSource").load(lz)
     drain(stream.groupBy($"event_type")
         .agg(count(lit(1)).as("n_events"),
-          sum($"user_id").as("sum_uid")), "complete")
+          sum($"user_id").as("sum_uid")), "complete", inputBytes(lz))
       .orderBy($"event_type")
   }
 
@@ -738,7 +811,8 @@ object EventsStream {
     * same close predicate (end ≤ max ts − 30 min). */
   def st18(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    drain(StreamOps.dynamicSessionCounts(eventsSource(spark, dir)), "append")
+    drain(StreamOps.dynamicSessionCounts(eventsSource(spark, dir)), "append",
+      eventsBytes(dir))
       .select(
         date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss").as("session_start"),
         date_format($"session_window.end", "yyyy-MM-dd HH:mm:ss").as("session_end"),
@@ -852,7 +926,8 @@ object EventsStream {
     val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
-    drain(StreamOps.dedupWithinWatermark(stream), "append")
+    drain(StreamOps.dedupWithinWatermark(stream), "append",
+      inputBytes(src))
       .groupBy($"user_id", $"event_type")
       .agg(count(lit(1)).as("n_emits"))
       .orderBy($"user_id", $"event_type")
@@ -1023,18 +1098,27 @@ object EventsStream {
     graft.sources.GraftCatalog.register(name, base)
     val acc = new java.util.concurrent.ConcurrentLinkedQueue[
       (String, String, Long, Double, Double)]()
-    val q = spark.readStream.table(s"graft.$name.changes")
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        StreamOps.classifyChanges(batch)
-          .collect() // bounded: ≤ 3 change types per transition
-          .foreach(r => acc.add((r.getString(0), r.getString(1),
-            r.getLong(2), r.getDouble(3), r.getDouble(4))))
-        ()
-      }
-      .option("checkpointLocation", graft.Scratch.dir("st22_ckpt"))
-      .trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally q.stop()
+    // r18 (guide §2): each micro-batch classifies one transition's
+    // pruned diff — a few MB here — but the foreachBatch aggregation
+    // inherits the session's cluster-shaped shuffle.partitions (2
+    // shuffles × that many tasks per micro-batch). Scope the same
+    // adaptive partition count the stateful drains use to the whole
+    // AvailableNow drain, sized from the table's on-disk footprint
+    // (an upper bound on any transition's diff).
+    withAdaptivePartitions(spark, inputBytes(base)) {
+      val q = spark.readStream.table(s"graft.$name.changes")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          StreamOps.classifyChanges(batch)
+            .collect() // bounded: ≤ 3 change types per transition
+            .foreach(r => acc.add((r.getString(0), r.getString(1),
+              r.getLong(2), r.getDouble(3), r.getDouble(4))))
+          ()
+        }
+        .option("checkpointLocation", graft.Scratch.dir("st22_ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
     import scala.jdk.CollectionConverters._
     acc.asScala.toSeq
       .toDF("transition", "change_type", "n_rows", "sum_pre_price",
