@@ -122,10 +122,20 @@ object Pipeline {
 
   /** The standing indexes a production ingest keeps between deltas:
     * built from the non-delta corpus once, all frames materialized
-    * (checkpoint-FS-aware via [[Materialize]]). */
+    * (checkpoint-FS-aware via [[Materialize]]).
+    *
+    * r18 (guide §1.2/§2.3): `corpusSizes` (per-corpus-doc shingle
+    * counts) depends on nothing but the index, so it is computed ONCE
+    * here instead of per delta — the incremental DAG no longer
+    * contains any corpus-sized aggregation. The hot-shingle anti-joins
+    * broadcast `hot` explicitly (it is df-capped small by
+    * construction), and the materialized frames carry REAL sizes
+    * (localCheckpoint stats), so the probe join picks its build side
+    * from actual bytes rather than defaults. */
   final case class StandingIndex(
       hotShingles: DataFrame, // (w) stop-shingles, df > Dedup.DfCap
-      shingleIdx: DataFrame,  // (doc_id, w) df-capped inverted index (d07's idxC)
+      shingleIdx: DataFrame,  // (doc_id, w) df-capped inverted index (d07's idxC), hash-partitioned by w
+      corpusSizes: DataFrame, // (corpus_id, nc) shingle count per indexed doc
       rareFp: DataFrame,      // (m) winnow fps with standing df <= DcDfCap
       benchFp: DataFrame)     // (bench_id, m) rare fps of held-out docs
 
@@ -142,18 +152,23 @@ object Pipeline {
       .materialize
     val hot = sh.groupBy($"w").agg(count(lit(1)).as("df"))
       .filter($"df" > Dedup.DfCap).select($"w").materialize
-    val shingleIdx = sh.join(hot, Seq("w"), "left_anti").materialize
+    val shingleIdx = sh.join(broadcast(hot), Seq("w"), "left_anti")
+      .materialize
+    val corpusSizes = shingleIdx.groupBy($"doc_id".as("corpus_id"))
+      .agg(count(lit(1)).as("nc")).materialize
     val fps = standing.filter(length($"text") >= 8)
       .select($"doc_id",
         explode(graft.functions.TextKernels.winnowFpSampleCol(
           spark, lower($"text"), 1, 0)).as("m"))
       .materialize
+    // already hash-partitioned by m (the groupBy's layout, preserved by
+    // the materialize): the delta's rare-fp semi join reuses it
     val rareFp = fps.groupBy($"m").agg(count(lit(1)).as("df"))
       .filter($"df" <= TextOps.DcDfCap).select($"m").materialize
     val benchFp = fps.filter($"doc_id" % 11 === 0)
       .join(rareFp, Seq("m"), "left_semi")
       .select($"doc_id".as("bench_id"), $"m").materialize
-    StandingIndex(hot, shingleIdx, rareFp, benchFp)
+    StandingIndex(hot, shingleIdx, corpusSizes, rareFp, benchFp)
   }
 
   /** One delta ingest against a prebuilt [[StandingIndex]]: per-source
@@ -169,15 +184,16 @@ object Pipeline {
     // inverted index; duplicate = any corpus doc at Jaccard >= 0.8
     val idxN = delta
       .select($"doc_id", explode(Dedup.shingles(spark, $"text")).as("w"))
-      .join(idx.hotShingles, Seq("w"), "left_anti")
+      .join(broadcast(idx.hotShingles), Seq("w"), "left_anti")
       .materialize
     val sizeN = idxN.groupBy($"doc_id".as("new_id")).agg(count(lit(1)).as("nn"))
-    val sizeC = idx.shingleIdx.groupBy($"doc_id".as("corpus_id"))
-      .agg(count(lit(1)).as("nc"))
+    // per-doc corpus sizes come precomputed off the standing index
+    // (r18) — no corpus-sized aggregation inside the delta DAG
     val inter = idxN.as("a").join(idx.shingleIdx.as("b"), $"a.w" === $"b.w")
       .groupBy($"a.doc_id".as("new_id"), $"b.doc_id".as("corpus_id"))
       .agg(count(lit(1)).as("c"))
-    val dup = inter.join(sizeN, Seq("new_id")).join(sizeC, Seq("corpus_id"))
+    val dup = inter.join(sizeN, Seq("new_id"))
+      .join(idx.corpusSizes, Seq("corpus_id"))
       .filter($"c".cast(DoubleType) / ($"nn" + $"nc" - $"c") >= 0.8)
       .select($"new_id").distinct()
 
