@@ -233,6 +233,48 @@ object Bench {
     // `#schema` header (one extra small-header read per commit
     // attempt) and CREATE adds one content-addressed schema file —
     // watch q95/q101-q105 for a small uniform +, not a regression.
+    //
+    // r17→r18 DRIFT VERDICT (r18 = optimization round 1; baseline dev
+    // bench before any change, canary 0.159 nominal): total 7.759 /
+    // core9 5.096 vs r17 official 7.427 / 5.139 — a ~1.0-1.1× window
+    // (q01 1.064, q02 0.205, d03 1.750 vs 1.022/0.193/1.464). The
+    // judge's adjudications, all clean-JVM BenchOne medians same-day:
+    //  - st22 (+28% in r17): pre-change baseline read 4.90; the r18
+    //    adaptive-partitions fix lands it at 3.79 clean (canary 0.134/
+    //    0.153) — the r17 5.73 was ~half window, ~half the per-batch
+    //    32-partition classify shuffles, which are now gone. Judge's
+    //    verdict: attributed and fixed, not parked.
+    //  - ×10 block re-pins (dir = cached sf10x corpus, canary 0.149
+    //    post): q76 median 8.70 (runs 25.2→6.1, warming JVM; best
+    //    6.05) — r17's official 20.46 (×23) was a parked window; the
+    //    true ×10 factor is ~7-9× vs its 0.93 sf0.1 read, consistent
+    //    with rows × per-bin density (10× rows, denser bins). g01
+    //    4.60 (×2.1), m06 2.60 (×2.2 — the baseline child's 5.47 was
+    //    parked), s11 1.76 ON its 1.746 anchor, s05 noisy 3.6-11.3
+    //    median 6.79 (park-contaminated mid-run; s11's on-anchor read
+    //    brackets the window — candidate volumes unchanged).
+    //  - q96 2.61 clean at a window where q01 reads 1.21 (~1.15×):
+    //    window-adjusted ~2.3 vs the ~1.9 anchor — residual +20%
+    //    suspected from the r18-dev props-header carry (one more
+    //    small read per commit; MetaReads tallies q96 at 21 manifest
+    //    reads/run). Watch in r19; not adjudicated a regression.
+    //  - fresh q107/q108 anchors at canary 0.155: q107 0.85 (the r17
+    //    2.345 first-read predated the mid-build stats/zorder work),
+    //    q108 0.52. Baselining deferred: the compact line sits at
+    //    1836/1900 B and this round's contract forbids removing
+    //    entries, so the rotation that would fund them is r19's call.
+    //  - codec q6 (r17 0.72×): baseline read 188.6 vs native 222.5 =
+    //    0.85×, recovered toward r16's 0.95× with no code change —
+    //    window variance as suspected, no action.
+    // r18 OPTIMIZATION READS (clean-JVM medians, nominal canaries):
+    // st07 11.0→2.60 / st17 5.66→2.59 (scale-adaptive state
+    // partitions: state-store tasks per micro-batch now track input
+    // bytes, not the session's core count), s15 4.27→3.74 (single
+    // corpus join at the widest arm serves all four sweep arms), p02
+    // 5.42→4.68 (corpus-sized per-doc size agg moved into the
+    // standing index; probe DAG is delta-only), s14 pre-clustered
+    // fan-out write A/B'd at 4.23 vs 2.68 and REJECTED (shuffle +
+    // collapsed write parallelism beats tiny-file savings locally).
     "q106_version_tags", "st24_stream_table_read")
 
   /** The x10 scale block's query set — ONE definition shared by the

@@ -714,7 +714,14 @@ object Similarity {
     cents.write.parquet(s"$idx/centroids")
     cb.write.parquet(s"$idx/codebook")
     // the bulk artifact: partitioned by cluster so a probe reads only
-    // its clusters' files at scale
+    // its clusters' files at scale. Deliberately NOT pre-clustered
+    // before the fan-out write: an r18 A/B measured repartition(cluster)
+    // + partitionBy at 4.23 s vs 2.68 s for the direct write (the
+    // shuffle + collapsed write parallelism cost more than the extra
+    // per-task files save at this corpus size). On a real cluster with
+    // a big corpus the trade flips — hash write distribution
+    // (one shuffle, whole files per cluster) is the production layout;
+    // locally the planner-visible knob would only slow the build.
     codes.write.partitionBy("cluster").parquet(s"$idx/codes")
     idx
   }
