@@ -131,13 +131,32 @@ object Pipeline {
     * broadcast `hot` explicitly (it is df-capped small by
     * construction), and the materialized frames carry REAL sizes
     * (localCheckpoint stats), so the probe join picks its build side
-    * from actual bytes rather than defaults. */
+    * from actual bytes rather than defaults. The shingle and winnow-fp
+    * chains are data-independent and run as CONCURRENT jobs (guide
+    * §2.6): the second chain's tasks back-fill executors idled by the
+    * first chain's stage tails. */
   final case class StandingIndex(
       hotShingles: DataFrame, // (w) stop-shingles, df > Dedup.DfCap
-      shingleIdx: DataFrame,  // (doc_id, w) df-capped inverted index (d07's idxC), hash-partitioned by w
+      shingleIdx: DataFrame,  // (doc_id, w) df-capped inverted index (d07's idxC)
       corpusSizes: DataFrame, // (corpus_id, nc) shingle count per indexed doc
       rareFp: DataFrame,      // (m) winnow fps with standing df <= DcDfCap
       benchFp: DataFrame)     // (bench_id, m) rare fps of held-out docs
+
+  /** Run two independent job chains concurrently (guide §2.6: actions
+    * are only sequential because driver code calls them sequentially;
+    * FIFO scheduling back-fills the tail). Results are unchanged —
+    * the chains share no data dependency by contract of the caller. */
+  private def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fa = Future(a)
+      val fb = Future(b)
+      (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+    } finally pool.shutdown()
+  }
 
   /** Build the standing index from the corpus side (doc_id % 10 != 0;
     * the held-out benchmark inside it is doc_id % 11 == 0, t18's
@@ -147,27 +166,30 @@ object Pipeline {
     import spark.implicits._
     val standing = Tables.load(spark, dir, "documents")
       .filter($"doc_id" % 10 =!= 0)
-    val sh = standing
-      .select($"doc_id", explode(Dedup.shingles(spark, $"text")).as("w"))
-      .materialize
-    val hot = sh.groupBy($"w").agg(count(lit(1)).as("df"))
-      .filter($"df" > Dedup.DfCap).select($"w").materialize
-    val shingleIdx = sh.join(broadcast(hot), Seq("w"), "left_anti")
-      .materialize
-    val corpusSizes = shingleIdx.groupBy($"doc_id".as("corpus_id"))
-      .agg(count(lit(1)).as("nc")).materialize
-    val fps = standing.filter(length($"text") >= 8)
-      .select($"doc_id",
-        explode(graft.functions.TextKernels.winnowFpSampleCol(
-          spark, lower($"text"), 1, 0)).as("m"))
-      .materialize
-    // already hash-partitioned by m (the groupBy's layout, preserved by
-    // the materialize): the delta's rare-fp semi join reuses it
-    val rareFp = fps.groupBy($"m").agg(count(lit(1)).as("df"))
-      .filter($"df" <= TextOps.DcDfCap).select($"m").materialize
-    val benchFp = fps.filter($"doc_id" % 11 === 0)
-      .join(rareFp, Seq("m"), "left_semi")
-      .select($"doc_id".as("bench_id"), $"m").materialize
+    val ((hot, shingleIdx, corpusSizes), (rareFp, benchFp)) = inParallel({
+      val sh = standing
+        .select($"doc_id", explode(Dedup.shingles(spark, $"text")).as("w"))
+        .materialize
+      val hot = sh.groupBy($"w").agg(count(lit(1)).as("df"))
+        .filter($"df" > Dedup.DfCap).select($"w").materialize
+      val shingleIdx = sh.join(broadcast(hot), Seq("w"), "left_anti")
+        .materialize
+      val corpusSizes = shingleIdx.groupBy($"doc_id".as("corpus_id"))
+        .agg(count(lit(1)).as("nc")).materialize
+      (hot, shingleIdx, corpusSizes)
+    }, {
+      val fps = standing.filter(length($"text") >= 8)
+        .select($"doc_id",
+          explode(graft.functions.TextKernels.winnowFpSampleCol(
+            spark, lower($"text"), 1, 0)).as("m"))
+        .materialize
+      val rareFp = fps.groupBy($"m").agg(count(lit(1)).as("df"))
+        .filter($"df" <= TextOps.DcDfCap).select($"m").materialize
+      val benchFp = fps.filter($"doc_id" % 11 === 0)
+        .join(rareFp, Seq("m"), "left_semi")
+        .select($"doc_id".as("bench_id"), $"m").materialize
+      (rareFp, benchFp)
+    })
     StandingIndex(hot, shingleIdx, corpusSizes, rareFp, benchFp)
   }
 
@@ -181,11 +203,20 @@ object Pipeline {
       .filter($"doc_id" % 10 === 0)
 
     // d07 probe: delta shingles (index-metadata-capped) vs the standing
-    // inverted index; duplicate = any corpus doc at Jaccard >= 0.8
-    val idxN = delta
-      .select($"doc_id", explode(Dedup.shingles(spark, $"text")).as("w"))
-      .join(broadcast(idx.hotShingles), Seq("w"), "left_anti")
-      .materialize
+    // inverted index; duplicate = any corpus doc at Jaccard >= 0.8.
+    // The two delta projections (shingles, winnow fps) are independent
+    // — materialize them as concurrent jobs (guide §2.6)
+    val (idxN, fpN) = inParallel(
+      delta
+        .select($"doc_id", explode(Dedup.shingles(spark, $"text")).as("w"))
+        .join(broadcast(idx.hotShingles), Seq("w"), "left_anti")
+        .materialize,
+      delta.filter(length($"text") >= 8)
+        .select($"doc_id",
+          explode(graft.functions.TextKernels.winnowFpSampleCol(
+            spark, lower($"text"), 1, 0)).as("m"))
+        .join(idx.rareFp, Seq("m"), "left_semi")
+        .materialize)
     val sizeN = idxN.groupBy($"doc_id".as("new_id")).agg(count(lit(1)).as("nn"))
     // per-doc corpus sizes come precomputed off the standing index
     // (r18) — no corpus-sized aggregation inside the delta DAG
@@ -197,14 +228,9 @@ object Pipeline {
       .filter($"c".cast(DoubleType) / ($"nn" + $"nc" - $"c") >= 0.8)
       .select($"new_id").distinct()
 
-    // t18 probe: delta winnow fps (rare per index stats) vs the
-    // broadcast benchmark fp index; contaminated = containment >= 0.5
-    val fpN = delta.filter(length($"text") >= 8)
-      .select($"doc_id",
-        explode(graft.functions.TextKernels.winnowFpSampleCol(
-          spark, lower($"text"), 1, 0)).as("m"))
-      .join(idx.rareFp, Seq("m"), "left_semi")
-      .materialize
+    // t18 probe: delta winnow fps (rare per index stats, materialized
+    // above) vs the broadcast benchmark fp index; contaminated =
+    // containment >= 0.5
     val szN = fpN.groupBy($"doc_id").agg(count(lit(1)).as("n_fp"))
     val sharedN = fpN.join(broadcast(idx.benchFp), Seq("m"))
       .groupBy($"doc_id").agg(countDistinct($"m").as("n_shared"))
