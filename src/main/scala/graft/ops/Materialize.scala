@@ -39,4 +39,21 @@ object Materialize {
   implicit class MaterializeOps(private val df: DataFrame) extends AnyVal {
     def materialize: DataFrame = Materialize(df)
   }
+
+  /** Run two independent job chains concurrently (optimization guide
+    * §2.6: actions are only sequential because driver code calls them
+    * sequentially; FIFO scheduling back-fills one chain's stage tails
+    * with the other's tasks). The caller guarantees the chains share no
+    * data dependency, so results are unchanged. */
+  def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fa = Future(a)
+      val fb = Future(b)
+      (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+    } finally pool.shutdown()
+  }
 }

@@ -142,21 +142,7 @@ object Pipeline {
       rareFp: DataFrame,      // (m) winnow fps with standing df <= DcDfCap
       benchFp: DataFrame)     // (bench_id, m) rare fps of held-out docs
 
-  /** Run two independent job chains concurrently (guide §2.6: actions
-    * are only sequential because driver code calls them sequentially;
-    * FIFO scheduling back-fills the tail). Results are unchanged —
-    * the chains share no data dependency by contract of the caller. */
-  private def inParallel[A, B](a: => A, b: => B): (A, B) = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try {
-      val fa = Future(a)
-      val fb = Future(b)
-      (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
-    } finally pool.shutdown()
-  }
+  import Materialize.inParallel
 
   /** Build the standing index from the corpus side (doc_id % 10 != 0;
     * the held-out benchmark inside it is doc_id % 11 == 0, t18's

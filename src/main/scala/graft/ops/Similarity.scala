@@ -891,7 +891,14 @@ object Similarity {
       else { val t0 = System.nanoTime(); val x = f
         println(f"[s15-phase] $l ${(System.nanoTime() - t0) / 1e9}%6.2f"); x }
     }
-    val corpus = tm("corpus")(ivfAssign(qe, cents).materialize)
+    // corpus assignment and the exact brute-force baseline are
+    // independent — concurrent jobs (guide §2.6)
+    val (corpus, (exact, nExact)) = Materialize.inParallel(
+      tm("corpus")(ivfAssign(qe, cents).materialize),
+      tm("exact") {
+        val e = s01(spark, dir).select($"q_id", $"vec_id").materialize
+        (e, e.count())
+      })
     val q = queriesSubset(spark, dir).withColumn("qq", ivfQuant($"q_emb"))
     val wProbe = Window.partitionBy($"q_id").orderBy($"dist".asc, $"cluster".asc)
     val qranks = q.crossJoin(broadcast(cents))
@@ -899,8 +906,6 @@ object Similarity {
       .withColumn("pr", row_number().over(wProbe))
       .select($"q_id", $"q_emb", $"cluster", $"pr")
       .filter($"pr" <= S15Sweep.max)
-    val exact = tm("exact")(s01(spark, dir).select($"q_id", $"vec_id").materialize)
-    val nExact = exact.count()
     // ONE corpus join at the widest arm (r18, guide §1.2 "remove
     // unnecessary passes"): a corpus vector belongs to exactly one
     // cluster and probe lists are unique per (q_id, cluster), so a
@@ -915,19 +920,21 @@ object Similarity {
       .select($"q_id", $"vec_id", $"pr",
         VectorOps.cosineSim(spark, $"embedding", $"q_emb").as("cosine"))
       .materialize)
-    val prCounts = tm("prCounts")(cand.groupBy($"pr").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
     // per-arm top-5: explode each candidate into the arms that include
     // it (pr <= np), rank within (arm, query) under the same
-    // (cosine desc, vec_id asc) order the per-arm loop used
+    // (cosine desc, vec_id asc) order the per-arm loop used. The two
+    // collects read the same materialized frame — concurrent jobs.
     val armed = cand.select($"q_id", $"vec_id", $"cosine",
       explode(filter(array(S15Sweep.map(lit): _*), np => np >= $"pr"))
         .as("np"))
-    val hitByArm = tm("hits")(GraftPlans.topKPerKey(armed, Seq("np", "q_id"),
-        Seq(("cosine", false), ("vec_id", true)), 5)
-      .join(exact, Seq("q_id", "vec_id"), "left_semi")
-      .groupBy($"np").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+    val (prCounts, hitByArm) = Materialize.inParallel(
+      tm("prCounts")(cand.groupBy($"pr").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap),
+      tm("hits")(GraftPlans.topKPerKey(armed, Seq("np", "q_id"),
+          Seq(("cosine", false), ("vec_id", true)), 5)
+        .join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy($"np").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap))
     val rows = S15Sweep.map { np =>
       val nCand = prCounts.collect { case (pr, n) if pr <= np => n }.sum
       val nHits = hitByArm.getOrElse(np, 0L)
