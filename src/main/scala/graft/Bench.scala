@@ -270,11 +270,20 @@ object Bench {
     // st07 11.0→2.60 / st17 5.66→2.59 (scale-adaptive state
     // partitions: state-store tasks per micro-batch now track input
     // bytes, not the session's core count), s15 4.27→3.74 (single
-    // corpus join at the widest arm serves all four sweep arms), p02
-    // 5.42→4.68 (corpus-sized per-doc size agg moved into the
-    // standing index; probe DAG is delta-only), s14 pre-clustered
-    // fan-out write A/B'd at 4.23 vs 2.68 and REJECTED (shuffle +
-    // collapsed write parallelism beats tiny-file savings locally).
+    // corpus join at the widest arm serves all four sweep arms) then
+    // →~4.0 stable with §2.6 job overlap (corpus ∥ exact, two
+    // collects ∥; official post-change read 2.87), p02 5.42→4.68
+    // (corpus-sized per-doc size agg moved into the standing index;
+    // probe DAG is delta-only) →3.45 with the index build's and
+    // probe's independent chains as concurrent jobs (official read
+    // 3.38), s14 pre-clustered fan-out write A/B'd at 4.23 vs 2.68
+    // and REJECTED (shuffle + collapsed write parallelism beats
+    // tiny-file savings locally). Post-change official-shape runs:
+    // total 6.711/core9 4.716 at canary 0.137 and 7.461/5.090 at
+    // 0.155 (the second window slower, q01 0.837 vs 0.792; its sf1
+    // child parked mid-block — s05 ×40.4, m06 ×8.3, while q76 read
+    // ×7.50 ON the clean anchor; read ×10 factors against the
+    // clean-JVM re-pins above, not parked children).
     "q106_version_tags", "st24_stream_table_read")
 
   /** The x10 scale block's query set — ONE definition shared by the
