@@ -254,10 +254,11 @@ object Bench {
     //    median 6.79 (park-contaminated mid-run; s11's on-anchor read
     //    brackets the window — candidate volumes unchanged).
     //  - q96 2.61 clean at a window where q01 reads 1.21 (~1.15×):
-    //    window-adjusted ~2.3 vs the ~1.9 anchor — residual +20%
-    //    suspected from the r18-dev props-header carry (one more
-    //    small read per commit; MetaReads tallies q96 at 21 manifest
-    //    reads/run). Watch in r19; not adjudicated a regression.
+    //    window-adjusted ~2.3 vs the ~1.9 anchor — briefly suspect
+    //    (props-header carry; MetaReads tallies q96 at 21 manifest
+    //    reads/run, bounded). RESOLVED by the post-change official
+    //    runs: q96 1.84 / 2.08 — ON the anchor; the mid-round reads
+    //    were window.
     //  - fresh q107/q108 anchors at canary 0.155: q107 0.85 (the r17
     //    2.345 first-read predated the mid-build stats/zorder work),
     //    q108 0.52. Baselining deferred: the compact line sits at
