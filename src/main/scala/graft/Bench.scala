@@ -250,9 +250,11 @@ object Bench {
     //    true ×10 factor is ~7-9× vs its 0.93 sf0.1 read, consistent
     //    with rows × per-bin density (10× rows, denser bins). g01
     //    4.60 (×2.1), m06 2.60 (×2.2 — the baseline child's 5.47 was
-    //    parked), s11 1.76 ON its 1.746 anchor, s05 noisy 3.6-11.3
-    //    median 6.79 (park-contaminated mid-run; s11's on-anchor read
-    //    brackets the window — candidate volumes unchanged).
+    //    parked), s11 1.76 ON its 1.746 anchor, s05 first re-pin
+    //    noisy 3.6-11.3 (park mid-run); a later quiet-host re-pin
+    //    read s05 median 3.96 (runs settling to 3.47) at nominal
+    //    canary — ON its 4.29 r17 anchor, candidate volumes
+    //    unchanged. All five ×10 witnesses now have clean anchors.
     //  - q96 2.61 clean at a window where q01 reads 1.21 (~1.15×):
     //    window-adjusted ~2.3 vs the ~1.9 anchor — briefly suspect
     //    (props-header carry; MetaReads tallies q96 at 21 manifest
