@@ -69,6 +69,33 @@ class GraftFsSpec extends SparkSpec {
     assert(!GraftFs.exists(s"$dir/a.txt"))
   }
 
+  test("sizeOf works on non-local schemes (the adaptive-partition scale signal)") {
+    // r19 (the r18 verdict's top item): the streaming drains' input-size
+    // signal must ride Hadoop FileSystem, not java.io.File — off local
+    // disk the old walk read 0 bytes and every stateful drain collapsed
+    // to ONE state partition. Exercise both non-nio branches:
+    //  - a file:// URI (Hadoop LocalFileSystem — URI-qualified, so it
+    //    skips the nio fast path), and
+    //  - a custom mockfs: scheme registered via fs.<scheme>.impl, the
+    //    same registration an object-store connector uses.
+    val local = graft.Scratch.dir("fssize")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(local))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$local/x.bin"), new Array[Byte](1234))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$local/sub"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$local/sub/y.bin"), new Array[Byte](766))
+    assert(GraftFs.sizeOf(local) == 2000L)            // nio fast path
+    assert(GraftFs.sizeOf(s"file://$local") == 2000L) // Hadoop LocalFileSystem
+    assert(GraftFs.sizeOf(s"file://$local/x.bin") == 1234L)
+    assert(GraftFs.sizeOf(s"file://$local/missing") == 0L)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockfs.impl", classOf[MockSchemeFs].getName)
+    assert(GraftFs.sizeOf(s"mockfs:$local") == 2000L,
+      "a non-file: scheme must report real bytes, not 0")
+  }
+
   test("racing CAS through file:// URIs has exactly one winner") {
     val dir = s"file://${graft.Scratch.dir("fsrace")}"
     GraftFs.mkdirs(dir)
@@ -163,4 +190,11 @@ class GraftFsSpec extends SparkSpec {
     assert(spark.sql(s"SELECT COUNT(*) FROM graft.$name").head().getLong(0) == 10L,
       "purge must not resurrect deleted rows under a space-containing location")
   }
+}
+
+/** A local-disk FileSystem served under a NON-file: scheme — the shape
+  * of an object-store connector registration, used to pin that the
+  * adaptive-partition scale signal reads real bytes off any scheme. */
+class MockSchemeFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mockfs:///")
 }
