@@ -50,18 +50,33 @@ object Adaptive {
   /** Run `f` with `spark.sql.shuffle.partitions` pinned to `n`
     * (restored afterwards), serialized against every other adaptive
     * scope in the JVM. `n <= 0` (unknown size) runs `f` unchanged —
-    * the session default is the safe production value. */
-  def withShufflePartitions[A](spark: SparkSession, n: Int)(f: => A): A =
+    * the session default is the safe production value.
+    *
+    * `disableAqe` additionally scopes `spark.sql.adaptive.enabled` off:
+    * for an ITERATIVE loop whose partition count is already derived
+    * from the measured loop-state size, AQE has nothing left to decide
+    * — its join-strategy picks are pre-empted by explicit broadcast
+    * hints, its coalescing by the derived count, and it cannot split
+    * window or aggregation skew — but it still materializes every
+    * exchange as its own job-with-barrier, which for a
+    * dozens-of-tiny-queries loop is the dominant scheduling cost
+    * (measured on t24: each AQE stage surfaces as one Spark job).
+    * Leave it ON (default) for one-shot queries, where runtime
+    * re-planning earns its barriers. */
+  def withShufflePartitions[A](spark: SparkSession, n: Int,
+      disableAqe: Boolean = false)(f: => A): A =
     if (n <= 0) f
     else {
       lock.lock()
       try {
-        val key = "spark.sql.shuffle.partitions"
-        val prev = spark.conf.getOption(key)
-        spark.conf.set(key, n.toString)
-        try f finally prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None => spark.conf.unset(key)
+        val keys = Seq("spark.sql.shuffle.partitions" -> n.toString) ++
+          (if (disableAqe) Seq("spark.sql.adaptive.enabled" -> "false")
+           else Seq.empty)
+        val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+        keys.foreach { case (k, v) => spark.conf.set(k, v) }
+        try f finally prev.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
         }
       } finally lock.unlock()
     }

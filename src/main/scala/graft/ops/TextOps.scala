@@ -1641,11 +1641,6 @@ object TextOps {
       : (DataFrame, DataFrame) = {
     import spark.implicits._
     val byW = Window.partitionBy($"w").orderBy($"pos")
-    val state0 = words
-      .select($"w", $"freq",
-        posexplode(transform(sequence(lit(1), length($"w")),
-          i => $"w".substr(i, lit(1)))))
-      .withColumnRenamed("col", "sym")
     // Loop-carried state is re-based per round: localCheckpoint alone
     // PROPAGATES origin statistics, and because each round joins adj
     // with a DataFrame derived from adj, the estimated sizeInBytes
@@ -1657,12 +1652,56 @@ object TextOps {
       val ck = df.localCheckpoint(true)
       ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
     }
-    var adj = rebase(state0.withColumn("nx", lead($"sym", 1).over(byW)))
-    var counts = rebase(adj.filter($"nx".isNotNull)
-      .groupBy($"sym", $"nx").agg(sum($"freq").as("c")))
-    var tokens = adj.agg(sum($"freq")).head().getLong(0)
-    val vocabWords = if (instrument.isDefined)
-      adj.select($"w").distinct().count() else 0L
+    // The ONE corpus-shaped job (the vocabulary aggregation upstream of
+    // `words`) runs at the session's shuffle partitioning; everything
+    // after it is VOCABULARY-sized, so the whole training loop runs
+    // under a scale-adaptive partition count derived from the measured
+    // adjacency row count (r19, guide §2 "derive partitioning from
+    // input size"): every round is ~4 small jobs whose stage floor was
+    // the session's cluster-shaped spark.sql.shuffle.partitions — at
+    // the fixture's ~61-word vocabulary that is 32 tasks per window/
+    // aggregation shuffle for a few hundred rows, and the driver's own
+    // 8-core bench read t24 FASTER than 32-core (0.73×), the signature
+    // of task-launch-bound rounds. clamp(ceil(symbolRows / target), 1,
+    // defaultParallelism) saturates every core once the vocabulary is
+    // large (Heaps' law: ~1e7 words × ~8 symbols at 100 TB ⇒ clamped
+    // to the cluster's parallelism), so this is not a local-mode trick.
+    // One row is ~60-100 B; the 256Ki-row default targets ~16-25 MB
+    // partitions (conf: spark.graft.bpe.targetPartitionRows).
+    val wordsCk = rebase(words)
+    val m0 = wordsCk.agg(
+      count(lit(1)), sum(length($"w")), sum($"freq" * length($"w"))).head()
+    val vocabWords = m0.getLong(0)
+    val symRows = if (m0.isNullAt(1)) 0L else m0.getLong(1)
+    val targetRows = spark.conf
+      .getOption("spark.graft.bpe.targetPartitionRows")
+      .flatMap(_.toLongOption).getOrElse(256L << 10)
+    val loopParts = Adaptive.partitionsFor(math.max(1L, symRows),
+      spark.sparkContext.defaultParallelism, targetRows)
+    Adaptive.withShufflePartitions(spark, loopParts, disableAqe = true) {
+    val state0 = wordsCk
+      .select($"w", $"freq",
+        posexplode(transform(sequence(lit(1), length($"w")),
+          i => $"w".substr(i, lit(1)))))
+      .withColumnRenamed("col", "sym")
+    // initial adjacency and initial pair counts materialize in ONE
+    // tagged checkpoint, same as the per-round state below — the
+    // counts branch shares the adjacency window's exchange
+    val adj0 = state0.withColumn("nx", lead($"sym", 1).over(byW))
+    val counts0 = adj0.filter($"nx".isNotNull)
+      .groupBy($"sym", $"nx").agg(sum($"freq").as("c"))
+    val st0 = rebase(adj0
+      .select(lit("a").as("t"), $"w", $"freq", $"pos", $"sym", $"nx",
+        lit(null).cast("long").as("c"))
+      .unionByName(counts0
+        .select(lit("c").as("t"), lit(null).cast("string").as("w"),
+          lit(null).cast("long").as("freq"),
+          lit(null).cast("int").as("pos"), $"sym", $"nx", $"c"))
+      .coalesce(loopParts))
+    var adj = st0.filter($"t" === "a")
+      .select($"w", $"freq", $"pos", $"sym", $"nx")
+    var counts = st0.filter($"t" === "c").select($"sym", $"nx", $"c")
+    var tokens = if (m0.isNullAt(2)) 0L else m0.getLong(2)
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long, Long)]
     var r = 1
@@ -1687,11 +1726,19 @@ object TextOps {
         // the affected-word list for free: a word containing the pair
         // always has a kept occurrence (the island head), so
         // affW = distinct(kept.kw) — no separate vocabulary pass.
+        // r19 (guide §2.4): both island quantities ride ONE window
+        // partitioning — the island start is a running `last` over the
+        // same (w, pos) order the candidate-run detection uses — where
+        // the old island-id + per-island-min pair needed a second
+        // exchange on (w, island). One exchange per kept job, and one
+        // fewer AQE stage barrier in the per-round critical path.
         val kept = tm("kept")(adj.filter($"sym" === a && $"nx" === b)
-          .withColumn("island", $"pos" - row_number().over(byW))
-          .withColumn("off",
-            $"pos" - min($"pos").over(Window.partitionBy($"w", $"island")))
-          .filter($"off" % 2 === 0)
+          .withColumn("st",
+            when(lag($"pos", 1, -2).over(byW) =!= $"pos" - 1, $"pos"))
+          .withColumn("ist", last($"st", ignoreNulls = true)
+            .over(byW.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .filter(($"pos" - $"ist") % 2 === 0)
           .select($"w".as("kw"), $"pos".as("kpos"), $"freq".as("kfreq"))
           .localCheckpoint(true))
         val affW = kept.select($"kw".as("w")).distinct()
@@ -1700,35 +1747,68 @@ object TextOps {
         // volume is the affected subset, full stop
         val affAdj = adj.join(broadcast(affW), Seq("w"), "left_semi")
         instrument.foreach(_ += ((affW.count(), vocabWords)))
+        // r19: the merge-head LEFT join and the merged-symbol-drop ANTI
+        // join fuse into ONE role-tagged broadcast join: each kept
+        // occurrence contributes a "merge here" row at kpos and a
+        // "drop this" row at kpos+1. Kept occurrences are never
+        // adjacent (within an island they sit 2 apart, islands are
+        // separated by a non-candidate gap), so at most one role
+        // matches any (w, pos) and left-join multiplicity is preserved.
+        // One broadcast build per round instead of two.
+        val keptRoles = kept
+          .select($"kw", $"kpos".as("rpos"), lit(true).as("mrg"))
+          .unionByName(kept
+            .select($"kw", ($"kpos" + 1).as("rpos"), lit(false).as("mrg")))
         val merged = affAdj
-          .join(broadcast(kept.drop("kfreq")),
-            $"w" === $"kw" && $"pos" === $"kpos", "left")
-          .withColumn("m", $"kpos".isNotNull)
-          .drop("kw", "kpos")
-          .join(broadcast(kept), $"w" === $"kw" && $"pos" === $"kpos" + 1,
-            "left_anti")
+          .join(broadcast(keptRoles),
+            $"w" === $"kw" && $"pos" === $"rpos", "left")
+          .filter($"mrg".isNull || $"mrg")
           .select($"w", $"freq", $"pos".as("opos"),
-            when($"m", lit(a + b)).otherwise($"sym").as("sym"))
+            when($"mrg" === true, lit(a + b)).otherwise($"sym").as("sym"))
           .withColumn("pos",
             row_number().over(Window.partitionBy($"w").orderBy($"opos")))
           .drop("opos")
         val newAffAdj = merged.withColumn("nx", lead($"sym", 1).over(byW))
-        // the new standing adjacency — the one job that executes the
-        // window cascade above; counts-after reads the affected slice
-        // back out of this CHECKPOINTED result instead of re-running it
-        adj = tm("adj")(rebase(adj.join(broadcast(affW), Seq("w"), "left_anti")
-          .unionByName(newAffAdj)))
+        // the new standing adjacency, and
         // counts := counts − pairs(affected before) + pairs(affected
-        // after), merged as signed deltas — never a vocab-wide recount
-        counts = counts
+        // after) as signed delta ROWS through one groupBy (map-side
+        // partial aggregation pre-sums each slice — the r18 two-level
+        // form paid two extra exchanges for what the hash aggregate
+        // does anyway) — never a vocab-wide recount. r19: BOTH loop
+        // frames materialize in ONE tagged checkpoint job per round —
+        // the after-slice of counts is newAffAdj's pairs by
+        // construction (untouched words carry no affected pairs), the
+        // two branches share the newAffAdj exchange and the affW/
+        // keptRoles broadcasts via ReuseExchange, and the round's
+        // critical path drops from two state actions to one. adj and
+        // counts re-emerge as narrow filters over the checkpointed
+        // union (tag column), so nothing downstream re-executes the
+        // round's window cascade.
+        val newAdj = adj.join(broadcast(affW), Seq("w"), "left_anti")
+          .unionByName(newAffAdj)
+        val newCounts = counts
           .unionByName(affAdj.filter($"nx".isNotNull)
-            .groupBy($"sym", $"nx").agg((-sum($"freq")).as("c")))
-          .unionByName(adj.join(broadcast(affW), Seq("w"), "left_semi")
-            .filter($"nx".isNotNull)
-            .groupBy($"sym", $"nx").agg(sum($"freq").as("c")))
+            .select($"sym", $"nx", (-$"freq").as("c")))
+          .unionByName(newAffAdj.filter($"nx".isNotNull)
+            .select($"sym", $"nx", $"freq".as("c")))
           .groupBy($"sym", $"nx").agg(sum($"c").as("c"))
           .filter($"c" > 0)
-        counts = tm("counts")(rebase(counts))
+        // coalesce is NARROW and keeps the checkpointed RDD at the
+        // loop's derived partition count — union partition counts
+        // otherwise ACCUMULATE round over round (anti-branch parts +
+        // window parts + counts parts), and every later scan pays the
+        // sum as tasks
+        val state = tm("adj")(rebase(newAdj
+          .select(lit("a").as("t"), $"w", $"freq", $"pos", $"sym", $"nx",
+            lit(null).cast("long").as("c"))
+          .unionByName(newCounts
+            .select(lit("c").as("t"), lit(null).cast("string").as("w"),
+              lit(null).cast("long").as("freq"),
+              lit(null).cast("int").as("pos"), $"sym", $"nx", $"c"))
+          .coalesce(loopParts)))
+        adj = state.filter($"t" === "a")
+          .select($"w", $"freq", $"pos", $"sym", $"nx")
+        counts = state.filter($"t" === "c").select($"sym", $"nx", $"c")
         // each kept occurrence removes exactly one symbol. For a ≠ b
         // occurrences cannot overlap, so every occurrence is kept and
         // the pair count IS the removal count — no extra job; only
@@ -1743,6 +1823,7 @@ object TextOps {
     (adj.select($"w", $"freq", $"pos", $"sym"), learned.toSeq
       .toDF("merge_rank", "lhs", "rhs", "pair_count", "corpus_tokens_after")
       .orderBy($"merge_rank"))
+    } // Adaptive.withShufflePartitions
   }
 
   // ---------------------------------------------------------------------
