@@ -264,9 +264,16 @@ object Extras5 {
   // ---------------------------------------------------------------------
   def g01(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    import graft.ops.Materialize.MaterializeOps
+    // r19: the edge list is consumed by EVERY BFS level — materialize
+    // it once (the d02/d03 multi-consumer rule) instead of re-running
+    // the lineitem scan + distinct exchange per level (3 scans + 3
+    // corpus-sized shuffles → 1). At 100 TB this is the difference
+    // between one edge-list derivation and one per level.
     val edges = Tables.load(spark, dir, "lineitem")
       .select($"l_partkey".as("p"), $"l_suppkey".as("s"))
       .distinct()
+      .materialize
     val seeds = Tables.load(spark, dir, "supplier")
       .filter($"s_suppkey" % 100 === 1)
       .select($"s_suppkey".as("s"))
