@@ -128,8 +128,11 @@ object Pipeline {
     * counts) depends on nothing but the index, so it is computed ONCE
     * here instead of per delta — the incremental DAG no longer
     * contains any corpus-sized aggregation. The hot-shingle anti-joins
-    * broadcast `hot` explicitly (it is df-capped small by
-    * construction), and the materialized frames carry REAL sizes
+    * broadcast `hot` when its MEASURED size fits the session's
+    * broadcast threshold (r19: the set of shingles with df > DfCap
+    * grows with the corpus, so an unconditional hint would OOM the
+    * driver at scale — `Materialize.broadcastIfSmall` reads the real
+    * post-checkpoint stats), and the materialized frames carry REAL sizes
     * (localCheckpoint stats), so the probe join picks its build side
     * from actual bytes rather than defaults. The shingle and winnow-fp
     * chains are data-independent and run as CONCURRENT jobs (guide
@@ -158,7 +161,8 @@ object Pipeline {
         .materialize
       val hot = sh.groupBy($"w").agg(count(lit(1)).as("df"))
         .filter($"df" > Dedup.DfCap).select($"w").materialize
-      val shingleIdx = sh.join(broadcast(hot), Seq("w"), "left_anti")
+      val shingleIdx = sh.join(Materialize.broadcastIfSmall(hot),
+        Seq("w"), "left_anti")
         .materialize
       val corpusSizes = shingleIdx.groupBy($"doc_id".as("corpus_id"))
         .agg(count(lit(1)).as("nc")).materialize
@@ -195,7 +199,8 @@ object Pipeline {
     val (idxN, fpN) = inParallel(
       delta
         .select($"doc_id", explode(Dedup.shingles(spark, $"text")).as("w"))
-        .join(broadcast(idx.hotShingles), Seq("w"), "left_anti")
+        .join(Materialize.broadcastIfSmall(idx.hotShingles),
+          Seq("w"), "left_anti")
         .materialize,
       delta.filter(length($"text") >= 8)
         .select($"doc_id",
@@ -218,7 +223,7 @@ object Pipeline {
     // above) vs the broadcast benchmark fp index; contaminated =
     // containment >= 0.5
     val szN = fpN.groupBy($"doc_id").agg(count(lit(1)).as("n_fp"))
-    val sharedN = fpN.join(broadcast(idx.benchFp), Seq("m"))
+    val sharedN = fpN.join(Materialize.broadcastIfSmall(idx.benchFp), Seq("m"))
       .groupBy($"doc_id").agg(countDistinct($"m").as("n_shared"))
     val contam = szN.join(sharedN, Seq("doc_id"))
       .filter($"n_fp" > 0 &&

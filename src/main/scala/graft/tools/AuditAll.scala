@@ -37,7 +37,11 @@ object AuditAll {
           s"bhj=${c("BroadcastHashJoin")} smj=${c("SortMergeJoin")} " +
           s"shj=${c("ShuffledHashJoin")} bnlj=${c("BroadcastNestedLoop")} " +
           s"cart=${c("CartesianProduct")} codegen=${c("WholeStageCodegen")} " +
-          s"pyudf=${c("BatchEval")} scalaudf=${c("(?i)invoke|ScalaUDF")}")
+          // word-bounded: "(?i)invoke" also matched Invoke/StaticInvoke
+          // codegen expressions (encoders, object serializers) and
+          // systematically overcounted scan-stage UDF evaluation (r18
+          // advice item)
+          s"pyudf=${c("BatchEval")} scalaudf=${c("\\bScalaUDF\\b")}")
       } catch { case e: Throwable =>
         println(s"[audit] $name FAILED: ${e.getMessage}")
       }

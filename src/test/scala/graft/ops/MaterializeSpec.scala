@@ -63,4 +63,27 @@ class MaterializeSpec extends SparkSpec {
     assert(!plan.contains("Aggregate"), plan)
     assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"), plan)
   }
+
+  test("broadcastIfSmall gates the hint on measured size (r18 advice)") {
+    import spark.implicits._
+    import Materialize.MaterializeOps
+    val small = (1L to 50L).toDF("k").materialize
+    val big = spark.range(0, 2000000L).toDF("k").materialize
+    val fact = spark.range(0, 1000L).toDF("k")
+    // a small materialized frame gets the hint → BroadcastHashJoin
+    val pSmall = fact.join(Materialize.broadcastIfSmall(small), Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(pSmall.contains("BroadcastHashJoin"), pSmall)
+    // a frame whose MEASURED bytes exceed the threshold is left to the
+    // planner — shrink the threshold so even `small` is over it
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1b")
+      val gated = Materialize.broadcastIfSmall(big)
+      // no hint attached: the logical plan carries no ResolvedHint
+      assert(!gated.queryExecution.analyzed.toString.contains("Hint"),
+        gated.queryExecution.analyzed.toString)
+    } finally spark.conf.set(key, prev)
+  }
 }
