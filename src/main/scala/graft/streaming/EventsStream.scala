@@ -894,29 +894,41 @@ object EventsStream {
     // batch 1). Three batches, not two: state eviction runs at the END
     // of a batch, so an eviction driven by batch 2's watermark is only
     // observable through batch 3's arrivals.
-    def parts() = {
-      val d = new java.io.File(src)
-      d.listFiles().filter(f => f.getName.startsWith("part-")).map(_.toPath).toSet
-    }
     val cuts = Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00")
       .map(s => lit(s).cast("timestamp"))
-    val slices = Seq(
-      $"ts" < cuts(0),
-      $"ts" >= cuts(0) && $"ts" < cuts(1),
-      $"ts" >= cuts(1))
-    var seen = Set.empty[java.nio.file.Path]
-    slices.zipWithIndex.foreach { case (pred, i) =>
-      // one representative row per key per slice (min ts) so the stored
-      // state timestamp is deterministic; slice 1 doubled to exercise
-      // in-batch dedup
-      val rep = ev.filter(pred).groupBy($"user_id", $"event_type")
-        .agg(min($"ts").as("ts"))
-      val batch = if (i == 0) rep.union(rep) else rep
-      batch.coalesce(1).write.mode("append").parquet(src)
-      val fresh = parts() -- seen
-      fresh.foreach(p => java.nio.file.Files.setLastModifiedTime(p,
-        java.nio.file.attribute.FileTime.fromMillis((i + 1) * 1000000L)))
-      seen ++= fresh
+    // one representative row per key per slice (min ts) so the stored
+    // state timestamp is deterministic; slice 1 doubled (copy explode)
+    // to exercise in-batch dedup. r19 (guide §1.2): ONE events
+    // aggregation + ONE partitioned write replace three sequential
+    // per-slice scan+groupBy+write jobs — repartition(3, slice) puts a
+    // whole slice in one task, so partitionBy still emits exactly one
+    // file per slice, which then moves into the flat source dir with
+    // the same pinned mtimes. Batch contents are byte-identical (the
+    // per-slice representative sets are unchanged; in-file row order is
+    // irrelevant to the dedup operator — one representative per key).
+    ev.withColumn("slice",
+        when($"ts" < cuts(0), 0).when($"ts" < cuts(1), 1).otherwise(2))
+      .groupBy($"slice", $"user_id", $"event_type").agg(min($"ts").as("ts"))
+      .withColumn("copy",
+        explode(when($"slice" === 0, array(lit(0), lit(1)))
+          .otherwise(array(lit(0)))))
+      .drop("copy")
+      .repartition(3, $"slice")
+      .write.partitionBy("slice").parquet(src)
+    (0 to 2).foreach { i =>
+      val d = new java.io.File(s"$src/slice=$i")
+      Option(d.listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("part-")).foreach { part =>
+          val dst = java.nio.file.Paths.get(s"$src/slice_$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis((i + 1) * 1000000L))
+        }
+      // drop the partition dir (and stale .crc sidecars) so the file
+      // source sees the same flat single-file-per-slice layout as before
+      Option(d.listFiles()).toSeq.flatten
+        .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+      java.nio.file.Files.deleteIfExists(d.toPath)
     }
     val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema)
