@@ -711,8 +711,6 @@ object Similarity {
       .withColumn("dist", sqDist($"sv", $"cent"))
       .groupBy($"vec_id", $"cluster", $"s")
       .agg(min_by($"code", struct($"dist", $"code")).as("code"))
-    cents.write.parquet(s"$idx/centroids")
-    cb.write.parquet(s"$idx/codebook")
     // the bulk artifact: partitioned by cluster so a probe reads only
     // its clusters' files at scale. Deliberately NOT pre-clustered
     // before the fan-out write: an r18 A/B measured repartition(cluster)
@@ -722,7 +720,13 @@ object Similarity {
     // a big corpus the trade flips — hash write distribution
     // (one shuffle, whole files per cluster) is the production layout;
     // locally the planner-visible knob would only slow the build.
-    codes.write.partitionBy("cluster").parquet(s"$idx/codes")
+    // r19 (guide §2.6): the three index tables are data-independent —
+    // the two small writes ride one chain concurrent with the bulk
+    // fan-out write, back-filling its stage tail.
+    Materialize.inParallel(
+      { cents.write.parquet(s"$idx/centroids")
+        cb.write.parquet(s"$idx/codebook") },
+      codes.write.partitionBy("cluster").parquet(s"$idx/codes"))
     idx
   }
 
